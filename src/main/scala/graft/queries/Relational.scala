@@ -1,0 +1,413 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Layer B relational query corpus (SURVEY.md §2.5) over the driver's
+  * TPC-H-ish parquet tables, each paired with ANSI SQL for the DuckDB
+  * oracle. The reference (ul-mds/gecko) has no relational algebra
+  * (SURVEY.md §2.4) — this layer is the standard surface the Spark
+  * engine provides around the generator/mutator core.
+  *
+  * Oracle-determinism design: all floating-point aggregates are routed
+  * through exact per-row casts to DECIMAL (scale chosen >= the true
+  * decimal scale of the data, so the cast is exact and engine-
+  * independent), summed exactly, and only then converted to DOUBLE.
+  * This yields bit-identical results between Spark and DuckDB with no
+  * dependence on accumulation order — which also makes results stable
+  * across cluster sizes / partition layouts at 100 TB scale.
+  */
+object Relational {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact decimal sum surfaced as double (see object doc). */
+  private def dsum(c: Column, scale: Int): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** SQL twin of [[dsum]]. */
+  private def dsumSql(e: String, scale: Int): String =
+    s"CAST(sum(CAST($e AS DECIMAL(18,$scale))) AS DOUBLE)"
+
+  // ---------------------------------------------------------------- Q1
+  /** TPC-H Q1 shape: scan + filter + wide aggregate on lineitem. The
+    * filter and the 7-column read schema must reach the parquet scan
+    * (predicate pushdown + column pruning). */
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val charge = discPrice * (lit(1.0) + col("l_tax"))
+    li.filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity"), 2).as("sum_qty"),
+        dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+        dsum(discPrice, 4).as("sum_disc_price"),
+        dsum(charge, 6).as("sum_charge"),
+        (dsum(col("l_quantity"), 2) / count(lit(1))).as("avg_qty"),
+        (dsum(col("l_extendedprice"), 2) / count(lit(1))).as("avg_price"),
+        (dsum(col("l_discount"), 2) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q01Sql: String = s"""
+    SELECT l_returnflag, l_linestatus,
+      ${dsumSql("l_quantity", 2)} AS sum_qty,
+      ${dsumSql("l_extendedprice", 2)} AS sum_base_price,
+      ${dsumSql("l_extendedprice*(1.0-l_discount)", 4)} AS sum_disc_price,
+      ${dsumSql("l_extendedprice*(1.0-l_discount)*(1.0+l_tax)", 6)} AS sum_charge,
+      ${dsumSql("l_quantity", 2)} / count(*) AS avg_qty,
+      ${dsumSql("l_extendedprice", 2)} / count(*) AS avg_price,
+      ${dsumSql("l_discount", 2)} / count(*) AS avg_disc,
+      count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""
+
+  // ---------------------------------------------------------------- Q2
+  /** customer ⋈ orders + aggregate per market segment. The join keys are
+    * both high-cardinality at 100 TB, so no broadcast hint: AQE picks
+    * broadcast at small SF and shuffled hash/SMJ at scale. */
+  def q02SegmentRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer")
+    val o = table(spark, dir, "orders")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("order_cnt"),
+        dsum(col("o_totalprice"), 2).as("total_revenue"),
+        countDistinct(col("o_custkey")).as("active_customers"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q02Sql: String = s"""
+    SELECT c_mktsegment,
+      count(*) AS order_cnt,
+      ${dsumSql("o_totalprice", 2)} AS total_revenue,
+      count(DISTINCT o_custkey) AS active_customers
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment"""
+
+  // ---------------------------------------------------------------- Q3
+  /** TPC-H Q3 shape: 3-way join + group-by + top-k. Top-k via
+    * orderBy+limit compiles to TakeOrderedAndProject (no global sort
+    * materialization at scale). */
+  def q03TopRevenueOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer")
+    val o = table(spark, dir, "orders")
+    val li = table(spark, dir, "lineitem")
+    c.filter(col("c_mktsegment") === "BUILDING")
+      .join(o, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp") &&
+        col("l_shipdate") > lit("1999-01-01").cast("timestamp"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q03Sql: String = s"""
+    SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      ${dsumSql("l_extendedprice*(1.0-l_discount)", 4)} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10"""
+
+  // ---------------------------------------------------------------- Q4
+  /** Semi-join (EXISTS): orders having a lineitem shipped > 60 days
+    * after the order date, counted per priority. */
+  def q04LateOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    val li = table(spark, dir, "lineitem")
+    o.join(li,
+        o("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_cnt"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q04Sql: String = """
+    SELECT o_orderpriority, count(*) AS order_cnt
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""
+
+  // ---------------------------------------------------------------- Q5
+  /** Anti-join (NOT EXISTS): customers with no order before 1996, per
+    * nation. The filter lands on the build side before the anti-join. */
+  def q05CustomersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer")
+    val o = table(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("cust_cnt"))
+      .orderBy("c_nationkey")
+  }
+
+  val q05Sql: String = """
+    SELECT c_nationkey, count(*) AS cust_cnt
+    FROM customer
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey
+        AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey"""
+
+  // ---------------------------------------------------------------- Q6
+  /** TPC-H Q6 shape: tight range predicates + single aggregate; all
+    * three predicates must appear in PushedFilters. */
+  def q06RevenueChange(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    li.filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q06Sql: String = s"""
+    SELECT ${dsumSql("l_extendedprice*l_discount", 4)} AS revenue,
+      count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24"""
+
+  // ---------------------------------------------------------------- Q7
+  /** Window rank: top-3 orders per customer by price. The tie-break on
+    * o_orderkey makes row_number deterministic. */
+  def q07TopOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  val q07Sql: String = """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    ORDER BY o_custkey, rn"""
+
+  // ---------------------------------------------------------------- Q8
+  /** Rollup over region/nation revenue. region+nation are genuinely tiny
+    * at any SF → explicit broadcast hints. */
+  def q08RegionNationRollup(spark: SparkSession, dir: String): DataFrame = {
+    val r = table(spark, dir, "region")
+    val n = table(spark, dir, "nation")
+    val c = table(spark, dir, "customer")
+    val o = table(spark, dir, "orders")
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(dsum(col("o_totalprice"), 2).as("revenue"),
+        count(lit(1)).as("order_cnt"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("revenue"), col("order_cnt"))
+      .orderBy("region", "nation")
+  }
+
+  val q08Sql: String = s"""
+    SELECT coalesce(r_name, 'ALL') AS region,
+      coalesce(n_name, 'ALL') AS nation,
+      ${dsumSql("o_totalprice", 2)} AS revenue,
+      count(*) AS order_cnt
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    ORDER BY region, nation"""
+
+  // ---------------------------------------------------------------- Q9
+  /** Exact distinct counts per brand (lineitem ⋈ part). */
+  def q09BrandDistincts(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    val p = table(spark, dir, "part")
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("supp_cnt"),
+        countDistinct(col("l_orderkey")).as("order_cnt"),
+        count(lit(1)).as("lineitem_cnt"))
+      .orderBy("p_brand")
+  }
+
+  val q09Sql: String = """
+    SELECT p_brand,
+      count(DISTINCT l_suppkey) AS supp_cnt,
+      count(DISTINCT l_orderkey) AS order_cnt,
+      count(*) AS lineitem_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    ORDER BY p_brand"""
+
+  // --------------------------------------------------------------- Q10
+  /** Set ops: nations with suppliers or customers, except region 0's. */
+  def q10NationSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val s = table(spark, dir, "supplier")
+    val c = table(spark, dir, "customer")
+    val n = table(spark, dir, "nation")
+    s.select(col("s_nationkey").as("nationkey"))
+      .union(c.select(col("c_nationkey").as("nationkey")))
+      .distinct()
+      .except(n.filter(col("n_regionkey") === 0)
+        .select(col("n_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+  }
+
+  val q10Sql: String = """
+    SELECT s_nationkey AS nationkey FROM supplier
+    UNION
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT n_nationkey AS nationkey FROM nation WHERE n_regionkey = 0
+    ORDER BY nationkey"""
+
+  // --------------------------------------------------------------- Q11
+  /** String function sweep on part names (substring/upper/concat/
+    * length/replace/trim) — all codegen'd builtins. */
+  def q11PartStrings(spark: SparkSession, dir: String): DataFrame = {
+    val p = table(spark, dir, "part")
+    p.select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 8)).as("name_prefix"),
+        concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"),
+        length(col("p_name")).cast("long").as("name_len"),
+        regexp_replace(col("p_name"), " ", "_").as("name_snake"))
+      .orderBy("p_partkey")
+  }
+
+  val q11Sql: String = """
+    SELECT p_partkey,
+      upper(substring(p_name, 1, 8)) AS name_prefix,
+      p_brand || '/' || p_type AS brand_type,
+      length(p_name) AS name_len,
+      replace(p_name, ' ', '_') AS name_snake
+    FROM part
+    ORDER BY p_partkey"""
+
+  // --------------------------------------------------------------- Q12
+  /** Date bucketing: orders per (year, month). */
+  def q12OrdersByMonth(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    o.groupBy(
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        month(col("o_orderdate")).cast("long").as("o_month"))
+      .agg(count(lit(1)).as("order_cnt"),
+        dsum(col("o_totalprice"), 2).as("revenue"))
+      .orderBy("o_year", "o_month")
+  }
+
+  val q12Sql: String = s"""
+    SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+      EXTRACT(MONTH FROM o_orderdate) AS o_month,
+      count(*) AS order_cnt,
+      ${dsumSql("o_totalprice", 2)} AS revenue
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY o_year, o_month"""
+
+  // --------------------------------------------------------------- Q13
+  /** Big-big join, forced sort-merge (the 100 TB path where neither side
+    * broadcasts); group on the skewed priority column. AQE skew-join
+    * splitting handles stragglers at scale. */
+  def q13OrderLineitemSmj(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    val li = table(spark, dir, "lineitem")
+    o.hint("merge")
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        dsum(col("l_quantity"), 2).as("total_qty"),
+        count(lit(1)).as("li_cnt"),
+        countDistinct(col("o_orderkey")).as("order_cnt"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q13Sql: String = s"""
+    SELECT o_orderpriority,
+      ${dsumSql("l_quantity", 2)} AS total_qty,
+      count(*) AS li_cnt,
+      count(DISTINCT o_orderkey) AS order_cnt
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""
+
+  // --------------------------------------------------------------- Q14
+  /** Top-k per group via window row_number (part prices per brand). */
+  def q14TopPartsPerBrand(spark: SparkSession, dir: String): DataFrame = {
+    val p = table(spark, dir, "part")
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    p.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("p_brand"), col("p_partkey"), col("p_name"),
+        col("p_retailprice"), col("rn"))
+      .orderBy("p_brand", "rn")
+  }
+
+  val q14Sql: String = """
+    SELECT p_brand, p_partkey, p_name, p_retailprice, rn
+    FROM (
+      SELECT p_brand, p_partkey, p_name, p_retailprice,
+        row_number() OVER (PARTITION BY p_brand
+          ORDER BY p_retailprice DESC, p_partkey) AS rn
+      FROM part)
+    WHERE rn <= 5
+    ORDER BY p_brand, rn"""
+
+  /** name -> (query fn, oracle sql) */
+  val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("q01_pricing_summary", q01PricingSummary _, q01Sql),
+    ("q02_segment_revenue", q02SegmentRevenue _, q02Sql),
+    ("q03_top_revenue_orders", q03TopRevenueOrders _, q03Sql),
+    ("q04_late_orders", q04LateOrders _, q04Sql),
+    ("q05_customers_without_orders", q05CustomersWithoutOrders _, q05Sql),
+    ("q06_revenue_change", q06RevenueChange _, q06Sql),
+    ("q07_top_orders_per_customer", q07TopOrdersPerCustomer _, q07Sql),
+    ("q08_region_nation_rollup", q08RegionNationRollup _, q08Sql),
+    ("q09_brand_distincts", q09BrandDistincts _, q09Sql),
+    ("q10_nation_set_ops", q10NationSetOps _, q10Sql),
+    ("q11_part_strings", q11PartStrings _, q11Sql),
+    ("q12_orders_by_month", q12OrdersByMonth _, q12Sql),
+    ("q13_order_lineitem_smj", q13OrderLineitemSmj _, q13Sql),
+    ("q14_top_parts_per_brand", q14TopPartsPerBrand _, q14Sql),
+  )
+}

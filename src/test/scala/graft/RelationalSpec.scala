@@ -1,0 +1,27 @@
+package graft
+
+import graft.queries.Relational
+
+/** Smoke + determinism for the Layer B corpus. Value-level correctness
+  * is validated against the DuckDB oracle by the driver (and locally by
+  * scripts/compare_oracle.py). */
+class RelationalSpec extends SparkSpec {
+
+  for ((name, fn, sql) <- Relational.all) {
+    test(s"$name runs, is non-empty, and is deterministic") {
+      val a = fn(spark, sfDir).collect()
+      assert(a.nonEmpty, s"$name returned 0 rows at sf0.001")
+      val b = fn(spark, sfDir).collect()
+      assert(a.sameElements(b), s"$name not deterministic across runs")
+      assert(sql.trim.toLowerCase.startsWith("select"))
+    }
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("queries and oracleSql keys line up") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}
