@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.Relational
+import graft.queries.{LayerADemo, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -12,11 +12,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.all.map { case (name, fn, _) => name -> fn }.toMap
+    Relational.all.map { case (name, fn, _) => name -> fn }.toMap ++
+      LayerADemo.all.map { case (name, fn, _) => name -> fn }.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (seeded random generators/mutators) → rows-only check. */
   def oracleSql: Map[String, String] =
-    Relational.all.map { case (name, _, sql) => name -> sql }.toMap
+    Relational.all.map { case (name, _, sql) => name -> sql }.toMap ++
+      LayerADemo.all.collect { case (name, _, Some(sql)) => name -> sql }.toMap
 }

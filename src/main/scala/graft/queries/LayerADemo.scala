@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Gecko
+import graft.gen.{Generators, ToDataFrame}
+import graft.mut.{MutateDataFrame, Mutators}
+
+/** Driver-facing demo queries — one per Layer A operator (SURVEY.md §2)
+  * — so every generator/mutator is exercised by the correctness gate.
+  * Deterministic operators carry DuckDB oracle SQL; seeded-random ones
+  * are rows-only checked here and value-checked by ScalaTest
+  * (GeneratorSpec/MutatorSpec statistical + reproducibility tests).
+  *
+  * Lookup tables are derived from the sf directory's own tables, so
+  * demos scale with the data like a real pipeline would. */
+object LayerADemo {
+  import Generators._
+  import Mutators._
+
+  private val N = 20000L
+
+  /** customer with a row-id column usable for stable randomness. */
+  private def customers(s: SparkSession, dir: String): DataFrame =
+    Relational.table(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+
+  // -------------------------------------------------- generators
+  def g01FromFunction(s: SparkSession, dir: String): DataFrame =
+    FromFunction(rid => s"row-$rid").generate(s, 1000)
+      .select(col(Gecko.RowId), col("c0").as("value"))
+      .orderBy(Gecko.RowId)
+
+  val g01Sql: String =
+    """SELECT CAST(range AS BIGINT) AS __row_id,
+       'row-' || range AS value FROM range(1000) ORDER BY 1"""
+
+  def g02Uniform(s: SparkSession, dir: String): DataFrame =
+    FromUniformDistribution(10, 20, precision = 4, seed = 101)
+      .generate(s, N)
+
+  def g03Normal(s: SparkSession, dir: String): DataFrame =
+    FromNormalDistribution(100, 15, precision = 2, seed = 102)
+      .generate(s, N)
+
+  def g04FrequencyTable(s: SparkSession, dir: String): DataFrame = {
+    val freq = customers(s, dir).groupBy("c_mktsegment")
+      .agg(count(lit(1)).cast("int").as("freq"))
+    fromFrequencyTable(s, freq, "c_mktsegment", "freq", seed = 103)
+      .generate(s, N)
+  }
+
+  def g05MulticolumnFrequencyTable(s: SparkSession, dir: String): DataFrame = {
+    val n = Relational.table(s, dir, "nation")
+    val r = Relational.table(s, dir, "region")
+    val joint = n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name"), col("r_name"))
+      .withColumn("freq", lit(1))
+    fromMulticolumnFrequencyTable(s, joint, Seq("n_name", "r_name"), "freq",
+      seed = 104).generate(s, N)
+  }
+
+  def g06DatetimeRange(s: SparkSession, dir: String): DataFrame =
+    FromDatetimeRange("1995-01-01", "2001-12-31", "%Y-%m-%d %H:%M:%S", "h",
+      seed = 105).generate(s, N)
+
+  def g07Group(s: SparkSession, dir: String): DataFrame =
+    FromGroup(Seq(
+      (0.6, FromUniformDistribution(0, 1, 6, seed = 106): graft.gen.Generator),
+      (0.4, FromUniformDistribution(100, 200, 6, seed = 107))),
+      maxRoundingAdjustment = 1, seed = 108).generate(s, N)
+
+  def g08ToDataFrame(s: SparkSession, dir: String): DataFrame = {
+    val freq = customers(s, dir).groupBy("c_mktsegment")
+      .agg(count(lit(1)).cast("int").as("freq"))
+    ToDataFrame(s, Seq(
+      (Seq("segment"), fromFrequencyTable(s, freq, "c_mktsegment", "freq",
+        seed = 109)),
+      (Seq("score"), FromNormalDistribution(50, 10, 2, seed = 110)),
+      (Seq("joined"), FromDatetimeRange("1990-01-01", "2000-01-01",
+        "%d.%m.%Y", "d", seed = 111))), N)
+  }
+
+  // -------------------------------------------------- mutators
+  // Deterministic-at-p=1 mutators run on customer names with the
+  // custkey as row identity → SQL-checkable against DuckDB.
+
+  private def mutDemo(s: SparkSession, dir: String, m: graft.mut.Mutator,
+                      p: Double = 1.0): DataFrame =
+    m(customers(s, dir), Seq("c_name"), p, col("c_custkey"))
+      .select(col("c_custkey"), col("c_name")).orderBy("c_custkey")
+
+  def m01WithFunction(s: SparkSession, dir: String): DataFrame =
+    mutDemo(s, dir, WithFunction(v => v.reverse, seed = 201))
+
+  val m01Sql: String =
+    "SELECT c_custkey, reverse(c_name) AS c_name FROM customer ORDER BY 1"
+
+  def m05MissingValue(s: SparkSession, dir: String): DataFrame =
+    mutDemo(s, dir, WithMissingValue("##MISSING##", seed = 205))
+
+  val m05Sql: String =
+    "SELECT c_custkey, '##MISSING##' AS c_name FROM customer ORDER BY 1"
+
+  def m06Insert(s: SparkSession, dir: String): DataFrame =
+    mutDemo(s, dir, WithInsert(seed = 206), p = 0.5)
+
+  def m07Delete(s: SparkSession, dir: String): DataFrame =
+    mutDemo(s, dir, WithDelete(seed = 207), p = 0.5)
+
+  def m08Transpose(s: SparkSession, dir: String): DataFrame =
+    mutDemo(s, dir, WithTranspose(seed = 208), p = 0.5)
+
+  def m09Substitute(s: SparkSession, dir: String): DataFrame =
+    mutDemo(s, dir, WithSubstitute(seed = 209), p = 0.5)
+
+  def m10Noop(s: SparkSession, dir: String): DataFrame =
+    mutDemo(s, dir, WithNoop())
+
+  val m10Sql: String =
+    "SELECT c_custkey, c_name FROM customer ORDER BY 1"
+
+  def m11Categorical(s: SparkSession, dir: String): DataFrame = {
+    val m = WithCategoricalValues(customers(s, dir), "c_mktsegment",
+      seed = 211)
+    m(customers(s, dir), Seq("c_mktsegment"), 0.5, col("c_custkey"))
+      .select(col("c_custkey"), col("c_mktsegment")).orderBy("c_custkey")
+  }
+
+  def m12Permute(s: SparkSession, dir: String): DataFrame =
+    // two columns + p=1 => single derangement (the swap): deterministic
+    WithPermute(seed = 212)(customers(s, dir),
+        Seq("c_name", "c_mktsegment"), 1.0, col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+
+  val m12Sql: String =
+    """SELECT c_custkey, c_mktsegment AS c_name, c_name AS c_mktsegment
+       FROM customer ORDER BY 1"""
+
+  def m13Lowercase(s: SparkSession, dir: String): DataFrame =
+    mutDemo(s, dir, WithLowercase(seed = 213))
+
+  val m13Sql: String =
+    "SELECT c_custkey, lower(c_name) AS c_name FROM customer ORDER BY 1"
+
+  def m14Uppercase(s: SparkSession, dir: String): DataFrame =
+    mutDemo(s, dir, WithUppercase(seed = 214))
+
+  val m14Sql: String =
+    "SELECT c_custkey, upper(c_name) AS c_name FROM customer ORDER BY 1"
+
+  def m15DatetimeOffset(s: SparkSession, dir: String): DataFrame = {
+    val o = Relational.table(s, dir, "orders")
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
+    WithDatetimeOffset(10, "d", "%Y-%m-%d", preventWraparound = true,
+        seed = 215)(o, Seq("odate"), 0.5, col("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
+  def m16WithGenerator(s: SparkSession, dir: String): DataFrame =
+    mutDemo(s, dir, WithGenerator(
+      FromFunction(rid => s"gen-$rid"), "replace", seed = 216))
+
+  val m16Sql: String =
+    "SELECT c_custkey, 'gen-' || c_custkey AS c_name FROM customer ORDER BY 1"
+
+  def m18Repeat(s: SparkSession, dir: String): DataFrame =
+    mutDemo(s, dir, WithRepeat(" ", seed = 218))
+
+  val m18Sql: String =
+    "SELECT c_custkey, c_name || ' ' || c_name AS c_name FROM customer ORDER BY 1"
+
+  def m19Group(s: SparkSession, dir: String): DataFrame =
+    mutDemo(s, dir, WithGroup(Seq(
+      (0.4, WithRepeat("+", seed = 219)),
+      (0.3, WithDelete(seed = 220)),
+      (0.2, WithInsert(seed = 221))), seed = 222))
+
+  def m20MutateDataFrame(s: SparkSession, dir: String): DataFrame =
+    MutateDataFrame(customers(s, dir), Seq(
+      (Seq("c_name"), Seq(
+        (0.3, WithInsert(seed = 223): graft.mut.Mutator),
+        (0.3, WithDelete(seed = 224): graft.mut.Mutator))),
+      (Seq("c_mktsegment"), Seq(
+        (0.5, WithLowercase(seed = 225): graft.mut.Mutator)))),
+      ridCol = "c_custkey")
+      .orderBy("c_custkey")
+
+  /** name -> (query, optional oracle sql) */
+  val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
+    Seq(
+      ("g01_from_function", g01FromFunction _, Some(g01Sql)),
+      ("g02_uniform", g02Uniform _, None),
+      ("g03_normal", g03Normal _, None),
+      ("g04_frequency_table", g04FrequencyTable _, None),
+      ("g05_multicolumn_frequency_table", g05MulticolumnFrequencyTable _, None),
+      ("g06_datetime_range", g06DatetimeRange _, None),
+      ("g07_group", g07Group _, None),
+      ("g08_to_data_frame", g08ToDataFrame _, None),
+      ("m01_with_function", m01WithFunction _, Some(m01Sql)),
+      ("m05_missing_value", m05MissingValue _, Some(m05Sql)),
+      ("m06_insert", m06Insert _, None),
+      ("m07_delete", m07Delete _, None),
+      ("m08_transpose", m08Transpose _, None),
+      ("m09_substitute", m09Substitute _, None),
+      ("m10_noop", m10Noop _, Some(m10Sql)),
+      ("m11_categorical", m11Categorical _, None),
+      ("m12_permute", m12Permute _, Some(m12Sql)),
+      ("m13_lowercase", m13Lowercase _, Some(m13Sql)),
+      ("m14_uppercase", m14Uppercase _, Some(m14Sql)),
+      ("m15_datetime_offset", m15DatetimeOffset _, None),
+      ("m16_with_generator", m16WithGenerator _, Some(m16Sql)),
+      ("m18_repeat", m18Repeat _, Some(m18Sql)),
+      ("m19_group", m19Group _, None),
+      ("m20_mutate_data_frame", m20MutateDataFrame _, None),
+    )
+}

@@ -1,0 +1,255 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.{Gecko, Warnings}
+import graft.gen.Generators
+import graft.mut.{MutateDataFrame, Mutators}
+
+/** Mirrors the reference's per-operator mutator invariants
+  * (tests/test_mutator.py): length preserved, all/some/none changed,
+  * partial-p behavior, warning contract, eligibility rules. */
+class MutatorSpec extends SparkSpec {
+  import Mutators._
+  import spark.implicits._
+
+  private def frame(vals: Seq[String]): DataFrame =
+    vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF(Gecko.RowId, "v")
+
+  private def namesDf(n: Int): DataFrame = {
+    val pool = Seq("alice", "BOB", "charlie", "Dora", "emil", "frida")
+    frame((0 until n).map(i => pool(i % pool.size) + i))
+  }
+
+  private def collectV(df: DataFrame): Array[String] =
+    df.orderBy(Gecko.RowId).select("v").collect().map(_.getString(0))
+
+  private def changedCount(before: DataFrame, after: DataFrame): Int =
+    collectV(before).zip(collectV(after)).count { case (a, b) => a != b }
+
+  test("withMissingValue: p=1 overwrites all, sentinel rows ineligible") {
+    val df = frame(Seq("a", "b", "", "c"))
+    val out = WithMissingValue("", seed = 1)(df, Seq("v"), 1.0, col(Gecko.RowId))
+    assert(collectV(out).forall(_ == ""))
+  }
+
+  test("withMissingValue: warns when p unattainable") {
+    Warnings.drain()
+    val df = frame(Seq("", "", "", "x"))
+    WithMissingValue("", seed = 1)(df, Seq("v"), 1.0, col(Gecko.RowId))
+      .collect()
+    val w = Warnings.drain()
+    assert(w.exists(_.contains("desired probability of 1.0 cannot be met")))
+  }
+
+  test("withInsert: p=1 inserts exactly one charset char everywhere") {
+    val df = namesDf(500)
+    val out = WithInsert("xyz", seed = 7)(df, Seq("v"), 1.0, col(Gecko.RowId))
+    val pairs = collectV(df).zip(collectV(out))
+    assert(pairs.forall { case (a, b) => b.length == a.length + 1 })
+    // removing the inserted char restores the original
+    assert(pairs.forall { case (a, b) =>
+      (0 until b.length).exists(i =>
+        "xyz".contains(b(i)) && (b.take(i) + b.drop(i + 1)) == a)
+    })
+  }
+
+  test("withDelete: p=1 removes exactly one char; empty rows ineligible") {
+    val df = frame(Seq("ab", "x", "", "hello"))
+    Warnings.drain()
+    val out = WithDelete(seed = 7)(df, Seq("v"), 1.0, col(Gecko.RowId))
+    val got = collectV(out)
+    assert(got(0).length == 1 && got(1).isEmpty && got(2).isEmpty &&
+      got(3).length == 4)
+    assert(Warnings.drain().nonEmpty) // empty row made p=1 unattainable
+  }
+
+  test("withTranspose: p=1 swaps adjacent chars, multiset preserved") {
+    val df = namesDf(300)
+    val out = WithTranspose(seed = 7)(df, Seq("v"), 1.0, col(Gecko.RowId))
+    val pairs = collectV(df).zip(collectV(out))
+    assert(pairs.forall { case (a, b) =>
+      a.length == b.length && a.sorted == b.sorted
+    })
+    assert(pairs.count { case (a, b) => a != b } > 250)
+  }
+
+  test("withSubstitute: p=1 replaces one char from charset") {
+    val df = namesDf(300)
+    val out = WithSubstitute("#!", seed = 7)(df, Seq("v"), 1.0,
+      col(Gecko.RowId))
+    val pairs = collectV(df).zip(collectV(out))
+    assert(pairs.forall { case (a, b) => a.length == b.length })
+    assert(pairs.forall { case (_, b) =>
+      b.exists(ch => ch == '#' || ch == '!')
+    })
+  }
+
+  test("partial p: roughly half mutated, some unchanged") {
+    val df = namesDf(2000)
+    val out = WithInsert(seed = 11)(df, Seq("v"), 0.5, col(Gecko.RowId))
+    val changed = changedCount(df, out)
+    assert(changed > 850 && changed < 1150, s"changed=$changed")
+  }
+
+  test("withNoop: identity") {
+    val df = namesDf(50)
+    assert(collectV(WithNoop()(df, Seq("v"), 1.0, col(Gecko.RowId)))
+      .sameElements(collectV(df)))
+  }
+
+  test("withCategoricalValues: always replaces with a different member") {
+    val cats = Seq("red", "green", "blue")
+    val df = frame(Seq("red", "green", "blue", "red", "purple"))
+    val out = WithCategoricalValues(cats, seed = 5)(df, Seq("v"), 1.0,
+      col(Gecko.RowId))
+    val got = collectV(out)
+    val orig = collectV(df)
+    (0 until 4).foreach { i =>
+      assert(cats.contains(got(i)) && got(i) != orig(i),
+        s"row $i: ${orig(i)} -> ${got(i)}")
+    }
+    assert(got(4) == "purple") // not in set => ineligible
+  }
+
+  test("withCategoricalValues: requires two uniques") {
+    val e = intercept[IllegalArgumentException] {
+      WithCategoricalValues(Seq("only", "only"), seed = 1)
+    }
+    assert(e.getMessage.contains("two unique"))
+  }
+
+  test("withPermute: derangement — no value stays in its column") {
+    val n = 500
+    val df = (0 until n).map(i => (i.toLong, s"a$i", s"b$i", s"c$i"))
+      .toDF(Gecko.RowId, "x", "y", "z")
+    val out = WithPermute(seed = 9)(df, Seq("x", "y", "z"), 1.0,
+      col(Gecko.RowId))
+    out.orderBy(Gecko.RowId).collect().zipWithIndex.foreach { case (r, i) =>
+      val (x, y, z) = (r.getString(1), r.getString(2), r.getString(3))
+      assert(x != s"a$i" && y != s"b$i" && z != s"c$i")
+      assert(Set(x, y, z).map(_.head) == Set('a', 'b', 'c'))
+      assert(Seq(x, y, z).forall(_.drop(1) == i.toString))
+    }
+    intercept[IllegalArgumentException] {
+      WithPermute(seed = 9)(df, Seq("x"), 1.0, col(Gecko.RowId))
+    }
+  }
+
+  test("withLowercase / withUppercase") {
+    val df = frame(Seq("ABC", "abc", "MiXeD", "123"))
+    val lo = collectV(WithLowercase(seed = 3)(df, Seq("v"), 1.0,
+      col(Gecko.RowId)))
+    assert(lo(0) == "abc" && lo(1) == "abc" && lo(2) == "mixed" &&
+      lo(3) == "123")
+    val up = collectV(WithUppercase(seed = 3)(df, Seq("v"), 1.0,
+      col(Gecko.RowId)))
+    assert(up(0) == "ABC" && up(2) == "MIXED")
+  }
+
+  test("withDatetimeOffset: shifts within bounds, format preserved") {
+    val df = frame(Seq("15.06.2001", "01.01.1999", "28.02.2000"))
+    val out = WithDatetimeOffset(5, "d", "%d.%m.%Y", preventWraparound = false,
+      seed = 13)(df, Seq("v"), 1.0, col(Gecko.RowId))
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("dd.MM.yyyy")
+    collectV(df).zip(collectV(out)).foreach { case (a, b) =>
+      val (da, db) = (java.time.LocalDate.parse(a, fmt),
+        java.time.LocalDate.parse(b, fmt))
+      val diff = math.abs(java.time.temporal.ChronoUnit.DAYS.between(da, db))
+      assert(diff >= 1 && diff <= 5, s"$a -> $b")
+    }
+  }
+
+  test("withDatetimeOffset: preventWraparound keeps month stable") {
+    val df = frame(Seq("01.07.2001", "31.01.2000", "15.06.1999"))
+    val out = WithDatetimeOffset(3, "d", "%d.%m.%Y", preventWraparound = true,
+      seed = 13)(df, Seq("v"), 1.0, col(Gecko.RowId))
+    collectV(df).zip(collectV(out)).foreach { case (a, b) =>
+      assert(a.substring(3) == b.substring(3), s"$a -> $b") // month+year fixed
+    }
+  }
+
+  test("withGenerator: append/prepend/replace with {} placeholder") {
+    val df = frame(Seq("one", "two", "three"))
+    val gen = Generators.FromUniformDistribution(0, 1, 2, seed = 21)
+    val app = collectV(WithGenerator(gen, "append", " (${})",
+      seed = 22)(df, Seq("v"), 1.0, col(Gecko.RowId)))
+    // joinWith "(${})" => before=" ($", after=")"
+    assert(app.forall(_.matches("""\w+ \(\$0\.\d{2}\)""")), app.mkString(","))
+    val rep = collectV(WithGenerator(gen, "replace",
+      seed = 23)(df, Seq("v"), 1.0, col(Gecko.RowId)))
+    assert(rep.forall(_.matches("""0\.\d{2}""")))
+    val pre = collectV(WithGenerator(gen, "prepend", "-",
+      seed = 24)(df, Seq("v"), 1.0, col(Gecko.RowId)))
+    assert(pre.forall(_.matches("""0\.\d{2}-\w+""")))
+  }
+
+  test("withRepeat: duplicates with join string") {
+    val df = frame(Seq("ha", "no"))
+    val out = collectV(WithRepeat(" ", seed = 4)(df, Seq("v"), 1.0,
+      col(Gecko.RowId)))
+    assert(out(0) == "ha ha" && out(1) == "no no")
+  }
+
+  test("withGroup: mutually exclusive application, weights respected") {
+    val df = namesDf(4000)
+    val grp = WithGroup(Seq(
+      (0.5, WithRepeat("+", seed = 31)),
+      (0.3, WithMissingValue("GONE", seed = 32))), seed = 30)
+    val out = grp(df, Seq("v"), 1.0, col(Gecko.RowId))
+    val got = collectV(out)
+    val orig = collectV(df)
+    val repeated = got.count(_.contains("+"))
+    val gone = got.count(_ == "GONE")
+    val untouched = got.zip(orig).count { case (b, a) => a == b }
+    assert(math.abs(repeated / 4000.0 - 0.5) < 0.05, s"repeated=$repeated")
+    assert(math.abs(gone / 4000.0 - 0.3) < 0.05, s"gone=$gone")
+    assert(math.abs(untouched / 4000.0 - 0.2) < 0.05, s"untouched=$untouched")
+  }
+
+  test("withGroup: weight validation") {
+    intercept[IllegalArgumentException] {
+      WithGroup(Seq((0.9, WithNoop()), (0.2, WithNoop())), seed = 1)
+    }
+  }
+
+  test("mutateDataFrame: sequential fold, later mutators see earlier output") {
+    val df = frame(Seq("aaa", "bbb"))
+    val out = MutateDataFrame(df, Seq(
+      (Seq("v"), Seq(
+        (1.0, WithRepeat("-", seed = 41)),
+        (1.0, WithUppercase(seed = 42))))))
+    val got = collectV(out)
+    assert(got(0) == "AAA-AAA" && got(1) == "BBB-BBB")
+    intercept[IllegalArgumentException] {
+      MutateDataFrame(df, Seq((Seq("nope"),
+        Seq((1.0, WithNoop(): graft.mut.Mutator)))))
+    }
+    intercept[IllegalArgumentException] {
+      MutateDataFrame(df, Seq((Seq("v"),
+        Seq((0.0, WithNoop(): graft.mut.Mutator)))))
+    }
+  }
+
+  test("mutators: byte-identical across partition counts") {
+    val df = namesDf(3000)
+    def run(parts: Int): Array[String] = {
+      val d = df.repartition(parts)
+      val out = MutateDataFrame(d, Seq(
+        (Seq("v"), Seq(
+          (0.4, WithInsert(seed = 51): graft.mut.Mutator),
+          (0.4, WithDelete(seed = 52): graft.mut.Mutator),
+          (0.3, WithSubstitute(seed = 53): graft.mut.Mutator)))))
+      collectV(out)
+    }
+    assert(run(1).sameElements(run(7)))
+  }
+
+  test("withFunction: custom scalar fn") {
+    val df = frame(Seq("ab", "cd"))
+    val out = collectV(WithFunction(s => s.reverse, seed = 6)(
+      df, Seq("v"), 1.0, col(Gecko.RowId)))
+    assert(out(0) == "ba" && out(1) == "dc")
+  }
+}
