@@ -1,0 +1,378 @@
+package graft.mut
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Warnings
+
+import java.util.regex.{Matcher, Pattern}
+
+/** Rule-table mutators (SURVEY.md §2.2 M2/M3/M4/M17) — the reference's
+  * hard core. All rule data is parsed and compiled on the driver at
+  * factory time (the reference does its CSV/XML I/O at factory-call
+  * time too — mutator.py:556-569, :149-152) and shipped to executors
+  * inside deterministic UDF closures; matching and replacement are one
+  * UDF pass per row.
+  *
+  * A note on the reference's "rarest-first with per-row 1/k weighting"
+  * loop (mutator.py:443-478 and :1546-1577): per row it selects the
+  * t-th remaining matching rule with probability 1/(remaining count),
+  * decrementing on every miss — which is exactly a uniform draw over
+  * the row's matching rules, independent of the global iteration order.
+  * The Spark implementation therefore picks uniformly among matching
+  * rules inside the UDF and needs NO global count pass for M3/M17. Only
+  * M4 (with_replacement_table) applies rules in a deterministic
+  * global-ascending-match-count order (mutator.py:618-624), which does
+  * require one aggregation pass; it is fused with the p-protocol stats
+  * aggregation into a single job. */
+object RuleMutators {
+
+  /** Uniform index in [0, n) from a double in [0, 1). */
+  private def pick(u: Double, n: Int): Int = {
+    val i = (u * n).toInt
+    if (i >= n) n - 1 else i
+  }
+
+  // ------------------------------------------------------------------ M4
+  /** Dictionary substitution (reference: gecko/mutator.py:510-655).
+    * `inline=true` matches sources as substrings, otherwise whole
+    * values (:595-599); `reverse=true` appends flipped pairs
+    * (:571-584). Sources are applied rarest-global-match-first
+    * ascending (:618-624); each row takes the first source (in that
+    * order) that matches and actually changes the value (:633's
+    * not-yet-mutated mask), replacing the first occurrence with a
+    * random target of that source (:637-647). */
+  case class WithReplacementTable(pairs: Seq[(String, String)],
+                                  inline: Boolean = false,
+                                  reverse: Boolean = false,
+                                  seed: Long) extends Mutator {
+    require(pairs.nonEmpty, "replacement table must not be empty")
+
+    // unique sources in order of appearance, reverse pairs appended
+    private val allPairs: Seq[(String, String)] =
+      if (reverse) pairs ++ pairs.map(_.swap).filterNot(pairs.contains)
+      else pairs
+    private val sources: Array[String] = allPairs.map(_._1).distinct.toArray
+    private val targets: Map[String, Array[String]] =
+      allPairs.groupBy(_._1).map { case (s, ps) => s -> ps.map(_._2).toArray }
+
+    private def matchExpr(c: Column, s: String): Column =
+      if (inline) instr(c, s) > 0 else c === s
+
+    override def eligible(c: Column): Option[Column] =
+      Some(sources.map(s => matchExpr(c, s)).reduce(_ || _))
+
+    override def applyToColumn(df: DataFrame, colName: String, colIdx: Int,
+                               sel: Column, rid: Column): DataFrame = {
+      // global match counts -> ascending order (one agg job; when called
+      // from apply() below this job also carries the p-protocol stats)
+      val counts = df.agg(
+        sources.map(s => sum(matchExpr(col(colName), s).cast("long")))
+          .head, sources.map(s =>
+          sum(matchExpr(col(colName), s).cast("long"))).tail: _*).head()
+      val order = sources.indices
+        .map(i => (i, if (counts.isNullAt(i)) 0L else counts.getLong(i)))
+        .filter(_._2 > 0)
+        .sortBy { case (i, n) => (n, i) } // stable: appearance-order ties
+        .map(_._1).toArray
+
+      val inl = inline
+      val srcArr = sources
+      val tgtMap = targets
+      val f = udf { (v: String, u: Double) =>
+        var out = v
+        var i = 0
+        while (i < order.length && (out eq v)) {
+          val s = srcArr(order(i))
+          val matches = if (inl) v.contains(s) else v == s
+          if (matches) {
+            val ts = tgtMap(s)
+            val t = ts(pick(u, ts.length))
+            val idx = v.indexOf(s)
+            val candidate = v.substring(0, idx) + t + v.substring(idx + s.length)
+            if (candidate != v) out = candidate
+          }
+          i += 1
+        }
+        out
+      }
+      val c = col(colName)
+      val gate = sel && eligible(c).get
+      df.withColumn(colName,
+        when(gate, f(c, draw(rid, colIdx, 1))).otherwise(c))
+    }
+
+    override def name: String = "with_replacement_table"
+  }
+
+  object WithReplacementTable {
+    def apply(df: DataFrame, sourceColumn: String, targetColumn: String,
+              inline: Boolean, reverse: Boolean,
+              seed: Long): WithReplacementTable = {
+      val pairs = df.select(col(sourceColumn).cast("string"),
+        col(targetColumn).cast("string"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      WithReplacementTable(pairs, inline, reverse, seed)
+    }
+  }
+
+  // ------------------------------------------------------------------ M3
+  /** Phonetic replacement rules (source, target, flags ∈ {^,$,_}; empty
+    * flags ⇒ all three) — reference: gecko/mutator.py:314-507. A rule
+    * matches per its flag anchor (:411-424); a selected row applies one
+    * uniformly-drawn matching rule with the anchored first-occurrence
+    * regex replace (:481-497). */
+  case class WithPhoneticReplacementTable(rules: Seq[(String, String, String)],
+                                          seed: Long) extends Mutator {
+
+    private case class Rule(pattern: Pattern, replacement: String)
+
+    private val compiled: Array[Rule] = rules.flatMap {
+      case (src, tgt, flagsRaw) =>
+        val flags = if (flagsRaw == null || flagsRaw.isEmpty) "^$_"
+        else {
+          flagsRaw.foreach { f =>
+            if (!"^$_".contains(f))
+              throw new IllegalArgumentException(s"unknown flag: $f")
+          }
+          flagsRaw
+        }
+        flags.map {
+          case '^' => Rule(Pattern.compile("^" + src),
+            Matcher.quoteReplacement(tgt))
+          case '$' => Rule(Pattern.compile(src + "$"),
+            Matcher.quoteReplacement(tgt))
+          case '_' => Rule(Pattern.compile(s"^(.+)(?:$src)(.+)$$"),
+            "$1" + Matcher.quoteReplacement(tgt) + "$2")
+        }
+    }.toArray
+    require(compiled.nonEmpty,
+      "must provide at least one phonetic replacement rule")
+
+    private val eligUdf = {
+      val rs = compiled
+      udf { (v: String) => rs.exists(_.pattern.matcher(v).find()) }
+    }
+
+    override def eligible(c: Column): Option[Column] = Some(eligUdf(c))
+
+    override def applyToColumn(df: DataFrame, colName: String, colIdx: Int,
+                               sel: Column, rid: Column): DataFrame = {
+      val rs = compiled
+      val f = udf { (v: String, u: Double) =>
+        val matching = new scala.collection.mutable.ArrayBuffer[Int](4)
+        var i = 0
+        while (i < rs.length) {
+          if (rs(i).pattern.matcher(v).find()) matching += i
+          i += 1
+        }
+        if (matching.isEmpty) v
+        else {
+          val r = rs(matching(pick(u, matching.length)))
+          r.pattern.matcher(v).replaceFirst(r.replacement)
+        }
+      }
+      val c = col(colName)
+      df.withColumn(colName,
+        when(sel && eligUdf(c), f(c, draw(rid, colIdx, 1))).otherwise(c))
+    }
+
+    override def name: String = "with_phonetic_replacement_table"
+  }
+
+  object WithPhoneticReplacementTable {
+    def apply(df: DataFrame, sourceColumn: String, targetColumn: String,
+              flagsColumn: String, seed: Long): WithPhoneticReplacementTable = {
+      val rules = df.select(col(sourceColumn).cast("string"),
+        col(targetColumn).cast("string"), col(flagsColumn).cast("string"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1),
+          if (r.isNullAt(2)) "" else r.getString(2))).toSeq
+      WithPhoneticReplacementTable(rules, seed)
+    }
+  }
+
+  // ----------------------------------------------------------------- M17
+  /** Regex substitutions from a table: a pattern column plus one column
+    * per capture group, numbered ("1", "2", …) or named; group values
+    * are replaced by the row's lookup values, which may themselves
+    * reference named groups via `(?P<name>)` back-substitution
+    * (reference: gecko/mutator.py:1444-1590 and the splice function
+    * :1392-1429). Flags column supports `a`/`i` (:1432-1441; `a` is a
+    * no-op on the JVM where \w is ASCII already). Python `(?P<g>)`
+    * syntax is translated to JDK `(?<g>)`. */
+  case class WithRegexReplacementTable(
+      rows: Seq[(String, String, Map[String, String])], // pattern, flags, colName->replacement
+      seed: Long) extends Mutator {
+
+    private case class RRule(pattern: Pattern, groupNames: Array[String],
+                             repl: Map[String, String])
+
+    private val namedGroupRe =
+      Pattern.compile("""\(\?P?<([A-Za-z][A-Za-z0-9]*)>""")
+
+    private val compiled: Array[RRule] = rows.map {
+      case (pat, flagsStr, repl) =>
+        var flags = 0
+        Option(flagsStr).getOrElse("").foreach {
+          case 'i' => flags |= Pattern.CASE_INSENSITIVE
+          case 'a' => () // JVM \w/\d are ASCII by default
+          case _ => ()
+        }
+        val jdkPat = pat.replace("(?P<", "(?<").replace("(?P=", "\\k<")
+        val names = {
+          val m = namedGroupRe.matcher(pat)
+          val buf = scala.collection.mutable.ArrayBuffer[String]()
+          while (m.find()) buf += m.group(1)
+          buf.toArray
+        }
+        names.foreach { n =>
+          if (!repl.contains(n))
+            throw new IllegalArgumentException(
+              s"regex pattern `$pat` contains named group `$n` which is " +
+                "not present as a column in the CSV file")
+        }
+        RRule(Pattern.compile(jdkPat, flags), names, repl)
+    }.toArray
+    require(compiled.nonEmpty, "must provide at least one regex pattern")
+
+    /** The reference's group-splice replacement (mutator.py:1392-1429):
+      * replace each capture-group span with the row's column value,
+      * named groups overriding numbered ones, with `(?P<name>)` in
+      * replacement text substituted by the group's matched content. */
+    private def applyRule(r: RRule, v: String): String = {
+      val m = r.pattern.matcher(v)
+      if (!m.find()) return v
+      // span -> replacement key; named groups override numbered spans
+      val spans = scala.collection.mutable.LinkedHashMap[(Int, Int), String]()
+      (1 to m.groupCount()).foreach { i =>
+        if (m.start(i) >= 0) spans((m.start(i), m.end(i))) = i.toString
+      }
+      r.groupNames.foreach { n =>
+        if (m.start(n) >= 0) spans((m.start(n), m.end(n))) = n
+      }
+      val sorted = spans.toSeq.sortBy(_._1._1)
+      val sb = new java.lang.StringBuilder(v.substring(0, m.start))
+      var last = m.start
+      sorted.foreach { case ((s, e), key) =>
+        sb.append(v, last, s)
+        val replRaw = r.repl.getOrElse(key, throw new IllegalArgumentException(
+          s"match group with index `$key` is not present in CSV file"))
+        var repl = replRaw
+        r.groupNames.foreach { n =>
+          val g = m.group(n)
+          if (g != null) repl = repl.replace(s"(?P<$n>)", g)
+        }
+        sb.append(repl)
+        last = e
+      }
+      sb.append(v, last, m.end)
+      sb.append(v.substring(m.end))
+      sb.toString
+    }
+
+    private val eligUdf = {
+      val rs = compiled
+      udf { (v: String) => rs.exists(_.pattern.matcher(v).find()) }
+    }
+
+    override def eligible(c: Column): Option[Column] = Some(eligUdf(c))
+
+    override def applyToColumn(df: DataFrame, colName: String, colIdx: Int,
+                               sel: Column, rid: Column): DataFrame = {
+      val rs = compiled
+      val applyFn: (RRule, String) => String = applyRule
+      val f = udf { (v: String, u: Double) =>
+        val matching = new scala.collection.mutable.ArrayBuffer[Int](4)
+        var i = 0
+        while (i < rs.length) {
+          if (rs(i).pattern.matcher(v).find()) matching += i
+          i += 1
+        }
+        if (matching.isEmpty) v
+        else applyFn(rs(matching(pick(u, matching.length))), v)
+      }
+      val c = col(colName)
+      df.withColumn(colName,
+        when(sel && eligUdf(c), f(c, draw(rid, colIdx, 1))).otherwise(c))
+    }
+
+    override def name: String = "with_regex_replacement_table"
+  }
+
+  object WithRegexReplacementTable {
+    /** Build from a DataFrame whose columns are the pattern column, an
+      * optional flags column, and one column per capture group. */
+    def apply(df: DataFrame, patternColumn: String,
+              flagsColumn: Option[String], seed: Long)
+        : WithRegexReplacementTable = {
+      require(df.columns.contains(patternColumn),
+        s"data source doesn't have a pattern column `$patternColumn`")
+      val replCols = df.columns
+        .filterNot(c => c == patternColumn || flagsColumn.contains(c))
+      val rows = df.collect().map { r =>
+        val pat = r.getAs[Any](patternColumn).toString
+        val flags = flagsColumn
+          .map(fc => Option(r.getAs[Any](fc)).map(_.toString).getOrElse(""))
+          .getOrElse("")
+        val repl = replCols.map(c =>
+          c -> Option(r.getAs[Any](c)).map(_.toString).getOrElse("")).toMap
+        (pat, flags, repl)
+      }.toSeq
+      WithRegexReplacementTable(rows, seed)
+    }
+  }
+
+  // ------------------------------------------------------------------ M2
+  /** Keyboard typos from a CLDR keymap (reference:
+    * gecko/mutator.py:120-306 + gecko/_cldr.py). The XML is parsed on
+    * the driver; each key's 4-neighborhood plus shift-flip
+    * (_cldr.py:44-63) yields a char→candidate-replacements map
+    * (sorted for reproducibility, mutator.py:229-231). Per selected
+    * row: uniform pick of a present mutable char, uniform pick of one
+    * of its neighbors, first occurrence replaced (:238-299).
+    * Eligibility: the value contains at least one mutable char. */
+  case class WithCldrKeymap(candidates: Map[Char, String], seed: Long)
+      extends Mutator {
+    require(candidates.nonEmpty, "keymap yields no mutable characters")
+    // deterministic iteration order
+    private val candChars: Array[Char] = candidates.keys.toArray.sorted
+    private val candMap: Map[Char, String] = candidates
+
+    private val eligUdf = {
+      val cs = candChars
+      udf { (v: String) => cs.exists(c => v.indexOf(c.toInt) >= 0) }
+    }
+
+    override def eligible(c: Column): Option[Column] = Some(eligUdf(c))
+
+    override def applyToColumn(df: DataFrame, colName: String, colIdx: Int,
+                               sel: Column, rid: Column): DataFrame = {
+      val cs = candChars
+      val cm = candMap
+      val f = udf { (v: String, u1: Double, u2: Double) =>
+        val present = cs.filter(c => v.indexOf(c.toInt) >= 0)
+        if (present.isEmpty) v
+        else {
+          val ch = present(pick(u1, present.length))
+          val nbrs = cm(ch)
+          val repl = nbrs.charAt(pick(u2, nbrs.length))
+          val i = v.indexOf(ch.toInt)
+          v.substring(0, i) + repl + v.substring(i + 1)
+        }
+      }
+      val c = col(colName)
+      df.withColumn(colName,
+        when(sel && eligUdf(c),
+          f(c, draw(rid, colIdx, 1), draw(rid, colIdx, 2))).otherwise(c))
+    }
+
+    override def name: String = "with_cldr_keymap_file"
+  }
+
+  object WithCldrKeymap {
+    /** Parse a CLDR keymap XML into the char→neighbors map. */
+    def apply(cldrPath: String, charset: Option[String],
+              seed: Long): WithCldrKeymap =
+      WithCldrKeymap(Cldr.neighborCandidates(cldrPath, charset), seed)
+  }
+}

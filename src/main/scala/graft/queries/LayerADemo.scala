@@ -93,6 +93,37 @@ object LayerADemo {
   def m01WithFunction(s: SparkSession, dir: String): DataFrame =
     mutDemo(s, dir, WithFunction(v => v.reverse, seed = 201))
 
+  def m02CldrKeymap(s: SparkSession, dir: String): DataFrame = {
+    val m = graft.mut.RuleMutators.WithCldrKeymap(
+      graft.mut.Cldr.neighborCandidates(
+        getClass.getResourceAsStream("/assets/de-t-k0-windows.xml"), None),
+      seed = 202)
+    mutDemo(s, dir, m, p = 0.5)
+  }
+
+  def m03PhoneticReplacementTable(s: SparkSession, dir: String): DataFrame = {
+    val m = graft.mut.RuleMutators.WithPhoneticReplacementTable(Seq(
+      ("Cust", "Kust", "^"), ("er", "a", "$"), ("om", "ohm", "_")),
+      seed = 203)
+    mutDemo(s, dir, m, p = 0.5)
+  }
+
+  def m04ReplacementTable(s: SparkSession, dir: String): DataFrame = {
+    // OCR-style inline confusions on digit-heavy customer names
+    val m = graft.mut.RuleMutators.WithReplacementTable(Seq(
+      ("0", "o"), ("1", "|"), ("5", "s"), ("8", "B"), ("0", "O")),
+      inline = true, reverse = false, seed = 204)
+    mutDemo(s, dir, m, p = 0.5)
+  }
+
+  def m17RegexReplacementTable(s: SparkSession, dir: String): DataFrame = {
+    // flip the last two digits of the customer number
+    val m = graft.mut.RuleMutators.WithRegexReplacementTable(Seq(
+      ("""(?P<a>\d)(?P<b>\d)$""", "", Map(
+        "a" -> "(?P<b>)", "b" -> "(?P<a>)"))), seed = 217)
+    mutDemo(s, dir, m, p = 0.5)
+  }
+
   val m01Sql: String =
     "SELECT c_custkey, reverse(c_name) AS c_name FROM customer ORDER BY 1"
 
@@ -200,6 +231,10 @@ object LayerADemo {
       ("g07_group", g07Group _, None),
       ("g08_to_data_frame", g08ToDataFrame _, None),
       ("m01_with_function", m01WithFunction _, Some(m01Sql)),
+      ("m02_cldr_keymap", m02CldrKeymap _, None),
+      ("m03_phonetic_replacement_table", m03PhoneticReplacementTable _, None),
+      ("m04_replacement_table", m04ReplacementTable _, None),
+      ("m17_regex_replacement_table", m17RegexReplacementTable _, None),
       ("m05_missing_value", m05MissingValue _, Some(m05Sql)),
       ("m06_insert", m06Insert _, None),
       ("m07_delete", m07Delete _, None),
