@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{LayerADemo, Relational}
+import graft.queries.{Dedup, LayerADemo, Multimodal, Relational, Similarity,
+  TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -10,15 +11,21 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.q01PricingSummary(spark, "/root/testdata/sf0.001")
 
+  private def optional: Seq[(String, (SparkSession, String) => DataFrame,
+    Option[String])] =
+    LayerADemo.all ++ Dedup.all ++ Similarity.all ++ TextAnalysis.all ++
+      Multimodal.all
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.all.map { case (name, fn, _) => name -> fn }.toMap ++
-      LayerADemo.all.map { case (name, fn, _) => name -> fn }.toMap
+      optional.map { case (name, fn, _) => name -> fn }.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (seeded random generators/mutators) → rows-only check. */
+    * (seeded random generators/mutators, hash-based sketches) →
+    * rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.all.map { case (name, _, sql) => name -> sql }.toMap ++
-      LayerADemo.all.collect { case (name, _, Some(sql)) => name -> sql }.toMap
+      optional.collect { case (name, _, Some(sql)) => name -> sql }.toMap
 }

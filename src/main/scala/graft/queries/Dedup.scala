@@ -1,0 +1,257 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.util.hashing.MurmurHash3
+
+/** Large-scale training-data deduplication operators (absent in the
+  * reference — Layer B north-star, see BASELINE.json). All are
+  * shuffle-lean designs meant for the 100 TB path:
+  *
+  *  - exact dedup: one hash-groupBy (map-side partial agg);
+  *  - MinHash+LSH: per-doc signature in ONE pass (no shingle explode
+  *    shuffle), then an explode only of (doc, band) pairs — b rows per
+  *    doc — bucketed by (band, hash) so the candidate join touches only
+  *    colliding docs, never the full cross product;
+  *  - SimHash: one 64-bit fingerprint per doc, banded by 16-bit chunks
+  *    for Hamming-neighbor candidate generation;
+  *  - n-gram Jaccard: the exact verifier applied to candidate pairs
+  *    only;
+  *  - embedding cosine: random-hyperplane LSH buckets → in-bucket join.
+  *
+  * The demo corpora plant duplicates by corrupting a deterministic
+  * slice of the real documents table (drop the last two words / nudge
+  * the embedding), so recall is measurable and outputs are non-empty at
+  * every SF. */
+object Dedup {
+
+  private val PlantOffset = 1000000L
+
+  /** documents ∪ near-duplicate copies (every 10th doc with its last
+    * two words dropped, id shifted by +1e6). */
+  def corpusWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.table(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val corrupted = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + PlantOffset).as("doc_id"),
+        array_join(slice(split(col("text"), " "), lit(1),
+          greatest(size(split(col("text"), " ")) - 2, lit(1))), " ")
+          .as("text"))
+    docs.unionAll(corrupted)
+  }
+
+  // ---------------------------------------------------------- exact
+  /** Exact dedup via hash-groupBy on the full text. The demo corpus
+    * plants exact copies of every 20th doc. Map-side partial
+    * aggregation makes this one shuffle of (hash, partial counts) at
+    * scale; dedup keeps the minimum doc_id as canonical. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.table(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val dupes = docs.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + lit(2 * PlantOffset)).as("doc_id"),
+        col("text"))
+    docs.unionAll(dupes)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("dup_cnt"))
+      .orderBy("text_hash")
+  }
+
+  val dedupExactSql: String = s"""
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+      count(*) AS dup_cnt
+    FROM (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + ${2 * PlantOffset}, text FROM documents
+      WHERE doc_id % 20 = 0)
+    GROUP BY md5(text)
+    ORDER BY text_hash"""
+
+  // -------------------------------------------------------- minhash
+  private val MinhashK = 32
+  private val Bands = 16 // x2 rows per band
+
+  /** Word-3-gram shingles → k min-hashes, computed in one pass per doc
+    * (O(shingles*k) CPU, zero extra shuffle — beats the
+    * explode-shingles-then-groupBy formulation whose shuffle is
+    * O(total shingles) at 100 TB). */
+  private[graft] def minhashSignature(text: String): Seq[Long] = {
+    val words = text.split(' ')
+    val sig = Array.fill(MinhashK)(Long.MaxValue)
+    var i = 0
+    while (i + 2 < words.length) {
+      val shingle = words(i) + " " + words(i + 1) + " " + words(i + 2)
+      val base = MurmurHash3.stringHash(shingle)
+      var k = 0
+      while (k < MinhashK) {
+        // cheap k-wise family: re-mix the base hash with the fn index
+        val h = MurmurHash3.productHash((base, k)).toLong & 0xffffffffL
+        if (h < sig(k)) sig(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    sig.toSeq
+  }
+
+  /** MinHash-LSH near-dup pairs: signature → 16 bands of 2 → bucket
+    * join → signature-estimated Jaccard >= 0.5. */
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sigUdf = udf(minhashSignature _)
+    val sigs = corpusWithNearDups(s, dir)
+      .select(col("doc_id"), sigUdf(col("text")).as("sig"))
+
+    val bandCols = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        hash(element_at(col("sig"), 2 * b + 1),
+          element_at(col("sig"), 2 * b + 2)).as("bh"))
+    }
+    val buckets = sigs.select(col("doc_id"), col("sig"),
+      explode(array(bandCols: _*)).as("bb"))
+
+    // candidate pairs: docs sharing a band bucket (dedup across bands)
+    val a = buckets.select(col("bb"), col("doc_id").as("a"),
+      col("sig").as("sig_a"))
+    val b = buckets.select(col("bb"), col("doc_id").as("b"),
+      col("sig").as("sig_b"))
+    val pairs = a.join(b, Seq("bb")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sig_a"), col("sig_b"))
+      .dropDuplicates("a", "b")
+
+    val estJaccard = (
+      size(zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1).otherwise(0)).as("eq")) -
+        size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), _ === 0)))
+      .cast("double") / lit(MinhashK)
+
+    pairs.select(col("a"), col("b"), estJaccard.as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy("a", "b")
+  }
+
+  // -------------------------------------------------------- simhash
+  /** 64-bit SimHash over word hashes (unweighted). */
+  private[graft] def simhash64(text: String): Long = {
+    val acc = new Array[Int](64)
+    text.split(' ').foreach { w =>
+      val h1 = MurmurHash3.stringHash(w).toLong & 0xffffffffL
+      val h2 = MurmurHash3.stringHash(w, 0x9747b28c).toLong & 0xffffffffL
+      val h = (h1 << 32) | h2
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) acc(bit) += 1 else acc(bit) -= 1
+        bit += 1
+      }
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (acc(bit) > 0) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+
+  /** SimHash near-dup pairs: fingerprint once per doc, candidates via
+    * 16-bit chunk banding (any equal chunk), verified by Hamming
+    * distance <= 16. */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val shUdf = udf(simhash64 _)
+    val sigs = corpusWithNearDups(s, dir)
+      .select(col("doc_id"), shUdf(col("text")).as("sh"))
+    val chunkCols = (0 until 4).map(i => struct(lit(i).as("chunk"),
+      col("sh").bitwiseAND(lit(0xffffL)).as("cv") // placeholder, fixed below
+    ))
+    // chunk i = bits [16i, 16i+16)
+    val buckets = sigs.select(col("doc_id"), col("sh"),
+      explode(array((0 until 4).map(i => struct(lit(i).as("chunk"),
+        shiftrightunsigned(col("sh"), 16 * i).bitwiseAND(lit(0xffffL))
+          .as("cv"))): _*)).as("bb"))
+    val a = buckets.select(col("bb"), col("doc_id").as("a"),
+      col("sh").as("sh_a"))
+    val b = buckets.select(col("bb"), col("doc_id").as("b"),
+      col("sh").as("sh_b"))
+    a.join(b, Seq("bb")).filter(col("a") < col("b"))
+      .dropDuplicates("a", "b")
+      .select(col("a"), col("b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .filter(col("hamming") <= 16)
+      .orderBy("a", "b")
+  }
+
+  // -------------------------------------- n-gram Jaccard verifier
+  /** Exact character-3-gram Jaccard similarity of two strings. */
+  private[graft] def ngramJaccard(x: String, y: String): Double = {
+    def grams(s: String): Set[String] =
+      if (s.length < 3) Set(s)
+      else (0 to s.length - 3).map(i => s.substring(i, i + 3)).toSet
+    val (gx, gy) = (grams(x), grams(y))
+    val inter = gx.intersect(gy).size
+    val union = gx.size + gy.size - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  /** Exact verification of the planted candidate pairs — the "verify"
+    * stage a scale pipeline runs only on LSH candidates, never on the
+    * cross product. */
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val jacUdf = udf(ngramJaccard _)
+    val base = Relational.table(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val corrupted = corpusWithNearDups(s, dir)
+      .filter(col("doc_id") >= PlantOffset)
+      .select((col("doc_id") - PlantOffset).as("doc_id"),
+        col("text").as("text_b"))
+    base.join(corrupted, "doc_id")
+      .select(col("doc_id").as("a"),
+        (col("doc_id") + PlantOffset).as("b"),
+        round(jacUdf(col("text"), col("text_b")), 4).as("jaccard"))
+      .orderBy("a")
+  }
+
+  // ------------------------------------ embedding cosine near-dup
+  /** Near-duplicate embeddings via random-hyperplane LSH: 12 seeded
+    * hyperplanes → sign bucket → in-bucket cosine >= 0.99. The demo
+    * plants a +0.3%-perturbed copy of every 10th embedding. At 100 TB
+    * the bucket join touches only same-bucket vectors; the planted
+    * near-dups land in the same bucket with overwhelming probability. */
+  def dedupEmbeddingCosine(s: SparkSession, dir: String): DataFrame = {
+    val emb = Relational.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val perturbed = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + PlantOffset).as("vec_id"),
+        transform(col("embedding"),
+          x => (x * lit(1.003f)).cast("float")).as("embedding"))
+    val corpus = emb.unionAll(perturbed)
+
+    val planes = Similarity.hyperplanes(12, 64, seed = 4242)
+    val bucketUdf = udf((v: Seq[Float]) => Similarity.signBucket(v, planes))
+    val cosUdf = udf((x: Seq[Float], y: Seq[Float]) =>
+      Similarity.cosine(x, y))
+
+    val bucketed = corpus.select(col("vec_id"),
+      col("embedding"), bucketUdf(col("embedding")).as("bucket"))
+    val a = bucketed.select(col("bucket"), col("vec_id").as("a"),
+      col("embedding").as("ea"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("b"),
+      col("embedding").as("eb"))
+    a.join(b, Seq("bucket")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(cosUdf(col("ea"), col("eb")), 4).as("cos"))
+      .filter(col("cos") >= 0.99)
+      .dropDuplicates("a", "b")
+      .orderBy("a", "b")
+  }
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
+    Seq(
+      ("d01_dedup_exact", dedupExact _, Some(dedupExactSql)),
+      ("d02_dedup_minhash_lsh", dedupMinhashLsh _, None),
+      ("d03_dedup_simhash", dedupSimhash _, None),
+      ("d04_dedup_ngram_jaccard", dedupNgramJaccard _, None),
+      ("d05_dedup_embedding_cosine", dedupEmbeddingCosine _, None),
+    )
+}

@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (Layer B
+  * north-star; absent in the reference): token counting, quality
+  * scoring, language-ID scoring, document fingerprinting. All are pure
+  * codegen'd column expressions — no UDFs, no shuffles beyond the final
+  * ordering — so they run at scan speed on 100 TB. */
+object TextAnalysis {
+
+  private def tokens(c: Column): Column = split(c, " ")
+
+  // --------------------------------------------------- token count
+  /** Whitespace tokens plus a BPE-ish subword estimate: ceil(chars/4)
+    * is the usual quick proxy; both are exact integer outputs. */
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    Relational.table(s, dir, "documents")
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        ceil(length(col("text")).cast("double") / 4).cast("long")
+          .as("n_subwords_est"))
+      .orderBy("doc_id")
+
+  val tokenCountSql: String = """
+    SELECT doc_id,
+      len(string_split(text, ' ')) AS n_tokens,
+      length(text) AS n_chars,
+      CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subwords_est
+    FROM documents
+    ORDER BY doc_id"""
+
+  // -------------------------------------------------- quality score
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Length/stopword/diversity quality signals. Ratios are exact
+    * integer divisions surfaced as double (bit-identical across
+    * engines). */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTokens = size(toks).cast("long")
+    val nStop = size(filter(toks,
+      t => Stopwords.map(w => t === w).reduce(_ || _))).cast("long")
+    val nUnique = size(array_distinct(toks)).cast("long")
+    val totalLen = aggregate(transform(toks, t => length(t)), lit(0),
+      (acc, x) => acc + x).cast("long")
+    Relational.table(s, dir, "documents")
+      .select(col("doc_id"), nTokens.as("n_tokens"), nStop.as("n_stop"),
+        nUnique.as("n_unique"),
+        (nStop.cast("double") / nTokens).as("stop_ratio"),
+        (nUnique.cast("double") / nTokens).as("unique_ratio"),
+        (totalLen.cast("double") / nTokens).as("mean_token_len"))
+      .orderBy("doc_id")
+  }
+
+  val qualityScoreSql: String = s"""
+    SELECT doc_id, n_tokens, n_stop, n_unique,
+      CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+      CAST(n_unique AS DOUBLE) / n_tokens AS unique_ratio,
+      CAST(total_len AS DOUBLE) / n_tokens AS mean_token_len
+    FROM (
+      SELECT doc_id,
+        len(string_split(text, ' ')) AS n_tokens,
+        len(list_filter(string_split(text, ' '),
+          t -> t IN (${Stopwords.map(w => s"'$w'").mkString(",")})))
+          AS n_stop,
+        len(list_distinct(string_split(text, ' '))) AS n_unique,
+        list_sum(list_transform(string_split(text, ' '), t -> length(t)))
+          AS total_len
+      FROM documents)
+    ORDER BY doc_id"""
+
+  // ------------------------------------------------------- lang id
+  private val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "de", "et", "est"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "zh" -> Seq("zh0", "zh1", "zh2", "zh3", "zh4"))
+
+  /** Stopword-profile language scores per document (the classic
+    * n-gram/stopword heuristic). Scores are exact integer counts; the
+    * prediction is the argmax with first-profile tie-break. */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val scoreCols = LangStopwords.map { case (lang, words) =>
+      size(filter(toks, t => words.map(w => t === w).reduce(_ || _)))
+        .cast("long").as(s"score_$lang")
+    }
+    val scored = Relational.table(s, dir, "documents")
+      .select((col("doc_id") +: col("lang").as("true_lang") +: scoreCols): _*)
+    val predicted = LangStopwords.map(_._1).foldRight(lit("und")) {
+      case (lang, other) =>
+        val isMax = LangStopwords.map(_._1).filter(_ != lang)
+          .map(o => col(s"score_$lang") >= col(s"score_$o")).reduce(_ && _)
+        when(col(s"score_$lang") > 0 && isMax, lit(lang)).otherwise(other)
+    }
+    scored.withColumn("predicted", predicted).orderBy("doc_id")
+  }
+
+  // --------------------------------------------------- fingerprint
+  /** Canonical fingerprint: md5 over the sorted distinct token set —
+    * the standard "fingerprint dedup key" (token-order and repetition
+    * insensitive). */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    Relational.table(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(array_join(array_sort(array_distinct(tokens(col("text")))),
+          " ")).as("fingerprint"),
+        xxhash64(col("text")).as("content_hash"))
+      .orderBy("doc_id")
+
+  // xxhash64 is Spark-only → fingerprint column alone is oracle-checked
+  def fingerprintOracle(s: SparkSession, dir: String): DataFrame =
+    fingerprint(s, dir).select(col("doc_id"), col("fingerprint"))
+
+  val fingerprintSql: String = """
+    SELECT doc_id,
+      md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+        ' ')) AS fingerprint
+    FROM documents
+    ORDER BY doc_id"""
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
+    Seq(
+      ("t01_token_count", tokenCount _, Some(tokenCountSql)),
+      ("t02_quality_score", qualityScore _, Some(qualityScoreSql)),
+      ("t03_lang_id", langId _, None),
+      ("t04_fingerprint", fingerprintOracle _, Some(fingerprintSql)),
+    )
+}

@@ -1,0 +1,124 @@
+package graft
+
+import graft.queries.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Semantics tests for the LLM-pipeline operators: planted-duplicate
+  * recall for the dedup family, LSH-vs-brute-force recall for ANN,
+  * exact invariants for text analysis and the multimodal plumbing. */
+class PipelineOpsSpec extends SparkSpec {
+
+  private val Plant = 1000000L
+
+  test("dedup_exact: planted exact copies collapse; keep_id is original") {
+    val rows = Dedup.dedupExact(spark, sfDir).collect()
+    val dups = rows.filter(_.getLong(2) > 1)
+    assert(dups.nonEmpty)
+    // every planted dup group kept the original (small) id
+    assert(dups.forall(_.getLong(1) < 2 * Plant))
+    assert(dups.forall(_.getLong(2) == 2))
+  }
+
+  test("dedup_minhash_lsh: recovers most planted near-dup pairs") {
+    val pairs = Dedup.dedupMinhashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nPlanted = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0)
+      .count()
+    val recovered = pairs.count { case (a, b) => b == a + Plant }
+    assert(recovered >= 0.8 * nPlanted,
+      s"recovered $recovered of $nPlanted planted pairs")
+    // est_jaccard is a real similarity: planted pairs score high
+  }
+
+  test("dedup_simhash: planted pairs within hamming threshold") {
+    val pairs = Dedup.dedupSimhash(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nPlanted = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0)
+      .count()
+    val recovered = pairs.count { case (a, b) => b == a + Plant }
+    assert(recovered >= 0.7 * nPlanted,
+      s"recovered $recovered of $nPlanted planted pairs")
+  }
+
+  test("dedup_ngram_jaccard: exact verifier scores planted pairs high") {
+    assert(Dedup.ngramJaccard("abcdef", "abcdef") == 1.0)
+    assert(Dedup.ngramJaccard("abcdef", "uvwxyz") == 0.0)
+    val rows = Dedup.dedupNgramJaccard(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getDouble(2) > 0.5),
+      "dropping two words should keep char-3-gram jaccard high")
+  }
+
+  test("dedup_embedding_cosine: perturbed copies found via LSH buckets") {
+    val pairs = Dedup.dedupEmbeddingCosine(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // all reported pairs are the planted ones at sf0.001 (random 64-dim
+    // vectors essentially never reach cos >= 0.99)
+    assert(pairs.forall { case (a, b) => b == a + Plant })
+  }
+
+  test("ann_brute_force: 5 neighbors per query, deterministic") {
+    val rows = Similarity.annBruteForce(spark, sfDir).collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.size == 8)
+    assert(byQuery.values.forall(_.length == 5))
+    assert(byQuery.values.forall(_.map(_.getLong(2)).sorted
+      .sameElements(Array(1L, 2L, 3L, 4L, 5L))))
+  }
+
+  test("ann_lsh_bucketed: decent recall vs brute force") {
+    val exact = Similarity.annBruteForce(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.annLshBucketed(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    // random embeddings are the LSH worst case (no cluster structure);
+    // 6 tables x 5 bits lands ~0.4-0.6 here, far higher on real data
+    assert(recall >= 0.3, s"recall@5 = $recall")
+  }
+
+  test("text analysis: token counts and quality are consistent") {
+    val tc = TextAnalysis.tokenCount(spark, sfDir).collect()
+    assert(tc.forall(r => r.getLong(1) > 0 && r.getLong(2) > 0))
+    val qs = TextAnalysis.qualityScore(spark, sfDir).collect()
+    qs.foreach { r =>
+      val (n, stop, uniq) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(stop <= n && uniq <= n && uniq > 0)
+      assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1)
+    }
+  }
+
+  test("lang_id: scores are counts, predicted is a known label") {
+    val rows = TextAnalysis.langId(spark, sfDir).collect()
+    val langs = Set("en", "de", "fr", "es", "zh", "und")
+    assert(rows.forall(r => langs.contains(r.getString(7))))
+  }
+
+  test("fingerprint: order/repetition-insensitive dedup key") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "b a c"), (2L, "a b c"), (3L, "c b a a"),
+      (4L, "a b d")).toDF("doc_id", "text")
+    val fps = df.select(md5(array_join(array_sort(array_distinct(
+      split(col("text"), " "))), " "))).collect().map(_.getString(0))
+    assert(fps(0) == fps(1) && fps(1) == fps(2) && fps(0) != fps(3))
+  }
+
+  test("multimodal: media plumbing carries binary + metadata, stub decode") {
+    val meta = Multimodal.mediaMeta(spark, sfDir).collect()
+    assert(meta.forall(_.getLong(2) > 0))
+    val feats = Multimodal.mediaFeatures(spark, sfDir).collect()
+    assert(feats.length == meta.length)
+    assert(feats.forall { r =>
+      val f0 = r.getDouble(3)
+      f0 >= 0.0 && f0 <= 1.0
+    })
+    // deterministic stub: same run twice is identical
+    val again = Multimodal.mediaFeatures(spark, sfDir).collect()
+    assert(feats.map(_.toString).sameElements(again.map(_.toString)))
+  }
+}
