@@ -73,21 +73,35 @@ object Dedup {
   private val MinhashK = 32
   private val Bands = 16 // x2 rows per band
 
+  /** splitmix64 finalizer — cheap, allocation-free avalanche. */
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
   /** Word-3-gram shingles → k min-hashes, computed in one pass per doc
     * (O(shingles*k) CPU, zero extra shuffle — beats the
     * explode-shingles-then-groupBy formulation whose shuffle is
-    * O(total shingles) at 100 TB). */
+    * O(total shingles) at 100 TB). Word hashes are computed once per
+    * doc and shingle/per-k hashes derived numerically — the hot loop
+    * does no allocation. */
   private[graft] def minhashSignature(text: String): Seq[Long] = {
     val words = text.split(' ')
+    val wh = new Array[Long](words.length)
+    var w = 0
+    while (w < words.length) {
+      wh(w) = MurmurHash3.stringHash(words(w)).toLong
+      w += 1
+    }
     val sig = Array.fill(MinhashK)(Long.MaxValue)
     var i = 0
     while (i + 2 < words.length) {
-      val shingle = words(i) + " " + words(i + 1) + " " + words(i + 2)
-      val base = MurmurHash3.stringHash(shingle)
+      val base = mix64(wh(i) * 31L + wh(i + 1) * 1299709L + wh(i + 2))
       var k = 0
       while (k < MinhashK) {
-        // cheap k-wise family: re-mix the base hash with the fn index
-        val h = MurmurHash3.productHash((base, k)).toLong & 0xffffffffL
+        val h = mix64(base ^ (k * 0x9e3779b97f4a7c15L)) & 0xffffffffL
         if (h < sig(k)) sig(k) = h
         k += 1
       }
@@ -108,8 +122,10 @@ object Dedup {
         hash(element_at(col("sig"), 2 * b + 1),
           element_at(col("sig"), 2 * b + 2)).as("bh"))
     }
+    // persisted: both sides of the candidate join consume this frame —
+    // at scale you persist/checkpoint the signature table exactly here
     val buckets = sigs.select(col("doc_id"), col("sig"),
-      explode(array(bandCols: _*)).as("bb"))
+      explode(array(bandCols: _*)).as("bb")).persist()
 
     // candidate pairs: docs sharing a band bucket (dedup across bands)
     val a = buckets.select(col("bb"), col("doc_id").as("a"),
@@ -162,14 +178,11 @@ object Dedup {
     val shUdf = udf(simhash64 _)
     val sigs = corpusWithNearDups(s, dir)
       .select(col("doc_id"), shUdf(col("text")).as("sh"))
-    val chunkCols = (0 until 4).map(i => struct(lit(i).as("chunk"),
-      col("sh").bitwiseAND(lit(0xffffL)).as("cv") // placeholder, fixed below
-    ))
     // chunk i = bits [16i, 16i+16)
     val buckets = sigs.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(i => struct(lit(i).as("chunk"),
         shiftrightunsigned(col("sh"), 16 * i).bitwiseAND(lit(0xffffL))
-          .as("cv"))): _*)).as("bb"))
+          .as("cv"))): _*)).as("bb")).persist()
     val a = buckets.select(col("bb"), col("doc_id").as("a"),
       col("sh").as("sh_a"))
     val b = buckets.select(col("bb"), col("doc_id").as("b"),
@@ -233,7 +246,7 @@ object Dedup {
       Similarity.cosine(x, y))
 
     val bucketed = corpus.select(col("vec_id"),
-      col("embedding"), bucketUdf(col("embedding")).as("bucket"))
+      col("embedding"), bucketUdf(col("embedding")).as("bucket")).persist()
     val a = bucketed.select(col("bucket"), col("vec_id").as("a"),
       col("embedding").as("ea"))
     val b = bucketed.select(col("bucket"), col("vec_id").as("b"),

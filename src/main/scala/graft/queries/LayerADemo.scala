@@ -219,6 +219,49 @@ object LayerADemo {
       ridCol = "c_custkey")
       .orderBy("c_custkey")
 
+  // ------------------------------------------- BASELINE.md targets
+  /** 1M rows × 6 string columns (G4+G5+G6 mix) — BASELINE target
+    * "≤ 60 s wall". */
+  def bench1mGenerate(s: SparkSession, dir: String): DataFrame = {
+    val freq = customers(s, dir).groupBy("c_mktsegment")
+      .agg(count(lit(1)).cast("int").as("freq"))
+    val n = Relational.table(s, dir, "nation")
+    val r = Relational.table(s, dir, "region")
+    val joint = n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name"), col("r_name")).withColumn("freq", lit(1))
+    ToDataFrame(s, Seq(
+      (Seq("segment"), fromFrequencyTable(s, freq, "c_mktsegment", "freq",
+        seed = 301)),
+      (Seq("nation", "region"), fromMulticolumnFrequencyTable(s, joint,
+        Seq("n_name", "r_name"), "freq", seed = 302)),
+      (Seq("dob"), FromDatetimeRange("1940-01-01", "2005-12-31",
+        "%Y-%m-%d", "d", seed = 303)),
+      (Seq("score"), FromNormalDistribution(100, 15, 2, seed = 304)),
+      (Seq("u"), FromUniformDistribution(0, 1, 6, seed = 305))), 1000000L)
+  }
+
+  /** 1M rows through a 4-mutator spec (M4 inline OCR, M11, M5, M2) —
+    * BASELINE target "≤ 120 s wall". */
+  def bench1mMutate(s: SparkSession, dir: String): DataFrame = {
+    val base = bench1mGenerate(s, dir)
+    val ocr = graft.mut.RuleMutators.WithReplacementTable(Seq(
+      ("0", "o"), ("1", "|"), ("5", "s"), ("2", "z"), ("g", "9")),
+      inline = true, reverse = false, seed = 311)
+    val cat = WithCategoricalValues(
+      Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"),
+      seed = 312)
+    val miss = WithMissingValue("", seed = 313)
+    val cldr = graft.mut.RuleMutators.WithCldrKeymap(
+      graft.mut.Cldr.neighborCandidates(
+        getClass.getResourceAsStream("/assets/de-t-k0-windows.xml"), None),
+      seed = 314)
+    MutateDataFrame(base, Seq(
+      (Seq("dob"), Seq((0.3, ocr: graft.mut.Mutator))),
+      (Seq("segment"), Seq((0.5, cat: graft.mut.Mutator))),
+      (Seq("u"), Seq((0.1, miss: graft.mut.Mutator))),
+      (Seq("nation"), Seq((0.2, cldr: graft.mut.Mutator)))))
+  }
+
   /** name -> (query, optional oracle sql) */
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
@@ -250,5 +293,7 @@ object LayerADemo {
       ("m18_repeat", m18Repeat _, Some(m18Sql)),
       ("m19_group", m19Group _, None),
       ("m20_mutate_data_frame", m20MutateDataFrame _, None),
+      ("a01_bench_generate_1m", bench1mGenerate _, None),
+      ("a02_bench_mutate_1m", bench1mMutate _, None),
     )
 }

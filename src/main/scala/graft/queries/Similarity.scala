@@ -104,7 +104,7 @@ object Similarity {
       tables.map { case (t, planes) => t.toLong << 32 | signBucket(v, planes) }
     }
     val bucketed = emb.select(col("vec_id"), col("embedding"),
-      explode(bucketsUdf(col("embedding"))).as("bucket"))
+      explode(bucketsUdf(col("embedding"))).as("bucket")).persist()
 
     val queries = bucketed.filter(col("vec_id") < NumQueries)
       .select(col("bucket"), col("vec_id").as("query_id"),

@@ -1,0 +1,66 @@
+package graft
+
+import graft.queries.{LayerADemo, Relational}
+
+/** Physical-plan audit: the properties that decide 100 TB viability —
+  * predicate pushdown, column pruning, broadcast choices, absence of
+  * needless shuffles, whole-stage codegen coverage. */
+class PlanSpec extends SparkSpec {
+
+  /** Final (post-AQE) executed plan: run the query, then render. */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01: filter + column pruning reach the parquet scan") {
+    val p = finalPlan(Relational.q01PricingSummary(spark, sfDir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "LessThanOrEqual(l_shipdate"), s"no pushdown in:\n$p")
+    // only the 7 needed columns in the read schema, not all 11
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_orderkey"), "pruned column still read")
+    // AQE reports codegen only on the executed final plan: traverse it
+    val df = Relational.q01PricingSummary(spark, sfDir)
+    df.collect()
+    val finalPhysical = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    // "*(<id>)" prefixes mark whole-stage-codegen'd operators
+    assert(finalPhysical.toString.contains("*("),
+      s"no codegen stages in:\n$finalPhysical")
+  }
+
+  test("q06: all range predicates pushed") {
+    val p = finalPlan(Relational.q06RevenueChange(spark, sfDir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "IsNotNull(l_discount), IsNotNull(l_quantity)"), p)
+    assert("""l_quantity#\d+ < 24\.0""".r.findFirstIn(p).isDefined, p)
+    assert("""l_discount#\d+ >= 0\.05""".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("q08: tiny dims broadcast, no sort-merge against region/nation") {
+    val p = finalPlan(Relational.q08RegionNationRollup(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q13: big-big join is sort-merge as hinted") {
+    val p = finalPlan(Relational.q13OrderLineitemSmj(spark, sfDir))
+    assert(p.contains("SortMergeJoin"), p)
+  }
+
+  test("fused 1M generator plan: single range scan, zero exchanges") {
+    // not executed (1M rows): fusion is visible pre-AQE
+    val df = LayerADemo.bench1mGenerate(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Range (0, 1000000"), p)
+    assert(!p.contains("Exchange"), s"generator fusion broke:\n$p")
+  }
+
+  test("top-k queries compile to TakeOrderedAndProject, not global sort") {
+    val p = finalPlan(Relational.q03TopRevenueOrders(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+}
