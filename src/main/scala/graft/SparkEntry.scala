@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{Dedup, LayerADemo, Multimodal, Relational, Similarity,
-  TextAnalysis}
+  Streaming, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -14,7 +14,7 @@ object SparkEntry {
   private def optional: Seq[(String, (SparkSession, String) => DataFrame,
     Option[String])] =
     LayerADemo.all ++ Dedup.all ++ Similarity.all ++ TextAnalysis.all ++
-      Multimodal.all
+      Multimodal.all ++ Streaming.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+
+/** Driver-facing demos of the streaming transformations, run in batch
+  * mode (same code path Structured Streaming executes incrementally;
+  * StreamingSpec proves batch/stream equivalence). */
+object Streaming {
+
+  /** The events table carries TIMESTAMP(NANOS) parquet timestamps,
+    * which Spark's reader rejects outright — read them as raw nanos
+    * and convert to a micros TimestampType column. */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Relational.table(s, dir, "events")
+      .withColumn("ts",
+        timestamp_micros((col("ts") / 1000).cast("long")))
+  }
+
+  /** Tumbling 1-hour windows per event type. */
+  def tumblingWindow(s: SparkSession, dir: String): DataFrame =
+    EventStreams.windowedAgg(events(s, dir), "1 hour", "1 hour",
+      "10 minutes").orderBy("w_start", "event_type")
+
+  val tumblingWindowSql: String = """
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+             '%Y-%m-%d %H:%M') AS w_start,
+      event_type, count(*) AS n_events,
+      CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY w_start, event_type"""
+
+  /** Sliding windows: 1 hour every 30 minutes (rows-only check — no
+    * DuckDB sliding-window builtin). */
+  def slidingWindow(s: SparkSession, dir: String): DataFrame =
+    EventStreams.windowedAgg(events(s, dir), "1 hour", "30 minutes",
+      "10 minutes").orderBy("w_start", "event_type")
+
+  /** 30-minute-gap sessionization per user. */
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+    EventStreams.sessionizeBatch(events(s, dir), gapMinutes = 30)
+      .select(col("user_id"), col("session_start"), col("n_events"),
+        col("total_value"))
+      .orderBy("user_id", "session_start")
+
+  val sessionizeSql: String = """
+    SELECT user_id,
+      strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      count(*) AS n_events,
+      CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id
+        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM (
+        SELECT *, CASE WHEN prev_ts IS NULL
+            OR date_diff('second', prev_ts, ts) > 1800 THEN 1
+          ELSE 0 END AS is_new
+        FROM (
+          SELECT *, lag(ts) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS prev_ts
+          FROM events)))
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_start"""
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
+    Seq(
+      ("st01_tumbling_window", tumblingWindow _, Some(tumblingWindowSql)),
+      ("st02_sliding_window", slidingWindow _, None),
+      ("st03_sessionize", sessionize _, Some(sessionizeSql)),
+    )
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.EventStreams
+
+/** Structured Streaming semantics: batch/stream equivalence of the
+  * windowed aggregation, stateful sessionization, and source/sink
+  * roundtrips (reference delegates sinks to pandas to_csv —
+  * README.md:79-81 — our analog is df.write). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowed agg: streaming over events parquet == batch result") {
+    val batchEvents = graft.queries.Streaming.events(spark, sfDir)
+    val batch = EventStreams.windowedAgg(batchEvents,
+      "1 hour", "1 hour", "10 minutes")
+      .orderBy("w_start", "event_type").collect()
+
+    // the driver's events table uses nanosecond timestamps, which the
+    // streaming parquet source rejects — rewrite at micros for the test
+    val microsDir = java.nio.file.Files.createTempDirectory("events-us")
+    batchEvents.write.mode("overwrite").parquet(s"$microsDir/events")
+    val stream = spark.readStream
+      .schema(EventStreams.EventsSchema)
+      .parquet(s"$microsDir/events")
+    val q = EventStreams.windowedAgg(stream, "1 hour", "1 hour",
+      "10 minutes")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("win_out")
+      .orderBy("w_start", "event_type").collect()
+    assert(streamed.sameElements(batch),
+      s"stream(${streamed.length}) != batch(${batch.length})")
+  }
+
+  test("stateful sessionization: gap splits sessions, totals correct") {
+    val ts = (m: Long) => new java.sql.Timestamp(m * 60000L)
+    val events = Seq(
+      EventStreams.Event(1, ts(1), 7L, "click", 1.0),
+      EventStreams.Event(2, ts(10), 7L, "view", 2.0),
+      EventStreams.Event(3, ts(100), 7L, "click", 4.0), // new session
+      EventStreams.Event(4, ts(5), 9L, "click", 8.0)).toDS()
+
+    // batch formulation on the same data
+    val sessions = EventStreams.sessionizeBatch(events.toDF(), 30)
+      .orderBy("user_id", "session_start").collect()
+    assert(sessions.length == 3)
+    assert(sessions(0).getLong(0) == 7L && sessions(0).getLong(3) == 2)
+    assert(sessions(0).getDouble(4) == 3.0)
+    assert(sessions(1).getLong(0) == 7L && sessions(1).getDouble(4) == 4.0)
+    assert(sessions(2).getLong(0) == 9L && sessions(2).getDouble(4) == 8.0)
+  }
+
+  test("streaming sessionization emits closed sessions") {
+    val dir = java.nio.file.Files.createTempDirectory("events-stream")
+    val ts = (m: Long) => new java.sql.Timestamp(m * 60000L)
+    // two sessions worth of events for user 7; nothing at t=0 — a row
+    // AT the initial watermark (0) would be dropped as late
+    Seq(
+      EventStreams.Event(1, ts(1), 7L, "click", 1.0),
+      EventStreams.Event(2, ts(10), 7L, "view", 2.0),
+      EventStreams.Event(3, ts(100), 7L, "click", 4.0)).toDS()
+      .write.parquet(s"$dir/batch1")
+
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[EventStreams.Event]]
+        .schema)
+      .parquet(s"$dir/batch1")
+      .withWatermark("ts", "30 minutes")
+      .as[EventStreams.Event]
+    val q = EventStreams.sessionizeStream(stream, 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    // the first session (events at t=0,10) is closed by the t=100 event
+    val got = spark.table("sess_out").collect()
+    assert(got.length == 1, got.mkString(","))
+    assert(got(0).getLong(0) == 7L && got(0).getLong(2) == 2L &&
+      got(0).getDouble(3) == 3.0)
+  }
+
+  test("sinks: csv and parquet roundtrip preserves generated data") {
+    import graft.gen.Generators._
+    val dir = java.nio.file.Files.createTempDirectory("sink-test")
+    val df = graft.gen.ToDataFrame(spark, Seq(
+      (Seq("u"), FromUniformDistribution(0, 1, 6, seed = 1)),
+      (Seq("dt"), FromDatetimeRange("2000-01-01", "2001-01-01",
+        "%Y-%m-%d", "d", seed = 2))), 500)
+    df.write.option("header", "true").csv(s"$dir/csv")
+    df.write.parquet(s"$dir/pq")
+    val csvBack = spark.read.option("header", "true").csv(s"$dir/csv")
+    val pqBack = spark.read.parquet(s"$dir/pq")
+    assert(csvBack.count() == 500 && pqBack.count() == 500)
+    val orig = df.orderBy("__row_id").select("u", "dt").collect()
+    val back = csvBack.orderBy(col("__row_id").cast("long"))
+      .select("u", "dt").collect()
+    assert(orig.map(_.toString).sameElements(back.map(_.toString)))
+  }
+}
