@@ -393,6 +393,29 @@ object Relational {
     WHERE rn <= 5
     ORDER BY p_brand, rn"""
 
+  // --------------------------------------------------------------- Q15
+  /** Cube over brand × size with grouping-id disambiguation (the
+    * grouping-sets family member q08's rollup doesn't cover). */
+  def q15BrandSizeCube(spark: SparkSession, dir: String): DataFrame = {
+    val p = table(spark, dir, "part")
+    p.cube(col("p_brand"), col("p_size"))
+      .agg(count(lit(1)).as("part_cnt"),
+        dsum(col("p_retailprice"), 2).as("total_price"))
+      .select(coalesce(col("p_brand"), lit("ALL")).as("brand"),
+        coalesce(col("p_size").cast("long"), lit(-1L)).as("size"),
+        col("part_cnt"), col("total_price"))
+      .orderBy("brand", "size")
+  }
+
+  val q15Sql: String = s"""
+    SELECT coalesce(p_brand, 'ALL') AS brand,
+      coalesce(CAST(p_size AS BIGINT), -1) AS size,
+      count(*) AS part_cnt,
+      ${dsumSql("p_retailprice", 2)} AS total_price
+    FROM part
+    GROUP BY CUBE(p_brand, p_size)
+    ORDER BY brand, size"""
+
   /** name -> (query fn, oracle sql) */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
@@ -409,5 +432,6 @@ object Relational {
     ("q12_orders_by_month", q12OrdersByMonth _, q12Sql),
     ("q13_order_lineitem_smj", q13OrderLineitemSmj _, q13Sql),
     ("q14_top_parts_per_brand", q14TopPartsPerBrand _, q14Sql),
+    ("q15_brand_size_cube", q15BrandSizeCube _, q15Sql),
   )
 }

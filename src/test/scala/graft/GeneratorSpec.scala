@@ -61,6 +61,28 @@ class GeneratorSpec extends SparkSpec {
     assert(e.getMessage.contains("integer type"))
   }
 
+  test("fromFrequencyTable: CSV path with header-name refs and " +
+    "positional no-header/TSV refs") {
+    def asset(n: String) = getClass.getResource(s"/assets/$n").getPath
+    // named refs => header row assumed (reference: generator.py:150)
+    val gNamed = fromFrequencyTable(spark, asset("freq_table_header.csv"),
+      Right("value"), Right("freq"), ",", seed = 7)
+    val vals = gNamed.generate(spark, 500).select("c0").collect()
+      .map(_.getString(0)).toSet
+    assert(vals == Set("foo", "bar"))
+    // positional refs => no header; tab delimiter override
+    val gPos = fromFrequencyTable(spark, asset("freq_table_no_header.tsv"),
+      Left(0), Left(1), "\t", seed = 8)
+    val vals2 = gPos.generate(spark, 500).select("c0").collect()
+      .map(_.getString(0)).toSet
+    assert(vals2 == Set("foo", "bar"))
+    // mixed refs rejected
+    intercept[IllegalArgumentException] {
+      fromFrequencyTable(spark, asset("freq_table_header.csv"),
+        Right("value"), Left(1), ",", seed = 9)
+    }
+  }
+
   test("fromMulticolumnFrequencyTable: joint consistency") {
     import spark.implicits._
     // fruit and color are perfectly correlated in the source table;
