@@ -111,11 +111,14 @@ object Dedup {
   }
 
   /** MinHash-LSH near-dup pairs: signature → 16 bands of 2 → bucket
-    * join → signature-estimated Jaccard >= 0.5. */
+    * join → signature-estimated Jaccard >= 0.5. The signature is a
+    * native Catalyst expression (graft.expr.MinHashSignature) — stays
+    * inside whole-stage codegen, no per-row UDF boxing. */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sigUdf = udf(minhashSignature _)
     val sigs = corpusWithNearDups(s, dir)
-      .select(col("doc_id"), sigUdf(col("text")).as("sig"))
+      .select(col("doc_id"),
+        graft.expr.MinHashSignature.minhashSignature(col("text"), MinhashK)
+          .as("sig"))
 
     val bandCols = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
