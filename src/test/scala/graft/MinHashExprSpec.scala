@@ -77,4 +77,17 @@ class MinHashExprSpec extends SparkSpec {
     // drastically slower
     assert(exprNs < udfNs * 3)
   }
+
+  test("SQL registration: minhash_signature usable from spark.sql") {
+    graft.GraftExtensions.register(spark)
+    Seq("alpha beta gamma delta").toDF("t").createOrReplaceTempView("mh_in")
+    val viaSql = spark.sql(
+      "SELECT minhash_signature(t, 32) AS s FROM mh_in")
+      .head.getSeq[Long](0)
+    val viaCol = sig(Seq("alpha beta gamma delta")).head
+    assert(viaSql.sameElements(viaCol))
+    // default k
+    assert(spark.sql("SELECT minhash_signature(t) AS s FROM mh_in")
+      .head.getSeq[Long](0).length == 32)
+  }
 }
