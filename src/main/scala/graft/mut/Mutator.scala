@@ -108,9 +108,17 @@ trait ExprMutator extends Mutator {
   */
 object MutateDataFrame {
 
+  /** @param cacheForStats persist the input before folding the spec so
+    *   the per-mutator p-protocol stats aggregations (one job each) hit
+    *   memory instead of re-scanning the source — worth it when the
+    *   input is an expensive scan (100 TB parquet) and several chained
+    *   mutators have eligibility predicates. The caller owns
+    *   unpersisting the input after the final action. */
   def apply(df: DataFrame,
             spec: Seq[(Seq[String], Seq[(Double, Mutator)])],
-            ridCol: String = Gecko.RowId): DataFrame = {
+            ridCol: String = Gecko.RowId,
+            cacheForStats: Boolean = false): DataFrame = {
+    if (cacheForStats) df.persist()
     val rid = col(ridCol)
     spec.foldLeft(df) { case (d, (cols, mutators)) =>
       cols.foreach { c =>

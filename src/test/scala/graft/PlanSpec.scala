@@ -63,4 +63,38 @@ class PlanSpec extends SparkSpec {
     val p = finalPlan(Relational.q03TopRevenueOrders(spark, sfDir))
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("q16 salted join: plan fans hot keys, result matches plain join") {
+    val p = finalPlan(graft.queries.Skew.q16SaltedJoin(spark, sfDir))
+    assert(p.contains("__salt") || p.contains("Generate"), p)
+  }
+
+  test("bucketed tables: co-located join runs without a shuffle") {
+    val wh = java.nio.file.Files.createTempDirectory("bucketed")
+    val o = Relational.table(spark, sfDir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val li = Relational.table(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/o").mode("overwrite").saveAsTable("o_bkt")
+    li.withColumnRenamed("l_orderkey", "o_orderkey")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/li").mode("overwrite").saveAsTable("li_bkt")
+    try {
+      // disable broadcast so the bucketed sort-merge path is exercised
+      // (the 100 TB shape — neither side broadcastable)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("o_bkt")
+        .join(spark.table("li_bkt"), "o_orderkey")
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS o_bkt")
+      spark.sql("DROP TABLE IF EXISTS li_bkt")
+    }
+  }
 }

@@ -85,6 +85,38 @@ class StreamingSpec extends SparkSpec {
       got(0).getDouble(3) == 3.0)
   }
 
+  test("streaming sessionization: event-time timeout closes idle " +
+    "sessions across batches") {
+    val dir = java.nio.file.Files.createTempDirectory("events-timeout")
+    val ts = (m: Long) => new java.sql.Timestamp(m * 60000L)
+    val enc = implicitly[org.apache.spark.sql.Encoder[EventStreams.Event]]
+    // batch 1: one open session for user 7
+    Seq(EventStreams.Event(1, ts(1), 7L, "click", 1.0),
+      EventStreams.Event(2, ts(10), 7L, "view", 2.0)).toDS()
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+
+    val stream = spark.readStream.schema(enc.schema).parquet(dir.toString)
+      .withWatermark("ts", "30 minutes")
+      .as[EventStreams.Event]
+    val q = EventStreams.sessionizeStream(stream, 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_timeout_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sess_timeout_out").isEmpty) // still open
+      // batch 2: a different user far in the future advances the
+      // watermark past user 7's gap timeout
+      Seq(EventStreams.Event(3, ts(500), 9L, "click", 8.0)).toDS()
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+      q.processAllAvailable()
+      // one more empty-ish trigger lets the timeout fire if needed
+      q.processAllAvailable()
+      val got = spark.table("sess_timeout_out").collect()
+      assert(got.exists(r => r.getLong(0) == 7L && r.getLong(2) == 2L &&
+        r.getDouble(3) == 3.0), got.mkString(","))
+    } finally q.stop()
+  }
+
   test("sinks: csv and parquet roundtrip preserves generated data") {
     import graft.gen.Generators._
     val dir = java.nio.file.Files.createTempDirectory("sink-test")
