@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.core.Gecko
 import graft.gen.{Generators, ToDataFrame}
@@ -16,22 +17,23 @@ class ReadmeWorkflowSpec extends SparkSpec {
   test("reference README workflow end to end") {
     val freqCsv = getClass.getResource("/assets/freq-fruits.csv").getPath
 
-    def pipeline(): (Array[String], Array[String]) = {
+    def pipeline(): (DataFrame, DataFrame) = {
       val generated = ToDataFrame(spark, Seq(
         Seq("last_name") -> Generators.fromFrequencyTable(spark, freqCsv,
           Right("fruit"), Right("count"), ",", seed = 727)), 10000L)
       val mutated = MutateDataFrame(generated, Seq(
         Seq("last_name") -> Seq(
           (0.01, Mutators.WithDelete(seed = 728): graft.mut.Mutator))))
-      val g = generated.orderBy(Gecko.RowId).select("last_name")
-        .collect().map(_.getString(0))
-      val m = mutated.orderBy(Gecko.RowId).select("last_name")
-        .collect().map(_.getString(0))
-      (g, m)
+      (generated, mutated)
     }
 
-    val (g1, m1) = pipeline()
-    val (g2, m2) = pipeline()
+    def values(df: DataFrame): Array[String] =
+      df.orderBy(Gecko.RowId).select("last_name")
+        .collect().map(_.getString(0))
+
+    val (gen1, mut1) = pipeline()
+    val (g1, m1) = (values(gen1), values(mut1))
+    val (gen2, mut2) = pipeline()
 
     // shape: 10k rows, values from the frequency table's support
     assert(g1.length == 10000)
@@ -43,17 +45,12 @@ class ReadmeWorkflowSpec extends SparkSpec {
       a == b || b.length == a.length - 1
     })
     // byte-identical across runs
-    assert(g1.sameElements(g2) && m1.sameElements(m2))
+    assert(g1.sameElements(values(gen2)) && m1.sameElements(values(mut2)))
 
-    // CSV export + read-back (the reference delegates to to_csv)
+    // CSV export + read-back (the reference delegates to to_csv);
+    // repartition proves partition-layout independence
     val dir = java.nio.file.Files.createTempDirectory("readme-wf")
-    val mutated = MutateDataFrame(
-      ToDataFrame(spark, Seq(
-        Seq("last_name") -> Generators.fromFrequencyTable(spark, freqCsv,
-          Right("fruit"), Right("count"), ",", seed = 727)), 10000L),
-      Seq(Seq("last_name") -> Seq(
-        (0.01, Mutators.WithDelete(seed = 728): graft.mut.Mutator))))
-    mutated.repartition(8) // prove partition-layout independence
+    mut1.repartition(8)
       .write.option("header", "true").csv(s"$dir/mutated")
     val back = spark.read.option("header", "true").csv(s"$dir/mutated")
       .orderBy(col(Gecko.RowId).cast("long"))

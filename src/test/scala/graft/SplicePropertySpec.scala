@@ -81,7 +81,8 @@ class SplicePropertySpec extends SparkSpec {
       assert(b.length == a.length, s"'$a' -> '$b'")
       if (a.nonEmpty) {
         val diffs = a.indices.filter(i => a(i) != b(i))
-        assert(diffs.length <= 1, s"'$a' -> '$b'")
+        // '#' never occurs in the samples, so exactly one char changes
+        assert(diffs.length == 1, s"'$a' -> '$b'")
         diffs.foreach(i => assert(b(i) == '#', s"'$a' -> '$b'"))
       }
     }
