@@ -19,10 +19,13 @@ import org.apache.spark.sql.functions._
 object Rand {
 
   /** Uniform double in [0, 1). Distinct draws for one operator use
-    * distinct draw indices k. */
+    * distinct draw indices k. The hash is truncated to 53 bits so the
+    * double conversion is exact — a 63-bit value near 2^63 would round
+    * UP to 2^63 and yield exactly 1.0, breaking floor(u*n) indexing
+    * once in ~1e16 draws (which a trillion-row run does hit). */
   def uniform(rowId: Column, seed: Long, k: Int = 0): Column =
-    (xxhash64(rowId, lit(seed), lit(k)).bitwiseAND(lit(Long.MaxValue))
-      .cast("double")) / lit(Long.MaxValue.toDouble + 1.0)
+    shiftrightunsigned(xxhash64(rowId, lit(seed), lit(k)), 11)
+      .cast("double") / lit(9007199254740992.0) // 2^53
 
   /** Uniform integer in [0, n) where n is a per-row column (e.g. a string
     * length). n must be >= 1 for the row to be meaningful. */

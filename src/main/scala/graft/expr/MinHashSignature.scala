@@ -19,8 +19,11 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * static kernel below — the same pattern Spark's own non-trivial
   * expressions use).
   *
-  * Semantics match graft.queries.Dedup.minhashSignature: word hashes →
-  * numeric shingle hash → splitmix64-remixed per-k min. */
+  * Same signature *family* as graft.queries.Dedup.minhashSignature
+  * (word-3-gram shingles → splitmix64-remixed per-k min), but with a
+  * byte-level FNV-1a word hash instead of MurmurHash3 over decoded
+  * Strings — the two paths are NOT signature-compatible; use one
+  * consistently per signature table. */
 case class MinHashSignature(child: Expression, k: Int)
     extends UnaryExpression {
 

@@ -218,7 +218,10 @@ object RuleMutators {
           case 'a' => () // JVM \w/\d are ASCII by default
           case _ => ()
         }
-        val jdkPat = pat.replace("(?P<", "(?<").replace("(?P=", "\\k<")
+        // Python named-group syntax → JDK: (?P<g>…) → (?<g>…) and the
+        // backref (?P=g) → \k<g> (note the closing paren becomes '>')
+        val jdkPat = pat.replace("(?P<", "(?<")
+          .replaceAll("""\(\?P=([A-Za-z][A-Za-z0-9]*)\)""", """\\k<$1>""")
         val names = {
           val m = namedGroupRe.matcher(pat)
           val buf = scala.collection.mutable.ArrayBuffer[String]()
@@ -235,39 +238,52 @@ object RuleMutators {
     }.toArray
     require(compiled.nonEmpty, "must provide at least one regex pattern")
 
-    /** The reference's group-splice replacement (mutator.py:1392-1429):
-      * replace each capture-group span with the row's column value,
-      * named groups overriding numbered ones, with `(?P<name>)` in
-      * replacement text substituted by the group's matched content. */
+    /** The reference's group-splice replacement (mutator.py:1392-1429),
+      * applied to EVERY match in the value (pandas str.replace with no
+      * n limit — mutator.py:1581): replace each capture-group span with
+      * the row's column value, named groups overriding numbered ones,
+      * with `(?P<name>)` in replacement text substituted by the group's
+      * matched content. */
     private def applyRule(r: RRule, v: String): String = {
       val m = r.pattern.matcher(v)
-      if (!m.find()) return v
-      // span -> replacement key; named groups override numbered spans
-      val spans = scala.collection.mutable.LinkedHashMap[(Int, Int), String]()
-      (1 to m.groupCount()).foreach { i =>
-        if (m.start(i) >= 0) spans((m.start(i), m.end(i))) = i.toString
-      }
-      r.groupNames.foreach { n =>
-        if (m.start(n) >= 0) spans((m.start(n), m.end(n))) = n
-      }
-      val sorted = spans.toSeq.sortBy(_._1._1)
-      val sb = new java.lang.StringBuilder(v.substring(0, m.start))
-      var last = m.start
-      sorted.foreach { case ((s, e), key) =>
-        sb.append(v, last, s)
-        val replRaw = r.repl.getOrElse(key, throw new IllegalArgumentException(
-          s"match group with index `$key` is not present in CSV file"))
-        var repl = replRaw
-        r.groupNames.foreach { n =>
-          val g = m.group(n)
-          if (g != null) repl = repl.replace(s"(?P<$n>)", g)
+      val sb = new java.lang.StringBuilder
+      var tail = 0
+      var searchFrom = 0
+      while (searchFrom <= v.length && m.find(searchFrom)) {
+        // span -> replacement key; named groups override numbered spans
+        val spans =
+          scala.collection.mutable.LinkedHashMap[(Int, Int), String]()
+        (1 to m.groupCount()).foreach { i =>
+          if (m.start(i) >= 0) spans((m.start(i), m.end(i))) = i.toString
         }
-        sb.append(repl)
-        last = e
+        r.groupNames.foreach { n =>
+          if (m.start(n) >= 0) spans((m.start(n), m.end(n))) = n
+        }
+        sb.append(v, tail, m.start)
+        var last = m.start
+        spans.toSeq.sortBy(_._1._1).foreach { case ((s, e), key) =>
+          sb.append(v, last, s)
+          val replRaw = r.repl.getOrElse(key,
+            throw new IllegalArgumentException(
+              s"match group with index `$key` is not present in CSV file"))
+          var repl = replRaw
+          r.groupNames.foreach { n =>
+            val g = m.group(n)
+            if (g != null) repl = repl.replace(s"(?P<$n>)", g)
+          }
+          sb.append(repl)
+          last = e
+        }
+        sb.append(v, last, m.end)
+        tail = m.end
+        // zero-length matches must still advance the scan
+        searchFrom = if (m.end == m.start) m.end + 1 else m.end
       }
-      sb.append(v, last, m.end)
-      sb.append(v.substring(m.end))
-      sb.toString
+      if (tail == 0) v
+      else {
+        sb.append(v.substring(tail))
+        sb.toString
+      }
     }
 
     private val eligUdf = {

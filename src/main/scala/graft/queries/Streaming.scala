@@ -14,9 +14,10 @@ object Streaming {
     * and convert to a micros TimestampType column. */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // integral `div`: double division would lose precision above 2^53
+    // nanos (~Sep 2001 epoch) and shift boundary events by ±1us
     Relational.table(s, dir, "events")
-      .withColumn("ts",
-        timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Tumbling 1-hour windows per event type. */
@@ -56,7 +57,7 @@ object Streaming {
         ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_no
       FROM (
         SELECT *, CASE WHEN prev_ts IS NULL
-            OR date_diff('second', prev_ts, ts) > 1800 THEN 1
+            OR date_diff('millisecond', prev_ts, ts) > 1800000 THEN 1
           ELSE 0 END AS is_new
         FROM (
           SELECT *, lag(ts) OVER (PARTITION BY user_id

@@ -40,9 +40,12 @@ object EventStreams {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val prevTs = lag(col("ts"), 1).over(byUser)
+    // millisecond precision, matching sessionizeStream's getTime-based
+    // gap comparison (unix_timestamp would truncate to seconds and
+    // disagree on sub-second boundaries)
     val isNew = when(prevTs.isNull ||
-      unix_timestamp(col("ts")) - unix_timestamp(prevTs) >
-        gapMinutes * 60L, 1L).otherwise(0L)
+      unix_millis(col("ts")) - unix_millis(prevTs) >
+        gapMinutes * 60000L, 1L).otherwise(0L)
     events
       .withColumn("session_no",
         sum(isNew).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))

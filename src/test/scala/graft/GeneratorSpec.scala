@@ -153,6 +153,17 @@ class GeneratorSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts("a") == 7000L && counts("b") == 3000L) // exact, not sampled
     assert(df.select(Gecko.RowId).distinct().count() == 10000L)
+    // the shuffle must remix the id↔generator association (reference
+    // generator.py:415-419): an id-ordered prefix shows a mixture, not
+    // a contiguous block from the first generator
+    val head = df.orderBy(Gecko.RowId).limit(1000).select("c0")
+      .collect().map(_.getString(0))
+    val aFrac = head.count(_ == "a") / 1000.0
+    assert(aFrac > 0.6 && aFrac < 0.8, s"head not mixed: aFrac=$aFrac")
+    // and row ids are the contiguous range 0..n-1 after renumbering
+    assert(df.agg(org.apache.spark.sql.functions.max(
+      org.apache.spark.sql.functions.col(Gecko.RowId))).head.getLong(0)
+      == 9999L)
   }
 
   test("toDataFrame: fused plan, arity check, duplicate names") {

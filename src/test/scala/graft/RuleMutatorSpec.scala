@@ -159,6 +159,26 @@ class RuleMutatorSpec extends SparkSpec {
     assert(got.forall(_.matches("""\d{4}-\d[69]-\d[69]""")))
   }
 
+  test("regexReplacementTable: python-style backreference (?P=name)") {
+    // doubled-letter collapse: (?P<c>[a-z])(?P=c) matches only doubled
+    // letters (proving the \k<c> translation); replacing the group span
+    // with "" keeps the backref half -> one letter survives
+    val m = WithRegexReplacementTable(Seq(
+      ("""(?P<c>[a-z])(?P=c)""", "", Map("c" -> ""))), seed = 85)
+    val got = collectV(m(frame(Seq("aabbc", "xyz")), Seq("v"), 1.0,
+      col(Gecko.RowId)))
+    assert(got(0) == "abc", got.mkString(","))  // both matches collapsed
+    assert(got(1) == "xyz")
+  }
+
+  test("regexReplacementTable: replaces ALL matches like the reference") {
+    val table = Seq(("a(bc)", "1")).toDF("pattern", "1")
+    val m = WithRegexReplacementTable(table, "pattern", None, seed = 86)
+    val got = collectV(m(frame(Seq("abc abc abc")), Seq("v"), 1.0,
+      col(Gecko.RowId)))
+    assert(got(0) == "a1 a1 a1", got(0))
+  }
+
   test("regexReplacementTable: missing group column rejected") {
     val table = Seq(("a(?P<foo>bc)", "1")).toDF("pattern", "1")
     val e = intercept[IllegalArgumentException] {
