@@ -262,6 +262,38 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  // ------------------------------- cluster formation / canonical pick
+  /** Transitive closure of near-dup pairs into clusters via iterative
+    * min-label propagation (the distributed union-find analog: each
+    * round joins labels across edges and keeps the minimum; rounds
+    * needed = graph diameter, so a handful for near-dup graphs). The
+    * dedup decision is then "keep the minimum doc_id per cluster". */
+  def clusterPairs(pairs: DataFrame, rounds: Int): DataFrame = {
+    // symmetric edge list
+    val edges = pairs.select(col("a"), col("b"))
+      .unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
+      .persist()
+    var labels = edges.select(col("a").as("doc_id"))
+      .distinct().withColumn("label", col("doc_id"))
+    (0 until rounds).foreach { _ =>
+      val viaNeighbor = edges
+        .join(labels, edges("b") === labels("doc_id"))
+        .groupBy(edges("a").as("doc_id"))
+        .agg(min(col("label")).as("nlabel"))
+      labels = labels.join(viaNeighbor, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"))
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"),
+      (col("doc_id") === col("label")).as("keep"))
+  }
+
+  /** MinHash candidate pairs → clusters → canonical keep decision. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    clusterPairs(dedupMinhashLsh(s, dir), rounds = 3)
+      .orderBy("cluster_id", "doc_id")
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("d01_dedup_exact", dedupExact _, Some(dedupExactSql)),
@@ -269,5 +301,6 @@ object Dedup {
       ("d03_dedup_simhash", dedupSimhash _, None),
       ("d04_dedup_ngram_jaccard", dedupNgramJaccard _, None),
       ("d05_dedup_embedding_cosine", dedupEmbeddingCosine _, None),
+      ("d06_dedup_clusters", dedupClusters _, None),
     )
 }

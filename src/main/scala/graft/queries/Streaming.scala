@@ -66,10 +66,49 @@ object Streaming {
     GROUP BY user_id, session_no
     ORDER BY user_id, session_start"""
 
+  /** Ordered conversion funnel signup → click → purchase: each stage
+    * counts users whose earliest stage event strictly follows their
+    * earliest previous-stage event. Three filtered aggregations joined
+    * on user_id — each a map-side-combinable shuffle on the same key. */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val s1 = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    // earliest click strictly after the user's first signup
+    val s2 = e.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    s1.agg(count(lit(1)).as("n_signup")).crossJoin(
+      s2.agg(count(lit(1)).as("n_click_after")))
+      .crossJoin(s3.agg(count(lit(1)).as("n_purchase_funnel")))
+  }
+
+  val funnelSql: String = """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM s1) AS n_signup,
+           (SELECT count(*) FROM s2) AS n_click_after,
+           (SELECT count(*) FROM s3) AS n_purchase_funnel"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("st01_tumbling_window", tumblingWindow _, Some(tumblingWindowSql)),
       ("st02_sliding_window", slidingWindow _, None),
       ("st03_sessionize", sessionize _, Some(sessionizeSql)),
+      ("st04_funnel", funnel _, Some(funnelSql)),
     )
 }

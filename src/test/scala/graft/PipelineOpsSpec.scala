@@ -61,6 +61,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => b == a + Plant })
   }
 
+  test("dedup_clusters: label propagation forms transitive components") {
+    import spark.implicits._
+    // chain 1-2-3 plus isolated pair 10-11: two components
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val got = Dedup.clusterPairs(pairs, rounds = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got(1L) == (1L, true) && got(2L) == (1L, false) &&
+      got(3L) == (1L, false))
+    assert(got(10L) == (10L, true) && got(11L) == (10L, false))
+
+    // end-to-end on the planted corpus: every cluster keeps exactly one
+    val clusters = Dedup.dedupClusters(spark, sfDir).collect()
+    val byCluster = clusters.groupBy(_.getLong(1))
+    assert(byCluster.nonEmpty)
+    byCluster.values.foreach { members =>
+      assert(members.count(_.getBoolean(2)) == 1)
+    }
+  }
+
   test("ann_brute_force: 5 neighbors per query, deterministic") {
     val rows = Similarity.annBruteForce(spark, sfDir).collect()
     val byQuery = rows.groupBy(_.getLong(0))
