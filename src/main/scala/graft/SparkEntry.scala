@@ -14,7 +14,8 @@ object SparkEntry {
   private def optional: Seq[(String, (SparkSession, String) => DataFrame,
     Option[String])] =
     LayerADemo.all ++ Dedup.all ++ Similarity.all ++ TextAnalysis.all ++
-      Multimodal.all ++ Streaming.all ++ graft.queries.Skew.all
+      Multimodal.all ++ Streaming.all ++ graft.queries.Skew.all ++
+      graft.queries.AsOf.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of (most-recent-match) join — a standard time-series operator
+  * Spark lacks natively. For each left row, attach the latest right
+  * row of the same key with right.ts <= left.ts.
+  *
+  * Implementation is the scale-correct union+window formulation rather
+  * than a per-row range probe: tag both sides, union, and carry the
+  * last right-side payload forward over a (key, ts)-ordered window.
+  * Cost: ONE shuffle on the key (the window's partitioning) over
+  * |left| + |right| rows — no range-join explosion, no broadcast
+  * requirement, and AQE-skew-splittable at 100 TB. */
+object AsOf {
+
+  /** @param left       probe side; must contain `key` and `ts`
+    * @param right      reference side; must contain `key`, `ts`, and
+    *                   the payload columns to attach
+    * @param key        equi-join key column name
+    * @param ts         event-time column name (same name both sides)
+    * @param payload    right-side columns carried to the output
+    * @param rightTie   deterministic tiebreak among right rows sharing
+    *                   (key, ts): highest wins */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               payload: Seq[String], rightTie: String): DataFrame = {
+    // dedupe right to one row per (key, ts): keep the highest tiebreak
+    val rightRanked = right.withColumn("__rn",
+      row_number().over(Window.partitionBy(col(key), col(ts))
+        .orderBy(col(rightTie).desc)))
+      .filter(col("__rn") === 1).drop("__rn")
+
+    val leftCols = left.columns
+    val taggedRight = rightRanked.select(
+      (Seq(col(key), col(ts), lit(0).as("__side")) ++
+        payload.map(c => col(c).as(s"__r_$c")) ++
+        leftCols.filterNot(Seq(key, ts).contains)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val taggedLeft = left.select(
+      (Seq(col(key), col(ts), lit(1).as("__side")) ++
+        payload.map(c => lit(null).cast(right.schema(c).dataType)
+          .as(s"__r_$c")) ++
+        leftCols.filterNot(Seq(key, ts).contains).map(col)): _*)
+
+    // right rows sort before left rows at equal ts => inclusive (<=)
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = payload.foldLeft(taggedRight.unionByName(taggedLeft)) {
+      case (df, c) => df.withColumn(s"__asof_$c",
+        last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .filter(payload.map(c => col(s"__asof_$c").isNotNull).reduce(_ && _))
+      .select((Seq(col(key), col(ts)) ++
+        leftCols.filterNot(Seq(key, ts).contains).map(col) ++
+        payload.map(c => col(s"__asof_$c").as(s"asof_$c"))): _*)
+  }
+
+  /** Demo: each purchase event joined to the user's most recent prior
+    * (or simultaneous) signup. DuckDB's native ASOF JOIN is the
+    * oracle. */
+  def q17AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Streaming.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value"))
+    asofJoin(purchases, signups, "user_id", "ts",
+      payload = Seq("value"), rightTie = "event_id")
+      .select(col("event_id"),
+        col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        col("asof_value").as("signup_value")) // raw passthrough: no fp op
+      .orderBy("event_id")
+  }
+
+  // DuckDB ASOF JOIN matches the greatest r.ts <= l.ts per key; ties on
+  // r.ts are removed up front exactly like the Spark side's dedupe
+  val q17Sql: String = """
+    SELECT l.event_id, l.user_id,
+      strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+      r.value AS signup_value
+    FROM (SELECT user_id, ts, event_id FROM events
+          WHERE event_type = 'purchase') l
+    ASOF JOIN (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value, row_number() OVER (
+          PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'signup')
+      WHERE rn = 1) r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    ORDER BY l.event_id"""
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
+    Seq(("q17_asof_join", q17AsofJoin _, Some(q17Sql)))
+}
