@@ -15,7 +15,8 @@ object SparkEntry {
     Option[String])] =
     LayerADemo.all ++ Dedup.all ++ Similarity.all ++ TextAnalysis.all ++
       Multimodal.all ++ Streaming.all ++ graft.queries.Skew.all ++
-      graft.queries.AsOf.all
+      graft.queries.AsOf.all ++ Seq(
+        ("q18_approx_distinct", Relational.q18ApproxDistinct _, None))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

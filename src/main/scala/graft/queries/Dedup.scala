@@ -275,15 +275,19 @@ object Dedup {
       .persist()
     var labels = edges.select(col("a").as("doc_id"))
       .distinct().withColumn("label", col("doc_id"))
+      .localCheckpoint()
     (0 until rounds).foreach { _ =>
       val viaNeighbor = edges
         .join(labels, edges("b") === labels("doc_id"))
         .groupBy(edges("a").as("doc_id"))
         .agg(min(col("label")).as("nlabel"))
+      // localCheckpoint truncates the per-round lineage — without it
+      // the plan (and recomputation) doubles every iteration
       labels = labels.join(viaNeighbor, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
             .as("label"))
+        .localCheckpoint()
     }
     labels.select(col("doc_id"), col("label").as("cluster_id"),
       (col("doc_id") === col("label")).as("keep"))

@@ -416,6 +416,23 @@ object Relational {
     GROUP BY CUBE(p_brand, p_size)
     ORDER BY brand, size"""
 
+  // --------------------------------------------------------------- Q18
+  /** Sketch-based approximate distinct counts beside the exact ones —
+    * the constant-memory path for distinct cardinalities at 100 TB
+    * (HyperLogLog++ partial aggregation; no exact-distinct expand). The
+    * approx column is engine-specific, so this query is rows-only
+    * checked; RelationalSpec asserts the relative error bound. */
+  def q18ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .orderBy("l_returnflag")
+  }
+
   /** name -> (query fn, oracle sql) */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),

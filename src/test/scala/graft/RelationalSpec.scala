@@ -17,6 +17,15 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q18: HLL sketch tracks exact distincts within the error bound") {
+    Relational.q18ApproxDistinct(spark, sfDir).collect().foreach { r =>
+      val (eo, ao) = (r.getLong(1), r.getLong(2))
+      val (ep, ap) = (r.getLong(3), r.getLong(4))
+      assert(math.abs(ao - eo) <= math.max(3, 0.1 * eo), s"orders $eo vs $ao")
+      assert(math.abs(ap - ep) <= math.max(3, 0.1 * ep), s"parts $ep vs $ap")
+    }
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
