@@ -433,6 +433,30 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  // --------------------------------------------------------------- Q19
+  /** Exact percentiles per group (median + tail). Both engines use
+    * linear interpolation over the sorted values with the same
+    * arithmetic form, so results are bit-identical (verified); at scale
+    * the approx_percentile t-digest is the constant-memory swap-in. */
+  def q19Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("p50_price"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95_price"),
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  val q19Sql: String = """
+    SELECT l_returnflag,
+      quantile_cont(l_extendedprice, 0.5) AS p50_price,
+      quantile_cont(l_extendedprice, 0.95) AS p95_price,
+      quantile_cont(l_quantity, 0.5) AS p50_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag"""
+
   /** name -> (query fn, oracle sql) */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
@@ -450,5 +474,6 @@ object Relational {
     ("q13_order_lineitem_smj", q13OrderLineitemSmj _, q13Sql),
     ("q14_top_parts_per_brand", q14TopPartsPerBrand _, q14Sql),
     ("q15_brand_size_cube", q15BrandSizeCube _, q15Sql),
+    ("q19_percentiles", q19Percentiles _, q19Sql),
   )
 }
