@@ -104,11 +104,33 @@ object Streaming {
            (SELECT count(*) FROM s2) AS n_click_after,
            (SELECT count(*) FROM s3) AS n_purchase_funnel"""
 
+  /** JSON scalar functions over the events props payload: extract the
+    * numeric field, aggregate per event type (SURVEY.md §2.4 JSON row;
+    * exact integer sums, oracle-safe). */
+  def jsonProps(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+        min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+      .orderBy("event_type")
+
+  val jsonPropsSql: String = """
+    SELECT event_type, count(*) AS n,
+      sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+      min(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
+      max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("st01_tumbling_window", tumblingWindow _, Some(tumblingWindowSql)),
       ("st02_sliding_window", slidingWindow _, None),
       ("st03_sessionize", sessionize _, Some(sessionizeSql)),
       ("st04_funnel", funnel _, Some(funnelSql)),
+      ("st05_json_props", jsonProps _, Some(jsonPropsSql)),
     )
 }
