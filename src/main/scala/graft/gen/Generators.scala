@@ -135,9 +135,14 @@ object Generators {
       .contains(freqField.dataType.typeName),
       s"frequency column `$freqColumn` must be of an integer type, " +
         s"is ${freqField.dataType.typeName}")
+    // deterministic table order: an unordered collect() can reorder
+    // rows across partition layouts, which would silently remap the
+    // cumulative-probability array between runs and break the
+    // byte-identical reproducibility contract
     val collected = df
       .select((valueColumns.map(c => col(c).cast("string")) :+
         col(freqColumn).cast("long")): _*)
+      .orderBy(valueColumns.map(col): _*)
       .collect()
     val rows = collected.map(r =>
       Array.tabulate(valueColumns.size)(i => r.getString(i)))

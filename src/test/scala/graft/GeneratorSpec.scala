@@ -83,6 +83,21 @@ class GeneratorSpec extends SparkSpec {
     }
   }
 
+  test("fromFrequencyTable: output independent of lookup-table " +
+    "partition layout") {
+    import spark.implicits._
+    val base = Seq(("a", 3), ("b", 2), ("c", 5), ("d", 7), ("e", 1))
+      .toDF("v", "n")
+    def run(freqDf: org.apache.spark.sql.DataFrame): Array[String] =
+      fromFrequencyTable(spark, freqDf, "v", "n", seed = 55)
+        .generate(spark, 2000).orderBy(Gecko.RowId)
+        .select("c0").collect().map(_.getString(0))
+    // different physical layouts of the SAME table must not remap the
+    // cumulative-probability array
+    assert(run(base.repartition(1)).sameElements(
+      run(base.repartition(5).sortWithinPartitions("n"))))
+  }
+
   test("fromMulticolumnFrequencyTable: joint consistency") {
     import spark.implicits._
     // fruit and color are perfectly correlated in the source table;
