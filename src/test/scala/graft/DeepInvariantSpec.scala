@@ -101,6 +101,41 @@ class DeepInvariantSpec extends SparkSpec {
     assert(run(2).sameElements(run(8)))
   }
 
+  // -------------- ToDataFrame general path: mixture forces the
+  // row-id equi-join instead of the fused select
+  test("toDataFrame: mixed expr + group generators join correctly") {
+    import spark.implicits._
+    val ga = Generators.fromFrequencyTable(spark,
+      Seq(("only_a", 1)).toDF("v", "n"), "v", "n", seed = 71)
+    val gb = Generators.fromFrequencyTable(spark,
+      Seq(("only_b", 1)).toDF("v", "n"), "v", "n", seed = 72)
+    val grp = Generators.FromGroup(Seq((0.5, ga: graft.gen.Generator),
+      (0.5, gb)), maxRoundingAdjustment = 1, seed = 73)
+    val df = graft.gen.ToDataFrame(spark, Seq(
+      Seq("mix") -> (grp: graft.gen.Generator),
+      Seq("u") -> Generators.FromUniformDistribution(0, 1, 4, seed = 74)),
+      2000L)
+    assert(df.count() == 2000)
+    assert(df.select(Gecko.RowId).distinct().count() == 2000)
+    val counts = df.groupBy("mix").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("only_a" -> 1000L, "only_b" -> 1000L))
+    // every row carries both generators' output
+    assert(df.filter(col("u").isNull || col("mix").isNull).count() == 0)
+  }
+
+  test("mutateDataFrame: cacheForStats produces identical output") {
+    val df = frame((0 until 500).map(i => s"val$i"))
+    def run(cache: Boolean) = MutateDataFrame(df, Seq(
+      (Seq("v"), Seq(
+        (0.5, WithDelete(seed = 75): graft.mut.Mutator),
+        (0.5, WithMissingValue("X", seed = 76): graft.mut.Mutator)))),
+      cacheForStats = cache)
+      .orderBy(Gecko.RowId).select("v").collect().map(_.getString(0))
+    assert(run(cache = false).sameElements(run(cache = true)))
+    df.unpersist()
+  }
+
   // ----------------------- M12 derangement uniformity (3 columns → 2
   // derangements, each should appear ~half the time)
   test("withPermute: derangements drawn uniformly") {
