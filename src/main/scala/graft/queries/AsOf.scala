@@ -32,30 +32,35 @@ object AsOf {
         .orderBy(col(rightTie).desc)))
       .filter(col("__rn") === 1).drop("__rn")
 
+    // the matched right row travels as ONE struct (never per-column):
+    // per-column carry would stitch values from different right rows
+    // whenever the true match holds a NULL payload value. The struct
+    // always contains the right ts, so it is non-null exactly when a
+    // match exists — NULL payload values survive, and payload may be
+    // empty (pure as-of existence filter).
     val leftCols = left.columns
+    val rStruct = struct((col(ts).as("__rts") +:
+      payload.map(c => col(c))): _*)
     val taggedRight = rightRanked.select(
-      (Seq(col(key), col(ts), lit(0).as("__side")) ++
-        payload.map(c => col(c).as(s"__r_$c")) ++
+      (Seq(col(key), col(ts), lit(0).as("__side"),
+        rStruct.as("__r")) ++
         leftCols.filterNot(Seq(key, ts).contains)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val rStructType = taggedRight.schema("__r").dataType
     val taggedLeft = left.select(
-      (Seq(col(key), col(ts), lit(1).as("__side")) ++
-        payload.map(c => lit(null).cast(right.schema(c).dataType)
-          .as(s"__r_$c")) ++
+      (Seq(col(key), col(ts), lit(1).as("__side"),
+        lit(null).cast(rStructType).as("__r")) ++
         leftCols.filterNot(Seq(key, ts).contains).map(col)): _*)
 
     // right rows sort before left rows at equal ts => inclusive (<=)
     val w = Window.partitionBy(col(key)).orderBy(col(ts), col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = payload.foldLeft(taggedRight.unionByName(taggedLeft)) {
-      case (df, c) => df.withColumn(s"__asof_$c",
-        last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1)
-      .filter(payload.map(c => col(s"__asof_$c").isNotNull).reduce(_ && _))
+    taggedRight.unionByName(taggedLeft)
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1 && col("__asof").isNotNull)
       .select((Seq(col(key), col(ts)) ++
         leftCols.filterNot(Seq(key, ts).contains).map(col) ++
-        payload.map(c => col(s"__asof_$c").as(s"asof_$c"))): _*)
+        payload.map(c => col(s"__asof.$c").as(s"asof_$c"))): _*)
   }
 
   /** Demo: each purchase event joined to the user's most recent prior
@@ -78,18 +83,23 @@ object AsOf {
   }
 
   // DuckDB ASOF JOIN matches the greatest r.ts <= l.ts per key; ties on
-  // r.ts are removed up front exactly like the Spark side's dedupe
+  // r.ts are removed up front exactly like the Spark side's dedupe.
+  // Timestamps are truncated to the microsecond first, matching the
+  // engine's precision (the raw column is nanos).
   val q17Sql: String = """
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, value,
+        date_trunc('microseconds', ts) AS ts FROM events)
     SELECT l.event_id, l.user_id,
       strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
       r.value AS signup_value
-    FROM (SELECT user_id, ts, event_id FROM events
+    FROM (SELECT user_id, ts, event_id FROM ev
           WHERE event_type = 'purchase') l
     ASOF JOIN (
       SELECT user_id, ts, value FROM (
         SELECT user_id, ts, value, row_number() OVER (
           PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
-        FROM events WHERE event_type = 'signup')
+        FROM ev WHERE event_type = 'signup')
       WHERE rn = 1) r
       ON l.user_id = r.user_id AND l.ts >= r.ts
     ORDER BY l.event_id"""

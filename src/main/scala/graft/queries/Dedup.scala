@@ -265,10 +265,13 @@ object Dedup {
   // ------------------------------- cluster formation / canonical pick
   /** Transitive closure of near-dup pairs into clusters via iterative
     * min-label propagation (the distributed union-find analog: each
-    * round joins labels across edges and keeps the minimum; rounds
-    * needed = graph diameter, so a handful for near-dup graphs). The
+    * round joins labels across edges and keeps the minimum). Iterates
+    * to a FIXPOINT — one cheap changed-count action on the small label
+    * table per round — capped at maxRounds, because stopping early on
+    * a component whose min-id node is farther than the round count
+    * splits it into spurious clusters with no canonical survivor. The
     * dedup decision is then "keep the minimum doc_id per cluster". */
-  def clusterPairs(pairs: DataFrame, rounds: Int): DataFrame = {
+  def clusterPairs(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
     // symmetric edge list
     val edges = pairs.select(col("a"), col("b"))
       .unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
@@ -276,26 +279,33 @@ object Dedup {
     var labels = edges.select(col("a").as("doc_id"))
       .distinct().withColumn("label", col("doc_id"))
       .localCheckpoint()
-    (0 until rounds).foreach { _ =>
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
       val viaNeighbor = edges
         .join(labels, edges("b") === labels("doc_id"))
         .groupBy(edges("a").as("doc_id"))
         .agg(min(col("label")).as("nlabel"))
       // localCheckpoint truncates the per-round lineage — without it
       // the plan (and recomputation) doubles every iteration
-      labels = labels.join(viaNeighbor, Seq("doc_id"), "left")
+      val next = labels.join(viaNeighbor, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
             .as("label"))
         .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "old"),
+        "doc_id").filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      round += 1
     }
+    edges.unpersist()
     labels.select(col("doc_id"), col("label").as("cluster_id"),
       (col("doc_id") === col("label")).as("keep"))
   }
 
   /** MinHash candidate pairs → clusters → canonical keep decision. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
-    clusterPairs(dedupMinhashLsh(s, dir), rounds = 3)
+    clusterPairs(dedupMinhashLsh(s, dir))
       .orderBy("cluster_id", "doc_id")
 
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =

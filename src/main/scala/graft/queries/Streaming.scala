@@ -72,12 +72,17 @@ object Streaming {
     * on user_id — each a map-side-combinable shuffle on the same key. */
   def funnel(s: SparkSession, dir: String): DataFrame = {
     val e = events(s, dir)
+    // each stage frame is consumed twice (own count + next stage's
+    // lineage): localCheckpoint stops the source re-scan cascade —
+    // these are small per-user aggregates
     val s1 = e.filter(col("event_type") === "signup")
       .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      .localCheckpoint()
     // earliest click strictly after the user's first signup
     val s2 = e.filter(col("event_type") === "click")
       .join(s1, "user_id").filter(col("ts") > col("t1"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      .localCheckpoint()
     val s3 = e.filter(col("event_type") === "purchase")
       .join(s2, "user_id").filter(col("ts") > col("t2"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
@@ -86,18 +91,24 @@ object Streaming {
       .crossJoin(s3.agg(count(lit(1)).as("n_purchase_funnel")))
   }
 
+  // the oracle truncates ns timestamps to the microsecond before any
+  // row-level comparison, matching the engine's micros precision —
+  // otherwise two same-microsecond events would order differently
   val funnelSql: String = """
-    WITH s1 AS (
-      SELECT user_id, min(ts) AS t1 FROM events
+    WITH ev AS (
+      SELECT user_id, event_type,
+        date_trunc('microseconds', ts) AS ts FROM events),
+    s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM ev
       WHERE event_type = 'signup' GROUP BY user_id),
     s2 AS (
       SELECT e.user_id, min(e.ts) AS t2
-      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      FROM ev e JOIN s1 ON e.user_id = s1.user_id
       WHERE e.event_type = 'click' AND e.ts > s1.t1
       GROUP BY e.user_id),
     s3 AS (
       SELECT e.user_id, min(e.ts) AS t3
-      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      FROM ev e JOIN s2 ON e.user_id = s2.user_id
       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
       GROUP BY e.user_id)
     SELECT (SELECT count(*) FROM s1) AS n_signup,

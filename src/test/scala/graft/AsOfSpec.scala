@@ -44,6 +44,31 @@ class AsOfSpec extends SparkSpec {
     assert(out.length == 1 && out(0).getDouble(3) == 99.0)
   }
 
+  test("asof join: NULL payload in the matching row is preserved, " +
+    "never stitched from an older row") {
+    val left = Seq((1L, ts(12), "p")).toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, ts(3), 1L, Some(5.0), Some("x")),
+      (1L, ts(10), 2L, None: Option[Double], Some("y"))) // true match
+      .toDF("user_id", "ts", "event_id", "a", "b")
+    val out = AsOf.asofJoin(left, right, "user_id", "ts",
+      Seq("a", "b"), "event_id").collect()
+    assert(out.length == 1)
+    // the ts=10 row as a unit: a is NULL, b is "y" — no chimera (a=5.0)
+    assert(out(0).isNullAt(3), out(0).toString)
+    assert(out(0).getString(4) == "y")
+  }
+
+  test("asof join: empty payload acts as an existence filter") {
+    val left = Seq((1L, ts(5), "has"), (2L, ts(5), "none"))
+      .toDF("user_id", "ts", "tag")
+    val right = Seq((1L, ts(3), 1L, 1.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = AsOf.asofJoin(left, right, "user_id", "ts",
+      Seq.empty, "event_id").collect()
+    assert(out.length == 1 && out(0).getString(2) == "has")
+  }
+
   test("q17 demo runs and every purchase maps to an earlier signup") {
     val rows = AsOf.q17AsofJoin(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -63,12 +63,15 @@ class PipelineOpsSpec extends SparkSpec {
 
   test("dedup_clusters: label propagation forms transitive components") {
     import spark.implicits._
-    // chain 1-2-3 plus isolated pair 10-11: two components
-    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
-    val got = Dedup.clusterPairs(pairs, rounds = 3).collect()
+    // a 6-node path (needs > 3 propagation rounds to converge) plus an
+    // isolated pair: fixpoint iteration must fully absorb the chain
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L)).toDF("a", "b")
+    val got = Dedup.clusterPairs(pairs).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
-    assert(got(1L) == (1L, true) && got(2L) == (1L, false) &&
-      got(3L) == (1L, false))
+    (1L to 6L).foreach { id =>
+      assert(got(id) == (1L, id == 1L), s"doc $id -> ${got(id)}")
+    }
     assert(got(10L) == (10L, true) && got(11L) == (10L, false))
 
     // end-to-end on the planted corpus: every cluster keeps exactly one
