@@ -3,11 +3,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR and prints one JSON metrics line. */
+  * SPARK_GRAFT_SF_DIR, writes the metrics JSON to bench.json (in
+  * SPARK_GRAFT_OUT, or the working dir) and prints it as the final
+  * stdout line — the file is the canonical machine-readable artifact;
+  * the stdout line is a fallback for line-grepping drivers. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -38,7 +41,25 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+
+    // file first: survives any stdout interleaving from sbt/Spark
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_OUT", ".")
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outDir, "bench.json"),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] could not write bench.json: ${e.getMessage}")
+    }
+
+    // stop Spark BEFORE the JSON line so no executor-shutdown noise
+    // lands after it — the JSON must be the last line on stdout
     spark.stop()
+    System.out.flush()
+    println(json)
+    System.out.flush()
   }
 }

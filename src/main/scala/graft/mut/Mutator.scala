@@ -38,45 +38,94 @@ trait Mutator {
     * rows are eligible. */
   def eligible(c: Column): Option[Column] = None
 
+  /** Aggregate expressions this mutator must evaluate over the input
+    * before it can build its rewrite of `colName`: the p-protocol
+    * eligibility rate (the reference's mask.sum()/len —
+    * mutator.py:603-607), plus mutator-specific extras (M4's per-source
+    * match counts). [[MutateDataFrame]] fuses the aggs of every
+    * (mutator, column) in a spec into ONE agg job; a standalone
+    * [[apply]] fuses across its own columns. */
+  def statsAggs(colName: String): Seq[Column] =
+    eligible(col(colName))
+      .map(e => Seq(avg(e.cast("double")))).getOrElse(Seq.empty)
+
   /** Rewrite one column for exactly the rows where `sel` holds (and are
     * eligible — implementations must keep ineligible rows unchanged
     * even if selected, as group mutation can select any row). */
   def applyToColumn(df: DataFrame, colName: String, colIdx: Int,
                     sel: Column, rid: Column): DataFrame
 
+  /** [[applyToColumn]] variant receiving this column's [[statsAggs]]
+    * results; mutators whose rewrite itself needs stats (M4) override
+    * this, everyone else ignores the stats here. */
+  protected def applyToColumnWithStats(df: DataFrame, colName: String,
+                                       colIdx: Int, sel: Column, rid: Column,
+                                       stats: Seq[Any]): DataFrame =
+    applyToColumn(df, colName, colIdx, sel, rid)
+
   /** Reference name used in warnings. */
   def name: String = getClass.getSimpleName.stripSuffix("$")
 
-  /** Standard entry point: p-protocol over each column independently. */
-  def apply(df: DataFrame, cols: Seq[String], p: Double,
-            rid: Column): DataFrame = {
+  /** Standard entry point: p-protocol over each column independently,
+    * with all columns' stats fused into (at most) one agg job. */
+  final def apply(df: DataFrame, cols: Seq[String], p: Double,
+                  rid: Column): DataFrame =
+    applyWithStats(df, cols, p, rid, Mutator.computeStats(df, this, cols))
+
+  /** Entry point with precomputed stats — stats(i) holds the results of
+    * `statsAggs(cols(i))`, in order. Mutators that treat their columns
+    * jointly (permute, generator, group) override THIS method. */
+  def applyWithStats(df: DataFrame, cols: Seq[String], p: Double,
+                     rid: Column, stats: Seq[Seq[Any]]): DataFrame = {
     Gecko.checkProbability(p)
     cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
-      val sel = selectionFor(d, c, i, p, rid)
-      applyToColumn(d, c, i, sel, rid)
+      val sel = selectionFor(c, i, p, rid, stats(i))
+      applyToColumnWithStats(d, c, i, sel, rid, stats(i))
     }
   }
 
-  /** Selection mask for one column under the p-protocol. */
-  protected def selectionFor(df: DataFrame, colName: String, colIdx: Int,
-                             p: Double, rid: Column): Column = {
+  /** Selection mask for one column under the p-protocol, from the
+    * precomputed eligibility rate (stats head, when eligibility-gated). */
+  protected def selectionFor(colName: String, colIdx: Int, p: Double,
+                             rid: Column, stats: Seq[Any]): Column = {
     val u = draw(rid, colIdx, 0)
     eligible(col(colName)) match {
       case None => u < lit(p)
       case Some(e) =>
-        val pActual = eligibleRate(df, e)
+        val pActual = stats.headOption match {
+          case Some(d: java.lang.Double) => d.doubleValue()
+          case _ => 0.0 // empty input: avg over zero rows is null
+        }
         if (pActual < p) Warnings.warnP(name, p, pActual)
         if (pActual == 0.0) lit(false)
         else u < lit(math.min(1.0, p / pActual)) && e
     }
   }
+}
 
-  /** One agg job for the p-protocol stats pass (the reference's
-    * mask.sum()/len — mutator.py:603-607). */
-  protected def eligibleRate(df: DataFrame, e: Column): Double = {
-    val row = df.agg(avg(e.cast("double"))).head()
-    if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+object Mutator {
+  /** Run every statsAggs of (mutator, column) pairs as ONE agg job and
+    * slice the single result row back per pair. Zero jobs when no pair
+    * needs stats. */
+  private[mut] def computeStats(df: DataFrame,
+                                pairs: Seq[(Mutator, String)]): Seq[Seq[Any]] = {
+    val aggs = pairs.map { case (m, c) => m.statsAggs(c) }
+    val flat = aggs.flatten
+    if (flat.isEmpty) aggs.map(_ => Seq.empty[Any])
+    else {
+      val row = df.agg(flat.head, flat.tail: _*).head()
+      var off = 0
+      aggs.map { as =>
+        val vals: Seq[Any] = (off until off + as.size).map(row.get)
+        off += as.size
+        vals
+      }
+    }
   }
+
+  private[mut] def computeStats(df: DataFrame, m: Mutator,
+                                cols: Seq[String]): Seq[Seq[Any]] =
+    computeStats(df, cols.map(c => (m, c)))
 }
 
 /** Mutator fully described by a per-value column expression — stays
@@ -102,6 +151,17 @@ trait ExprMutator extends Mutator {
   * (mutator.py:1779-1791), building one logical plan; Catalyst
   * collapses the adjacent projections.
   *
+  * Every mutator's p-protocol stats (eligibility rates, M4's rule
+  * match counts) are fused into a SINGLE agg job over the spec's input
+  * frame, so a k-mutator spec scans a 100 TB source once for stats +
+  * once for the output instead of k+1 times. Documented deviation from
+  * the reference: gecko recomputes each mutator's eligibility on the
+  * running (already-mutated) frame (mutator.py:1779-1791); this engine
+  * estimates all rates on the input snapshot. The rates only scale
+  * selection probabilities (realized fraction ≈ p either way, since a
+  * prior mutator perturbs at most its own p-fraction of rows);
+  * per-value semantics are unchanged.
+  *
   * @param ridCol unique row-identity column driving all randomness. For
   *   generated frames this is [[Gecko.RowId]]; for arbitrary frames
   *   pass any unique key column.
@@ -109,29 +169,42 @@ trait ExprMutator extends Mutator {
 object MutateDataFrame {
 
   /** @param cacheForStats persist the input before folding the spec so
-    *   the per-mutator p-protocol stats aggregations (one job each) hit
-    *   memory instead of re-scanning the source — worth it when the
-    *   input is an expensive scan (100 TB parquet) and several chained
-    *   mutators have eligibility predicates. The caller owns
-    *   unpersisting the input after the final action. */
+    *   the (single, fused) stats agg job and the final action share one
+    *   materialization — worth it only when the input lineage is
+    *   expensive to recompute AND fits the cache; a plain parquet scan
+    *   at 100 TB is better read twice. */
   def apply(df: DataFrame,
             spec: Seq[(Seq[String], Seq[(Double, Mutator)])],
             ridCol: String = Gecko.RowId,
             cacheForStats: Boolean = false): DataFrame = {
-    if (cacheForStats) df.persist()
-    val rid = col(ridCol)
-    spec.foldLeft(df) { case (d, (cols, mutators)) =>
+    spec.foreach { case (cols, mutators) =>
       cols.foreach { c =>
-        if (!d.columns.contains(c))
+        if (!df.columns.contains(c))
           throw new IllegalArgumentException(
             s"column `$c` does not exist, must be one of " +
               s"`${df.columns.mkString(",")}`")
       }
-      mutators.foldLeft(d) { case (dd, (p, m)) =>
+      mutators.foreach { case (p, _) =>
         if (p <= 0 || p > 1)
           throw new IllegalArgumentException(
             "probability for mutator must be in range of (0, 1]")
-        m(dd, cols, p, rid)
+      }
+    }
+    if (cacheForStats) df.persist()
+    val rid = col(ridCol)
+
+    // ONE stats job for the whole spec (0 jobs if nothing needs stats)
+    val pairs = for {
+      (cols, mutators) <- spec
+      (_, m) <- mutators
+      c <- cols
+    } yield (m, c)
+    val statsIter = Mutator.computeStats(df, pairs).iterator
+
+    spec.foldLeft(df) { case (d, (cols, mutators)) =>
+      mutators.foldLeft(d) { case (dd, (p, m)) =>
+        val stats = cols.map(_ => statsIter.next())
+        m.applyWithStats(dd, cols, p, rid, stats)
       }
     }
   }

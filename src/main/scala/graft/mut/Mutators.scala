@@ -158,8 +158,9 @@ object Mutators {
       throw new UnsupportedOperationException(
         "WithPermute operates on all columns jointly")
 
-    override def apply(df: DataFrame, cols: Seq[String], p: Double,
-                       rid: Column): DataFrame = {
+    override def applyWithStats(df: DataFrame, cols: Seq[String], p: Double,
+                                rid: Column,
+                                stats: Seq[Seq[Any]]): DataFrame = {
       Gecko.checkProbability(p)
       if (cols.size < 2)
         throw new IllegalArgumentException(
@@ -276,8 +277,9 @@ object Mutators {
       df.withColumn(colName, when(sel, out).otherwise(c))
     }
 
-    override def apply(df: DataFrame, cols: Seq[String], p: Double,
-                       rid: Column): DataFrame = {
+    override def applyWithStats(df: DataFrame, cols: Seq[String], p: Double,
+                                rid: Column,
+                                stats: Seq[Seq[Any]]): DataFrame = {
       Gecko.checkProbability(p)
       if (generator.arity != cols.size)
         throw new IllegalArgumentException(
@@ -328,8 +330,9 @@ object Mutators {
       throw new UnsupportedOperationException(
         "WithGroup applies sub-mutators directly")
 
-    override def apply(df: DataFrame, cols: Seq[String], p: Double,
-                       rid: Column): DataFrame = {
+    override def applyWithStats(df: DataFrame, cols: Seq[String], p: Double,
+                                rid: Column,
+                                stats: Seq[Seq[Any]]): DataFrame = {
       Gecko.checkProbability(p)
       val rowSel = draw(rid, 0, 0) < lit(p)
       val mutIdx = Rand.weightedPick(draw(rid, 0, 1), cum)

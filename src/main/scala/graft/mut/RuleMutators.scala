@@ -22,8 +22,9 @@ import java.util.regex.{Matcher, Pattern}
   * rules inside the UDF and needs NO global count pass for M3/M17. Only
   * M4 (with_replacement_table) applies rules in a deterministic
   * global-ascending-match-count order (mutator.py:618-624), which does
-  * require one aggregation pass; it is fused with the p-protocol stats
-  * aggregation into a single job. */
+  * require one aggregation pass; its per-source counts are declared via
+  * [[Mutator.statsAggs]] alongside the eligibility rate, so both ride
+  * the single fused stats job (standalone or inside MutateDataFrame). */
 object RuleMutators {
 
   /** Uniform index in [0, n) from a double in [0, 1). */
@@ -61,20 +62,44 @@ object RuleMutators {
     override def eligible(c: Column): Option[Column] =
       Some(sources.map(s => matchExpr(c, s)).reduce(_ || _))
 
-    override def applyToColumn(df: DataFrame, colName: String, colIdx: Int,
-                               sel: Column, rid: Column): DataFrame = {
-      // global match counts -> ascending order (one agg job; when called
-      // from apply() below this job also carries the p-protocol stats)
-      val counts = df.agg(
+    /** Eligibility rate + one global match count per source — all carried
+      * by the single fused stats job. */
+    override def statsAggs(colName: String): Seq[Column] =
+      super.statsAggs(colName) ++
         sources.map(s => sum(matchExpr(col(colName), s).cast("long")))
-          .head, sources.map(s =>
-          sum(matchExpr(col(colName), s).cast("long"))).tail: _*).head()
-      val order = sources.indices
-        .map(i => (i, if (counts.isNullAt(i)) 0L else counts.getLong(i)))
+
+    /** Ascending global-match-count source order from the stats values
+      * (reference: mutator.py:618-624). */
+    private def orderFrom(counts: Seq[Any]): Array[Int] =
+      sources.indices
+        .map(i => (i, counts(i) match {
+          case l: java.lang.Long => l.longValue()
+          case _ => 0L
+        }))
         .filter(_._2 > 0)
         .sortBy { case (i, n) => (n, i) } // stable: appearance-order ties
         .map(_._1).toArray
 
+    /** Direct (stats-less) path — only reached via WithGroup's
+      * sub-mutator dispatch; runs its own single counts job. */
+    override def applyToColumn(df: DataFrame, colName: String, colIdx: Int,
+                               sel: Column, rid: Column): DataFrame = {
+      val aggs = sources.map(s =>
+        sum(matchExpr(col(colName), s).cast("long")))
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      applyOrdered(df, colName, colIdx, sel, rid,
+        orderFrom(sources.indices.map(row.get)))
+    }
+
+    override protected def applyToColumnWithStats(
+        df: DataFrame, colName: String, colIdx: Int, sel: Column,
+        rid: Column, stats: Seq[Any]): DataFrame =
+      applyOrdered(df, colName, colIdx, sel, rid,
+        orderFrom(stats.drop(1))) // drop the eligibility-rate slot
+
+    private def applyOrdered(df: DataFrame, colName: String, colIdx: Int,
+                             sel: Column, rid: Column,
+                             order: Array[Int]): DataFrame = {
       val inl = inline
       val srcArr = sources
       val tgtMap = targets

@@ -127,9 +127,12 @@ object Streaming {
         min(col("k")).as("k_min"), max(col("k")).as("k_max"))
       .orderBy("event_type")
 
+  // DuckDB widens sum(BIGINT) to HUGEINT (int128), which the driver's
+  // hasher serializes differently from Spark's LongType — cast the
+  // aggregate back to BIGINT so both sides hash identically
   val jsonPropsSql: String = """
     SELECT event_type, count(*) AS n,
-      sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+      CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
     FROM events

@@ -252,4 +252,58 @@ class MutatorSpec extends SparkSpec {
       df, Seq("v"), 1.0, col(Gecko.RowId)))
     assert(out(0) == "ba" && out(1) == "dc")
   }
+
+  /** Counts eager Spark SQL actions (one SQLExecutionStart per
+    * .head()/.collect()); scheduler jobs would over-count under AQE,
+    * which runs each shuffle stage as its own job. */
+  private def countExecutions(body: => Unit): Int = {
+    val execs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          execs.incrementAndGet(); ()
+        case _ => ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      body
+      // listener bus is async — give it a moment to drain
+      Thread.sleep(500)
+      execs.get()
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("mutateDataFrame: chained spec fuses all p-protocol stats into one job") {
+    val df = namesDf(500)
+    df.count() // warm the lineage so only the stats pass is counted below
+    val n = countExecutions {
+      // four eligibility-bearing mutators, incl. M4 whose rule-order
+      // counts also must ride the fused agg
+      val ocr = graft.mut.RuleMutators.WithReplacementTable(
+        Seq(("a", "4"), ("e", "3"), ("o", "0")), inline = true,
+        reverse = false, seed = 61)
+      MutateDataFrame(df, Seq(
+        (Seq("v"), Seq(
+          (0.4, WithDelete(seed = 62): graft.mut.Mutator),
+          (0.3, WithLowercase(seed = 63): graft.mut.Mutator),
+          (0.3, ocr: graft.mut.Mutator))),
+        (Seq("v"), Seq(
+          (0.2, WithMissingValue("?", seed = 64): graft.mut.Mutator)))))
+    }
+    assert(n == 1, s"expected exactly 1 fused stats pass, saw $n")
+  }
+
+  test("mutateDataFrame: stats-free spec runs zero jobs at plan time") {
+    val df = namesDf(100)
+    df.count()
+    val n = countExecutions {
+      MutateDataFrame(df, Seq(
+        (Seq("v"), Seq(
+          (0.5, WithInsert(seed = 71): graft.mut.Mutator),
+          (0.5, WithRepeat("-", seed = 72): graft.mut.Mutator)))))
+    }
+    assert(n == 0, s"expected no stats pass for stats-free mutators, saw $n")
+  }
 }
