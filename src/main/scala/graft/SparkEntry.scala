@@ -16,7 +16,9 @@ object SparkEntry {
     LayerADemo.all ++ Dedup.all ++ Similarity.all ++ TextAnalysis.all ++
       Multimodal.all ++ Streaming.all ++ graft.queries.Skew.all ++
       graft.queries.AsOf.all ++ Seq(
-        ("q18_approx_distinct", Relational.q18ApproxDistinct _, None))
+        ("q18_approx_distinct", Relational.q18ApproxDistinct _, None),
+        ("q18_exact_distinct", Relational.q18ExactDistinct _,
+          Some(Relational.q18ExactSql)))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -207,6 +207,8 @@ object Dedup {
     val (gx, gy) = (grams(x), grams(y))
     val inter = gx.intersect(gy).size
     val union = gx.size + gy.size - inter
+    // plain long/long IEEE division — bit-identical in any engine
+    // (a round() here would reintroduce tie-breaking drift vs DuckDB)
     if (union == 0) 1.0 else inter.toDouble / union
   }
 
@@ -224,9 +226,33 @@ object Dedup {
     base.join(corrupted, "doc_id")
       .select(col("doc_id").as("a"),
         (col("doc_id") + PlantOffset).as("b"),
-        round(jacUdf(col("text"), col("text_b")), 4).as("jaccard"))
+        jacUdf(col("text"), col("text_b")).as("jaccard"))
       .orderBy("a")
   }
+
+  /** DuckDB replica of [[dedupNgramJaccard]]: same corrupted-copy
+    * construction, 3-gram sets via list comprehension, exact long/long
+    * division. */
+  val dedupNgramJaccardSql: String = s"""
+    WITH corr AS (
+      SELECT doc_id AS a, doc_id + $PlantOffset AS b, text,
+        array_to_string(list_slice(string_split(text, ' '), 1,
+          greatest(len(string_split(text, ' ')) - 2, 1)), ' ') AS text_b
+      FROM documents WHERE doc_id % 10 = 0),
+    g AS (
+      SELECT a, b,
+        CASE WHEN length(text) < 3 THEN [text]
+          ELSE list_distinct([substring(text, i, 3)
+            FOR i IN range(1, length(text) - 1)]) END AS ga,
+        CASE WHEN length(text_b) < 3 THEN [text_b]
+          ELSE list_distinct([substring(text_b, i, 3)
+            FOR i IN range(1, length(text_b) - 1)]) END AS gb
+      FROM corr)
+    SELECT a, b,
+      CASE WHEN len(ga) + len(gb) - len(list_intersect(ga, gb)) = 0 THEN 1.0
+        ELSE CAST(len(list_intersect(ga, gb)) AS DOUBLE) /
+          (len(ga) + len(gb) - len(list_intersect(ga, gb))) END AS jaccard
+    FROM g ORDER BY a"""
 
   // ------------------------------------ embedding cosine near-dup
   /** Near-duplicate embeddings via random-hyperplane LSH: 12 seeded
@@ -313,7 +339,8 @@ object Dedup {
       ("d01_dedup_exact", dedupExact _, Some(dedupExactSql)),
       ("d02_dedup_minhash_lsh", dedupMinhashLsh _, None),
       ("d03_dedup_simhash", dedupSimhash _, None),
-      ("d04_dedup_ngram_jaccard", dedupNgramJaccard _, None),
+      ("d04_dedup_ngram_jaccard", dedupNgramJaccard _,
+        Some(dedupNgramJaccardSql)),
       ("d05_dedup_embedding_cosine", dedupEmbeddingCosine _, None),
       ("d06_dedup_clusters", dedupClusters _, None),
     )

@@ -433,6 +433,21 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** The exact-distinct columns of q18, split out for the DuckDB
+    * oracle (the approx sketch values are engine-specific) — same
+    * pattern as TextAnalysis.fingerprintOracle. */
+  def q18ExactDistinct(spark: SparkSession, dir: String): DataFrame =
+    q18ApproxDistinct(spark, dir)
+      .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"))
+
+  val q18ExactSql: String = """
+    SELECT l_returnflag,
+      count(DISTINCT l_orderkey) AS exact_orders,
+      count(DISTINCT l_partkey) AS exact_parts
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag"""
+
   // --------------------------------------------------------------- Q19
   /** Exact percentiles per group (median + tail). Both engines use
     * linear interpolation over the sorted values with the same

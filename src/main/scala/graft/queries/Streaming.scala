@@ -34,11 +34,25 @@ object Streaming {
     GROUP BY 1, 2
     ORDER BY w_start, event_type"""
 
-  /** Sliding windows: 1 hour every 30 minutes (rows-only check — no
-    * DuckDB sliding-window builtin). */
+  /** Sliding windows: 1 hour every 30 minutes. */
   def slidingWindow(s: SparkSession, dir: String): DataFrame =
     EventStreams.windowedAgg(events(s, dir), "1 hour", "30 minutes",
       "10 minutes").orderBy("w_start", "event_type")
+
+  /** DuckDB has no sliding-window builtin — each event is unnested into
+    * its two covering 30-minute-aligned window starts instead. */
+  val slidingWindowSql: String = """
+    SELECT strftime(ws, '%Y-%m-%d %H:%M') AS w_start, event_type,
+      count(*) AS n_events,
+      CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM (
+      SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts)
+                       - INTERVAL '30 minutes']) AS ws,
+             event_type, value
+      FROM events)
+    GROUP BY 1, 2
+    ORDER BY w_start, event_type"""
 
   /** 30-minute-gap sessionization per user. */
   def sessionize(s: SparkSession, dir: String): DataFrame =
@@ -142,7 +156,7 @@ object Streaming {
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("st01_tumbling_window", tumblingWindow _, Some(tumblingWindowSql)),
-      ("st02_sliding_window", slidingWindow _, None),
+      ("st02_sliding_window", slidingWindow _, Some(slidingWindowSql)),
       ("st03_sessionize", sessionize _, Some(sessionizeSql)),
       ("st04_funnel", funnel _, Some(funnelSql)),
       ("st05_json_props", jsonProps _, Some(jsonPropsSql)),

@@ -100,6 +100,30 @@ object TextAnalysis {
     scored.withColumn("predicted", predicted).orderBy("doc_id")
   }
 
+  /** DuckDB replica of [[langId]], generated from the same
+    * [[LangStopwords]] profiles so the two can never drift: per-profile
+    * stopword counts, then the same ordered argmax CASE chain. */
+  val langIdSql: String = {
+    val names = LangStopwords.map(_._1)
+    val scoreDefs = LangStopwords.map { case (l, ws) =>
+      s"len(list_filter(string_split(text, ' '), t -> t IN " +
+        s"(${ws.map(w => s"'$w'").mkString(",")}))) AS score_$l"
+    }.mkString(",\n        ")
+    val cases = names.map { l =>
+      val isMax = names.filter(_ != l)
+        .map(o => s"score_$l >= score_$o").mkString(" AND ")
+      s"WHEN score_$l > 0 AND $isMax THEN '$l'"
+    }.mkString("\n        ")
+    s"""
+    SELECT doc_id, true_lang, ${names.map("score_" + _).mkString(", ")},
+      CASE $cases ELSE 'und' END AS predicted
+    FROM (
+      SELECT doc_id, lang AS true_lang,
+        $scoreDefs
+      FROM documents)
+    ORDER BY doc_id"""
+  }
+
   // --------------------------------------------------- fingerprint
   /** Canonical fingerprint: md5 over the sorted distinct token set —
     * the standard "fingerprint dedup key" (token-order and repetition
@@ -127,7 +151,7 @@ object TextAnalysis {
     Seq(
       ("t01_token_count", tokenCount _, Some(tokenCountSql)),
       ("t02_quality_score", qualityScore _, Some(qualityScoreSql)),
-      ("t03_lang_id", langId _, None),
+      ("t03_lang_id", langId _, Some(langIdSql)),
       ("t04_fingerprint", fingerprintOracle _, Some(fingerprintSql)),
     )
 }
