@@ -114,14 +114,16 @@ object Generators {
 
   /** Single-column frequency table from a CSV file (G4). Header
     * presence is inferred from whether the column refs are names or
-    * positions, as in the reference (generator.py:150). */
+    * positions, as in the reference (generator.py:150); `encoding`
+    * mirrors generator.py:116. */
   def fromFrequencyTable(spark: SparkSession, path: String,
                          valueColumn: Either[Int, String],
                          freqColumn: Either[Int, String],
                          delimiter: String,
-                         seed: Long): FromFrequencyTable = {
+                         seed: Long,
+                         encoding: String = "UTF-8"): FromFrequencyTable = {
     val (df, vCol, fCol) =
-      readCsv(spark, path, Seq(valueColumn), freqColumn, delimiter)
+      readCsv(spark, path, Seq(valueColumn), freqColumn, delimiter, encoding)
     fromMulticolumnFrequencyTable(spark, df, vCol, fCol, seed)
   }
 
@@ -150,14 +152,17 @@ object Generators {
     new FromFrequencyTable(spark, rows, freqs, valueColumns.size, seed)
   }
 
-  /** Multicolumn joint frequency table from CSV (G5). */
+  /** Multicolumn joint frequency table from CSV (G5; `encoding`
+    * mirrors generator.py:186). */
   def fromMulticolumnFrequencyTable(spark: SparkSession, path: String,
                                     valueColumns: Seq[Either[Int, String]],
                                     freqColumn: Either[Int, String],
                                     delimiter: String,
-                                    seed: Long): FromFrequencyTable = {
+                                    seed: Long,
+                                    encoding: String = "UTF-8")
+      : FromFrequencyTable = {
     val (df, vCols, fCol) =
-      readCsv(spark, path, valueColumns, freqColumn, delimiter)
+      readCsv(spark, path, valueColumns, freqColumn, delimiter, encoding)
     fromMulticolumnFrequencyTable(spark, df, vCols, fCol, seed)
   }
 
@@ -166,7 +171,8 @@ object Generators {
     * generator.py:157-158). */
   private def readCsv(spark: SparkSession, path: String,
                       valueColumns: Seq[Either[Int, String]],
-                      freqColumn: Either[Int, String], delimiter: String)
+                      freqColumn: Either[Int, String], delimiter: String,
+                      encoding: String = "UTF-8")
       : (DataFrame, Seq[String], String) = {
     val refs = valueColumns :+ freqColumn
     val allNamed = refs.forall(_.isRight)
@@ -181,6 +187,7 @@ object Generators {
     val df = spark.read
       .option("header", allNamed.toString)
       .option("delimiter", delimiter)
+      .option("encoding", encoding)
       .option("nullValue", "\u0000")
       .csv(path)
     def resolve(ref: Either[Int, String]): String = ref match {

@@ -135,9 +135,9 @@ trait ExprMutator extends Mutator {
   /** Mutated value expression for one (already selected+eligible) row. */
   def mutated(c: Column, rid: Column, colIdx: Int): Column
 
-  final override def applyToColumn(df: DataFrame, colName: String,
-                                   colIdx: Int, sel: Column,
-                                   rid: Column): DataFrame = {
+  override def applyToColumn(df: DataFrame, colName: String,
+                             colIdx: Int, sel: Column,
+                             rid: Column): DataFrame = {
     val c = col(colName)
     val gate = eligible(c).map(sel && _).getOrElse(sel)
     df.withColumn(colName,

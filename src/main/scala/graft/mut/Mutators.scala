@@ -2,7 +2,8 @@ package graft.mut
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.{DateTimeUnit, Gecko, Rand, Strftime, Warnings}
+import graft.core.{DateTimeUnit, Gecko, ObservedWarnings, Rand, Strftime,
+  Warnings}
 import graft.gen.Generator
 
 /** Layer A mutators (SURVEY.md §2.2) — the expression-backed set. Each
@@ -138,6 +139,17 @@ object Mutators {
         .distinct().collect().map(_.getString(0)).toSeq
       WithCategoricalValues(vals, seed)
     }
+
+    /** CSV path + name-or-position column ref, reference parity with
+      * mutator.py:958-1006 (header inferred from ref style). */
+    def fromCsv(spark: SparkSession, path: String,
+                valueColumn: Either[Int, String] = Left(0),
+                encoding: String = "UTF-8", delimiter: String = ",",
+                seed: Long): WithCategoricalValues = {
+      val (df, cols) = graft.mut.RuleMutators.readRuleCsv(
+        spark, path, Seq(valueColumn), encoding, delimiter)
+      apply(df, cols(0), seed)
+    }
   }
 
   // ----------------------------------------------------------------- M12
@@ -193,12 +205,14 @@ object Mutators {
     override def eligible(c: Column): Option[Column] = Some(c =!= lower(c))
     override def mutated(c: Column, rid: Column, colIdx: Int): Column =
       lower(c)
+    override def name: String = "with_lowercase"
   }
 
   case class WithUppercase(seed: Long) extends ExprMutator {
     override def eligible(c: Column): Option[Column] = Some(c =!= upper(c))
     override def mutated(c: Column, rid: Column, colIdx: Int): Column =
       upper(c)
+    override def name: String = "with_uppercase"
   }
 
   // ----------------------------------------------------------------- M15
@@ -207,9 +221,11 @@ object Mutators {
     * reformat (reference: gecko/mutator.py:1213-1297; delta draw
     * :1253-1255 is integers in [1, maxDelta] times a random sign;
     * wraparound guard :1269-1282 reverts rows where the next-coarser
-    * field changed). The reference's post-hoc "p unmet" warning for
-    * wraparound-reverted rows is not replicated (it would cost an
-    * extra full pass over the result). */
+    * field changed). The reference's post-hoc "p unmet" warning when
+    * wraparound reverts selected rows (mutator.py:1284-1289) is
+    * replicated with `observe()` metrics — the revert count rides the
+    * next action on the result, zero extra scan — delivered through
+    * [[ObservedWarnings]]. */
   case class WithDatetimeOffset(maxDelta: Int, unit: String, dtFormat: String,
                                 preventWraparound: Boolean = false, seed: Long)
       extends ExprMutator {
@@ -217,25 +233,55 @@ object Mutators {
     private val u = DateTimeUnit.parse(unit)
     private val jdkFmt = Strftime.toJava(dtFormat)
 
-    override def mutated(c: Column, rid: Column, colIdx: Int): Column = {
+    /** Requested p of the in-flight applyWithStats, for the post-hoc
+      * warning message (driver-side plan construction is sequential). */
+    @transient private var pendingP: Double = 1.0
+
+    override def applyWithStats(df: DataFrame, cols: Seq[String], p: Double,
+                                rid: Column, stats: Seq[Seq[Any]]): DataFrame = {
+      pendingP = p
+      super.applyWithStats(df, cols, p, rid, stats)
+    }
+
+    private def newTsFor(c: Column, rid: Column, colIdx: Int)
+        : (Column, Column) = {
       val ts = to_timestamp(c, jdkFmt)
       val mag = (idx(draw(rid, colIdx, 1), lit(maxDelta)) + 1).cast("long")
       val sign = when(draw(rid, colIdx, 2) < 0.5, -1L).otherwise(1L)
-      val newTs = timestamp_seconds(
-        unix_timestamp(ts) + mag * sign * lit(u.seconds))
+      (ts, timestamp_seconds(unix_timestamp(ts) + mag * sign * lit(u.seconds)))
+    }
+
+    private def coarser: Column => Column = u match {
+      case DateTimeUnit.Days => month
+      case DateTimeUnit.Hours => dayofmonth
+      case DateTimeUnit.Minutes => hour
+      case DateTimeUnit.Seconds => minute
+    }
+
+    override def mutated(c: Column, rid: Column, colIdx: Int): Column = {
+      val (ts, newTs) = newTsFor(c, rid, colIdx)
       val guarded =
         if (!preventWraparound) newTs
-        else {
-          val coarser: Column => Column = u match {
-            case DateTimeUnit.Days => month
-            case DateTimeUnit.Hours => dayofmonth
-            case DateTimeUnit.Minutes => hour
-            case DateTimeUnit.Seconds => minute
-          }
-          when(coarser(newTs) =!= coarser(ts), ts).otherwise(newTs)
-        }
+        else when(coarser(newTs) =!= coarser(ts), ts).otherwise(newTs)
       date_format(guarded, jdkFmt)
     }
+
+    override def applyToColumn(df: DataFrame, colName: String, colIdx: Int,
+                               sel: Column, rid: Column): DataFrame = {
+      // observe BEFORE the rewrite so the revert predicate sees the
+      // original values; the count piggybacks the next action — no
+      // extra job, no UDF, stays inside codegen
+      val input =
+        if (!preventWraparound) df
+        else {
+          val (ts, newTs) = newTsFor(col(colName), rid, colIdx)
+          val reverted = sel && coarser(newTs) =!= coarser(ts)
+          ObservedWarnings.observeRevert(df, name, pendingP, reverted, sel)
+        }
+      super.applyToColumn(input, colName, colIdx, sel, rid)
+    }
+
+    override def name: String = "with_datetime_offset"
   }
 
   // ----------------------------------------------------------------- M16

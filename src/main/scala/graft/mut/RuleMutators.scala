@@ -33,6 +33,38 @@ object RuleMutators {
     if (i >= n) n - 1 else i
   }
 
+  /** Shared rule-table CSV loader (reference: mutator.py:556-569): all
+    * columns arrive as strings, header presence is inferred from
+    * whether the column refs are names or positions (mutator.py:529),
+    * NA coercion is disabled (keep_default_na=False) and `encoding` is
+    * honored (mutator.py:536). Returns the frame plus the resolved
+    * column names. */
+  private[mut] def readRuleCsv(spark: SparkSession, path: String,
+                               refs: Seq[Either[Int, String]],
+                               encoding: String, delimiter: String)
+      : (DataFrame, Seq[String]) = {
+    val allNamed = refs.forall(_.isRight)
+    val allIndexed = refs.forall(_.isLeft)
+    require(allNamed || allIndexed,
+      "column references must either all be names or all be indices")
+    val df = spark.read
+      .option("header", allNamed.toString)
+      .option("delimiter", delimiter)
+      .option("encoding", encoding)
+      .option("nullValue", "\u0000")
+      .csv(path)
+    (df, refs.map {
+      case Right(name) =>
+        require(df.columns.contains(name),
+          s"CSV file at `$path` doesn't have a column named `$name`")
+        name
+      case Left(idx) =>
+        require(idx >= 0 && idx < df.columns.length,
+          s"CSV file at `$path` has no column at index $idx")
+        df.columns(idx)
+    })
+  }
+
   // ------------------------------------------------------------------ M4
   /** Dictionary substitution (reference: gecko/mutator.py:510-655).
     * `inline=true` matches sources as substrings, otherwise whole
@@ -121,9 +153,10 @@ object RuleMutators {
         out
       }
       val c = col(colName)
-      val gate = sel && eligible(c).get
+      // no eligibility re-check: the UDF is identity on non-matching
+      // rows, and the selection mask already carries the gate
       df.withColumn(colName,
-        when(gate, f(c, draw(rid, colIdx, 1))).otherwise(c))
+        when(sel, f(c, draw(rid, colIdx, 1))).otherwise(c))
     }
 
     override def name: String = "with_replacement_table"
@@ -137,6 +170,20 @@ object RuleMutators {
         col(targetColumn).cast("string"))
         .collect().map(r => (r.getString(0), r.getString(1))).toSeq
       WithReplacementTable(pairs, inline, reverse, seed)
+    }
+
+    /** CSV path + name-or-position column refs, reference parity with
+      * mutator.py:510-569 (header inferred from ref style, encoding +
+      * delimiter honored). */
+    def fromCsv(spark: SparkSession, path: String,
+                sourceColumn: Either[Int, String] = Left(0),
+                targetColumn: Either[Int, String] = Left(1),
+                inline: Boolean = false, reverse: Boolean = false,
+                encoding: String = "UTF-8", delimiter: String = ",",
+                seed: Long): WithReplacementTable = {
+      val (df, cols) = readRuleCsv(spark, path,
+        Seq(sourceColumn, targetColumn), encoding, delimiter)
+      apply(df, cols(0), cols(1), inline, reverse, seed)
     }
   }
 
@@ -173,12 +220,11 @@ object RuleMutators {
     require(compiled.nonEmpty,
       "must provide at least one phonetic replacement rule")
 
-    private val eligUdf = {
-      val rs = compiled
-      udf { (v: String) => rs.exists(_.pattern.matcher(v).find()) }
-    }
-
-    override def eligible(c: Column): Option[Column] = Some(eligUdf(c))
+    /** Eligibility as codegen'd rlike disjunction (rlike has the same
+      * unanchored-find semantics, and the same java.util.regex engine,
+      * as the UDF's matcher.find()) — no UDF in the selection gate. */
+    override def eligible(c: Column): Option[Column] =
+      Some(compiled.map(r => c.rlike(r.pattern.pattern)).reduce(_ || _))
 
     override def applyToColumn(df: DataFrame, colName: String, colIdx: Int,
                                sel: Column, rid: Column): DataFrame = {
@@ -197,8 +243,10 @@ object RuleMutators {
         }
       }
       val c = col(colName)
+      // the UDF is identity on non-matching rows — no eligibility
+      // re-check needed beyond the selection mask
       df.withColumn(colName,
-        when(sel && eligUdf(c), f(c, draw(rid, colIdx, 1))).otherwise(c))
+        when(sel, f(c, draw(rid, colIdx, 1))).otherwise(c))
     }
 
     override def name: String = "with_phonetic_replacement_table"
@@ -213,6 +261,20 @@ object RuleMutators {
         .map(r => (r.getString(0), r.getString(1),
           if (r.isNullAt(2)) "" else r.getString(2))).toSeq
       WithPhoneticReplacementTable(rules, seed)
+    }
+
+    /** CSV path + name-or-position column refs, reference parity with
+      * mutator.py:314-360 (source/target/flags default to positions
+      * 0/1/2; header inferred from ref style). */
+    def fromCsv(spark: SparkSession, path: String,
+                sourceColumn: Either[Int, String] = Left(0),
+                targetColumn: Either[Int, String] = Left(1),
+                flagsColumn: Either[Int, String] = Left(2),
+                encoding: String = "UTF-8", delimiter: String = ",",
+                seed: Long): WithPhoneticReplacementTable = {
+      val (df, cols) = readRuleCsv(spark, path,
+        Seq(sourceColumn, targetColumn, flagsColumn), encoding, delimiter)
+      apply(df, cols(0), cols(1), cols(2), seed)
     }
   }
 
@@ -311,12 +373,16 @@ object RuleMutators {
       }
     }
 
-    private val eligUdf = {
-      val rs = compiled
-      udf { (v: String) => rs.exists(_.pattern.matcher(v).find()) }
-    }
-
-    override def eligible(c: Column): Option[Column] = Some(eligUdf(c))
+    /** Eligibility as codegen'd rlike disjunction; compile-time flags
+      * are re-expressed as inline `(?i)` so rlike (same java.util.regex
+      * engine) matches identically. */
+    override def eligible(c: Column): Option[Column] =
+      Some(compiled.map { r =>
+        val inline =
+          if ((r.pattern.flags & Pattern.CASE_INSENSITIVE) != 0) "(?i)"
+          else ""
+        c.rlike(inline + r.pattern.pattern)
+      }.reduce(_ || _))
 
     override def applyToColumn(df: DataFrame, colName: String, colIdx: Int,
                                sel: Column, rid: Column): DataFrame = {
@@ -333,8 +399,9 @@ object RuleMutators {
         else applyFn(rs(matching(pick(u, matching.length))), v)
       }
       val c = col(colName)
+      // the UDF is identity on non-matching rows — selection mask only
       df.withColumn(colName,
-        when(sel && eligUdf(c), f(c, draw(rid, colIdx, 1))).otherwise(c))
+        when(sel, f(c, draw(rid, colIdx, 1))).otherwise(c))
     }
 
     override def name: String = "with_regex_replacement_table"
@@ -361,6 +428,24 @@ object RuleMutators {
       }.toSeq
       WithRegexReplacementTable(rows, seed)
     }
+
+    /** CSV path variant, reference parity with mutator.py:1444-1483:
+      * the CSV always carries a header (the pattern column is named),
+      * capture-group columns are every column that is neither the
+      * pattern nor the flags column. */
+    def fromCsv(spark: SparkSession, path: String,
+                patternColumn: String = "pattern",
+                flagsColumn: Option[String] = None,
+                encoding: String = "UTF-8", delimiter: String = ",",
+                seed: Long): WithRegexReplacementTable = {
+      val df = spark.read
+        .option("header", "true")
+        .option("delimiter", delimiter)
+        .option("encoding", encoding)
+        .option("nullValue", "\u0000")
+        .csv(path)
+      apply(df, patternColumn, flagsColumn, seed)
+    }
   }
 
   // ------------------------------------------------------------------ M2
@@ -379,12 +464,16 @@ object RuleMutators {
     private val candChars: Array[Char] = candidates.keys.toArray.sorted
     private val candMap: Map[Char, String] = candidates
 
-    private val eligUdf = {
-      val cs = candChars
-      udf { (v: String) => cs.exists(c => v.indexOf(c.toInt) >= 0) }
+    /** Eligibility = "contains any mutable char" as a codegen'd
+      * character-class rlike — no UDF in the selection gate. */
+    private val candClassRegex: String = {
+      def esc(ch: Char): String =
+        if ("[]^-\\&".indexOf(ch.toInt) >= 0) "\\" + ch else ch.toString
+      s"[${candChars.map(esc).mkString}]"
     }
 
-    override def eligible(c: Column): Option[Column] = Some(eligUdf(c))
+    override def eligible(c: Column): Option[Column] =
+      Some(c.rlike(candClassRegex))
 
     override def applyToColumn(df: DataFrame, colName: String, colIdx: Int,
                                sel: Column, rid: Column): DataFrame = {
@@ -402,8 +491,9 @@ object RuleMutators {
         }
       }
       val c = col(colName)
+      // the UDF is identity on rows without candidate chars
       df.withColumn(colName,
-        when(sel && eligUdf(c),
+        when(sel,
           f(c, draw(rid, colIdx, 1), draw(rid, colIdx, 2))).otherwise(c))
     }
 

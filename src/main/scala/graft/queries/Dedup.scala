@@ -292,11 +292,15 @@ object Dedup {
   /** Transitive closure of near-dup pairs into clusters via iterative
     * min-label propagation (the distributed union-find analog: each
     * round joins labels across edges and keeps the minimum). Iterates
-    * to a FIXPOINT — one cheap changed-count action on the small label
-    * table per round — capped at maxRounds, because stopping early on
-    * a component whose min-id node is farther than the round count
-    * splits it into spurious clusters with no canonical survivor. The
-    * dedup decision is then "keep the minimum doc_id per cluster". */
+    * to a FIXPOINT, capped at maxRounds, because stopping early on a
+    * component whose min-id node is farther than the round count splits
+    * it into spurious clusters with no canonical survivor. The dedup
+    * decision is then "keep the minimum doc_id per cluster".
+    *
+    * ONE job per round: the changed-label count is an `observe()`
+    * metric on the same plan the eager localCheckpoint materializes, so
+    * convergence detection costs no separate action (the r1 version
+    * paid an extra isEmpty join-scan job every round). */
   def clusterPairs(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
     // symmetric edge list
     val edges = pairs.select(col("a"), col("b"))
@@ -312,15 +316,21 @@ object Dedup {
         .join(labels, edges("b") === labels("doc_id"))
         .groupBy(edges("a").as("doc_id"))
         .agg(min(col("label")).as("nlabel"))
+      val obs = org.apache.spark.sql.Observation()
       // localCheckpoint truncates the per-round lineage — without it
       // the plan (and recomputation) doubles every iteration
-      val next = labels.join(viaNeighbor, Seq("doc_id"), "left")
+      val next = labels.withColumnRenamed("label", "old")
+        .join(viaNeighbor, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nlabel"), col("label")))
-            .as("label"))
-        .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "old"),
-        "doc_id").filter(col("label") =!= col("old")).isEmpty
+          least(col("old"), coalesce(col("nlabel"), col("old")))
+            .as("label"),
+          col("old"))
+        .observe(obs,
+          sum((col("label") =!= col("old")).cast("long")).as("n_changed"))
+        .select(col("doc_id"), col("label"))
+        .localCheckpoint() // eager: runs the job incl. the metric
+      converged = obs.getAsJava.getOrDefault("n_changed", 1L)
+        .asInstanceOf[Long] == 0L
       labels = next
       round += 1
     }

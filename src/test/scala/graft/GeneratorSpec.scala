@@ -83,6 +83,23 @@ class GeneratorSpec extends SparkSpec {
     }
   }
 
+  test("fromFrequencyTable: CSV encoding honored (latin-1 umlauts, " +
+    "reference generator.py:116)") {
+    def asset(n: String) = getClass.getResource(s"/assets/$n").getPath
+    val g = fromFrequencyTable(spark, asset("freq_table_latin1.csv"),
+      Right("value"), Right("freq"), ",", seed = 10,
+      encoding = "ISO-8859-1")
+    val vals = g.generate(spark, 300).select("c0").collect()
+      .map(_.getString(0)).toSet
+    assert(vals == Set("müller", "mädchen"))
+    // reading the same file as UTF-8 mangles the umlauts
+    val bad = fromFrequencyTable(spark, asset("freq_table_latin1.csv"),
+      Right("value"), Right("freq"), ",", seed = 10)
+    val badVals = bad.generate(spark, 300).select("c0").collect()
+      .map(_.getString(0)).toSet
+    assert(badVals != Set("müller", "mädchen"))
+  }
+
   test("fromFrequencyTable: output independent of lookup-table " +
     "partition layout") {
     import spark.implicits._

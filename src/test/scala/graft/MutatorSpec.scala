@@ -161,6 +161,58 @@ class MutatorSpec extends SparkSpec {
     }
   }
 
+  test("withLowercase/withUppercase: eligibility counts only case-changing " +
+    "rows — intentional deviation from gecko's ~islower() " +
+    "(mutator.py:1142, :1186)") {
+    // gecko counts caseless (digit-only) strings as eligible and then
+    // "mutates" them as no-ops, silently dropping the realized change
+    // rate below p on digit-heavy columns. This engine's predicate
+    // (c =!= lower(c)) keeps the realized rate at p and surfaces the
+    // shortfall as an explicit p-unmet warning instead.
+    Warnings.drain()
+    val df = frame(Seq("AbC", "DeF", "123", "456"))
+    val out = collectV(WithLowercase(seed = 16)(df, Seq("v"), 1.0,
+      col(Gecko.RowId)))
+    assert(out.sameElements(Array("abc", "def", "123", "456")))
+    assert(Warnings.drain().exists(_.startsWith(
+      "with_lowercase: desired probability of 1.0 cannot be met since " +
+        "percentage of rows that could possibly be mutated is 0.5")))
+    Warnings.drain()
+    val up = collectV(WithUppercase(seed = 17)(df, Seq("v"), 0.5,
+      col(Gecko.RowId)))
+    // selection scaled by 1/pActual: changed fraction over ALL rows ≈ p
+    assert(up.zip(Array("AbC", "DeF", "123", "456"))
+      .forall { case (b, a) => b == a || b == a.toUpperCase })
+  }
+
+  test("withDatetimeOffset: wraparound reverts fire the post-hoc p-unmet " +
+    "warning via observe() (mutator.py:1284-1289)") {
+    Warnings.drain()
+    // Jan 1 + delta in [1,28]: every negative draw wraps into December
+    // and is reverted => realized p < 1 on ~half the rows
+    val df = frame(Seq.fill(50)("01.01.2000"))
+    val out = WithDatetimeOffset(28, "d", "%d.%m.%Y",
+      preventWraparound = true, seed = 14)(df, Seq("v"), 1.0,
+      col(Gecko.RowId))
+    out.collect() // metrics ride this action; listener delivery is async
+    val deadline = System.nanoTime() + 5000000000L
+    var w = Seq.empty[String]
+    while (w.isEmpty && System.nanoTime() < deadline) {
+      w = Warnings.drain().filter(_.startsWith(
+        "with_datetime_offset: desired probability of 1.0 cannot be met"))
+      if (w.isEmpty) Thread.sleep(100)
+    }
+    assert(w.nonEmpty, "expected a post-hoc wraparound p-unmet warning")
+
+    // mid-month small deltas never wrap => no warning
+    Warnings.drain()
+    WithDatetimeOffset(3, "d", "%d.%m.%Y", preventWraparound = true,
+      seed = 15)(frame(Seq.fill(20)("15.06.2000")), Seq("v"), 1.0,
+      col(Gecko.RowId)).collect()
+    Thread.sleep(1000)
+    assert(!Warnings.drain().exists(_.startsWith("with_datetime_offset")))
+  }
+
   test("withDatetimeOffset: preventWraparound keeps month stable") {
     val df = frame(Seq("01.07.2001", "31.01.2000", "15.06.1999"))
     val out = WithDatetimeOffset(3, "d", "%d.%m.%Y", preventWraparound = true,

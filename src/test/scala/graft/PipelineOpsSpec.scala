@@ -83,6 +83,36 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup_clusters: one action per propagation round (convergence " +
+    "rides the checkpoint job as an observe metric)") {
+    import spark.implicits._
+    val execs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          execs.incrementAndGet(); ()
+        case _ => ()
+      }
+    }
+    // 6-node path: 5 propagation rounds to absorb + 1 no-change round
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("a", "b").persist()
+    pairs.count() // warm the input so only clusterPairs' actions count
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Dedup.clusterPairs(pairs)
+      Thread.sleep(500) // listener bus drain
+      val n = execs.get()
+      // initial label checkpoint + <=7 rounds; the r1 version paid an
+      // extra isEmpty action per round (>= 13 executions here)
+      assert(n <= 8, s"expected <=8 eager actions in clusterPairs, saw $n")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      pairs.unpersist(); ()
+    }
+  }
+
   test("ann_brute_force: 5 neighbors per query, deterministic") {
     val rows = Similarity.annBruteForce(spark, sfDir).collect()
     val byQuery = rows.groupBy(_.getLong(0))

@@ -97,4 +97,42 @@ class PlanSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS li_bkt")
     }
   }
+
+  test("rule-mutator eligibility gates are UDF-free: only the rewrite " +
+    "itself is a UDF") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    import spark.implicits._
+
+    def udfCount(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.expressions
+        .flatMap(_.collect { case u: ScalaUDF => u }).size
+
+    val df = Seq((0L, "hello"), (1L, "world5"))
+      .toDF(graft.core.Gecko.RowId, "v")
+
+    // M2: candidate-char eligibility compiles to a character-class
+    // rlike; exactly ONE UDF (the splice) remains in the plan
+    val cldr = graft.mut.RuleMutators.WithCldrKeymap(
+      graft.mut.Cldr.neighborCandidates(
+        getClass.getResourceAsStream("/assets/de-t-k0-windows.xml"), None),
+      seed = 1)
+    val m2Plan = cldr(df, Seq("v"), 0.5, col(graft.core.Gecko.RowId))
+    assert(udfCount(m2Plan) == 1,
+      s"M2 plan should contain exactly the rewrite UDF:\n${m2Plan.queryExecution.analyzed}")
+
+    // M3/M17: regex eligibility is an rlike disjunction, not a UDF
+    val phon = graft.mut.RuleMutators.WithPhoneticReplacementTable(
+      Seq(("ell", "el", "_")), seed = 2)
+    assert(udfCount(phon(df, Seq("v"), 0.5, col(graft.core.Gecko.RowId))) == 1)
+
+    val rex = graft.mut.RuleMutators.WithRegexReplacementTable(
+      Seq(("""(?P<d>\d)""", "i", Map("d" -> "0"))), seed = 3)
+    assert(udfCount(rex(df, Seq("v"), 0.5, col(graft.core.Gecko.RowId))) == 1)
+
+    // M4 was already expression-gated (instr/===)
+    val ocr = graft.mut.RuleMutators.WithReplacementTable(
+      Seq(("5", "s")), inline = true, reverse = false, seed = 4)
+    assert(udfCount(ocr(df, Seq("v"), 0.5, col(graft.core.Gecko.RowId))) == 1)
+  }
 }

@@ -232,4 +232,84 @@ class RuleMutatorSpec extends SparkSpec {
     }
     assert(run(1).sameElements(run(6)))
   }
+
+  // ------- CSV path + positional/named column-ref factory parity
+  // (reference input matrix: tests/test_mutator.py:227-244)
+
+  test("replacementTable.fromCsv: named header refs == df factory") {
+    val viaPath = WithReplacementTable.fromCsv(spark,
+      asset("given-name.csv"), Right("source"), Right("target"),
+      seed = 101)
+    val viaDf = WithReplacementTable(loadCsv("given-name.csv",
+      header = true), "source", "target", inline = false, reverse = false,
+      seed = 101)
+    val df = frame(Seq.fill(50)("Jan"))
+    assert(collectV(viaPath(df, Seq("v"), 1.0, col(Gecko.RowId)))
+      .sameElements(collectV(viaDf(df, Seq("v"), 1.0, col(Gecko.RowId)))))
+  }
+
+  test("replacementTable.fromCsv: positional refs read headerless CSV") {
+    val m = WithReplacementTable.fromCsv(spark,
+      asset("given-name-no-header.csv"), Left(0), Left(1), seed = 102)
+    val df = frame(Seq.fill(50)("Jan"))
+    val got = collectV(m(df, Seq("v"), 1.0, col(Gecko.RowId)))
+    assert(got.forall(Seq("Jann", "Jean", "John", "Juan").contains))
+    // mixed ref styles rejected, like the generator factories
+    intercept[IllegalArgumentException] {
+      WithReplacementTable.fromCsv(spark, asset("given-name.csv"),
+        Right("source"), Left(1), seed = 103)
+    }
+    // out-of-range positional ref rejected loudly
+    intercept[IllegalArgumentException] {
+      WithReplacementTable.fromCsv(spark,
+        asset("given-name-no-header.csv"), Left(0), Left(7), seed = 104)
+    }
+  }
+
+  test("phoneticReplacementTable.fromCsv: positional source/target/flags") {
+    val m = WithPhoneticReplacementTable.fromCsv(spark,
+      asset("phonetic-no-header.csv"), Left(0), Left(1), Left(2),
+      seed = 105)
+    val df = frame(Seq.fill(30)("Customer"))
+    val got = collectV(m(df, Seq("v"), 1.0, col(Gecko.RowId)))
+    // rules: ^Cust->Kust, er$->a, _om_->ohm — every row hits one
+    assert(got.forall(v => v != "Customer"))
+    assert(got.toSet.subsetOf(Set("Kustomer", "Customa", "Custohmer")))
+  }
+
+  test("regexReplacementTable.fromCsv: header CSV with flags column") {
+    val m = WithRegexReplacementTable.fromCsv(spark,
+      asset("regex-foobar-case-insensitive.csv"),
+      patternColumn = "pattern", flagsColumn = Some("flags"), seed = 106)
+    val df = frame(Seq("fooBAR", "foobar", "nope"))
+    val got = collectV(m(df, Seq("v"), 1.0, col(Gecko.RowId)))
+    assert(got(0) == "fooBAz" && got(1) == "foobaz" && got(2) == "nope")
+    intercept[IllegalArgumentException] {
+      WithRegexReplacementTable.fromCsv(spark,
+        asset("regex-foobar-case-insensitive.csv"),
+        patternColumn = "no_such_col", seed = 107)
+    }
+  }
+
+  test("categoricalValues.fromCsv: named ref reads header CSV") {
+    import graft.mut.Mutators.WithCategoricalValues
+    val m = WithCategoricalValues.fromCsv(spark,
+      asset("freq_table_gender.csv"), Right("gender"), seed = 108)
+    val df = frame(Seq.fill(60)("f"))
+    val got = collectV(m(df, Seq("v"), 1.0, col(Gecko.RowId)))
+    // every eligible row replaced by a DIFFERENT value from {f,m,x,d}
+    assert(got.forall(v => Set("m", "x", "d").contains(v)))
+  }
+
+  test("replacementTable.fromCsv: encoding honored (latin-1)") {
+    // build a latin-1 rule file on the fly: ü -> ue
+    val p = java.nio.file.Files.createTempFile("rules-latin1", ".csv")
+    java.nio.file.Files.write(p,
+      "müller,mueller\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val m = WithReplacementTable.fromCsv(spark, p.toString,
+      Left(0), Left(1), encoding = "ISO-8859-1", seed = 109)
+    val df = frame(Seq.fill(10)("müller"))
+    val got = collectV(m(df, Seq("v"), 1.0, col(Gecko.RowId)))
+    assert(got.forall(_ == "mueller"))
+  }
 }
