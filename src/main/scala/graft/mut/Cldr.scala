@@ -83,12 +83,20 @@ object Cldr {
       }
     }
 
-    posToChar.toMap.flatMap { case (pos, ch) =>
+    // iterate positions in row-major (row, col, modifier) order — the
+    // reference's np.nditer scan (mutator.py:202-227) — so when the
+    // same char sits on several keys (base vs shift layer), the winner
+    // is the LAST position with a non-empty candidate set, exactly as
+    // the reference's dict overwrite behaves (a HashMap iteration here
+    // would pick a layout-dependent winner)
+    val out = mutable.LinkedHashMap[Char, String]()
+    posToChar.toSeq.sortBy(_._1).foreach { case (pos, ch) =>
       val cands = neighborsOf(pos, maxRow, maxCol)
         .flatMap(posToChar.get)
         .filter(_ != ch)
         .distinct.sorted.mkString
-      if (cands.nonEmpty) Some(ch -> cands) else None
+      if (cands.nonEmpty) out(ch) = cands
     }
+    out.toMap
   }
 }

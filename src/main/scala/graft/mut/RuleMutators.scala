@@ -349,7 +349,10 @@ object RuleMutators {
         sb.append(v, tail, m.start)
         var last = m.start
         spans.toSeq.sortBy(_._1._1).foreach { case ((s, e), key) =>
-          sb.append(v, last, s)
+          // nested/overlapping group spans: Python's v[last:s] clamps to
+          // "" when s < last (mutator.py:1411) — mirror that instead of
+          // letting StringBuilder.append throw on a negative range
+          if (s > last) sb.append(v, last, s)
           val replRaw = r.repl.getOrElse(key,
             throw new IllegalArgumentException(
               s"match group with index `$key` is not present in CSV file"))
@@ -359,9 +362,9 @@ object RuleMutators {
             if (g != null) repl = repl.replace(s"(?P<$n>)", g)
           }
           sb.append(repl)
-          last = e
+          last = e // may move backward for nested spans, like Python's
         }
-        sb.append(v, last, m.end)
+        if (m.end > last) sb.append(v, last, m.end)
         tail = m.end
         // zero-length matches must still advance the scan
         searchFrom = if (m.end == m.start) m.end + 1 else m.end

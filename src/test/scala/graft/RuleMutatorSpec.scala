@@ -179,6 +179,20 @@ class RuleMutatorSpec extends SparkSpec {
     assert(got(0) == "a1 a1 a1", got(0))
   }
 
+  test("regexReplacementTable: nested group spans splice like Python " +
+    "(overlap clamps to empty, no exception)") {
+    // (?P<outer>a(?P<inner>b)): inner's span sits inside outer's —
+    // Python's v[last:s] slicing yields "" for the overlap and emits
+    // both replacements in span-start order => "XY"
+    val m = WithRegexReplacementTable(Seq(
+      ("""(?P<outer>a(?P<inner>b))""", "",
+        Map("outer" -> "X", "inner" -> "Y"))), seed = 95)
+    val df = frame(Seq("ab", "zzabzz", "nope"))
+    val got = collectV(m(df, Seq("v"), 1.0, col(Gecko.RowId)))
+    assert(got(0) == "XY" && got(1) == "zzXYzz" && got(2) == "nope",
+      got.mkString(","))
+  }
+
   test("regexReplacementTable: missing group column rejected") {
     val table = Seq(("a(?P<foo>bc)", "1")).toDF("pattern", "1")
     val e = intercept[IllegalArgumentException] {
