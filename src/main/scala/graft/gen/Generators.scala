@@ -318,15 +318,40 @@ object Generators {
       // then REASSIGN row ids by shuffled position — the reference's
       // reindex (generator.py:415-419) mixes values across indices, so
       // id-ordered consumers must see a mixture, not contiguous
-      // per-generator blocks. zipWithIndex renumbers in one extra
-      // lightweight pass without collapsing to a single partition.
+      // per-generator blocks.
+      //
+      // The renumbering stays entirely inside the DataFrame API (the r1
+      // version dropped to rdd.zipWithIndex, which re-ran the sort on
+      // every downstream action and broke codegen): materialize the
+      // shuffled layout ONCE (localCheckpoint — the sort output had to
+      // be produced anyway), read the partition-encoded monotonic ids,
+      // and rebase each partition by its global offset from one tiny
+      // per-partition stats agg. Downstream plans read the materialized
+      // partitions with whole-stage codegen and AQE intact.
       val sorted = unioned.orderBy(
         xxhash64(col(Gecko.RowId), lit(seed), lit(-1)), col(Gecko.RowId))
-      val schema = sorted.schema
-      spark.createDataFrame(
-        sorted.rdd.zipWithIndex().map { case (row, idx) =>
-          org.apache.spark.sql.Row.fromSeq(idx +: row.toSeq.tail)
-        }, schema)
+      val withMid = sorted
+        .withColumn("__mid", monotonically_increasing_id())
+        .localCheckpoint()
+      val stats = withMid
+        .groupBy(shiftright(col("__mid"), 33).as("__pid"))
+        .agg(count(lit(1)).as("cnt"), min(col("__mid")).as("mn"))
+        .orderBy("__pid")
+        .collect() // one row per partition — tiny
+      val maxPid = stats.map(_.getLong(0)).max.toInt
+      val offArr = new Array[Long](maxPid + 1)
+      val mnArr = new Array[Long](maxPid + 1)
+      var acc = 0L
+      stats.foreach { r =>
+        val pid = r.getLong(0).toInt
+        offArr(pid) = acc
+        mnArr(pid) = r.getLong(2)
+        acc += r.getLong(1)
+      }
+      val pid = shiftright(col("__mid"), 33).cast("int")
+      val newId = element_at(typedlit(offArr.toSeq), pid + 1) +
+        (col("__mid") - element_at(typedlit(mnArr.toSeq), pid + 1))
+      withMid.withColumn(Gecko.RowId, newId).drop("__mid")
     }
   }
 }
