@@ -14,6 +14,7 @@ object SparkEntry {
   private def optional: Seq[(String, (SparkSession, String) => DataFrame,
     Option[String])] =
     LayerADemo.all ++ Dedup.all ++ Similarity.all ++ TextAnalysis.all ++
+      graft.queries.Sampling.all ++
       Multimodal.all ++ Streaming.all ++ graft.queries.Skew.all ++
       graft.queries.AsOf.all ++ Seq(
         ("q18_approx_distinct", Relational.q18ApproxDistinct _, None),

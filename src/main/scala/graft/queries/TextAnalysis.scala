@@ -147,11 +147,50 @@ object TextAnalysis {
     FROM documents
     ORDER BY doc_id"""
 
+  // ----------------------------------------------- sequence packing
+  private val PackShards = 32
+  private val PackLimit = 2048L
+
+  /** Greedy contiguous sequence packing for LLM training: assign each
+    * document to a fixed-token-budget context chunk by running token
+    * count. Packing runs independently inside each of 32 hash shards —
+    * the window is PARTITION BY shard, so the sort/scan distributes;
+    * a single global-order pack would funnel the whole corpus through
+    * one partition at 100 TB. A chunk may overflow the budget by one
+    * document (greedy fill, the standard packing compromise). */
+  def sequencePack(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nTokens = size(tokens(col("text"))).cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    Relational.table(s, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") % PackShards).as("shard"),
+        nTokens.as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        (col("shard") * 100000L +
+          floor((col("cum") - col("n_tokens")) / lit(PackLimit.toDouble))
+            .cast("long")).as("chunk_id"))
+      .orderBy("doc_id")
+  }
+
+  val sequencePackSql: String = s"""
+    SELECT doc_id, shard, n_tokens,
+      shard * 100000 + CAST(floor((cum - n_tokens) / $PackLimit.0) AS BIGINT)
+        AS chunk_id
+    FROM (
+      SELECT doc_id, doc_id % $PackShards AS shard,
+        len(string_split(text, ' ')) AS n_tokens,
+        sum(len(string_split(text, ' '))) OVER (
+          PARTITION BY doc_id % $PackShards ORDER BY doc_id) AS cum
+      FROM documents)
+    ORDER BY doc_id"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("t01_token_count", tokenCount _, Some(tokenCountSql)),
       ("t02_quality_score", qualityScore _, Some(qualityScoreSql)),
       ("t03_lang_id", langId _, Some(langIdSql)),
       ("t04_fingerprint", fingerprintOracle _, Some(fingerprintSql)),
+      ("t05_sequence_pack", sequencePack _, Some(sequencePackSql)),
     )
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{Relational, Sampling}
+
+/** Deterministic-sampling contracts: layout invariance, realized
+  * fractions, subset/stability under corpus growth. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Relational.table(spark, sfDir, "documents")
+    .select(col("doc_id"), col("lang"))
+
+  test("deterministicSample: fraction realized, independent of " +
+    "partition layout") {
+    val n = docs.count().toDouble
+    def ids(parts: Int): Array[Long] =
+      Sampling.deterministicSample(docs.repartition(parts), col("doc_id"),
+          0.3, seed = 7)
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+    val a = ids(1)
+    assert(a.sameElements(ids(8)), "sample changed with partition layout")
+    assert(math.abs(a.length / n - 0.3) < 0.08,
+      s"realized fraction ${a.length / n}")
+    // decision is per-key: a different seed draws a different subset
+    val b = Sampling.deterministicSample(docs, col("doc_id"), 0.3,
+      seed = 8).select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(!a.sameElements(b))
+  }
+
+  test("deterministicSample: stability — a row's fate never changes " +
+    "when the corpus grows") {
+    val half = docs.filter(col("doc_id") < 250)
+    val keptHalf = Sampling.deterministicSample(half, col("doc_id"), 0.5,
+      seed = 11).select("doc_id").collect().map(_.getLong(0)).toSet
+    val keptFull = Sampling.deterministicSample(docs, col("doc_id"), 0.5,
+      seed = 11).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptHalf == keptFull.filter(_ < 250))
+  }
+
+  test("stratifiedSample: per-stratum fractions realized; unknown " +
+    "strata dropped") {
+    val byLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fractions = Map("en" -> 0.25, "zh" -> 1.0)
+    val got = Sampling.stratifiedSample(docs, col("lang"), col("doc_id"),
+        fractions, seed = 13)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // only the listed strata survive
+    assert(got.keySet.subsetOf(fractions.keySet))
+    assert(got.getOrElse("zh", 0L) == byLang("zh")) // fraction 1.0 = all
+    val enRate = got.getOrElse("en", 0L).toDouble / byLang("en")
+    assert(math.abs(enRate - 0.25) < 0.1, s"en realized $enRate")
+  }
+
+  test("sampling plan: pure filter, no shuffle, no UDF") {
+    val plan = Sampling.deterministicSample(docs, col("doc_id"), 0.5,
+      seed = 17).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling shuffled:\n$plan")
+    assert(!plan.contains("ScalaUDF"))
+  }
+}
