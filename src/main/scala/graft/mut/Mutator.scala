@@ -168,6 +168,46 @@ trait ExprMutator extends Mutator {
   */
 object MutateDataFrame {
 
+  /** Column side of a flexible spec entry: one name or several. */
+  case class Cols(names: Seq[String])
+  object Cols {
+    import scala.language.implicitConversions
+    implicit def one(name: String): Cols = Cols(Seq(name))
+    implicit def many(names: Seq[String]): Cols = Cols(names)
+  }
+
+  /** Mutator side of a flexible spec entry, mirroring the reference's
+    * accepted forms (mutator.py:1749-1777): a bare mutator (p=1), a
+    * (p, mutator) pair, an unweighted list (each p=1), or a weighted
+    * list. */
+  case class Muts(weighted: Seq[(Double, Mutator)])
+  object Muts {
+    import scala.language.implicitConversions
+    implicit def one(m: Mutator): Muts = Muts(Seq((1.0, m)))
+    implicit def onePair(pm: (Double, Mutator)): Muts = Muts(Seq(pm))
+    implicit def list(ms: Seq[Mutator]): Muts =
+      Muts(ms.map(m => (1.0, m)))
+    implicit def weightedList(ms: Seq[(Double, Mutator)]): Muts = Muts(ms)
+
+    /** Lifts a `cols -> mutators` pair written in any accepted form —
+      * Scala doesn't convert tuple components against the expected
+      * type, so the pair itself converts. */
+    implicit def entry[C, M](pair: (C, M))(
+        implicit toCols: C => Cols, toMuts: M => Muts): (Cols, Muts) =
+      (toCols(pair._1), toMuts(pair._2))
+  }
+
+  /** Reference-style flexible entry point:
+    * {{{
+    * MutateDataFrame.of(df,
+    *   "name" -> WithInsert(seed = 1),                  // bare, p=1
+    *   "city" -> (0.3 -> WithDelete(seed = 2)),          // weighted
+    *   Seq("a", "b") -> Seq(m1, m2),                     // list, p=1
+    *   "zip" -> Seq(0.2 -> m3, 0.1 -> m4))               // weighted list
+    * }}} */
+  def of(df: DataFrame, spec: (Cols, Muts)*): DataFrame =
+    apply(df, spec.map { case (c, m) => (c.names, m.weighted) })
+
   /** @param cacheForStats persist the input before folding the spec so
     *   the (single, fused) stats agg job and the final action share one
     *   materialization — worth it only when the input lineage is

@@ -78,9 +78,53 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------- frame sampling
+  private val FrameBytes = 64
+  private val FrameStride = 4
+
+  /** Frame sampling over the opaque binary payload: fixed-size byte
+    * frames, every `FrameStride`-th kept (the video-pipeline shape:
+    * chunk → sample → per-frame feature). Pure expressions — the
+    * explode fans out only the sampled frame indices, never the
+    * payload bytes per frame candidate; `substring` on the binary
+    * column slices lazily per emitted row. */
+  def frameSample(s: SparkSession, dir: String): DataFrame = {
+    val nFrames = ceil(col("n_bytes") / lit(FrameBytes.toDouble)).cast("long")
+    mediaTable(s, dir)
+      .withColumn("frame_no",
+        explode(sequence(lit(0L), nFrames - 1, lit(FrameStride.toLong))))
+      .withColumn("frame",
+        expr(s"substring(media, cast(frame_no * $FrameBytes + 1 as int), " +
+          s"$FrameBytes)"))
+      .select(col("doc_id"), col("frame_no"),
+        octet_length(col("frame")).cast("long").as("frame_bytes"),
+        md5(col("frame")).as("frame_md5"))
+      .orderBy("doc_id", "frame_no")
+  }
+
+  /** DuckDB oracle: the corpus is pure ASCII (verified), so character
+    * substrings of the text equal byte slices of the payload and
+    * VARCHAR md5 equals Spark's binary md5. */
+  val frameSampleSql: String = s"""
+    SELECT doc_id, frame_no,
+      octet_length(encode(substring(text,
+        CAST(frame_no * $FrameBytes + 1 AS BIGINT), $FrameBytes)))
+        AS frame_bytes,
+      md5(substring(text,
+        CAST(frame_no * $FrameBytes + 1 AS BIGINT), $FrameBytes))
+        AS frame_md5
+    FROM (
+      SELECT doc_id, text,
+        unnest(range(0,
+          CAST(ceil(octet_length(encode(text)) / $FrameBytes.0) AS BIGINT),
+          $FrameStride)) AS frame_no
+      FROM documents)
+    ORDER BY doc_id, frame_no"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("mm01_media_meta", mediaMeta _, Some(mediaMetaSql)),
       ("mm02_media_features", mediaFeatures _, None),
+      ("mm03_frame_sample", frameSample _, Some(frameSampleSql)),
     )
 }

@@ -57,6 +57,17 @@ object EventStreams {
           .as("total_value"))
   }
 
+  /** At-least-once → effectively-once: drop replayed events by id,
+    * keeping dedup state only within the watermark horizon (state is
+    * bounded — the 100 TB-stream-safe shape; a plain dropDuplicates
+    * would grow state forever). Batch callers get ordinary
+    * dropDuplicates semantics from the same call site. */
+  def dedupEvents(events: DataFrame, watermark: String): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
+
   // ---------------- streaming sessionization (stateful) ----------------
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

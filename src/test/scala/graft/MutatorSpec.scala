@@ -284,6 +284,31 @@ class MutatorSpec extends SparkSpec {
     }
   }
 
+  test("mutateDataFrame.of: reference spec forms normalize like " +
+    "mutator.py:1749-1777") {
+    val df = frame(Seq("aaa", "bbb"))
+    // bare mutator => p=1; (p, m) pair; unweighted list => each p=1
+    val bare = MutateDataFrame.of(df, "v" -> WithUppercase(seed = 81))
+    assert(collectV(bare).sameElements(Array("AAA", "BBB")))
+    val listed = MutateDataFrame.of(df,
+      "v" -> Seq[graft.mut.Mutator](WithRepeat("-", seed = 82),
+        WithUppercase(seed = 83)))
+    assert(collectV(listed).sameElements(Array("AAA-AAA", "BBB-BBB")))
+    val pair = MutateDataFrame.of(df, "v" -> (1.0 -> (WithMissingValue("?",
+      seed = 84): graft.mut.Mutator)))
+    assert(collectV(pair).forall(_ == "?"))
+    // multi-column form reaches the same fold as the canonical API
+    val multi = MutateDataFrame.of(
+      frame(Seq("x")).withColumn("w", col("v")),
+      Seq("v", "w") -> WithUppercase(seed = 85))
+    val r = multi.select("v", "w").head()
+    assert(r.getString(0) == "X" && r.getString(1) == "X")
+    // invalid probability still rejected through the flexible path
+    intercept[IllegalArgumentException] {
+      MutateDataFrame.of(df, "v" -> (0.0 -> (WithNoop(): graft.mut.Mutator)))
+    }
+  }
+
   test("mutators: byte-identical across partition counts") {
     val df = namesDf(3000)
     def run(parts: Int): Array[String] = {
