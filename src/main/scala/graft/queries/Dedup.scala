@@ -344,6 +344,29 @@ object Dedup {
     clusterPairs(dedupMinhashLsh(s, dir))
       .orderBy("cluster_id", "doc_id")
 
+  /** Oracle harness for the label-propagation operator itself: chain
+    * edges i→i+1 for doc_id % 10 ∈ {0,1,2} form 4-node paths whose
+    * transitive closure has the closed form cluster_id = doc_id -
+    * doc_id % 10 — multi-hop convergence is checked bit-exactly
+    * against SQL, which the hash-derived d06 pairs can't be. */
+  def clusterChain(s: SparkSession, dir: String): DataFrame = {
+    val sources = Relational.table(s, dir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") % 10 <= 2)
+    val edges = sources
+      .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+    clusterPairs(edges).orderBy("cluster_id", "doc_id")
+  }
+
+  val clusterChainSql: String = """
+    SELECT doc_id, doc_id - (doc_id % 10) AS cluster_id,
+      doc_id % 10 = 0 AS keep
+    FROM (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id FROM documents WHERE doc_id % 10 <= 2
+        UNION ALL
+        SELECT doc_id + 1 AS doc_id FROM documents WHERE doc_id % 10 <= 2))
+    ORDER BY cluster_id, doc_id"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("d01_dedup_exact", dedupExact _, Some(dedupExactSql)),
@@ -353,5 +376,6 @@ object Dedup {
         Some(dedupNgramJaccardSql)),
       ("d05_dedup_embedding_cosine", dedupEmbeddingCosine _, None),
       ("d06_dedup_clusters", dedupClusters _, None),
+      ("d07_cluster_chain", clusterChain _, Some(clusterChainSql)),
     )
 }
