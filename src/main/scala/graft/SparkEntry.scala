@@ -19,7 +19,8 @@ object SparkEntry {
       graft.queries.AsOf.all ++ Seq(
         ("q18_approx_distinct", Relational.q18ApproxDistinct _, None),
         ("q18_exact_distinct", Relational.q18ExactDistinct _,
-          Some(Relational.q18ExactSql)))
+          Some(Relational.q18ExactSql)),
+        ("q20_approx_percentiles", Relational.q20ApproxPercentiles _, None))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -472,6 +472,22 @@ object Relational {
     GROUP BY l_returnflag
     ORDER BY l_returnflag"""
 
+  /** t-digest sketch percentiles beside q19's exact ones — the
+    * constant-memory percentile path at 100 TB (exact percentile
+    * buffers every value per group). Sketch values are engine-specific
+    * → rows-only driver check; RelationalSpec bounds the error vs the
+    * exact q19 result. */
+  def q20ApproxPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+          .as("p50_price"),
+        expr("approx_percentile(l_extendedprice, 0.95, 10000)")
+          .as("p95_price"))
+      .orderBy("l_returnflag")
+  }
+
   /** name -> (query fn, oracle sql) */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),

@@ -153,6 +153,30 @@ object Streaming {
     GROUP BY event_type
     ORDER BY event_type"""
 
+  /** Replay-dedup demo over the batch path of
+    * [[EventStreams.dedupEvents]] (the streaming path — bounded-state
+    * dropDuplicatesWithinWatermark — is spec-covered): a deterministic
+    * subset of events is replayed, dedup restores the original table.
+    * Replayed rows are byte-identical, so the "arbitrary survivor" of
+    * dropDuplicates is still a deterministic result. */
+  def dedupReplay(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val replayed = e.unionAll(e.filter(col("event_id") % 7 === 0))
+    EventStreams.dedupEvents(replayed, "30 minutes")
+      .select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+        col("user_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
+  val dedupReplaySql: String = """
+    SELECT event_id,
+      strftime(date_trunc('microseconds', ts),
+        '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+      user_id, event_type, value
+    FROM events
+    ORDER BY event_id"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("st01_tumbling_window", tumblingWindow _, Some(tumblingWindowSql)),
@@ -160,5 +184,6 @@ object Streaming {
       ("st03_sessionize", sessionize _, Some(sessionizeSql)),
       ("st04_funnel", funnel _, Some(funnelSql)),
       ("st05_json_props", jsonProps _, Some(jsonPropsSql)),
+      ("st06_dedup_replay", dedupReplay _, Some(dedupReplaySql)),
     )
 }

@@ -309,6 +309,24 @@ class MutatorSpec extends SparkSpec {
     }
   }
 
+  test("p-protocol: realized mutation fraction tracks p across the sweep " +
+    "(reference contract, mutator.py:601-616)") {
+    val df = namesDf(5000)
+    Seq(0.2, 0.5, 0.8).foreach { p =>
+      val out = WithInsert(seed = (p * 100).toLong)(df, Seq("v"), p,
+        col(Gecko.RowId))
+      val changed = changedCount(df, out) / 5000.0
+      assert(math.abs(changed - p) < 0.04, s"p=$p realized $changed")
+    }
+    // eligibility-gated mutator: realized fraction over ALL rows still
+    // ≈ p (selection rescaled by 1/pActual); half the rows eligible
+    val half = frame((0 until 4000).map(i =>
+      if (i % 2 == 0) s"name$i" else ""))
+    val out = WithDelete(seed = 9)(half, Seq("v"), 0.4, col(Gecko.RowId))
+    val changed = changedCount(half, out) / 4000.0
+    assert(math.abs(changed - 0.4) < 0.04, s"realized $changed")
+  }
+
   test("mutators: byte-identical across partition counts") {
     val df = namesDf(3000)
     def run(parts: Int): Array[String] = {

@@ -26,6 +26,18 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q20: t-digest percentiles track exact q19 within 2%") {
+    val exact = Relational.q19Percentiles(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    Relational.q20ApproxPercentiles(spark, sfDir).collect().foreach { r =>
+      val (e50, e95) = exact(r.getString(0))
+      assert(math.abs(r.getDouble(1) - e50) <= 0.02 * e50,
+        s"p50 $e50 vs ${r.getDouble(1)}")
+      assert(math.abs(r.getDouble(2) - e95) <= 0.02 * e95,
+        s"p95 $e95 vs ${r.getDouble(2)}")
+    }
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
