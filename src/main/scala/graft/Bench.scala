@@ -29,8 +29,11 @@ object Bench {
     // one-time janino/JIT compilation — measured as the r1 m13 outlier)
     locally {
       import org.apache.spark.sql.functions.col
+      // 'A'-prefixed values keep the lowercase mutator's eligibility
+      // non-zero — digits-only values would fire a spurious p-unmet
+      // warning during warmup
       val tiny = spark.range(100)
-        .selectExpr("id as __row_id", "cast(id as string) as v")
+        .selectExpr("id as __row_id", "concat('A', id) as v")
       graft.mut.Mutators.WithLowercase(seed = 1)(
         tiny, Seq("v"), 0.5, col("__row_id")).count()
       ()

@@ -30,7 +30,10 @@ import org.apache.spark.sql.util.QueryExecutionListener
 object ObservedWarnings {
   private case class Pending(fnName: String, p: Double)
   private val pending = new ConcurrentHashMap[String, Pending]()
-  private val registered = ConcurrentHashMap.newKeySet[SparkSession]()
+  // weak keys — don't pin stopped sessions in memory
+  private val registered = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
   private val counter = new AtomicLong()
 
   /** Attach revert-tracking metrics to `df`: when the next action on
@@ -53,7 +56,10 @@ object ObservedWarnings {
         override def onSuccess(funcName: String, qe: QueryExecution,
                                durationNs: Long): Unit =
           qe.observedMetrics.foreach { case (mName, row) =>
-            val info = pending.get(mName)
+            // remove-on-delivery: one warning per mutate call (as the
+            // reference warns once), even if the caller runs several
+            // actions on the same result — and no unbounded pending map
+            val info = pending.remove(mName)
             if (info != null) {
               def metric(field: String): Long = {
                 val i = row.fieldIndex(field)

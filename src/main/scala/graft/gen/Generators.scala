@@ -184,12 +184,8 @@ object Generators {
     // leading zeros and are never numerically reformatted. nullValue is
     // set to a NUL escape no real cell contains, disabling null
     // coercion (the reference reads with keep_default_na=False).
-    val df = spark.read
-      .option("header", allNamed.toString)
-      .option("delimiter", delimiter)
-      .option("encoding", encoding)
-      .option("nullValue", "\u0000")
-      .csv(path)
+    val df = graft.core.CsvIo.read(spark, path, header = allNamed,
+      delimiter, encoding)
     def resolve(ref: Either[Int, String]): String = ref match {
       case Right(name) => name
       case Left(idx) => df.columns(idx)

@@ -241,11 +241,33 @@ object MutateDataFrame {
     } yield (m, c)
     val statsIter = Mutator.computeStats(df, pairs).iterator
 
+    // Safety valve for the snapshot estimate: when a LATER mutator's
+    // eligibility was created by an earlier mutator in the spec (e.g.
+    // uppercase-then-lowercase), the snapshot rate reads 0 and would
+    // hard-disable the mutator with a bogus p-unmet warning. Detect
+    // exactly that case — zero snapshot rate on an already-touched
+    // column — and recompute that one mutator's stats on the running
+    // frame (one extra job only in this rare shape; partial drift on
+    // non-zero rates remains the documented deviation).
+    val touched = scala.collection.mutable.Set[String]()
     spec.foldLeft(df) { case (d, (cols, mutators)) =>
-      mutators.foldLeft(d) { case (dd, (p, m)) =>
-        val stats = cols.map(_ => statsIter.next())
-        m.applyWithStats(dd, cols, p, rid, stats)
+      val out = mutators.foldLeft(d) { case (dd, (p, m)) =>
+        val snapshot = cols.map(_ => statsIter.next())
+        val zeroOnTouched = cols.zip(snapshot).exists { case (c, st) =>
+          touched.contains(c) && (st.headOption match {
+            case Some(d: java.lang.Double) => d.doubleValue() == 0.0
+            case Some(null) => true
+            case _ => false
+          })
+        }
+        val stats =
+          if (zeroOnTouched) Mutator.computeStats(dd, m, cols)
+          else snapshot
+        val next = m.applyWithStats(dd, cols, p, rid, stats)
+        touched ++= cols
+        next
       }
+      out
     }
   }
 }

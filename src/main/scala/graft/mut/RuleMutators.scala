@@ -47,12 +47,8 @@ object RuleMutators {
     val allIndexed = refs.forall(_.isLeft)
     require(allNamed || allIndexed,
       "column references must either all be names or all be indices")
-    val df = spark.read
-      .option("header", allNamed.toString)
-      .option("delimiter", delimiter)
-      .option("encoding", encoding)
-      .option("nullValue", "\u0000")
-      .csv(path)
+    val df = graft.core.CsvIo.read(spark, path, header = allNamed,
+      delimiter, encoding)
     (df, refs.map {
       case Right(name) =>
         require(df.columns.contains(name),
@@ -441,12 +437,9 @@ object RuleMutators {
                 flagsColumn: Option[String] = None,
                 encoding: String = "UTF-8", delimiter: String = ",",
                 seed: Long): WithRegexReplacementTable = {
-      val df = spark.read
-        .option("header", "true")
-        .option("delimiter", delimiter)
-        .option("encoding", encoding)
-        .option("nullValue", "\u0000")
-        .csv(path)
+      val (df, _) = readRuleCsv(spark, path,
+        (Seq(patternColumn) ++ flagsColumn).map(Right(_)),
+        encoding, delimiter)
       apply(df, patternColumn, flagsColumn, seed)
     }
   }

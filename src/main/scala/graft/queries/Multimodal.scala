@@ -91,6 +91,9 @@ object Multimodal {
   def frameSample(s: SparkSession, dir: String): DataFrame = {
     val nFrames = ceil(col("n_bytes") / lit(FrameBytes.toDouble)).cast("long")
     mediaTable(s, dir)
+      // zero-byte payloads have no frames: sequence(0, -1) would throw,
+      // and the oracle's range(0, 0, k) emits nothing for them
+      .filter(col("n_bytes") > 0)
       .withColumn("frame_no",
         explode(sequence(lit(0L), nFrames - 1, lit(FrameStride.toLong))))
       .withColumn("frame",

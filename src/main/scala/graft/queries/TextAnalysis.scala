@@ -167,7 +167,9 @@ object TextAnalysis {
         nTokens.as("n_tokens"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .select(col("doc_id"), col("shard"), col("n_tokens"),
-        (col("shard") * 100000L +
+        // 2^40 chunk namespace per shard: a shard would need ~2e15
+        // tokens to overflow it — safe far past 100 TB of text
+        (col("shard") * lit(1L << 40) +
           floor((col("cum") - col("n_tokens")) / lit(PackLimit.toDouble))
             .cast("long")).as("chunk_id"))
       .orderBy("doc_id")
@@ -175,7 +177,8 @@ object TextAnalysis {
 
   val sequencePackSql: String = s"""
     SELECT doc_id, shard, n_tokens,
-      shard * 100000 + CAST(floor((cum - n_tokens) / $PackLimit.0) AS BIGINT)
+      shard * ${1L << 40} +
+        CAST(floor((cum - n_tokens) / $PackLimit.0) AS BIGINT)
         AS chunk_id
     FROM (
       SELECT doc_id, doc_id % $PackShards AS shard,

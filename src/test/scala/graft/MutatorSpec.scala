@@ -390,6 +390,22 @@ class MutatorSpec extends SparkSpec {
     assert(n == 1, s"expected exactly 1 fused stats pass, saw $n")
   }
 
+  test("mutateDataFrame: eligibility created by an earlier mutator is " +
+    "re-detected (snapshot-zero safety valve)") {
+    // all-lowercase input: uppercase first, then lowercase. The fused
+    // snapshot sees zero lowercase-eligible rows; the safety valve must
+    // recompute on the running frame instead of disabling the mutator.
+    Warnings.drain()
+    val df = frame(Seq("aaa", "bbb", "ccc"))
+    val out = MutateDataFrame(df, Seq(
+      (Seq("v"), Seq(
+        (1.0, WithUppercase(seed = 91): graft.mut.Mutator),
+        (1.0, WithLowercase(seed = 92): graft.mut.Mutator)))))
+    assert(collectV(out).sameElements(Array("aaa", "bbb", "ccc")))
+    // and no bogus p-unmet warning from the stale snapshot
+    assert(!Warnings.drain().exists(_.startsWith("with_lowercase")))
+  }
+
   test("mutateDataFrame: stats-free spec runs zero jobs at plan time") {
     val df = namesDf(100)
     df.count()
