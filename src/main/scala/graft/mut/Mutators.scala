@@ -234,7 +234,11 @@ object Mutators {
     private val jdkFmt = Strftime.toJava(dtFormat)
 
     /** Requested p of the in-flight applyWithStats, for the post-hoc
-      * warning message (driver-side plan construction is sequential). */
+      * warning message (driver-side plan construction is sequential).
+      * The 1.0 default is deliberate: WithGroup dispatches sub-mutators
+      * straight to applyToColumn, and the reference applies group
+      * members to their row subset with p=1 (mutator.py:1706-1713) —
+      * so a group-dispatched warning correctly reports p=1. */
     @transient private var pendingP: Double = 1.0
 
     override def applyWithStats(df: DataFrame, cols: Seq[String], p: Double,

@@ -327,6 +327,29 @@ class MutatorSpec extends SparkSpec {
     assert(math.abs(changed - 0.4) < 0.04, s"realized $changed")
   }
 
+  test("withGenerator: multi-column generator keeps intra-row " +
+    "consistency; arity mismatch rejected (mutator.py:1361-1366)") {
+    import spark.implicits._
+    val joint = Seq(("DE", "EUROPE", 3), ("JP", "ASIA", 2), ("US", "AMERICA", 5))
+      .toDF("cc", "region", "n")
+    val gen = Generators.fromMulticolumnFrequencyTable(spark, joint,
+      Seq("cc", "region"), "n", seed = 71)
+    val df = (0L until 300L).map(i => (i, "x", "y"))
+      .toDF(Gecko.RowId, "a", "b")
+    val out = WithGenerator(gen, "replace", seed = 72)(
+      df, Seq("a", "b"), 1.0, col(Gecko.RowId))
+      .select("a", "b").collect().map(r => (r.getString(0), r.getString(1)))
+    val valid = Set(("DE", "EUROPE"), ("JP", "ASIA"), ("US", "AMERICA"))
+    assert(out.forall(valid.contains), "row tore a joint sample apart")
+    assert(out.distinct.length > 1)
+    // arity 2 generator on 1 column => reference error contract
+    val e = intercept[IllegalArgumentException] {
+      WithGenerator(gen, "replace", seed = 73)(df, Seq("a"), 1.0,
+        col(Gecko.RowId))
+    }
+    assert(e.getMessage.contains("as many series"))
+  }
+
   test("mutators: byte-identical across partition counts") {
     val df = namesDf(3000)
     def run(parts: Int): Array[String] = {
