@@ -101,28 +101,64 @@ object LayerADemo {
     mutDemo(s, dir, m, p = 0.5)
   }
 
+  /** Disjoint-anchor rules at p=1: each segment value matches at most
+    * ONE rule, so the uniform rule pick is forced and the rewrite is
+    * deterministic — oracle-checkable while exercising all three anchor
+    * flags (^/$/_, mutator.py:411-424). Overlapping-rule randomness is
+    * covered by MutatorSpec. */
   def m03PhoneticReplacementTable(s: SparkSession, dir: String): DataFrame = {
     val m = graft.mut.RuleMutators.WithPhoneticReplacementTable(Seq(
-      ("Cust", "Kust", "^"), ("er", "a", "$"), ("om", "ohm", "_")),
+      ("AUTO", "OTTO", "^"), ("ING", "ENG", "$"), ("URN", "ERN", "_")),
       seed = 203)
-    mutDemo(s, dir, m, p = 0.5)
+    m(customers(s, dir), Seq("c_mktsegment"), 1.0, col("c_custkey"))
+      .select(col("c_custkey"), col("c_mktsegment")).orderBy("c_custkey")
   }
 
+  val m03Sql: String =
+    """SELECT c_custkey, CASE c_mktsegment
+       WHEN 'AUTOMOBILE' THEN 'OTTOMOBILE'
+       WHEN 'BUILDING' THEN 'BUILDENG'
+       WHEN 'FURNITURE' THEN 'FERNITURE'
+       ELSE c_mktsegment END AS c_mktsegment
+       FROM customer ORDER BY 1"""
+
+  /** Whole-value replacement table at p=1: every value matches at most
+    * one (unique-source) rule, so the rarest-first order and the random
+    * target pick are forced — deterministic, oracle-checkable
+    * (mutator.py:595-647). Inline/multi-occurrence randomness is
+    * covered by MutatorSpec and the a02 bench spec. */
   def m04ReplacementTable(s: SparkSession, dir: String): DataFrame = {
-    // OCR-style inline confusions on digit-heavy customer names
     val m = graft.mut.RuleMutators.WithReplacementTable(Seq(
-      ("0", "o"), ("1", "|"), ("5", "s"), ("8", "B"), ("0", "O")),
-      inline = true, reverse = false, seed = 204)
-    mutDemo(s, dir, m, p = 0.5)
+      ("AUTOMOBILE", "CAR"), ("BUILDING", "EDIFICE"),
+      ("FURNITURE", "DESK"), ("HOUSEHOLD", "HOME")),
+      inline = false, reverse = false, seed = 204)
+    m(customers(s, dir), Seq("c_mktsegment"), 1.0, col("c_custkey"))
+      .select(col("c_custkey"), col("c_mktsegment")).orderBy("c_custkey")
   }
 
+  val m04Sql: String =
+    """SELECT c_custkey, CASE c_mktsegment
+       WHEN 'AUTOMOBILE' THEN 'CAR'
+       WHEN 'BUILDING' THEN 'EDIFICE'
+       WHEN 'FURNITURE' THEN 'DESK'
+       WHEN 'HOUSEHOLD' THEN 'HOME'
+       ELSE c_mktsegment END AS c_mktsegment
+       FROM customer ORDER BY 1"""
+
+  /** Single anchored rule at p=1: flip the last two digits of every
+    * customer number — one matching rule forces the pick, the splice
+    * (mutator.py:1392-1429) is deterministic and mirrored by DuckDB's
+    * regexp_replace backrefs. */
   def m17RegexReplacementTable(s: SparkSession, dir: String): DataFrame = {
-    // flip the last two digits of the customer number
     val m = graft.mut.RuleMutators.WithRegexReplacementTable(Seq(
       ("""(?P<a>\d)(?P<b>\d)$""", "", Map(
         "a" -> "(?P<b>)", "b" -> "(?P<a>)"))), seed = 217)
-    mutDemo(s, dir, m, p = 0.5)
+    mutDemo(s, dir, m, p = 1.0)
   }
+
+  val m17Sql: String =
+    """SELECT c_custkey, regexp_replace(c_name, '(\d)(\d)$', '\2\1') AS c_name
+       FROM customer ORDER BY 1"""
 
   val m01Sql: String =
     "SELECT c_custkey, reverse(c_name) AS c_name FROM customer ORDER BY 1"
@@ -275,9 +311,11 @@ object LayerADemo {
       ("g08_to_data_frame", g08ToDataFrame _, None),
       ("m01_with_function", m01WithFunction _, Some(m01Sql)),
       ("m02_cldr_keymap", m02CldrKeymap _, None),
-      ("m03_phonetic_replacement_table", m03PhoneticReplacementTable _, None),
-      ("m04_replacement_table", m04ReplacementTable _, None),
-      ("m17_regex_replacement_table", m17RegexReplacementTable _, None),
+      ("m03_phonetic_replacement_table", m03PhoneticReplacementTable _,
+        Some(m03Sql)),
+      ("m04_replacement_table", m04ReplacementTable _, Some(m04Sql)),
+      ("m17_regex_replacement_table", m17RegexReplacementTable _,
+        Some(m17Sql)),
       ("m05_missing_value", m05MissingValue _, Some(m05Sql)),
       ("m06_insert", m06Insert _, None),
       ("m07_delete", m07Delete _, None),
