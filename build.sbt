@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Keep sbt's "[success] Total time …" off stdout: the bench driver
+// greps the LAST stdout line for the metrics JSON, and the success
+// banner printed after the forked run's output breaks that parse.
+Global / showSuccess := false
+Global / showTiming := false
+// Forked runs write straight to stdout (no "[info] " logger prefix),
+// so the bench JSON line is literally parseable as the last line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

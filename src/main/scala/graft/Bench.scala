@@ -10,7 +10,12 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // default to the actual core count — a hardcoded local[32] silently
+    // oversubscribes smaller machines and skews timings
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+      .max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -39,24 +44,31 @@ object Bench {
       ()
     }
 
+    // n iterations per query, report the per-query MIN: single-shot
+    // numbers at sub-second scale are dominated by JIT/janino warmup
+    // and run-order noise (the r2 m15/m05 "regressions" were exactly
+    // that), and min-of-n is the standard steady-state estimator
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).count(); true }
+        val times = (1 to iters).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
           catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-              false
+              -1.0
           }
-        // failures are reported as -1, never as a (fast) success
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        }
+        // any failed iteration poisons the query: report -1, never a
+        // (fast) partial success
+        name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""sf":"$sfDir","cpus":$cpus,"iters":$iters}"""
 
     // file first: survives any stdout interleaving from sbt/Spark
     val outDir = sys.env.getOrElse("SPARK_GRAFT_OUT", ".")
