@@ -289,54 +289,94 @@ object Dedup {
   }
 
   // ------------------------------- cluster formation / canonical pick
-  /** Transitive closure of near-dup pairs into clusters via iterative
-    * min-label propagation (the distributed union-find analog: each
-    * round joins labels across edges and keeps the minimum). Iterates
-    * to a FIXPOINT, capped at maxRounds, because stopping early on a
-    * component whose min-id node is farther than the round count splits
-    * it into spurious clusters with no canonical survivor. The dedup
-    * decision is then "keep the minimum doc_id per cluster".
+  /** Transitive closure of near-dup pairs into clusters via the
+    * alternating large-star/small-star algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14): each
+    * round rewires every node's neighborhood toward its local minimum —
+    *   large-star: for every node u, connect each strictly-larger
+    *     neighbor to min(N(u) ∪ u);
+    *   small-star: on the downward edges (u > v), connect u and each
+    *     smaller neighbor to their minimum.
+    * The edge set contracts to a star per component (every member →
+    * component min) in O(log n) rounds, vs the linear-in-diameter
+    * rounds of plain min-label propagation — the difference between 6
+    * and ~60 rounds on a 64-hop chain, which is what makes the operator
+    * usable on 100 TB graphs with long-chain components (the r2 version
+    * was flagged exactly for that). The dedup decision stays "keep the
+    * minimum doc_id per cluster".
     *
-    * ONE job per round: the changed-label count is an `observe()`
-    * metric on the same plan the eager localCheckpoint materializes, so
-    * convergence detection costs no separate action (the r1 version
-    * paid an extra isEmpty join-scan job every round). */
-  def clusterPairs(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
-    // symmetric edge list
-    val edges = pairs.select(col("a"), col("b"))
-      .unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
-      .persist()
-    var labels = edges.select(col("a").as("doc_id"))
-      .distinct().withColumn("label", col("doc_id"))
-      .localCheckpoint()
-    var round = 0
-    var converged = false
-    while (round < maxRounds && !converged) {
-      val viaNeighbor = edges
-        .join(labels, edges("b") === labels("doc_id"))
-        .groupBy(edges("a").as("doc_id"))
-        .agg(min(col("label")).as("nlabel"))
+    * ONE job per round: both stars are min-aggregations (map-side
+    * partial min — no skew-fragile window buffering) folded into a
+    * single plan whose fixpoint check — (edge count, xxhash64 multiset
+    * sum) unchanged — rides the round's eager localCheckpoint as an
+    * `observe()` metric, so convergence detection costs no extra
+    * action. The hash-pair equality test is probabilistic in principle
+    * (64-bit sum collision) but vanishingly so, and a false "converged"
+    * requires a collision in the SAME round that also keeps the count
+    * equal. localCheckpoint truncates the per-round lineage — without
+    * it the plan doubles every iteration. */
+  def clusterPairs(pairs: DataFrame, maxRounds: Int = 20): DataFrame =
+    clusterPairsCounted(pairs, maxRounds)._1
+
+  /** [[clusterPairs]] plus the number of rounds actually run —
+    * exposed so tests can assert the O(log n) round complexity. */
+  private[graft] def clusterPairsCounted(pairs: DataFrame,
+                                         maxRounds: Int = 20)
+      : (DataFrame, Int) = {
+    def metrics(obs: org.apache.spark.sql.Observation): (Long, Long) = {
+      val m = obs.getAsJava
+      (m.getOrDefault("cnt", 0L).asInstanceOf[Long],
+        m.getOrDefault("hsum", 0L) match {
+          case null => 0L
+          case l: java.lang.Long => l.longValue()
+        })
+    }
+    def observed(df: DataFrame): (DataFrame, (Long, Long)) = {
       val obs = org.apache.spark.sql.Observation()
-      // localCheckpoint truncates the per-round lineage — without it
-      // the plan (and recomputation) doubles every iteration
-      val next = labels.withColumnRenamed("label", "old")
-        .join(viaNeighbor, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("old"), coalesce(col("nlabel"), col("old")))
-            .as("label"),
-          col("old"))
-        .observe(obs,
-          sum((col("label") =!= col("old")).cast("long")).as("n_changed"))
-        .select(col("doc_id"), col("label"))
-        .localCheckpoint() // eager: runs the job incl. the metric
-      converged = obs.getAsJava.getOrDefault("n_changed", 1L)
-        .asInstanceOf[Long] == 0L
-      labels = next
+      // bit_xor (not sum): order-independent, overflow-free under ANSI,
+      // and exact over a distinct edge set
+      val ck = df.observe(obs, count(lit(1)).as("cnt"),
+        expr("bit_xor(xxhash64(a, b))").as("hsum"))
+        .localCheckpoint() // eager: runs the job incl. the metrics
+      (ck, metrics(obs))
+    }
+
+    // canonical downward edges (a > b), self-loops and dupes dropped
+    var (edges, prev) = observed(
+      pairs.select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+        .filter(col("a") =!= col("b")).distinct())
+    var round = 0
+    var converged = prev._1 == 0L
+    while (round < maxRounds && !converged) {
+      val sym = edges.unionAll(
+        edges.select(col("b").as("a"), col("a").as("b")))
+      // large-star: min over N(u) ∪ {u}, emitted to larger neighbors —
+      // output edges are strictly downward again (m <= u < v)
+      val lsMin = sym.groupBy("a").agg(min("b").as("mn"))
+        .select(col("a"), least(col("a"), col("mn")).as("m"))
+      val ls = sym.join(lsMin, "a").filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+      // small-star on the downward edges: everyone in N-(u) ∪ {u}
+      // connects to the minimum
+      val ssMin = ls.groupBy("a").agg(min("b").as("m"))
+      val next = ls.join(ssMin, "a")
+        .select(col("b").as("a"), col("m").as("b"))
+        .unionAll(ssMin.select(col("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+      val (ck, cur) = observed(next)
+      converged = cur == prev
+      prev = cur
+      edges = ck
       round += 1
     }
-    edges.unpersist()
-    labels.select(col("doc_id"), col("label").as("cluster_id"),
-      (col("doc_id") === col("label")).as("keep"))
+    // fixpoint is a star per component: member -> min, plus the roots
+    val labels = edges.select(col("a").as("doc_id"), col("b").as("label"))
+      .unionAll(edges.select(col("b").as("doc_id"), col("b").as("label")))
+      .distinct()
+    (labels.select(col("doc_id"), col("label").as("cluster_id"),
+      (col("doc_id") === col("label")).as("keep")), round)
   }
 
   /** MinHash candidate pairs → clusters → canonical keep decision. */

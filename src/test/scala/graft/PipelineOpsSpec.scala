@@ -95,7 +95,8 @@ class PipelineOpsSpec extends SparkSpec {
         case _ => ()
       }
     }
-    // 6-node path: 5 propagation rounds to absorb + 1 no-change round
+    // 6-node path: star-contraction needs ~4 rounds (vs 6 for plain
+    // 1-hop label propagation)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
       .toDF("a", "b").persist()
     pairs.count() // warm the input so only clusterPairs' actions count
@@ -104,12 +105,30 @@ class PipelineOpsSpec extends SparkSpec {
       Dedup.clusterPairs(pairs)
       Thread.sleep(500) // listener bus drain
       val n = execs.get()
-      // initial label checkpoint + <=7 rounds; the r1 version paid an
+      // initial edge checkpoint + <=5 rounds; the r1 version paid an
       // extra isEmpty action per round (>= 13 executions here)
-      assert(n <= 8, s"expected <=8 eager actions in clusterPairs, saw $n")
+      assert(n <= 6, s"expected <=6 eager actions in clusterPairs, saw $n")
     } finally {
       spark.sparkContext.removeSparkListener(listener)
       pairs.unpersist(); ()
+    }
+  }
+
+  test("dedup_clusters: large-star/small-star converges in O(log n) " +
+    "rounds on a long chain (not linear-in-diameter)") {
+    import spark.implicits._
+    // 65-node path: plain min-label propagation needs 64+1 rounds —
+    // far past the maxRounds=20 cap; star contraction must finish in
+    // a handful and still produce the exact component
+    val pairs = (1L until 65L).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) = Dedup.clusterPairsCounted(pairs)
+    assert(rounds <= 10, s"expected <=10 rounds on a 64-hop chain, " +
+      s"took $rounds")
+    val got = labels.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got.size == 65)
+    (1L to 65L).foreach { id =>
+      assert(got(id) == (1L, id == 1L), s"doc $id -> ${got(id)}")
     }
   }
 
