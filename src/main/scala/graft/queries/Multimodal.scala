@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import scala.util.hashing.MurmurHash3
 
 /** Multimodal-column plumbing for training-data pipelines (Layer B
   * north-star; absent in the reference). Media payloads are opaque
@@ -13,30 +12,86 @@ import scala.util.hashing.MurmurHash3
   * model load) across its whole partition, which is the shape that
   * matters at 100 TB.
   *
-  * The actual codec is STUBBED: this container has no image/audio
-  * libraries, so `decodeStub` produces deterministic fake features from
-  * the bytes. The Spark-side plumbing — schema, batching, partitioning,
-  * column layout — is real and tested; swap `decodeStub` for a real
-  * decoder to productionize. */
+  * The audio path is REAL end-to-end: payloads are genuine RIFF/WAVE
+  * PCM16 files (synthesized from the document bytes, since the
+  * container ships no media corpora) and the decoder is a full RIFF
+  * chunk-walk parser that would decode any canonical PCM16 WAV. The
+  * extracted features are exact integer arithmetic over the decoded
+  * samples, which is what makes mm02 DuckDB-oracle-checkable. */
 object Multimodal {
 
   case class MediaRow(doc_id: Long, media: Array[Byte], fmt: String,
                       n_bytes: Long)
   case class MediaFeatures(doc_id: Long, fmt: String, n_bytes: Long,
-                           feature: Array[Float])
+                           sample_rate: Long, n_samples: Long,
+                           sum_abs: Long, max_abs: Long)
 
-  /** ===== STUB ===== deterministic fake "decoder": 8 pseudo-features
-    * from the byte content. Replace with a real codec (JPEG decode,
-    * mel spectrogram, …) in production. */
-  def decodeStub(media: Array[Byte]): Array[Float] = {
-    val out = new Array[Float](8)
+  // ------------------------------------------------- WAV codec
+  private val WavRate = 8000
+
+  /** Minimal canonical RIFF/WAVE writer: 44-byte header + mono PCM16,
+    * one sample per input byte, centered at 128 ((b-128)*256). */
+  def synthWav(bytes: Array[Byte], sampleRate: Int = WavRate): Array[Byte] = {
+    val dataLen = bytes.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1).putShort(1) // PCM, mono
+    bb.putInt(sampleRate).putInt(sampleRate * 2) // byte rate
+    bb.putShort(2).putShort(16) // block align, bits/sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
     var i = 0
-    while (i < 8) {
-      val h = MurmurHash3.bytesHash(media, i)
-      out(i) = (h & 0xffff).toFloat / 0xffff
+    while (i < bytes.length) {
+      bb.putShort((((bytes(i) & 0xff) - 128) * 256).toShort)
       i += 1
     }
-    out
+    bb.array()
+  }
+
+  case class WavPcm(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                    samples: Array[Short])
+
+  /** Real PCM16 WAV decoder: validates the RIFF/WAVE magic, walks the
+    * chunk list (skipping unknown chunks, honoring odd-length padding),
+    * reads the fmt descriptor, and materializes the little-endian
+    * 16-bit samples. No dependencies. */
+  def decodeWav(media: Array[Byte]): WavPcm = {
+    val bb = java.nio.ByteBuffer.wrap(media)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourCC(): String = {
+      val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+    }
+    require(fourCC() == "RIFF", "not a RIFF file")
+    bb.getInt // riff size
+    require(fourCC() == "WAVE", "not a WAVE file")
+    var rate = 0; var channels = 0; var bits = 0
+    var samples: Array[Short] = null
+    while (bb.remaining() >= 8 && (samples == null || rate == 0)) {
+      val id = fourCC()
+      val len = bb.getInt
+      id match {
+        case "fmt " =>
+          val fmtCode = bb.getShort
+          require(fmtCode == 1, s"not PCM (fmt code $fmtCode)")
+          channels = bb.getShort.toInt
+          rate = bb.getInt
+          bb.getInt; bb.getShort // byte rate, block align
+          bits = bb.getShort.toInt
+          require(bits == 16, s"only PCM16 supported, got $bits")
+          bb.position(bb.position() + (len - 16))
+        case "data" =>
+          val n = len / 2
+          samples = new Array[Short](n)
+          var i = 0
+          while (i < n) { samples(i) = bb.getShort; i += 1 }
+        case _ => // skip unknown chunk (word-aligned)
+          bb.position(bb.position() + len + (len & 1))
+      }
+    }
+    require(rate > 0 && samples != null, "missing fmt or data chunk")
+    WavPcm(rate, channels, bits, samples)
   }
 
   /** documents → media table: text bytes as the opaque payload. In a
@@ -61,22 +116,58 @@ object Multimodal {
     FROM documents
     ORDER BY doc_id"""
 
-  /** Batched decode/feature-extract over partitions. Output: one
-    * feature vector per media item plus carried metadata. */
+  /** documents → audio table: a real PCM16 WAV file per document
+    * (samples synthesized from the text bytes). */
+  def wavTable(s: SparkSession, dir: String): DataFrame = {
+    val synth = udf((b: Array[Byte]) => synthWav(b))
+    Relational.table(s, dir, "documents")
+      .select(col("doc_id"),
+        synth(encode(col("text"), "UTF-8")).as("media"),
+        lit("audio/wav").as("fmt"))
+      .withColumn("n_bytes", octet_length(col("media")).cast("long"))
+  }
+
+  /** Batched decode/feature-extract over partitions: parse each WAV
+    * payload with the real decoder and compute exact integer amplitude
+    * features over the decoded samples. One task amortizes codec init
+    * across its partition. */
   def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ds = mediaTable(s, dir).as[MediaRow]
+    val ds = wavTable(s, dir).as[MediaRow]
     ds.mapPartitions { rows =>
-      // per-partition setup happens once here (codec/model init stub)
+      // per-partition setup happens once here (codec init)
       rows.map { r =>
-        MediaFeatures(r.doc_id, r.fmt, r.n_bytes, decodeStub(r.media))
+        val wav = decodeWav(r.media)
+        var sumAbs = 0L; var maxAbs = 0L
+        var i = 0
+        while (i < wav.samples.length) {
+          val a = math.abs(wav.samples(i).toLong)
+          sumAbs += a
+          if (a > maxAbs) maxAbs = a
+          i += 1
+        }
+        MediaFeatures(r.doc_id, r.fmt, r.n_bytes, wav.sampleRate.toLong,
+          wav.samples.length.toLong, sumAbs, maxAbs)
       }
     }.toDF()
-      .select(col("doc_id"), col("fmt"), col("n_bytes"),
-        round(element_at(col("feature"), 1).cast("double"), 4).as("f0"),
-        round(element_at(col("feature"), 2).cast("double"), 4).as("f1"))
       .orderBy("doc_id")
   }
+
+  /** DuckDB replica: the corpus is pure ASCII < 128, so each PCM
+    * sample is (ord(char) - 128) * 256 — strictly negative, hence
+    * abs = (128 - ord) * 256; the 44-byte canonical header plus two
+    * bytes per sample gives n_bytes. */
+  val mediaFeaturesSql: String = s"""
+    SELECT doc_id, 'audio/wav' AS fmt,
+      CAST(44 + 2 * octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      CAST($WavRate AS BIGINT) AS sample_rate,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_samples,
+      CAST(coalesce(list_sum([(128 - ord(x)) * 256
+        FOR x IN string_split(text, '')]), 0) AS BIGINT) AS sum_abs,
+      CAST(coalesce(list_max([(128 - ord(x)) * 256
+        FOR x IN string_split(text, '')]), 0) AS BIGINT) AS max_abs
+    FROM documents
+    ORDER BY doc_id"""
 
   // ------------------------------------------------- frame sampling
   private val FrameBytes = 64
@@ -127,7 +218,7 @@ object Multimodal {
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("mm01_media_meta", mediaMeta _, Some(mediaMetaSql)),
-      ("mm02_media_features", mediaFeatures _, None),
+      ("mm02_media_features", mediaFeatures _, Some(mediaFeaturesSql)),
       ("mm03_frame_sample", frameSample _, Some(frameSampleSql)),
     )
 }

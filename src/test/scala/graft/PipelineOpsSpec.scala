@@ -179,16 +179,45 @@ class PipelineOpsSpec extends SparkSpec {
     assert(fps(0) == fps(1) && fps(1) == fps(2) && fps(0) != fps(3))
   }
 
-  test("multimodal: media plumbing carries binary + metadata, stub decode") {
+  test("multimodal: WAV codec round-trips bytes through a real RIFF " +
+    "parse") {
+    val payload = "Hello WAV".getBytes("US-ASCII")
+    val wav = Multimodal.synthWav(payload, sampleRate = 16000)
+    val decoded = Multimodal.decodeWav(wav)
+    assert(decoded.sampleRate == 16000)
+    assert(decoded.channels == 1 && decoded.bitsPerSample == 16)
+    assert(decoded.samples.toSeq ==
+      payload.toSeq.map(b => (((b & 0xff) - 128) * 256).toShort))
+    // the decoder is a real chunk walker: an extra chunk before data
+    // (as real encoders emit, e.g. LIST/INFO) is skipped, odd length
+    // padded
+    val bb = java.nio.ByteBuffer
+      .allocate(wav.length + 8 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(wav, 0, 36) // RIFF..fmt chunk
+    bb.put("JUNK".getBytes("US-ASCII")).putInt(3)
+      .put(Array[Byte](1, 2, 3, 0)) // odd-length chunk + pad byte
+    bb.put(wav, 36, wav.length - 36) // data chunk
+    val withJunk = bb.array()
+    assert(Multimodal.decodeWav(withJunk).samples.toSeq ==
+      decoded.samples.toSeq)
+  }
+
+  test("multimodal: media plumbing carries binary + metadata, real " +
+    "decode features") {
     val meta = Multimodal.mediaMeta(spark, sfDir).collect()
     assert(meta.forall(_.getLong(2) > 0))
     val feats = Multimodal.mediaFeatures(spark, sfDir).collect()
     assert(feats.length == meta.length)
+    // exact feature arithmetic: n_bytes = 44-byte header + 2/sample;
+    // ASCII<128 sources make every sample negative, so 0 < max <= 2^15
     assert(feats.forall { r =>
-      val f0 = r.getDouble(3)
-      f0 >= 0.0 && f0 <= 1.0
+      r.getLong(2) == 44 + 2 * r.getLong(4) &&
+        r.getLong(3) == 8000 &&
+        r.getLong(6) > 0 && r.getLong(6) <= 32768 &&
+        r.getLong(5) >= r.getLong(6)
     })
-    // deterministic stub: same run twice is identical
+    // deterministic: same run twice is identical
     val again = Multimodal.mediaFeatures(spark, sfDir).collect()
     assert(feats.map(_.toString).sameElements(again.map(_.toString)))
   }
