@@ -1,6 +1,5 @@
 package graft.core
 
-import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -28,8 +27,29 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * tests poll [[Warnings.drain]].
   */
 object ObservedWarnings {
-  private case class Pending(fnName: String, p: Double)
-  private val pending = new ConcurrentHashMap[String, Pending]()
+  private class Pending(val fnName: String, val p: Double) {
+    /** Largest row count any completed action has scanned — a partial
+      * action (show(5)/limit) early-terminates the scan, so its metrics
+      * cover only a sample; only a new high-water scan refines the
+      * estimate. */
+    var maxTotal: Long = -1L
+    /** Last realized rate warned about, for message-level dedup. */
+    var warnedRate: Double = Double.NaN
+  }
+
+  private val MaxPending = 1024
+  // Entries live until evicted: delivery must NOT consume them, because
+  // the first action is often a partial scan (show) whose metrics are
+  // meaningless; a later full-scan action supersedes it. The map is
+  // insertion-order bounded so plans that are built but never executed
+  // (speculative construction in a long-lived driver) can't leak —
+  // each entry is only meaningful for its plan's next few actions.
+  private val pending =
+    new java.util.LinkedHashMap[String, Pending](16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Pending]): Boolean =
+        size() > MaxPending
+    }
   // weak keys — don't pin stopped sessions in memory
   private val registered = java.util.Collections.synchronizedSet(
     java.util.Collections.newSetFromMap(
@@ -42,7 +62,9 @@ object ObservedWarnings {
   def observeRevert(df: DataFrame, fnName: String, p: Double,
                     reverted: Column, selected: Column): DataFrame = {
     val metricName = s"gecko_p_unmet_${counter.incrementAndGet()}"
-    pending.put(metricName, Pending(fnName, p))
+    pending.synchronized {
+      pending.put(metricName, new Pending(fnName, p)); ()
+    }
     ensureListener(df.sparkSession)
     df.observe(metricName,
       sum(reverted.cast("long")).as("n_reverted"),
@@ -56,22 +78,32 @@ object ObservedWarnings {
         override def onSuccess(funcName: String, qe: QueryExecution,
                                durationNs: Long): Unit =
           qe.observedMetrics.foreach { case (mName, row) =>
-            // remove-on-delivery: one warning per mutate call (as the
-            // reference warns once), even if the caller runs several
-            // actions on the same result — and no unbounded pending map
-            val info = pending.remove(mName)
-            if (info != null) {
-              def metric(field: String): Long = {
-                val i = row.fieldIndex(field)
-                if (row.isNullAt(i)) 0L else row.getLong(i)
+            def metric(field: String): Long = {
+              val i = row.fieldIndex(field)
+              if (row.isNullAt(i)) 0L else row.getLong(i)
+            }
+            val nReverted = metric("n_reverted")
+            val nSelected = metric("n_selected")
+            val nTotal = metric("n_total")
+            pending.synchronized {
+              val info = pending.get(mName)
+              // only a scan at least as complete as any seen so far can
+              // refine the estimate — a limit/show after a full action
+              // must not regress it, and the very first full action
+              // after a 5-row show() must still deliver the real
+              // shortfall (so delivery does NOT consume the entry)
+              if (info != null && nTotal > 0 && nTotal >= info.maxTotal) {
+                info.maxTotal = nTotal
+                // reference semantics (mutator.py:1284-1289): warn only
+                // when a selected row actually failed to mutate; dedup
+                // at message level so re-running the same action never
+                // replays the identical warning
+                val realized = (nSelected - nReverted).toDouble / nTotal
+                if (nReverted > 0 && realized != info.warnedRate) {
+                  info.warnedRate = realized
+                  Warnings.warnP(info.fnName, info.p, realized)
+                }
               }
-              val nReverted = metric("n_reverted")
-              val nTotal = metric("n_total")
-              // reference semantics (mutator.py:1284-1289): warn only
-              // when a selected row actually failed to mutate
-              if (nTotal > 0 && nReverted > 0)
-                Warnings.warnP(info.fnName, info.p,
-                  (metric("n_selected") - nReverted).toDouble / nTotal)
             }
           }
         override def onFailure(funcName: String, qe: QueryExecution,

@@ -233,18 +233,16 @@ object Mutators {
     private val u = DateTimeUnit.parse(unit)
     private val jdkFmt = Strftime.toJava(dtFormat)
 
-    /** Requested p of the in-flight applyWithStats, for the post-hoc
-      * warning message (driver-side plan construction is sequential).
-      * The 1.0 default is deliberate: WithGroup dispatches sub-mutators
-      * straight to applyToColumn, and the reference applies group
-      * members to their row subset with p=1 (mutator.py:1706-1713) —
-      * so a group-dispatched warning correctly reports p=1. */
-    @transient private var pendingP: Double = 1.0
-
+    /** The requested p is threaded through to the observe() warning as
+      * an explicit argument (no shared mutable state — plan
+      * construction from multiple threads stays safe). */
     override def applyWithStats(df: DataFrame, cols: Seq[String], p: Double,
                                 rid: Column, stats: Seq[Seq[Any]]): DataFrame = {
-      pendingP = p
-      super.applyWithStats(df, cols, p, rid, stats)
+      Gecko.checkProbability(p)
+      cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+        val sel = selectionFor(c, i, p, rid, stats(i))
+        applyToColumnP(d, c, i, sel, rid, p)
+      }
     }
 
     private def newTsFor(c: Column, rid: Column, colIdx: Int)
@@ -270,8 +268,16 @@ object Mutators {
       date_format(guarded, jdkFmt)
     }
 
+    /** Direct dispatch (WithGroup) reports p=1: the reference applies
+      * group members to their row subset with p=1
+      * (mutator.py:1706-1713). */
     override def applyToColumn(df: DataFrame, colName: String, colIdx: Int,
-                               sel: Column, rid: Column): DataFrame = {
+                               sel: Column, rid: Column): DataFrame =
+      applyToColumnP(df, colName, colIdx, sel, rid, p = 1.0)
+
+    private def applyToColumnP(df: DataFrame, colName: String, colIdx: Int,
+                               sel: Column, rid: Column,
+                               p: Double): DataFrame = {
       // observe BEFORE the rewrite so the revert predicate sees the
       // original values; the count piggybacks the next action — no
       // extra job, no UDF, stays inside codegen
@@ -280,7 +286,7 @@ object Mutators {
         else {
           val (ts, newTs) = newTsFor(col(colName), rid, colIdx)
           val reverted = sel && coarser(newTs) =!= coarser(ts)
-          ObservedWarnings.observeRevert(df, name, pendingP, reverted, sel)
+          ObservedWarnings.observeRevert(df, name, p, reverted, sel)
         }
       super.applyToColumn(input, colName, colIdx, sel, rid)
     }

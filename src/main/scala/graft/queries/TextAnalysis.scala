@@ -106,8 +106,11 @@ object TextAnalysis {
   val langIdSql: String = {
     val names = LangStopwords.map(_._1)
     val scoreDefs = LangStopwords.map { case (l, ws) =>
+      // escape quotes: a future stopword like l'eau must not break the
+      // generated SQL
       s"len(list_filter(string_split(text, ' '), t -> t IN " +
-        s"(${ws.map(w => s"'$w'").mkString(",")}))) AS score_$l"
+        s"(${ws.map(w => s"'${w.replace("'", "''")}'").mkString(",")})))" +
+        s" AS score_$l"
     }.mkString(",\n        ")
     val cases = names.map { l =>
       val isMax = names.filter(_ != l)

@@ -213,6 +213,34 @@ class MutatorSpec extends SparkSpec {
     assert(!Warnings.drain().exists(_.startsWith("with_datetime_offset")))
   }
 
+  test("withDatetimeOffset: a partial first action (show/limit) does " +
+    "not consume the warning — the first full scan still reports it") {
+    Warnings.drain()
+    val df = frame(Seq.fill(50)("01.01.2000"))
+    val out = WithDatetimeOffset(28, "d", "%d.%m.%Y",
+      preventWraparound = true, seed = 16)(df, Seq("v"), 1.0,
+      col(Gecko.RowId))
+    // limit(1): early-terminated scan — its metrics cover ~1 row and
+    // must not permanently swallow the pending entry
+    out.limit(1).collect()
+    Thread.sleep(500) // let the partial action's metrics deliver first
+    Warnings.drain()
+    out.collect() // full scan: the real shortfall must surface now
+    val deadline = System.nanoTime() + 5000000000L
+    var w = Seq.empty[String]
+    while (w.isEmpty && System.nanoTime() < deadline) {
+      w = Warnings.drain().filter(_.startsWith(
+        "with_datetime_offset: desired probability of 1.0 cannot be met"))
+      if (w.isEmpty) Thread.sleep(100)
+    }
+    assert(w.nonEmpty,
+      "full-scan warning was lost after a partial first action")
+    // re-running the identical action must not replay the warning
+    out.collect()
+    Thread.sleep(1000)
+    assert(!Warnings.drain().exists(_.startsWith("with_datetime_offset")))
+  }
+
   test("withDatetimeOffset: preventWraparound keeps month stable") {
     val df = frame(Seq("01.07.2001", "31.01.2000", "15.06.1999"))
     val out = WithDatetimeOffset(3, "d", "%d.%m.%Y", preventWraparound = true,
