@@ -63,8 +63,12 @@ trait Mutator {
                                        stats: Seq[Any]): DataFrame =
     applyToColumn(df, colName, colIdx, sel, rid)
 
-  /** Reference name used in warnings. */
+  /** Reference name used in warnings — the reference's snake_case
+    * operator name (with_delete, with_missing_value, …), derived from
+    * the class name; mutators whose reference name differs (e.g.
+    * with_cldr_keymap_file) override. */
   def name: String = getClass.getSimpleName.stripSuffix("$")
+    .replaceAll("(?<=[a-z0-9])(?=[A-Z])", "_").toLowerCase
 
   /** Standard entry point: p-protocol over each column independently,
     * with all columns' stats fused into (at most) one agg job. */

@@ -1,0 +1,423 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.{Gecko, Warnings}
+import graft.gen.Generators
+import graft.mut.{Mutators, RuleMutators}
+
+/** 1:1 ports of the reference's parametrized test matrix that the
+  * invariant suites don't already mirror — charset restrictions,
+  * reverse×inline combinations, flag matrices, exact warning-message
+  * prefixes, and the G4/G5 CSV input matrix. Each test cites the
+  * reference case it ports (tests/test_mutator.py /
+  * tests/test_generator.py). */
+class ReferenceMatrixSpec extends SparkSpec {
+  import Mutators._
+  import RuleMutators._
+  import spark.implicits._
+
+  private def frame(vals: Seq[String]): DataFrame =
+    vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF(Gecko.RowId, "v")
+
+  private def collectV(df: DataFrame): Array[String] =
+    df.orderBy(Gecko.RowId).select("v").collect().map(_.getString(0))
+
+  /** Deterministic analog of the reference's random_strings fixture. */
+  private def randomStrings(n: Int = 100, len: Int = 20,
+                            charset: String =
+                              "abcdefghijklmnopqrstuvwxyz0123456789",
+                            seed: Int = 7, unique: Boolean = false)
+      : Seq[String] = {
+    val r = new scala.util.Random(seed)
+    def one(): String =
+      if (unique) r.shuffle(charset.toList).take(len).mkString
+      else Seq.fill(len)(charset(r.nextInt(charset.length))).mkString
+    Seq.fill(n)(one())
+  }
+
+  private def expectWarning(prefix: String)(body: => Unit): Unit = {
+    Warnings.drain()
+    body
+    val ws = Warnings.drain()
+    assert(ws.exists(_.startsWith(prefix)),
+      s"expected warning starting with `$prefix`, got: ${ws.mkString("; ")}")
+  }
+
+  // -------------------------------------------------------------- M2
+  test("keymap: repeated value yields multiple typo variants " +
+    "(test_with_cldr_keymap_file_multiple_options :31-39)") {
+    val m = WithCldrKeymap(graft.mut.Cldr.neighborCandidates(
+      getClass.getResourceAsStream("/assets/de-t-k0-windows.xml"), None),
+      seed = 902)
+    val got = collectV(m(frame(Seq.fill(100)("foobar")), Seq("v"), 1.0,
+      col(Gecko.RowId)))
+    assert(got.forall(_.length == 6))
+    assert(got.distinct.length > 1)
+  }
+
+  // -------------------------------------------------------------- M4
+  test("replacementTable: multi-target source draws varied targets " +
+    "(test_with_replacement_table_random_values :114-131)") {
+    val table = Seq(("a", "0"), ("a", "1"), ("a", "2")).toDF("s", "t")
+    val m = WithReplacementTable(table, "s", "t", inline = true,
+      reverse = false, seed = 904)
+    val got = collectV(m(frame(Seq.fill(1000)("aaa")), Seq("v"), 1.0,
+      col(Gecko.RowId)))
+    assert(got.forall(_ != "aaa"))
+    assert(got.distinct.length > 1)
+  }
+
+  test("replacementTable: lowercase<->uppercase reverse matrix " +
+    "(test_with_replacement_table_reverse :165-183)") {
+    val lower = ('a' to 'z').map(_.toString)
+    val upper = ('A' to 'Z').map(_.toString)
+    val table = lower.zip(upper).toDF("s", "t")
+    val m = WithReplacementTable(table, "s", "t", inline = false,
+      reverse = true, seed = 905)
+    val got = collectV(m(frame(lower ++ upper), Seq("v"), 1.0,
+      col(Gecko.RowId)))
+    // every single-char value flips case in both directions
+    assert(got.take(26).toSeq == upper)
+    assert(got.drop(26).toSeq == lower)
+  }
+
+  test("replacementTable: inline char map keeps length, changes all " +
+    "(test_with_replacement_table_inline :186-204)") {
+    val lower = ('a' to 'z').map(_.toString)
+    val upper = ('A' to 'Z').map(_.toString)
+    val table = lower.zip(upper).toDF("s", "t")
+    val m = WithReplacementTable(table, "s", "t", inline = true,
+      reverse = false, seed = 906)
+    val in = randomStrings(charset = "abcdefghijklmnopqrstuvwxyz",
+      len = 10, seed = 11)
+    val got = collectV(m(frame(in), Seq("v"), 1.0, col(Gecko.RowId)))
+    assert(got.zip(in).forall { case (o, i) => o != i && o.length == 10 })
+  }
+
+  test("replacementTable: exact warning prefix at unattainable p " +
+    "(test_with_replacement_table_warn_p :207-224)") {
+    val table = Seq(("a", "A")).toDF("s", "t")
+    val m = WithReplacementTable(table, "s", "t", inline = false,
+      reverse = false, seed = 907)
+    val in = Seq.fill(50)("a") ++ Seq.fill(50)("b")
+    expectWarning(
+      "with_replacement_table: desired probability of 0.8 cannot be met") {
+      val got = collectV(m(frame(in), Seq("v"), 0.8, col(Gecko.RowId)))
+      assert(got.take(50).forall(_ == "A"))
+      assert(got.drop(50).forall(_ == "b"))
+    }
+  }
+
+  // -------------------------------------------------------------- M3
+  test("phonetic: full source/target/flags matrix on abc permutations " +
+    "(test_with_phonetic_replacement_table :969-986)") {
+    val rules = "abcbcca".zip("0123456").zip("^^^$$__").map {
+      case ((s, t), f) => (s.toString, t.toString, f.toString)
+    }
+    val m = WithPhoneticReplacementTable(rules, seed = 908)
+    val in = "abc".permutations.map(identity).toSeq.sorted
+    val got = collectV(m(frame(in), Seq("v"), 1.0, col(Gecko.RowId)))
+    assert(got.zip(in).forall { case (o, i) => o != i })
+    assert(got.forall(_.exists(_.isDigit)))
+  }
+
+  test("phonetic: anchor-distinct rules on one value yield exactly " +
+    "3 variants (test_with_phonetic_replacement_table_random_values " +
+    ":988-1005)") {
+    val m = WithPhoneticReplacementTable(Seq(
+      ("a", "0", "^"), ("a", "1", "_"), ("a", "2", "$")), seed = 909)
+    val got = collectV(m(frame(Seq.fill(1000)("aaa")), Seq("v"), 1.0,
+      col(Gecko.RowId)))
+    assert(got.forall(_ != "aaa"))
+    assert(got.distinct.sorted.toSeq == Seq("0aa", "a1a", "aa2"))
+  }
+
+  test("phonetic: empty flags enable all three anchors " +
+    "(test_with_phonetic_replacement_table_no_flags :1026-1052)") {
+    val m = WithPhoneticReplacementTable(Seq(("a", "0", "")), seed = 910)
+    val in = randomStrings(charset = "abcdefghijklmnopqrstuvwxyz",
+      len = 26, seed = 12, unique = true) // shuffled a-z: 'a' anywhere
+    val got = collectV(m(frame(in), Seq("v"), 1.0, col(Gecko.RowId)))
+    assert(got.zip(in).forall { case (o, i) => o != i })
+    assert(got.forall(_.contains('0')))
+  }
+
+  test("phonetic: exact warning prefix + untouched ineligible rows " +
+    "(test_with_phonetic_replacement_table_warn_p :1079-1104)") {
+    val m = WithPhoneticReplacementTable(Seq(("a", "0", "^")), seed = 911)
+    val in = Seq.fill(100)(Seq("abc", "def")).flatten
+    expectWarning("with_phonetic_replacement_table: desired probability " +
+      "of 0.8 cannot be met") {
+      val got = collectV(m(frame(in), Seq("v"), 0.8, col(Gecko.RowId)))
+      got.zip(in).foreach { case (o, i) =>
+        if (i == "abc") assert(o == "0bc") else assert(o == "def")
+      }
+    }
+  }
+
+  // ------------------------------------------------------------- M17
+  test("regex: disjoint patterns rewrite every row deterministically " +
+    "(test_with_regex_replacement_table_favor_rare_regexes :1137-1146)") {
+    val m = WithRegexReplacementTable(Seq(
+      ("a(bc)", "", Map("1" -> "1")), ("d(ef)", "", Map("1" -> "2"))),
+      seed = 912)
+    val in = Seq.fill(100)("abc") ++ Seq.fill(50)("def")
+    val got = collectV(m(frame(in), Seq("v"), 1.0, col(Gecko.RowId)))
+    assert(got.take(100).forall(_ == "a1"))
+    assert(got.drop(100).forall(_ == "d2"))
+  }
+
+  test("regex: named-group splice positions (both reference pattern " +
+    "sets, test_with_regex_replacement_table_partial :1243-1269)") {
+    val patternSets = Seq(
+      Seq("""^(?P<value>a).""", """.(?P<value>b).""", """.(?P<value>c)$"""),
+      Seq("""^(?P<value>a)\w+""", """\w+(?P<value>b)\w+""",
+        """\w+(?P<value>c)$"""))
+    patternSets.foreach { pats =>
+      val m = WithRegexReplacementTable(
+        pats.zip(Seq("0", "1", "2")).map { case (p, t) =>
+          (p, "", Map("value" -> t))
+        }, seed = 913)
+      val got = collectV(m(frame(Seq("aaa", "bbb", "ccc")), Seq("v"), 1.0,
+        col(Gecko.RowId)))
+      assert(got.toSeq == Seq("0aa", "b1b", "cc2"),
+        s"pattern set $pats gave ${got.toSeq}")
+    }
+  }
+
+  test("regex: identical patterns with different targets draw all 3 " +
+    "variants (test_with_regex_replacement_table_random_values " +
+    ":1272-1286)") {
+    val m = WithRegexReplacementTable(Seq(
+      (".(a).", "", Map("1" -> "0")), (".(a).", "", Map("1" -> "1")),
+      (".(a).", "", Map("1" -> "2"))), seed = 914)
+    val got = collectV(m(frame(Seq.fill(1000)("aaa")), Seq("v"), 1.0,
+      col(Gecko.RowId)))
+    assert(got.forall(_ != "aaa"))
+    assert(got.distinct.sorted.toSeq == Seq("a0a", "a1a", "a2a"))
+  }
+
+  test("regex: i-flag matrix mutates both cases " +
+    "(test_with_regex_replacement_table_flags :1177-1195)") {
+    val m = WithRegexReplacementTable(Seq(
+      ("a(bc)", "i", Map("1" -> "1")), ("d(ef)", "i", Map("1" -> "2"))),
+      seed = 915)
+    val in = Seq.fill(100)(Seq("abc", "def", "ABC", "DEF")).flatten
+    val got = collectV(m(frame(in), Seq("v"), 1.0, col(Gecko.RowId)))
+    got.zip(in).foreach { case (o, i) =>
+      assert(o != i)
+      assert(o.exists(_.isDigit))
+    }
+  }
+
+  test("regex: exact warning prefix at unattainable p " +
+    "(test_with_regex_replacement_table_warn_p :1197-1215)") {
+    val m = WithRegexReplacementTable(Seq(("a(bc)", "", Map("1" -> "1"))),
+      seed = 916)
+    val in = Seq.fill(100)(Seq("abc", "def")).flatten
+    expectWarning("with_regex_replacement_table: desired probability " +
+      "of 0.8 cannot be met") {
+      val got = collectV(m(frame(in), Seq("v"), 0.8, col(Gecko.RowId)))
+      got.zip(in).foreach { case (o, i) =>
+        if (i == "abc") assert(o == "a1") else assert(o == "def")
+      }
+    }
+  }
+
+  // -------------------------------------------------- M6/M7/M8/M9
+  test("insert: custom charset lands in the output " +
+    "(test_with_insert_charset :307-320)") {
+    val in = randomStrings(charset = "abcdefghijklmnopqrstuvwxyz",
+      seed = 13)
+    val m = WithInsert(charset = ('A' to 'Z').mkString, seed = 917)
+    val got = collectV(m(frame(in), Seq("v"), 1.0, col(Gecko.RowId)))
+    got.zip(in).foreach { case (o, i) =>
+      assert(o.length == i.length + 1)
+      assert(o.exists(_.isUpper), s"no uppercase inserted in `$o`")
+      assert(o.filterNot(_.isUpper) == i) // everything else preserved
+    }
+  }
+
+  test("substitute: custom digit charset makes rows alphanumeric " +
+    "(test_with_substitute_charset :390-405)") {
+    val in = randomStrings(charset = "abcdefghijklmnopqrstuvwxyz",
+      seed = 14)
+    val m = WithSubstitute(charset = "0123456789", seed = 918)
+    val got = collectV(m(frame(in), Seq("v"), 1.0, col(Gecko.RowId)))
+    got.zip(in).foreach { case (o, i) =>
+      assert(o.length == i.length)
+      assert(o.count(_.isDigit) == 1, s"expected exactly one digit in `$o`")
+      assert(o.forall(c => c.isDigit || c.isLower))
+    }
+  }
+
+  test("delete: exact warning prefix; empty rows untouched " +
+    "(test_with_delete_warn_p :268-282)") {
+    val in = randomStrings(n = 50, seed = 15) ++ Seq.fill(50)("")
+    val m = WithDelete(seed = 919)
+    expectWarning("with_delete: desired probability of 0.8 cannot be met") {
+      val got = collectV(m(frame(in), Seq("v"), 0.8, col(Gecko.RowId)))
+      got.zip(in).take(50).foreach { case (o, i) =>
+        assert(o.length == i.length - 1)
+      }
+      assert(got.drop(50).forall(_ == ""))
+    }
+  }
+
+  test("transpose: exact warning prefix; single-char rows untouched " +
+    "(test_with_transpose_warn_p :347-361)") {
+    val in = randomStrings(n = 50, seed = 16, unique = true) ++
+      Seq.fill(50)("a")
+    val m = WithTranspose(seed = 920)
+    expectWarning(
+      "with_transpose: desired probability of 0.8 cannot be met") {
+      val got = collectV(m(frame(in), Seq("v"), 0.8, col(Gecko.RowId)))
+      got.zip(in).take(50).foreach { case (o, i) =>
+        assert(o != i && o.length == i.length)
+        assert(o.sorted == i.sorted)
+      }
+      assert(got.drop(50).forall(_ == "a"))
+    }
+  }
+
+  test("substitute: exact warning prefix; empty rows untouched " +
+    "(test_with_substitute_warn_p :407-421)") {
+    val in = randomStrings(n = 50, charset = "0123456789", seed = 17) ++
+      Seq.fill(50)("")
+    val m = WithSubstitute(seed = 921)
+    expectWarning(
+      "with_substitute: desired probability of 0.8 cannot be met") {
+      val got = collectV(m(frame(in), Seq("v"), 0.8, col(Gecko.RowId)))
+      got.zip(in).take(50).foreach { case (o, i) =>
+        assert(o != i && o.length == i.length)
+      }
+      assert(got.drop(50).forall(_ == ""))
+    }
+  }
+
+  test("uppercase/lowercase: exact warning prefixes at unattainable p " +
+    "(test_with_uppercase_warn_p :445-462, test_with_lowercase_warn_p " +
+    ":486-503)") {
+    val mixed = Seq.fill(50)("abc") ++ Seq.fill(50)("ABC")
+    expectWarning(
+      "with_uppercase: desired probability of 0.8 cannot be met") {
+      val got = collectV(WithUppercase(seed = 922)(frame(mixed), Seq("v"),
+        0.8, col(Gecko.RowId)))
+      assert(got.take(50).forall(_ == "ABC")) // all eligible mutated
+      assert(got.drop(50).forall(_ == "ABC"))
+    }
+    expectWarning(
+      "with_lowercase: desired probability of 0.8 cannot be met") {
+      val got = collectV(WithLowercase(seed = 923)(frame(mixed), Seq("v"),
+        0.8, col(Gecko.RowId)))
+      assert(got.forall(_ == "abc"))
+    }
+  }
+
+  test("missingValue: exact warning prefix when sentinel pre-exists " +
+    "(test_with_missing_value_existing :82-93)") {
+    val in = Seq.fill(20)("foo") ++ Seq.fill(80)("")
+    expectWarning(
+      "with_missing_value: desired probability of 0.5 cannot be met") {
+      val got = collectV(WithMissingValue("", seed = 924)(frame(in),
+        Seq("v"), 0.5, col(Gecko.RowId)))
+      assert(got.forall(_ == ""))
+    }
+  }
+
+  test("keymap: exact warning prefix with digit charset restriction " +
+    "(test_with_cldr_keymap_file_warn_low_p :41-59)") {
+    val m = WithCldrKeymap(graft.mut.Cldr.neighborCandidates(
+      getClass.getResourceAsStream("/assets/de-t-k0-windows.xml"),
+      Some("0123456789")), seed = 925)
+    val in = Seq.fill(20)("123") ++ Seq.fill(80)("foobar")
+    expectWarning(
+      "with_cldr_keymap_file: desired probability of 0.5 cannot be met") {
+      val got = collectV(m(frame(in), Seq("v"), 0.5, col(Gecko.RowId)))
+      got.zip(in).take(20).foreach { case (o, i) =>
+        assert(o != i && o.length == 3)
+      }
+      assert(got.drop(20).forall(_ == "foobar"))
+    }
+  }
+
+  // ----------------------------------------------- G4/G5 input matrix
+  private def writeTempCsv(name: String, lines: Seq[String]): String = {
+    val f = java.nio.file.Files.createTempDirectory("graft-matrix")
+      .resolve(name)
+    java.nio.file.Files.writeString(f, lines.mkString("\n"))
+    f.toString
+  }
+
+  test("freqTable: no-header CSV with positional refs " +
+    "(test_from_frequency_table_no_header tests/test_generator.py" +
+    ":47-57)") {
+    val path = writeTempCsv("freq_no_header.csv",
+      Seq("foo,4", "bar,6"))
+    val g = Generators.fromFrequencyTable(spark, path,
+      Left(0), Left(1), ",", seed = 930)
+    val vals = g.generate(spark, 100).select("c0").collect()
+      .map(_.getString(0))
+    assert(vals.contains("foo") && vals.contains("bar"))
+    assert(vals.forall(v => v == "foo" || v == "bar"))
+  }
+
+  test("freqTable: header CSV with named refs " +
+    "(test_from_frequency_table_with_header :59-70)") {
+    val path = writeTempCsv("freq_header.csv",
+      Seq("value,freq", "foo,4", "bar,6"))
+    val g = Generators.fromFrequencyTable(spark, path,
+      Right("value"), Right("freq"), ",", seed = 931)
+    val vals = g.generate(spark, 100).select("c0").collect()
+      .map(_.getString(0))
+    assert(vals.contains("foo") && vals.contains("bar"))
+    assert(vals.forall(v => v == "foo" || v == "bar"))
+  }
+
+  test("freqTable: TSV via delimiter option " +
+    "(test_from_frequency_table_tsv :72-78)") {
+    val path = writeTempCsv("freq_no_header.tsv",
+      Seq("foo\t4", "bar\t6"))
+    val g = Generators.fromFrequencyTable(spark, path,
+      Left(0), Left(1), "\t", seed = 932)
+    val vals = g.generate(spark, 100).select("c0").collect()
+      .map(_.getString(0))
+    assert(vals.contains("foo") && vals.contains("bar"))
+    assert(vals.forall(v => v == "foo" || v == "bar"))
+  }
+
+  test("freqTable: fruit value domain is exactly the table's " +
+    "(test_from_frequency_table :83-96)") {
+    val path = writeTempCsv("freq_fruits.csv",
+      Seq("fruit,count", "apple,50", "banana,30", "orange,20"))
+    val g = Generators.fromFrequencyTable(spark, path,
+      Right("fruit"), Right("count"), ",", seed = 933)
+    val vals = g.generate(spark, 100).select("c0").collect()
+      .map(_.getString(0))
+    assert(vals.distinct.sorted.toSeq == Seq("apple", "banana", "orange"))
+  }
+
+  test("multicolumnFreqTable: CSV joint rows stay consistent " +
+    "(test_from_multicolumn_frequency_table :99-124)") {
+    val path = writeTempCsv("freq_fruits_types.csv", Seq(
+      "fruit,type,count",
+      "apple,braeburn,10", "apple,elstar,20",
+      "banana,cavendish,15", "banana,plantain,15",
+      "orange,clementine,25", "orange,mandarin,15"))
+    val g = Generators.fromMulticolumnFrequencyTable(spark, path,
+      Seq(Right("fruit"), Right("type")), Right("count"), ",", seed = 934)
+    val rows = g.generate(spark, 100).select("c0", "c1").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val allowed = Map(
+      "apple" -> Set("braeburn", "elstar"),
+      "banana" -> Set("cavendish", "plantain"),
+      "orange" -> Set("clementine", "mandarin"))
+    rows.foreach { case (fruit, tpe) =>
+      assert(allowed.contains(fruit), s"unknown fruit `$fruit`")
+      assert(allowed(fruit).contains(tpe),
+        s"type `$tpe` impossible for fruit `$fruit`")
+    }
+  }
+}
