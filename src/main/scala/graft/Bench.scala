@@ -73,6 +73,7 @@ object Bench {
     // file first: survives any stdout interleaving from sbt/Spark
     val outDir = sys.env.getOrElse("SPARK_GRAFT_OUT", ".")
     try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
       java.nio.file.Files.write(
         java.nio.file.Paths.get(outDir, "bench.json"),
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))

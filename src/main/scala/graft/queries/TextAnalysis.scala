@@ -191,6 +191,75 @@ object TextAnalysis {
       FROM documents)
     ORDER BY doc_id"""
 
+  // ---------------------------------------------- text normalization
+  /** Canonical cleaning pass every corpus pipeline runs before dedup:
+    * case-fold, strip non-alphanumerics, collapse whitespace. Emits
+    * the normalized text plus its md5 dedup key. Pure codegen'd
+    * expressions — scan speed at 100 TB. */
+  def normalize(s: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(regexp_replace(lower(col("text")),
+      "[^a-z0-9 ]", ""), " +", " "))
+    Relational.table(s, dir, "documents")
+      .select(col("doc_id"), norm.as("norm_text"),
+        md5(norm).as("norm_key"))
+      .orderBy("doc_id")
+  }
+
+  val normalizeSql: String = """
+    SELECT doc_id, norm_text, md5(norm_text) AS norm_key
+    FROM (
+      SELECT doc_id,
+        trim(regexp_replace(regexp_replace(lower(text),
+          '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_text
+      FROM documents)
+    ORDER BY doc_id"""
+
+  // -------------------------------------------------- repetition score
+  /** Gopher-style repetition signal: the highest single-token frequency
+    * per document and its ratio of the token count. Computed with ZERO
+    * shuffles as a pure expression — sort the token array and take the
+    * longest equal-adjacent run via a struct-state aggregate — instead
+    * of the explode + double-groupBy formulation whose shuffle is
+    * O(total tokens) at 100 TB. */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val sorted = array_sort(tokens(lower(col("text"))))
+    val nTokens = size(sorted).cast("long")
+    // eq(i) = 1 iff sorted(i) == sorted(i+1); zip_with pads the
+    // shorter shifted copy with null => 0
+    val eqs = zip_with(sorted,
+      slice(sorted, lit(2), greatest(size(sorted) - 1, lit(0))),
+      (a, b) => when(b.isNotNull && a === b, 1).otherwise(0))
+    val maxFreq = aggregate(eqs,
+      struct(lit(1L).as("cur"), lit(1L).as("best")),
+      (acc, x) => {
+        val cur = when(x === 1, acc("cur") + 1).otherwise(lit(1L))
+        struct(cur.as("cur"), greatest(acc("best"), cur).as("best"))
+      },
+      acc => acc("best"))
+    Relational.table(s, dir, "documents")
+      .select(col("doc_id"), nTokens.as("n_tokens"),
+        maxFreq.as("max_freq"),
+        (maxFreq.cast("double") / nTokens).as("max_token_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val repetitionSql: String = """
+    SELECT d.doc_id, len(string_split(lower(d.text), ' ')) AS n_tokens,
+      f.max_freq,
+      CAST(f.max_freq AS DOUBLE) /
+        len(string_split(lower(d.text), ' ')) AS max_token_ratio
+    FROM documents d
+    JOIN (
+      SELECT doc_id, max(c) AS max_freq
+      FROM (
+        SELECT doc_id, t, count(*) AS c
+        FROM (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+          FROM documents)
+        GROUP BY doc_id, t)
+      GROUP BY doc_id) f ON d.doc_id = f.doc_id
+    ORDER BY d.doc_id"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("t01_token_count", tokenCount _, Some(tokenCountSql)),
@@ -198,5 +267,7 @@ object TextAnalysis {
       ("t03_lang_id", langId _, Some(langIdSql)),
       ("t04_fingerprint", fingerprintOracle _, Some(fingerprintSql)),
       ("t05_sequence_pack", sequencePack _, Some(sequencePackSql)),
+      ("t06_normalize", normalize _, Some(normalizeSql)),
+      ("t07_repetition", repetition _, Some(repetitionSql)),
     )
 }

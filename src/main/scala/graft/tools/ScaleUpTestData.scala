@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: scale a driver-generated sf directory by an integer
+  * factor, preserving join semantics — each copy shifts every key /
+  * foreign-key column by `copy * Stride`, so per-key group sizes,
+  * join fan-outs, and selectivities stay constant while row counts
+  * multiply (the honest way to extrapolate the sf0.1 bench to sf1:
+  * real TPC-H scaling also grows entity counts, not group sizes).
+  * Dimension tables (region/nation) stay fixed, like TPC-H.
+  *
+  * Usage: runMain graft.tools.ScaleUpTestData <srcSfDir> <outDir> <factor>
+  */
+object ScaleUpTestData {
+
+  /** Far above every key in any sf dir AND above Dedup's planted-id
+    * offsets (2e6), so shifted copies can never collide. */
+  private val Stride = 100000000L
+
+  private val ShiftCols: Seq[(String, Seq[String])] = Seq(
+    "region" -> Seq.empty,
+    "nation" -> Seq.empty,
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, outDir, factorStr) = args
+    val factor = factorStr.toInt
+    require(factor >= 1, s"factor must be >= 1, is $factor")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      // events carries TIMESTAMP(NANOS): read as raw long nanos (the
+      // engine's loader handles the long form identically)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    ShiftCols.foreach { case (table, shifts) =>
+      val df = spark.read.parquet(s"$srcDir/$table.parquet")
+      val out =
+        if (shifts.isEmpty) df
+        else (0 until factor).map { i =>
+          shifts.foldLeft(df) { (d, c) =>
+            d.withColumn(c, col(c) + lit(i * Stride))
+          }
+        }.reduce(_.unionAll(_))
+      out.repartition(32).write.mode("overwrite")
+        .parquet(s"$outDir/$table.parquet")
+      println(s"[scaleup] $table x$factor -> $outDir/$table.parquet")
+    }
+    spark.stop()
+  }
+}

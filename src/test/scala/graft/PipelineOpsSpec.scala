@@ -179,6 +179,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(fps(0) == fps(1) && fps(1) == fps(2) && fps(0) != fps(3))
   }
 
+  test("normalize: case-fold, punctuation strip, whitespace collapse") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("norm").toString
+    Seq((1L, "Hello,  World! 42"), (2L, "a   b"), (3L, "X--Y"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextAnalysis.normalize(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "hello world 42")
+    assert(got(2L) == "a b")
+    assert(got(3L) == "xy")
+  }
+
+  test("repetition: expression-only max-token-frequency equals the " +
+    "explode+groupBy formulation") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a b c"), (2L, "x y z"), (3L, "w w W w"),
+      (4L, "solo")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("rep_docs")
+    // the shuffle-heavy formulation the operator replaces
+    val expected = spark.sql("""
+      SELECT doc_id, max(c) AS max_freq FROM (
+        SELECT doc_id, t, count(*) AS c
+        FROM (SELECT doc_id, explode(split(lower(text), ' ')) AS t
+              FROM rep_docs)
+        GROUP BY doc_id, t)
+      GROUP BY doc_id""").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tmp = java.nio.file.Files.createTempDirectory("rep").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val op = TextAnalysis.repetition(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(op == expected)
+    assert(op(1L) == 3 && op(2L) == 1 && op(3L) == 4 && op(4L) == 1)
+  }
+
   test("multimodal: WAV codec round-trips bytes through a real RIFF " +
     "parse") {
     val payload = "Hello WAV".getBytes("US-ASCII")
