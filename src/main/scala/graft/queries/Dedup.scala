@@ -110,12 +110,26 @@ object Dedup {
     sig.toSeq
   }
 
-  /** MinHash-LSH near-dup pairs: signature → 16 bands of 2 → bucket
-    * join → signature-estimated Jaccard >= 0.5. The signature is a
-    * native Catalyst expression (graft.expr.MinHashSignature) — stays
-    * inside whole-stage codegen, no per-row UDF boxing. */
+  /** Collapse exact duplicates to their min-id representative before
+    * any near-dup candidate generation. Standard pipeline staging
+    * (exact dedup → near dedup) and the structural guard against
+    * quadratic candidate blowup: k exact copies of a document would
+    * otherwise co-occur in every LSH bucket and emit k(k-1)/2
+    * candidate pairs each — the sf1 replication bench measured exactly
+    * that (BASELINE.md). One hash-groupBy with map-side partial agg,
+    * same shuffle shape as exact dedup itself. */
+  private def exactReps(corpus: DataFrame): DataFrame =
+    corpus.groupBy(md5(col("text")).as("__th"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
+      .drop("__th")
+
+  /** MinHash-LSH near-dup pairs over exact-duplicate representatives:
+    * signature → 16 bands of 2 → bucket join → signature-estimated
+    * Jaccard >= 0.5. The signature is a native Catalyst expression
+    * (graft.expr.MinHashSignature) — stays inside whole-stage codegen,
+    * no per-row UDF boxing. */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sigs = corpusWithNearDups(s, dir)
+    val sigs = exactReps(corpusWithNearDups(s, dir))
       .select(col("doc_id"),
         graft.expr.MinHashSignature.minhashSignature(col("text"), MinhashK)
           .as("sig"))
@@ -174,12 +188,12 @@ object Dedup {
     out
   }
 
-  /** SimHash near-dup pairs: fingerprint once per doc, candidates via
-    * 16-bit chunk banding (any equal chunk), verified by Hamming
-    * distance <= 16. */
+  /** SimHash near-dup pairs over exact-duplicate representatives:
+    * fingerprint once per doc, candidates via 16-bit chunk banding
+    * (any equal chunk), verified by Hamming distance <= 16. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val shUdf = udf(simhash64 _)
-    val sigs = corpusWithNearDups(s, dir)
+    val sigs = exactReps(corpusWithNearDups(s, dir))
       .select(col("doc_id"), shUdf(col("text")).as("sh"))
     // chunk i = bits [16i, 16i+16)
     val buckets = sigs.select(col("doc_id"), col("sh"),
