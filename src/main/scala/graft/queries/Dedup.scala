@@ -25,7 +25,7 @@ import scala.util.hashing.MurmurHash3
   * every SF. */
 object Dedup {
 
-  private val PlantOffset = 1000000L
+  private[graft] val PlantOffset = 1000000L
 
   /** documents ∪ near-duplicate copies (every 10th doc with its last
     * two words dropped, id shifted by +1e6). */
@@ -302,6 +302,17 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** DuckDB oracle for [[dedupEmbeddingCosine]]: at the driver's scale
+    * factors the output is exactly the planted pairs (random 64-dim
+    * vectors essentially never reach cos >= 0.99, and the planted
+    * copies always share a bucket — verified at sf0.001/sf0.01), and
+    * cos(x, 1.003x) rounds to 1.0 at 4 decimals. */
+  val dedupEmbeddingCosineSql: String = s"""
+    SELECT vec_id AS a, vec_id + $PlantOffset AS b,
+      CAST(1.0 AS DOUBLE) AS cos
+    FROM embeddings WHERE vec_id % 10 = 0
+    ORDER BY 1, 2"""
+
   // ------------------------------- cluster formation / canonical pick
   /** Transitive closure of near-dup pairs into clusters via the
     * alternating large-star/small-star algorithm (Kiveris et al.,
@@ -428,7 +439,8 @@ object Dedup {
       ("d03_dedup_simhash", dedupSimhash _, None),
       ("d04_dedup_ngram_jaccard", dedupNgramJaccard _,
         Some(dedupNgramJaccardSql)),
-      ("d05_dedup_embedding_cosine", dedupEmbeddingCosine _, None),
+      ("d05_dedup_embedding_cosine", dedupEmbeddingCosine _,
+        Some(dedupEmbeddingCosineSql)),
       ("d06_dedup_clusters", dedupClusters _, None),
       ("d07_cluster_chain", clusterChain _, Some(clusterChainSql)),
     )

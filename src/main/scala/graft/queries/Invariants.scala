@@ -277,6 +277,104 @@ object Invariants {
     s"""SELECT CAST($N AS BIGINT) AS n, CAST($N AS BIGINT) AS n_seg,
        CAST($N AS BIGINT) AS n_score, CAST($N AS BIGINT) AS n_joined"""
 
+  // ------------------------------------------- sketch/LSH invariants
+  // The sketch outputs themselves are engine-specific, but their
+  // CONTRACTS are closed-form: recall bounds on the planted duplicates,
+  // well-formedness of clusters, and error bounds vs the exact
+  // aggregates — all seeded-deterministic, all reducible to constants.
+
+  private def plantedPairs(s: SparkSession, dir: String): DataFrame =
+    Relational.table(s, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("a"),
+        (col("doc_id") + Dedup.PlantOffset).as("b"))
+
+  private def recallOk(pairs: DataFrame, planted: DataFrame,
+                       bound: Double): DataFrame =
+    planted.join(pairs.select("a", "b"), Seq("a", "b"), "left_semi")
+      .agg(count(lit(1)).as("hit"))
+      .crossJoin(planted.agg(count(lit(1)).as("tot")))
+      .select((col("hit") >= lit(bound) * col("tot")).as("recall_ok"))
+
+  /** D2: MinHash-LSH must recover >= 80% of the planted near-dup
+    * pairs (the PipelineOpsSpec bound, surfaced to the driver gate). */
+  def d02RecallInv(s: SparkSession, dir: String): DataFrame =
+    recallOk(Dedup.dedupMinhashLsh(s, dir), plantedPairs(s, dir), 0.8)
+
+  /** D3: SimHash banding must recover >= 70% of the planted pairs. */
+  def d03RecallInv(s: SparkSession, dir: String): DataFrame =
+    recallOk(Dedup.dedupSimhash(s, dir), plantedPairs(s, dir), 0.7)
+
+  val recallSql: String = "SELECT TRUE AS recall_ok"
+
+  /** D6: every emitted cluster is well-formed — >= 2 members, exactly
+    * one keep, and the cluster id IS the minimum member id. */
+  def d06StarInv(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupClusters(s, dir)
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("keep").cast("long")).as("keeps"),
+        min(col("doc_id")).as("mn"))
+      .agg(sum((col("n") < 2 || col("keeps") =!= 1 ||
+        col("mn") =!= col("cluster_id")).cast("long")).as("bad_clusters"))
+
+  val d06Sql: String = "SELECT CAST(0 AS BIGINT) AS bad_clusters"
+
+  /** S2: LSH ANN results are valid (no query exceeds k=5 results) and
+    * overlap the exact brute-force top-k by >= 30% (measured 45% at
+    * sf0.01; seeded-deterministic). */
+  def s02AnnInv(s: SparkSession, dir: String): DataFrame = {
+    val bf = Similarity.annBruteForce(s, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val lsh = Similarity.annLshBucketed(s, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val hit = bf.join(lsh, Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("hit"))
+    val tot = bf.agg(count(lit(1)).as("tot"))
+    val overK = lsh.groupBy("query_id").agg(count(lit(1)).as("k"))
+      .agg(sum((col("k") > 5).cast("long")).as("n_over"))
+    hit.crossJoin(tot).crossJoin(overK)
+      .select((col("hit") >= lit(0.3) * col("tot")).as("recall_ok"),
+        (col("n_over") === 0).as("k_bounded"))
+  }
+
+  val s02Sql: String = "SELECT TRUE AS recall_ok, TRUE AS k_bounded"
+
+  /** Q18: the HyperLogLog++ distinct estimate stays within 5% of the
+    * exact count per group (rsd=0.02 sketch). */
+  def q18ErrorInv(s: SparkSession, dir: String): DataFrame =
+    Relational.q18ApproxDistinct(s, dir)
+      .select(col("l_returnflag"),
+        (abs(col("approx_orders") - col("exact_orders")).cast("double") /
+          col("exact_orders") <= 0.05).as("ok_orders"),
+        (abs(col("approx_parts") - col("exact_parts")).cast("double") /
+          col("exact_parts") <= 0.05).as("ok_parts"))
+      .orderBy("l_returnflag")
+
+  val q18ErrSql: String = """
+    SELECT l_returnflag, TRUE AS ok_orders, TRUE AS ok_parts
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** Q20: the t-digest percentile stays within 2% of the exact
+    * percentile per group (the RelationalSpec bound, surfaced to the
+    * driver gate). */
+  def q20ErrorInv(s: SparkSession, dir: String): DataFrame = {
+    val approx = Relational.q20ApproxPercentiles(s, dir)
+      .withColumnRenamed("p50_price", "a50")
+      .withColumnRenamed("p95_price", "a95")
+    Relational.q19Percentiles(s, dir).join(approx, "l_returnflag")
+      .select(col("l_returnflag"),
+        (abs(col("a50") - col("p50_price")) / col("p50_price") <= 0.02)
+          .as("ok_p50"),
+        (abs(col("a95") - col("p95_price")) / col("p95_price") <= 0.02)
+          .as("ok_p95"))
+      .orderBy("l_returnflag")
+  }
+
+  val q20ErrSql: String = """
+    SELECT l_returnflag, TRUE AS ok_p50, TRUE AS ok_p95
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   // ------------------------------------------------ sampling invariants
 
   /** S3: a stratified sample is a subset of its input (no fabricated
@@ -315,5 +413,11 @@ object Invariants {
       ("g07_group_sizes_inv", g07GroupSizes _, Some(g07Sql)),
       ("g08_to_data_frame_fmt_inv", g08ToDataFrameFmt _, Some(g08Sql)),
       ("s03_sample_subset_inv", s03SampleSubset _, Some(s03Sql)),
+      ("d02_recall_inv", d02RecallInv _, Some(recallSql)),
+      ("d03_recall_inv", d03RecallInv _, Some(recallSql)),
+      ("d06_star_inv", d06StarInv _, Some(d06Sql)),
+      ("s02_ann_inv", s02AnnInv _, Some(s02Sql)),
+      ("q18_error_inv", q18ErrorInv _, Some(q18ErrSql)),
+      ("q20_error_inv", q20ErrorInv _, Some(q20ErrSql)),
     )
 }
