@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{LayerADemo, Relational}
+import graft.queries.{LayerADemo, Relational, TextAnalysis}
 
 /** Physical-plan audit: the properties that decide 100 TB viability —
   * predicate pushdown, column pruning, broadcast choices, absence of
@@ -134,5 +134,25 @@ class PlanSpec extends SparkSpec {
     val ocr = graft.mut.RuleMutators.WithReplacementTable(
       Seq(("5", "s")), inline = true, reverse = false, seed = 4)
     assert(udfCount(ocr(df, Seq("v"), 0.5, col(graft.core.Gecko.RowId))) == 1)
+  }
+
+  test("t07 repetition: zero exchanges before the presentation sort — " +
+    "the per-doc max-token-frequency never shuffles token rows") {
+    val df = TextAnalysis.repetition(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // exactly the one exchange the final ORDER BY requires; the
+    // explode+groupBy formulation this replaces would show two
+    // HashAggregate exchanges over exploded tokens
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"expected <=1 exchange (the sort), got " +
+      s"$exchanges in:\n$p")
+    assert(!p.contains("Generate"), s"token explode leaked into:\n$p")
+  }
+
+  test("t06 normalize: column pruning — only doc_id and text read") {
+    val df = TextAnalysis.normalize(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("lang"), s"pruned column still read in:\n$p")
   }
 }
