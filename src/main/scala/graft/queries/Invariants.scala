@@ -340,6 +340,23 @@ object Invariants {
 
   val s02Sql: String = "SELECT TRUE AS recall_ok, TRUE AS k_bounded"
 
+  /** S4: IVF ANN results are k-bounded and overlap the exact top-k by
+    * >= 30% (seeded-deterministic centroids). */
+  def s04AnnInv(s: SparkSession, dir: String): DataFrame = {
+    val bf = Similarity.annBruteForce(s, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val ivf = Similarity.annIvf(s, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val hit = bf.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("hit"))
+    val tot = bf.agg(count(lit(1)).as("tot"))
+    val overK = ivf.groupBy("query_id").agg(count(lit(1)).as("k"))
+      .agg(sum((col("k") > 5).cast("long")).as("n_over"))
+    hit.crossJoin(tot).crossJoin(overK)
+      .select((col("hit") >= lit(0.3) * col("tot")).as("recall_ok"),
+        (col("n_over") === 0).as("k_bounded"))
+  }
+
   /** Q18: the HyperLogLog++ distinct estimate stays within 5% of the
     * exact count per group (rsd=0.02 sketch). */
   def q18ErrorInv(s: SparkSession, dir: String): DataFrame =
@@ -417,6 +434,7 @@ object Invariants {
       ("d03_recall_inv", d03RecallInv _, Some(recallSql)),
       ("d06_star_inv", d06StarInv _, Some(d06Sql)),
       ("s02_ann_inv", s02AnnInv _, Some(s02Sql)),
+      ("s04_ann_inv", s04AnnInv _, Some(s02Sql)),
       ("q18_error_inv", q18ErrorInv _, Some(q18ErrSql)),
       ("q20_error_inv", q20ErrorInv _, Some(q20ErrSql)),
     )

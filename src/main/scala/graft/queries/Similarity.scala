@@ -123,9 +123,105 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  // ------------------------------------------------------------ IVF
+  private val IvfK = 16
+  private val IvfProbe = 4
+  private val IvfIters = 2
+  private val IvfTrainCap = 2000
+
+  /** Index of the centroid most cosine-similar to v (ties → lowest). */
+  def nearestCentroid(v: Seq[Float], cents: Array[Array[Float]]): Int = {
+    var best = 0; var bestCos = -2.0
+    var i = 0
+    while (i < cents.length) {
+      val c = cosine(v, cents(i).toSeq)
+      if (c > bestCos) { bestCos = c; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** The `n` most similar centroid indices (probe set). */
+  def nearestCentroids(v: Seq[Float], cents: Array[Array[Float]],
+                       n: Int): Seq[Int] =
+    cents.indices
+      .map(i => (i, cosine(v, cents(i).toSeq)))
+      .sortBy { case (i, c) => (-c, i) }
+      .take(n).map(_._1)
+
+  /** Deterministic k-means centroids for the IVF index, trained on a
+    * hash-gated sample (layout-stable): init = the k sample vectors
+    * with the lowest seeded hash, then Lloyd rounds where only the
+    * SAMPLE is dim-exploded and averaged — the full corpus is never
+    * shuffled for training, which is the standard IVF shape at 100 TB
+    * (train on a sample, assign the corpus in one broadcast pass). */
+  def ivfCentroids(emb: DataFrame, k: Int, iters: Int,
+                   seed: Long): Array[Array[Float]] = {
+    val session = emb.sparkSession
+    val sample = emb
+      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
+      .limit(IvfTrainCap)
+      .select(col("vec_id"), col("embedding")).persist()
+    var cents = sample
+      .orderBy(xxhash64(col("vec_id"), lit(seed + 1)), col("vec_id"))
+      .limit(k).collect()
+      .map(_.getSeq[Float](1).toArray)
+    (1 to iters).foreach { _ =>
+      val bc = session.sparkContext.broadcast(cents)
+      val nearest = udf((v: Seq[Float]) => nearestCentroid(v, bc.value))
+      val means = sample.withColumn("cid", nearest(col("embedding")))
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
+        .collect()
+      val next = cents.map(_.clone()) // empty clusters keep their centroid
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat
+      }
+      cents = next
+    }
+    sample.unpersist()
+    cents
+  }
+
+  /** IVF ANN: k-means inverted lists + multi-probe. Every corpus
+    * vector is assigned to its nearest centroid in ONE broadcast pass
+    * (no shuffle); each query probes its `IvfProbe` closest lists, so
+    * the candidate join is a centroid-id equi-join touching ~probe/k
+    * of the corpus; exact cosine re-ranks. The centroid count scales
+    * as sqrt(corpus) in production — the plan shape is unchanged. */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Relational.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cents = ivfCentroids(emb, IvfK, IvfIters, seed = 9000)
+    val bc = s.sparkContext.broadcast(cents)
+    val assignUdf = udf((v: Seq[Float]) => nearestCentroid(v, bc.value))
+    val probeUdf = udf((v: Seq[Float]) =>
+      nearestCentroids(v, bc.value, IvfProbe))
+
+    val lists = emb.select(col("vec_id"), col("embedding"),
+      assignUdf(col("embedding")).as("cid"))
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        explode(probeUdf(col("embedding"))).as("cid"))
+    val cosUdf = udf(cosine _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    // each corpus vector lives in exactly one list and each query
+    // probes distinct lists => no duplicate (query, vec) candidates
+    lists.join(broadcast(queries), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosUdf(col("embedding"), col("qe")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("s01_ann_brute_force", annBruteForce _, Some(annBruteForceSql)),
       ("s02_ann_lsh_bucketed", annLshBucketed _, None),
+      ("s04_ann_ivf", annIvf _, None),
     )
 }

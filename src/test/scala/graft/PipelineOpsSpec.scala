@@ -132,6 +132,22 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("ann_ivf: k-means inverted lists recover a meaningful share of " +
+    "the exact top-k, deterministically") {
+    val bf = Similarity.annBruteForce(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.annIvf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // k-bounded per query
+    assert(ivf.groupBy(_._1).values.forall(_.length <= 5))
+    val recall = ivf.toSet.intersect(bf).size.toDouble / bf.size
+    assert(recall >= 0.3, s"IVF recall $recall below bound")
+    // deterministic: seeded sample + hash-stable init
+    val again = Similarity.annIvf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(ivf.sameElements(again))
+  }
+
   test("ann_brute_force: 5 neighbors per query, deterministic") {
     val rows = Similarity.annBruteForce(spark, sfDir).collect()
     val byQuery = rows.groupBy(_.getLong(0))
