@@ -399,6 +399,101 @@ class ReferenceMatrixSpec extends SparkSpec {
     assert(vals.distinct.sorted.toSeq == Seq("apple", "banana", "orange"))
   }
 
+  test("datetimeRange: all-units matrix — finer units activate the " +
+    "time fields (test_from_datetime_range_all_units :149-164)") {
+    Seq("d", "days", "h", "hours", "m", "minutes", "s", "seconds")
+      .foreach { unit =>
+        val g = Generators.FromDatetimeRange("1920-01-01", "2020-01-01",
+          "%d.%m.%Y %H:%M:%S", unit, seed = 940)
+        val vals = g.generate(spark, 100).select("c0").collect()
+          .map(_.getString(0))
+        assert(vals.forall(_.matches(
+          """\d{2}\.\d{2}\.\d{4} \d{2}:\d{2}:\d{2}""")), unit)
+        val hourAllZero = vals.forall(_.substring(11, 13) == "00")
+        val minAllZero = vals.forall(_.substring(14, 16) == "00")
+        val secAllZero = vals.forall(_.substring(17, 19) == "00")
+        assert(!hourAllZero ==
+          Seq("h", "hours", "m", "minutes", "s", "seconds").contains(unit),
+          s"unit $unit hour zero-ness wrong")
+        assert(!minAllZero == Seq("m", "minutes", "s", "seconds")
+          .contains(unit), s"unit $unit minute zero-ness wrong")
+        assert(!secAllZero == Seq("s", "seconds").contains(unit),
+          s"unit $unit second zero-ness wrong")
+      }
+  }
+
+  test("freqTable: empty-string values survive CSV loading, never " +
+    "coerced to null (test_from_frequency_table_nan :218-231)") {
+    val path = writeTempCsv("freq_nan.csv",
+      Seq("value,freq", "\"\",1", "\"foobar\",1"))
+    val g = Generators.fromFrequencyTable(spark, path,
+      Right("value"), Right("freq"), ",", seed = 941)
+    val vals = g.generate(spark, 100).select("c0").collect()
+      .map(_.getString(0)) // getString throws on null
+    assert(vals.forall(v => v == "" || v == "foobar"))
+    assert(vals.contains(""))
+  }
+
+  test("multicolumnFreqTable: empty strings in joint CSV stay " +
+    "non-null (test_from_multicolumn_frequency_table_nan :246-262)") {
+    val path = writeTempCsv("freq_nan2.csv",
+      Seq("value1,value2,freq", "\"\",\"bar\",1", "\"foo\",\"baz\",1"))
+    val g = Generators.fromMulticolumnFrequencyTable(spark, path,
+      Seq(Right("value1"), Right("value2")), Right("freq"), ",",
+      seed = 942)
+    val rows = g.generate(spark, 100).select("c0", "c1").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(rows.forall { case (a, b) =>
+      (a == "" && b == "bar") || (a == "foo" && b == "baz")
+    })
+  }
+
+  test("fromGroup: 7 equal generators need rounding adjustment 2; " +
+    "1 is not enough; counts land exactly (test_from_group_* " +
+    ":388-454)") {
+    val seven = Seq.fill(7)((1.0 / 7,
+      Generators.FromFunction(_ => "a"): graft.gen.Generator))
+    // adjustment 2 absorbs the +2 rounding drift at 100000 rows
+    val g = Generators.FromGroup(seven, maxRoundingAdjustment = 2,
+      seed = 943)
+    assert(g.countsFor(100000L).sum == 100000L)
+    // adjustment 1 cannot
+    val tooLow = Generators.FromGroup(seven, maxRoundingAdjustment = 1,
+      seed = 944)
+    val e1 = intercept[IllegalArgumentException](tooLow.countsFor(100000L))
+    assert(e1.getMessage.contains("cannot account for this difference"))
+    // no adjustment: the reference's exact wording
+    val none = Generators.FromGroup(
+      Seq((1.0 / 3, Generators.FromFunction(_ => "a"): graft.gen.Generator),
+        (1.0 / 3, Generators.FromFunction(_ => "b")),
+        (1.0 / 3, Generators.FromFunction(_ => "c"))), seed = 945)
+    val e2 = intercept[IllegalArgumentException](none.countsFor(100000L))
+    assert(e2.getMessage.startsWith("sum of values per generator does " +
+      "not equal amount of desired rows: expected 100000, is "))
+    assert(e2.getMessage.contains("`maxRoundingAdjustment`"))
+  }
+
+  test("fromGroup: weight-sum and arity error messages match the " +
+    "reference (test_from_group_raise_* :367-386)") {
+    val e1 = intercept[IllegalArgumentException] {
+      Generators.FromGroup(Seq(
+        (0.2, Generators.FromFunction(_ => "a"): graft.gen.Generator),
+        (0.3, Generators.FromFunction(_ => "b"))), seed = 946)
+    }
+    assert(e1.getMessage == "requirement failed: " +
+      "sum of weights must be 1, is 0.5")
+    val joint = Generators.fromMulticolumnFrequencyTable(spark,
+      Seq(("x", "u", 1), ("y", "v", 1)).toDF("a", "b", "f"),
+      Seq("a", "b"), "f", seed = 947)
+    val e2 = intercept[IllegalArgumentException] {
+      Generators.FromGroup(Seq(
+        (0.5, Generators.FromFunction(_ => "a"): graft.gen.Generator),
+        (0.5, joint: graft.gen.Generator)), seed = 948)
+    }
+    assert(e2.getMessage.contains(
+      "generators returned different amounts of columns: got 1, 2"))
+  }
+
   test("multicolumnFreqTable: CSV joint rows stay consistent " +
     "(test_from_multicolumn_frequency_table :99-124)") {
     val path = writeTempCsv("freq_fruits_types.csv", Seq(
