@@ -343,6 +343,47 @@ class ReferenceMatrixSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------- M20
+  test("mutateDataFrame: end-to-end chained/weighted/permute matrix " +
+    "(test_mutate_data_frame :1289-1350)") {
+    import graft.mut.MutateDataFrame
+    val n = 20000
+    def strs(seed: Int) = randomStrings(n = n, len = 26,
+      charset = "abcdefghijklmnopqrstuvwxyz", seed = seed, unique = true)
+    val (c1, c2, c3, c4) = (strs(21), strs(22), strs(23), strs(24))
+    val df = c1.indices.map(i =>
+      (i.toLong, c1(i), c2(i), c3(i), c4(i)))
+      .toDF(Gecko.RowId, "col_1", "col_2", "col_3", "col_4")
+
+    val out = MutateDataFrame(df, Seq(
+      // col_1: both mutators applied to ALL rows, sequentially
+      (Seq("col_1"), Seq(
+        (1.0, WithDelete(seed = 951): graft.mut.Mutator),
+        (1.0, WithUppercase(seed = 952): graft.mut.Mutator))),
+      // col_2: ~50% get an uppercase char inserted
+      (Seq("col_2"), Seq(
+        (0.5, WithInsert(charset = ('A' to 'Z').mkString, seed = 953)
+          : graft.mut.Mutator))),
+      // col_3/col_4: permuted jointly
+      (Seq("col_3", "col_4"), Seq(
+        (1.0, WithPermute(seed = 954): graft.mut.Mutator))))
+    ).orderBy(Gecko.RowId).collect()
+
+    out.zipWithIndex.foreach { case (r, i) =>
+      val (o1, o2, o3, o4) =
+        (r.getString(1), r.getString(2), r.getString(3), r.getString(4))
+      // col_1: delete took one char, uppercase folded the rest
+      assert(o1 != c1(i) && o1.length == 25 && o1 == o1.toUpperCase, o1)
+      // col_3/col_4: the only 2-column derangement is the swap
+      assert(o3 == c4(i) && o4 == c3(i))
+      assert(o2.length == 26 || o2.length == 27)
+    }
+    // col_2: mutated/untouched split balances around p=0.5
+    val n27 = out.count(_.getString(2).length == 27)
+    assert(math.abs(n27 - (n - n27)).toDouble / n < 0.02,
+      s"insert split off: $n27 of $n")
+  }
+
   // ----------------------------------------------- G4/G5 input matrix
   private def writeTempCsv(name: String, lines: Seq[String]): String = {
     val f = java.nio.file.Files.createTempDirectory("graft-matrix")
