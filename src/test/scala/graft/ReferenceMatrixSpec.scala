@@ -343,6 +343,29 @@ class ReferenceMatrixSpec extends SparkSpec {
     }
   }
 
+  // -------------------------------------------------------- _cldr
+  test("cldr: full neighbor boundary matrix " +
+    "(test_get_neighbor_kb_pos_for tests/test_cldr.py:28-60)") {
+    val cases = Seq(
+      // (pos, maxRow, maxCol) -> expected neighbor set
+      ((1, 1, 0), 5, 14) -> Set((1, 1, 1), (0, 1, 0), (2, 1, 0),
+        (1, 0, 0), (1, 2, 0)), // trbl, no shift
+      ((1, 1, 1), 5, 14) -> Set((1, 1, 0), (0, 1, 1), (2, 1, 1),
+        (1, 0, 1), (1, 2, 1)), // trbl, shift
+      ((1, 0, 0), 5, 14) -> Set((1, 0, 1), (0, 0, 0), (2, 0, 0),
+        (1, 1, 0)), // no left neighbor
+      ((0, 1, 0), 5, 14) -> Set((0, 1, 1), (0, 0, 0), (0, 2, 0),
+        (1, 1, 0)), // no top neighbor
+      ((1, 14, 0), 5, 14) -> Set((1, 14, 1), (0, 14, 0), (2, 14, 0),
+        (1, 13, 0)), // no right neighbor
+      ((5, 13, 0), 5, 14) -> Set((5, 13, 1), (5, 14, 0), (5, 12, 0),
+        (4, 13, 0))) // no bottom neighbor
+    cases.foreach { case (((pos), maxRow, maxCol), expected) =>
+      val got = graft.mut.Cldr.neighborsOf(pos, maxRow, maxCol).toSet
+      assert(got == expected, s"pos $pos: got $got, want $expected")
+    }
+  }
+
   // ------------------------------------------------------------- M20
   test("mutateDataFrame: end-to-end chained/weighted/permute matrix " +
     "(test_mutate_data_frame :1289-1350)") {
