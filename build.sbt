@@ -16,6 +16,7 @@ run / fork := true
 // banner printed after the forked run's output breaks that parse.
 Global / showSuccess := false
 Global / showTiming := false
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
 // Forked runs write straight to stdout (no "[info] " logger prefix),
 // so the bench JSON line is literally parseable as the last line.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
