@@ -392,6 +392,57 @@ object Invariants {
     SELECT l_returnflag, TRUE AS ok_p50, TRUE AS ok_p95
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  // ------------------------------------------- 1M bench-row invariants
+
+  /** A1: the 1M-row generation bench output honors every column's
+    * format/domain contract — the Layer A headline path, oracle-gated
+    * at full bench scale. */
+  def a01GenerateInv(s: SparkSession, dir: String): DataFrame = {
+    val segs = customers(s, dir).select("c_mktsegment").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val n = Relational.table(s, dir, "nation")
+    val r = Relational.table(s, dir, "region")
+    val pairs = n.join(r, col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name"), col("r_name"))
+      .collect().map(x => x.getString(0) + "|" + x.getString(1)).toSeq
+    LayerADemo.bench1mGenerate(s, dir).agg(
+      count(lit(1)).as("n"),
+      sum(col("segment").isin(segs: _*).cast("long")).as("n_seg"),
+      sum(concat_ws("|", col("nation"), col("region")).isin(pairs: _*)
+        .cast("long")).as("n_joint"),
+      sum((col("dob").rlike("^\\d{4}-\\d{2}-\\d{2}$") &&
+        col("dob") >= "1940-01-01" && col("dob") <= "2005-12-31")
+        .cast("long")).as("n_dob"),
+      sum(col("score").rlike("^-?\\d+\\.\\d{2}$").cast("long"))
+        .as("n_score"),
+      sum((col("u").rlike("^\\d\\.\\d{6}$") &&
+        col("u").cast("double") >= 0 && col("u").cast("double") < 1)
+        .cast("long")).as("n_u"))
+  }
+
+  val a01Sql: String = """
+    SELECT CAST(1000000 AS BIGINT) AS n, CAST(1000000 AS BIGINT) AS n_seg,
+      CAST(1000000 AS BIGINT) AS n_joint, CAST(1000000 AS BIGINT) AS n_dob,
+      CAST(1000000 AS BIGINT) AS n_score, CAST(1000000 AS BIGINT) AS n_u"""
+
+  /** A2: after the 4-mutator chain, every row still satisfies the
+    * reachable-domain contract (categorical stays in-set; missing
+    * value empties or preserves the uniform format). */
+  def a02MutateInv(s: SparkSession, dir: String): DataFrame = {
+    val segs = customers(s, dir).select("c_mktsegment").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq ++
+      Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    LayerADemo.bench1mMutate(s, dir).agg(
+      count(lit(1)).as("n"),
+      sum(col("segment").isin(segs.distinct: _*).cast("long")).as("n_seg"),
+      sum((col("u") === "" || col("u").rlike("^\\d\\.\\d{6}$"))
+        .cast("long")).as("n_u"))
+  }
+
+  val a02Sql: String = """
+    SELECT CAST(1000000 AS BIGINT) AS n, CAST(1000000 AS BIGINT) AS n_seg,
+      CAST(1000000 AS BIGINT) AS n_u"""
+
   // ------------------------------------------------ sampling invariants
 
   /** S3: a stratified sample is a subset of its input (no fabricated
@@ -437,5 +488,7 @@ object Invariants {
       ("s04_ann_inv", s04AnnInv _, Some(s02Sql)),
       ("q18_error_inv", q18ErrorInv _, Some(q18ErrSql)),
       ("q20_error_inv", q20ErrorInv _, Some(q20ErrSql)),
+      ("a01_generate_inv", a01GenerateInv _, Some(a01Sql)),
+      ("a02_mutate_inv", a02MutateInv _, Some(a02Sql)),
     )
 }
