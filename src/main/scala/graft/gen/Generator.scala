@@ -45,7 +45,7 @@ object ToDataFrame {
   def apply(spark: SparkSession,
             spec: Seq[(Seq[String], Generator)],
             n: Long): DataFrame = {
-    require(spec.nonEmpty, "generator spec must not be empty")
+    require(spec.nonEmpty, "generator list may not be empty")
     require(n > 0, s"amount of rows must be positive, is $n")
 
     val allNames = spec.flatMap(_._1)

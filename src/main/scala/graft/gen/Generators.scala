@@ -225,11 +225,20 @@ object Generators {
     }
   }
 
+  /** Unparseable datetimes surface with numpy's message prefix so the
+    * reference's error contract holds verbatim
+    * (tests/test_generator.py:134-146 asserts the
+    * "Error parsing datetime string" prefix np.datetime64 raises). */
   private def parseIso(s: String): Long =
     try LocalDateTime.parse(s).toEpochSecond(ZoneOffset.UTC)
     catch {
       case _: java.time.format.DateTimeParseException =>
-        LocalDate.parse(s).atStartOfDay.toEpochSecond(ZoneOffset.UTC)
+        try LocalDate.parse(s).atStartOfDay.toEpochSecond(ZoneOffset.UTC)
+        catch {
+          case _: java.time.format.DateTimeParseException =>
+            throw new IllegalArgumentException(
+              s"""Error parsing datetime string "$s" at position 0""")
+        }
     }
 
   // ------------------------------------------------------------------ G7

@@ -579,4 +579,138 @@ class ReferenceMatrixSpec extends SparkSpec {
         s"type `$tpe` impossible for fruit `$fruit`")
     }
   }
+
+  // ------------------------------------------------------------- M16
+  test("withGenerator: prepend/append join-char splice matrix + exact " +
+    "arity error (test_mutator.py:653-736)") {
+    val df = frame(randomStrings(n = 50, len = 6, charset = "0123456789"))
+    val scalar = Generators.FromFunction(_ => "foobar")
+    def run(mode: String, join: String): Array[String] =
+      collectV(Mutators.WithGenerator(scalar, mode, join, seed = 81)(
+        df, Seq("v"), 1.0, col(Gecko.RowId)))
+    // default join " " (test :653, :663)
+    assert(run("prepend", " ").forall(_.matches("""foobar \d{6}""")))
+    assert(run("append", " ").forall(_.matches("""\d{6} foobar""")))
+    // custom join char "-" (test :673, :683)
+    assert(run("prepend", "-").forall(_.matches("""foobar-\d{6}""")))
+    assert(run("append", "-").forall(_.matches("""\d{6}-foobar""")))
+    // {} insert marker places the generated value INSIDE the join
+    // string (test :693, :703)
+    assert(run("prepend", " ({}) ").forall(_.matches(""" \(foobar\) \d{6}""")))
+    assert(run("append", " ({}) ").forall(_.matches("""\d{6} \(foobar\) """)))
+    // arity mismatch: full reference message, not just a fragment
+    val joint = Seq(("a", "b", 1)).toDF("x", "y", "n")
+    val gen2 = Generators.fromMulticolumnFrequencyTable(spark, joint,
+      Seq("x", "y"), "n", seed = 82)
+    val e = intercept[IllegalArgumentException] {
+      Mutators.WithGenerator(gen2, "replace", seed = 83)(
+        df, Seq("v"), 1.0, col(Gecko.RowId))
+    }
+    assert(e.getMessage ==
+      "generator must generate as many series as provided to the " +
+        "mutator: got 2, expected 1")
+  }
+
+  // ------------------------------------------------------------- M19
+  test("withGroup: insert+delete length split {19,21}, all rows changed " +
+    "at p=1, mixed at p=0.5 (test_mutator.py:738-771)") {
+    val vals = randomStrings(n = 400, len = 20,
+      charset = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ",
+      seed = 84)
+    val df = frame(vals)
+    val grp = Mutators.WithGroup(Seq(
+      (0.5, Mutators.WithInsert(charset = "0123456789", seed = 85)),
+      (0.5, Mutators.WithDelete(seed = 86))), seed = 87)
+    val full = collectV(grp(df, Seq("v"), 1.0, col(Gecko.RowId)))
+    assert(full.zip(vals).forall { case (b, a) => b != a })
+    assert(full.map(_.length).toSet == Set(19, 21))
+    val half = collectV(grp(df, Seq("v"), 0.5, col(Gecko.RowId)))
+    assert(half.zip(vals).exists { case (b, a) => b == a })
+    assert(half.zip(vals).exists { case (b, a) => b != a })
+  }
+
+  test("withGroup: 0.2/0.8 weights favor delete; weight sum < 1 pads " +
+    "with untouched rows (test_mutator.py:773-806)") {
+    val vals = randomStrings(n = 2000, len = 20,
+      charset = "abcdefghijklmnopqrstuvwxyz", seed = 88)
+    val df = frame(vals)
+    val weighted = collectV(Mutators.WithGroup(Seq(
+      (0.2, Mutators.WithInsert(charset = "0123456789", seed = 89)),
+      (0.8, Mutators.WithDelete(seed = 90))), seed = 91)(
+      df, Seq("v"), 1.0, col(Gecko.RowId)))
+    val wLens = weighted.map(_.length)
+    assert(wLens.count(_ == 19) > wLens.count(_ == 21))
+    // weights sum to 0.2: the other 0.8 is an implicit noop pad
+    val padded = collectV(Mutators.WithGroup(Seq(
+      (0.2, Mutators.WithInsert(charset = "0123456789", seed = 92))),
+      seed = 93)(df, Seq("v"), 1.0, col(Gecko.RowId)))
+    val pLens = padded.map(_.length)
+    assert(pLens.count(_ == 20) > pLens.count(_ == 21))
+    assert(pLens.count(_ == 21) > 0)
+  }
+
+  test("withGroup: weight-sum error messages (test_mutator.py:808-832)") {
+    val eHigh = intercept[IllegalArgumentException] {
+      Mutators.WithGroup(Seq(
+        (0.6, Mutators.WithDelete(seed = 94)),
+        (0.41, Mutators.WithInsert(seed = 95))), seed = 96)
+    }
+    // the reference interpolates the float sum verbatim; same here
+    assert(eHigh.getMessage.contains(
+      s"sum of weights must not be higher than 1, is ${0.6 + 0.41}"))
+    val eLow = intercept[IllegalArgumentException] {
+      Mutators.WithGroup(Seq(
+        (0.0, Mutators.WithDelete(seed = 97)),
+        (0.0, Mutators.WithInsert(seed = 98))), seed = 99)
+    }
+    // reference renders the int sum as "0"; Scala's Double shows 0.0 —
+    // assert the prefix, which is the behavioral contract
+    assert(eLow.getMessage.contains("sum of weights must be higher than 0"))
+  }
+
+  // ------------------------------------------------------------- M15
+  test("withDatetimeOffset: zero delta rejected with exact message " +
+    "(test_mutator.py:962-966)") {
+    val e = intercept[IllegalArgumentException] {
+      Mutators.WithDatetimeOffset(0, "d", "%Y-%m-%d", seed = 100)
+    }
+    assert(e.getMessage.contains("delta must be positive, is 0"))
+  }
+
+  // -------------------------------------------------------------- G6
+  test("fromDatetimeRange: parse-error prefix + end-before-start " +
+    "message (test_generator.py:134-171)") {
+    val eStart = intercept[IllegalArgumentException] {
+      Generators.FromDatetimeRange("foobar", "2020-01-01", "%d.%m.%Y",
+        "days", seed = 101)
+    }
+    assert(eStart.getMessage.startsWith("Error parsing datetime string"))
+    val eEnd = intercept[IllegalArgumentException] {
+      Generators.FromDatetimeRange("1920-01-01", "foobar", "%d.%m.%Y",
+        "days", seed = 102)
+    }
+    assert(eEnd.getMessage.startsWith("Error parsing datetime string"))
+    val eInv = intercept[IllegalArgumentException] {
+      Generators.FromDatetimeRange("2020-01-01", "1920-01-01", "%d.%m.%Y",
+        "days", seed = 103)
+    }
+    assert(eInv.getMessage.contains(
+      "start datetime `2020-01-01` is greater than end datetime `1920-01-01`"))
+  }
+
+  // -------------------------------------------------------------- G8
+  test("toDataFrame: empty list and non-positive count messages " +
+    "(test_generator.py:174-188)") {
+    import graft.gen.ToDataFrame
+    val eEmpty = intercept[IllegalArgumentException] {
+      ToDataFrame(spark, Seq.empty, 1000L)
+    }
+    assert(eEmpty.getMessage.contains("generator list may not be empty"))
+    val eCount = intercept[IllegalArgumentException] {
+      ToDataFrame(spark,
+        Seq((Seq("foo"), Generators.FromUniformDistribution(0, 1, 6,
+          seed = 104): graft.gen.Generator)), 0L)
+    }
+    assert(eCount.getMessage.contains("amount of rows must be positive, is 0"))
+  }
 }
