@@ -155,4 +155,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema"), p)
     assert(!p.contains("lang"), s"pruned column still read in:\n$p")
   }
+
+  test("ANN family: only the brute-force baseline is allowed a nested-" +
+    "loop join; LSH and IVF paths are equi-joins on bucket keys") {
+    import graft.queries.Similarity
+    // s01 baseline: corpus × broadcast(tiny queries) — the nested loop
+    // IS the design (single corpus pass); the corpus side must not
+    // shuffle
+    val brute = finalPlan(Similarity.annBruteForce(spark, sfDir))
+    assert(brute.contains("BroadcastNestedLoopJoin"), brute)
+    // s02/s04 scale paths: candidate generation must be a hash/merge
+    // equi-join — a cartesian or nested loop here would be corpus²
+    for ((name, df) <- Seq(
+        ("s02", Similarity.annLshBucketed(spark, sfDir)),
+        ("s04", Similarity.annIvf(spark, sfDir)))) {
+      val p = finalPlan(df)
+      assert(!p.contains("CartesianProduct"),
+        s"$name candidate join went cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name candidate join went nested-loop:\n$p")
+    }
+  }
+
+  test("d02 MinHash-LSH: banded candidate join is an equi-join, " +
+    "never an all-pairs product") {
+    import graft.queries.Dedup
+    val p = finalPlan(Dedup.dedupMinhashLsh(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), s"all-pairs join in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"all-pairs join in:\n$p")
+  }
 }
