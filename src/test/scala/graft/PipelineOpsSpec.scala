@@ -132,6 +132,28 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup_clusters: a high-degree hub (worst-case skew key) " +
+    "converges in few rounds with exact labels") {
+    import spark.implicits._
+    // star graph: hub 1 with 50k leaves, PLUS a chain glued to a leaf
+    // so the hub is not already the closed form. At 100 TB this is the
+    // mega-cluster shape; it is safe here because both star steps are
+    // min-aggregations (map-side partial agg absorbs the hot key) and
+    // the per-node min join is AQE-skew-splittable — nothing buffers
+    // the full neighborhood of one node on one task.
+    val hub = (2L to 50001L).map(i => (1L, i))
+    val tail = (50001L until 50006L).map(i => (i, i + 1))
+    val pairs = (hub ++ tail).toDF("a", "b").repartition(8)
+    val (labels, rounds) = Dedup.clusterPairsCounted(pairs)
+    assert(rounds <= 6, s"hub graph should contract almost immediately, " +
+      s"took $rounds rounds")
+    val got = labels.collect()
+    assert(got.length == 50006)
+    assert(got.forall(_.getLong(1) == 1L),
+      "every node must label to the hub-cluster minimum")
+    assert(got.count(_.getBoolean(2)) == 1)
+  }
+
   test("ann_ivf: k-means inverted lists recover a meaningful share of " +
     "the exact top-k, deterministically") {
     val bf = Similarity.annBruteForce(spark, sfDir).collect()
