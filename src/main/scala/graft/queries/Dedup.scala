@@ -285,8 +285,6 @@ object Dedup {
 
     val planes = Similarity.hyperplanes(12, 64, seed = 4242)
     val bucketUdf = udf((v: Seq[Float]) => Similarity.signBucket(v, planes))
-    val cosUdf = udf((x: Seq[Float], y: Seq[Float]) =>
-      Similarity.cosine(x, y))
 
     val bucketed = corpus.select(col("vec_id"),
       col("embedding"), bucketUdf(col("embedding")).as("bucket")).persist()
@@ -296,7 +294,8 @@ object Dedup {
       col("embedding").as("eb"))
     a.join(b, Seq("bucket")).filter(col("a") < col("b"))
       .select(col("a"), col("b"),
-        round(cosUdf(col("ea"), col("eb")), 4).as("cos"))
+        round(graft.expr.CosineSimilarity.cosineSimilarity(
+          col("ea"), col("eb")), 4).as("cos"))
       .filter(col("cos") >= 0.99)
       .dropDuplicates("a", "b")
       .orderBy("a", "b")

@@ -66,13 +66,13 @@ object Similarity {
       .select(col("vec_id"), col("embedding"))
     val queries = emb.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val cosUdf = udf(cosine _)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     emb.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        cosUdf(col("embedding"), col("qe")).as("cos"))
+        graft.expr.CosineSimilarity.cosineSimilarity(
+          col("embedding"), col("qe")).as("cos"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
@@ -109,14 +109,14 @@ object Similarity {
     val queries = bucketed.filter(col("vec_id") < NumQueries)
       .select(col("bucket"), col("vec_id").as("query_id"),
         col("embedding").as("qe"))
-    val cosUdf = udf(cosine _)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     bucketed.join(queries, Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .dropDuplicates("query_id", "vec_id")
       .select(col("query_id"), col("vec_id"),
-        cosUdf(col("embedding"), col("qe")).as("cos"))
+        graft.expr.CosineSimilarity.cosineSimilarity(
+          col("embedding"), col("qe")).as("cos"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
@@ -203,7 +203,6 @@ object Similarity {
     val queries = emb.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         explode(probeUdf(col("embedding"))).as("cid"))
-    val cosUdf = udf(cosine _)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     // each corpus vector lives in exactly one list and each query
@@ -211,7 +210,8 @@ object Similarity {
     lists.join(broadcast(queries), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        cosUdf(col("embedding"), col("qe")).as("cos"))
+        graft.expr.CosineSimilarity.cosineSimilarity(
+          col("embedding"), col("qe")).as("cos"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
