@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo,
   Literal}
-import graft.expr.MinHashSignature
+import graft.expr.{CosineSimilarity, MinHashSignature}
 
 /** SQL-surface registration for the engine's custom expressions.
   *
@@ -15,6 +15,7 @@ import graft.expr.MinHashSignature
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.minhashSignatureFn)
+    ext.injectFunction(GraftExtensions.cosineSimilarityFn)
   }
 }
 
@@ -30,14 +31,29 @@ object GraftExtensions {
     MinHashSignature(exprs.head, k)
   }
 
+  private def buildCosine(exprs: Seq[Expression]): Expression = {
+    require(exprs.size == 2,
+      s"cosine_similarity takes exactly 2 arguments, got ${exprs.size}")
+    CosineSimilarity(exprs.head, exprs(1))
+  }
+
   private[graft] val minhashSignatureFn = (
     FunctionIdentifier("minhash_signature"),
     new ExpressionInfo(classOf[MinHashSignature].getName,
       "minhash_signature"),
     (exprs: Seq[Expression]) => buildMinhash(exprs))
 
+  private[graft] val cosineSimilarityFn = (
+    FunctionIdentifier("cosine_similarity"),
+    new ExpressionInfo(classOf[CosineSimilarity].getName,
+      "cosine_similarity"),
+    (exprs: Seq[Expression]) => buildCosine(exprs))
+
   /** Register the engine's SQL functions on an existing session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_signature", buildMinhash, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_similarity", buildCosine, "scala_udf")
+  }
 }

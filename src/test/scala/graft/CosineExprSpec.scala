@@ -45,6 +45,15 @@ class CosineExprSpec extends SparkSpec {
     assert(df.collect().head.isNullAt(0))
   }
 
+  test("SQL registration: cosine_similarity usable from spark.sql") {
+    graft.GraftExtensions.register(spark)
+    Seq((Seq(1f, 2f, 3f), Seq(3f, 2f, 1f))).toDF("x", "y")
+      .createOrReplaceTempView("cos_in")
+    val viaSql = spark.sql(
+      "SELECT cosine_similarity(x, y) AS c FROM cos_in").head.getDouble(0)
+    assert(viaSql == Similarity.cosine(Seq(1f, 2f, 3f), Seq(3f, 2f, 1f)))
+  }
+
   test("ANN re-rank paths carry no cosine ScalaUDF in the plan") {
     for (q <- Seq(Similarity.annBruteForce(spark, sfDir),
         Similarity.annIvf(spark, sfDir))) {
