@@ -64,7 +64,8 @@ object TextAnalysis {
       SELECT doc_id,
         len(string_split(text, ' ')) AS n_tokens,
         len(list_filter(string_split(text, ' '),
-          t -> t IN (${Stopwords.map(w => s"'$w'").mkString(",")})))
+          t -> t IN (${Stopwords.map(w =>
+            s"'${w.replace("'", "''")}'").mkString(",")})))
           AS n_stop,
         len(list_distinct(string_split(text, ' '))) AS n_unique,
         list_sum(list_transform(string_split(text, ' '), t -> length(t)))
@@ -260,6 +261,137 @@ object TextAnalysis {
       GROUP BY doc_id) f ON d.doc_id = f.doc_id
     ORDER BY d.doc_id"""
 
+  // --------------------------------------------------- PII redaction
+  /** Email / phone / IPv4 patterns shared by the Spark path (Java
+    * regex) and the DuckDB oracle (RE2) — restricted to syntax both
+    * engines interpret identically. */
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "\\b555-[0-9]{4}\\b"
+  private val IpRe =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** The corpus with deterministic PII planted from doc_id arithmetic
+    * (the synthetic corpus carries none of its own): every 7th doc an
+    * email, every 11th a phone, every 13th an IPv4. */
+  private def piiPlanted(s: SparkSession, dir: String): DataFrame =
+    Relational.table(s, dir, "documents").select(col("doc_id"), concat(
+      col("text"),
+      when(pmod(col("doc_id"), lit(7)) === 0, concat(lit(" contact user"),
+        col("doc_id"), lit("@example.com"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(11)) === 0, concat(lit(" call 555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(13)) === 0, concat(lit(" from 10."),
+        pmod(col("doc_id"), lit(256)), lit("."),
+        pmod(expr("doc_id div 7"), lit(256)), lit(".1"))).otherwise(lit("")))
+      .as("text"))
+
+  /** PII redaction — the scrub pass every training-data pipeline runs
+    * before anything else sees the text. Pure codegen'd
+    * regexp_count/regexp_replace chain (no UDFs): runs at scan speed,
+    * trivially partition-parallel at 100 TB. Emails are redacted
+    * before IPs so a dotted hostname can never be half-eaten by the
+    * IPv4 rule. */
+  def piiRedact(s: SparkSession, dir: String): DataFrame =
+    piiPlanted(s, dir).select(col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).as("n_emails"),
+      regexp_count(col("text"), lit(PhoneRe)).as("n_phones"),
+      regexp_count(col("text"), lit(IpRe)).as("n_ips"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"),
+        IpRe, "<IP>").as("redacted"))
+      .orderBy("doc_id")
+
+  val piiRedactSql: String = s"""
+    WITH planted AS (
+      SELECT doc_id, text ||
+        CASE WHEN doc_id % 7 = 0
+          THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+        CASE WHEN doc_id % 11 = 0
+          THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          ELSE '' END ||
+        CASE WHEN doc_id % 13 = 0
+          THEN ' from 10.' || (doc_id % 256) || '.' ||
+            ((doc_id // 7) % 256) || '.1' ELSE '' END AS text
+      FROM documents)
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '$EmailRe')) AS INT) AS n_emails,
+      CAST(len(regexp_extract_all(text, '$PhoneRe')) AS INT) AS n_phones,
+      CAST(len(regexp_extract_all(text, '$IpRe')) AS INT) AS n_ips,
+      regexp_replace(regexp_replace(regexp_replace(text,
+        '$EmailRe', '<EMAIL>', 'g'),
+        '$PhoneRe', '<PHONE>', 'g'),
+        '$IpRe', '<IP>', 'g') AS redacted
+    FROM planted
+    ORDER BY doc_id"""
+
+  // ----------------------------------------- benchmark decontamination
+  private val ContamGram = 13
+
+  /** Synthetic benchmark corpus: 20 docs of 20 tokens from a vocabulary
+    * disjoint from the documents table, so every n-gram match below is
+    * a planted one — the decontamination analog of d07's closed-form
+    * chain clusters. */
+  private[graft] def benchmarkCorpus(s: SparkSession): DataFrame =
+    s.range(20).select(col("id").as("bench_id"),
+      array_join(transform(sequence(lit(0), lit(19)),
+        j => concat(lit("bench"), col("id"), lit("w"), j)), " ")
+        .as("btext"))
+
+  /** Position n-gram hashes of a token array (empty below n tokens). */
+  private def gramHashes(toks: Column): Column =
+    when(size(toks) >= ContamGram,
+      transform(sequence(lit(1), size(toks) - lit(ContamGram - 1)),
+        i => xxhash64(concat_ws(" ", slice(toks, i, lit(ContamGram))))))
+      .otherwise(array().cast("array<bigint>"))
+
+  /** Benchmark decontamination — flag training docs sharing any
+    * 13-gram with an evaluation benchmark (the Dolma/RedPajama-style
+    * leak check). Contamination is planted deterministically: every
+    * 23rd non-benchmark doc gets the first 15 tokens of one benchmark
+    * doc appended, which yields exactly 3 matching 13-grams.
+    *
+    * Scale shape: the benchmark gram set is tiny (8 grams × 20 docs)
+    * and BROADCAST; corpus grams are generated at scan inside the
+    * explode, so the only shuffle is the final aggregation over the
+    * handful of matching rows. At 100 TB the cost is one corpus pass —
+    * there is no corpus-side shuffle of all grams. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val bench = benchmarkCorpus(s)
+    val docs = Relational.table(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(17)) =!= 0) // benchmark-held-out split
+      .withColumn("bkey",
+        when(pmod(col("doc_id"), lit(23)) === 0,
+          pmod(expr("doc_id div 23"), lit(20))).otherwise(lit(-1L)))
+    val spans = bench.select(col("bench_id").as("bkey"),
+      array_join(slice(split(col("btext"), " "), 1, 15), " ").as("span"))
+    val planted = docs.join(broadcast(spans), Seq("bkey"), "left")
+      .select(col("doc_id"),
+        when(col("span").isNotNull, concat_ws(" ", col("text"), col("span")))
+          .otherwise(col("text")).as("text"))
+    val benchGrams = bench
+      .select(explode(gramHashes(split(col("btext"), " "))).as("gram"))
+      .distinct()
+    planted
+      .select(col("doc_id"),
+        explode(gramHashes(split(col("text"), " "))).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_bench_grams"))
+      .orderBy("doc_id")
+  }
+
+  /** Closed-form oracle: exactly the planted docs, exactly 3 matching
+    * grams each (15-token span → 15-13+1 fully-benchmark grams; the
+    * straddling grams mix corpus words and never hit the benchmark
+    * set). */
+  val decontaminateSql: String = """
+    SELECT doc_id, CAST(3 AS BIGINT) AS n_bench_grams
+    FROM documents
+    WHERE doc_id % 23 = 0 AND doc_id % 17 <> 0
+    ORDER BY doc_id"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("t01_token_count", tokenCount _, Some(tokenCountSql)),
@@ -269,5 +401,7 @@ object TextAnalysis {
       ("t05_sequence_pack", sequencePack _, Some(sequencePackSql)),
       ("t06_normalize", normalize _, Some(normalizeSql)),
       ("t07_repetition", repetition _, Some(repetitionSql)),
+      ("t08_pii_redact", piiRedact _, Some(piiRedactSql)),
+      ("t09_decontaminate", decontaminate _, Some(decontaminateSql)),
     )
 }

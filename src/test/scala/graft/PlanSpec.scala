@@ -156,6 +156,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("lang"), s"pruned column still read in:\n$p")
   }
 
+  test("t08 PII redaction runs at scan speed: no UDFs, no exchanges " +
+    "before the presentation sort") {
+    val df = TextAnalysis.piiRedact(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF"), p.take(2000))
+    assert("Exchange".r.findAllIn(p).length <= 1,
+      s"redaction should be a pure scan pass:\n$p")
+  }
+
+  test("t09 decontamination: benchmark gram set broadcast, corpus " +
+    "grams never shuffled wholesale") {
+    val df = TextAnalysis.decontaminate(spark, sfDir)
+    val p = finalPlan(df)
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the only SHUFFLES allowed: the tiny benchmark-gram distinct, the
+    // post-match aggregation, and the presentation sort — the exploded
+    // corpus-gram stream itself stays map-side (broadcast exchanges of
+    // the 20-row benchmark side are fine and not counted)
+    val finalSection = p.split("== Initial Plan ==").head
+    val shuffles = "Exchange (hash|range)partitioning".r
+      .findAllIn(finalSection).length
+    assert(shuffles <= 3, s"expected <=3 shuffle exchanges (bench " +
+      s"distinct, match agg, sort), got $shuffles:\n$p")
+  }
+
   test("ANN family: only the brute-force baseline is allowed a nested-" +
     "loop join; LSH and IVF paths are equi-joins on bucket keys") {
     import graft.queries.Similarity
