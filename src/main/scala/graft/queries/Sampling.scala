@@ -58,8 +58,104 @@ object Sampling {
       seed = 4242)
       .orderBy("doc_id")
 
+  // ------------------------------------------------- mixture sampling
+  private val MixShards = 8
+
+  /** Source-mixture ("data mixing") sampling: select documents so the
+    * sampled corpus's per-source token totals match the target mixture
+    * proportions, without upsampling — the binding source (least
+    * headroom vs its target share) sets the output size and every
+    * other source is trimmed to match.
+    *
+    * Selection is a greedy token-budget cumsum per (source, shard):
+    * docs are taken in doc_id order until the shard's budget share is
+    * exhausted. Sharding keeps the window partitioned — one source is
+    * NOT one partition at 100 TB (t05's packing compromise); each
+    * shard gets budget/k, so budget accuracy degrades only by ~one doc
+    * per shard. Pass 1 is a tiny per-source token aggregate pulled at
+    * plan time (the factory-stats pattern); pass 2 is one windowed
+    * scan. Deterministic under any partition layout. */
+  def mixtureSample(docs: DataFrame, targets: Map[String, Double],
+                    shards: Int = MixShards): DataFrame = {
+    require(targets.nonEmpty, "target mixture may not be empty")
+    targets.foreach { case (src, w) =>
+      require(w > 0, s"target weight for `$src` must be positive, is $w")
+    }
+    val shareSum = targets.values.sum
+    val shares = targets.map { case (s0, w) => s0 -> w / shareSum }
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .filter(col("source").isin(targets.keys.toSeq: _*))
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        pmod(col("doc_id"), lit(shards)).as("shard"))
+    // tiny per-source token totals -> plan-time literals
+    val observed = toks.groupBy("source").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    shares.keys.foreach(s0 => require(observed.contains(s0),
+      s"target source `$s0` absent from the corpus"))
+    val tOut = shares.map { case (s0, w) => observed(s0).toDouble / w }.min
+    val shardBudget = shares.map { case (s0, w) =>
+      s0 -> (w * tOut) / shards
+    }
+    val budgetCol = shardBudget.foldLeft(lit(0.0)) {
+      case (acc, (s0, b)) =>
+        when(col("source") === lit(s0), lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("doc_id"))
+    toks.withColumn("cum", sum(col("n_tokens")).over(w))
+      .filter(col("cum") <= budgetCol)
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+  }
+
+  private val MixTargets =
+    Seq("src0" -> 0.4, "src1" -> 0.35, "src2" -> 0.25)
+
+  /** Demo: mix three sources to 40/35/25 token proportions. Fully
+    * deterministic arithmetic => exact DuckDB oracle below replays the
+    * same budget derivation and window. */
+  def mixtureDemo(s: SparkSession, dir: String): DataFrame =
+    mixtureSample(Relational.table(s, dir, "documents"),
+      MixTargets.toMap).orderBy("doc_id")
+
+  /** The oracle replays the exact arithmetic: DECIMAL literals are
+    * cast to DOUBLE before any division so both engines do the same
+    * IEEE ops in the same order. */
+  val mixtureSql: String = {
+    val vals = MixTargets.map { case (s0, w) => s"('$s0', $w)" }
+      .mkString(", ")
+    s"""
+    WITH tgt(source, w) AS (VALUES $vals),
+    toks AS (
+      SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT)
+          AS n_tokens,
+        doc_id % $MixShards AS shard
+      FROM documents
+      WHERE source IN (${MixTargets.map(t => s"'${t._1}'").mkString(",")})),
+    obs AS (
+      SELECT source, CAST(sum(n_tokens) AS DOUBLE) AS t
+      FROM toks GROUP BY source),
+    tout AS (
+      SELECT min(t / CAST(w AS DOUBLE)) AS tout
+      FROM obs JOIN tgt USING (source)),
+    bud AS (
+      SELECT source, (CAST(w AS DOUBLE) * tout) / $MixShards AS b
+      FROM tgt, tout),
+    cum AS (
+      SELECT doc_id, source, n_tokens,
+        sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id)
+          AS cum
+      FROM toks)
+    SELECT doc_id, source, n_tokens
+    FROM cum JOIN bud USING (source)
+    WHERE cum <= b
+    ORDER BY doc_id"""
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("s03_stratified_sample", stratifiedDemo _, None),
+      ("s05_mixture_sample", mixtureDemo _, Some(mixtureSql)),
     )
 }

@@ -60,4 +60,36 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"sampling shuffled:\n$plan")
     assert(!plan.contains("ScalaUDF"))
   }
+
+  test("mixtureSample: per-source token totals track the target " +
+    "mixture; selection is layout-invariant; invalid targets rejected") {
+    val full = Relational.table(spark, sfDir, "documents")
+    val targets = Map("src0" -> 0.4, "src1" -> 0.35, "src2" -> 0.25)
+    def run(parts: Int) =
+      Sampling.mixtureSample(full.repartition(parts), targets)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._1)
+    val a = run(1)
+    assert(a.sameElements(run(16)), "selection changed with layout")
+    // realized shares track targets (greedy underfill: each of the 8
+    // shards may leave up to one doc of budget unused)
+    val bySrc = a.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val total = bySrc.values.sum.toDouble
+    targets.foreach { case (src, share) =>
+      val realized = bySrc(src) / total
+      assert(math.abs(realized - share) < 0.1,
+        s"$src realized $realized vs target $share")
+    }
+    // no upsampling: kept tokens never exceed the source's corpus total
+    val observed = full.filter(col("source").isin("src0", "src1", "src2"))
+      .groupBy("source").agg(sum(size(split(col("text"), " "))).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySrc.foreach { case (src, t) => assert(t <= observed(src)) }
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureSample(full, Map("src0" -> -0.1))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureSample(full, Map("no_such_source" -> 1.0))
+    }
+  }
 }
