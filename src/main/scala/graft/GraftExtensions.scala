@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo,
   Literal}
-import graft.expr.{CosineSimilarity, MinHashSignature}
+import graft.expr.{CosineSimilarity, MinHashSignature, NgramHashes}
 
 /** SQL-surface registration for the engine's custom expressions.
   *
@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.minhashSignatureFn)
     ext.injectFunction(GraftExtensions.cosineSimilarityFn)
+    ext.injectFunction(GraftExtensions.ngramHashesFn)
   }
 }
 
@@ -43,6 +44,21 @@ object GraftExtensions {
       "minhash_signature"),
     (exprs: Seq[Expression]) => buildMinhash(exprs))
 
+  private def buildNgram(exprs: Seq[Expression]): Expression = {
+    require(exprs.size == 2, s"ngram_hashes takes (text, n), got ${exprs.size}")
+    val n = exprs(1) match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"ngram_hashes: n must be an integer literal, got $other")
+    }
+    NgramHashes(exprs.head, n)
+  }
+
+  private[graft] val ngramHashesFn = (
+    FunctionIdentifier("ngram_hashes"),
+    new ExpressionInfo(classOf[NgramHashes].getName, "ngram_hashes"),
+    (exprs: Seq[Expression]) => buildNgram(exprs))
+
   private[graft] val cosineSimilarityFn = (
     FunctionIdentifier("cosine_similarity"),
     new ExpressionInfo(classOf[CosineSimilarity].getName,
@@ -55,5 +71,7 @@ object GraftExtensions {
       "minhash_signature", buildMinhash, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_similarity", buildCosine, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ngram_hashes", buildNgram, "scala_udf")
   }
 }

@@ -340,12 +340,11 @@ object TextAnalysis {
         j => concat(lit("bench"), col("id"), lit("w"), j)), " ")
         .as("btext"))
 
-  /** Position n-gram hashes of a token array (empty below n tokens). */
-  private def gramHashes(toks: Column): Column =
-    when(size(toks) >= ContamGram,
-      transform(sequence(lit(1), size(toks) - lit(ContamGram - 1)),
-        i => xxhash64(concat_ws(" ", slice(toks, i, lit(ContamGram))))))
-      .otherwise(array().cast("array<bigint>"))
+  /** Position n-gram hashes of the space-tokenized text (empty below
+    * n tokens) — the native one-pass kernel; see
+    * [[graft.expr.NgramHashes]] for why not transform+slice+concat. */
+  private def gramHashes(text: Column): Column =
+    graft.expr.NgramHashes.ngramHashes(text, ContamGram)
 
   /** Benchmark decontamination — flag training docs sharing any
     * 13-gram with an evaluation benchmark (the Dolma/RedPajama-style
@@ -372,11 +371,11 @@ object TextAnalysis {
         when(col("span").isNotNull, concat_ws(" ", col("text"), col("span")))
           .otherwise(col("text")).as("text"))
     val benchGrams = bench
-      .select(explode(gramHashes(split(col("btext"), " "))).as("gram"))
+      .select(explode(gramHashes(col("btext"))).as("gram"))
       .distinct()
     planted
       .select(col("doc_id"),
-        explode(gramHashes(split(col("text"), " "))).as("gram"))
+        explode(gramHashes(col("text"))).as("gram"))
       .join(broadcast(benchGrams), Seq("gram"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_bench_grams"))
       .orderBy("doc_id")
