@@ -218,10 +218,54 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  // ------------------------------------------- int8 quantization
+  /** Symmetric int8 quantization of the embedding column — the
+    * standard 4× memory compression before an ANN index is built at
+    * scale. Per-vector max-abs scale, `floor(x*127/scale + 0.5)`
+    * rounding (identical IEEE arithmetic is replayable in DuckDB —
+    * unlike HALF_UP/HALF_EVEN library rounding). Pure per-row
+    * expression work: no shuffle, no UDF, scan-speed at 100 TB. */
+  def quantizeEmbeddings(df: DataFrame): DataFrame = {
+    val scale = array_max(transform(col("embedding"), x => abs(x)))
+    val q = transform(col("embedding"), x =>
+      when(col("scale") === 0f, lit(0))
+        .otherwise(floor((x.cast("double") * lit(127.0)) /
+          col("scale").cast("double") + lit(0.5)).cast("int")))
+    df.withColumn("scale", scale).withColumn("q", q)
+  }
+
+  /** Driver-checkable projection: integer digests of the quantized
+    * vectors (the list column itself stays engine-internal). */
+  def quantizeDemo(s: SparkSession, dir: String): DataFrame =
+    quantizeEmbeddings(Relational.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("qsum"),
+        array_min(col("q")).as("qmin"),
+        array_max(col("q")).as("qmax"))
+      .orderBy("vec_id")
+
+  val quantizeSql: String = """
+    SELECT vec_id,
+      CAST(list_sum(q) AS BIGINT) AS qsum,
+      list_min(q) AS qmin,
+      list_max(q) AS qmax
+    FROM (
+      SELECT vec_id,
+        list_transform(embedding, x -> CASE WHEN m = 0 THEN 0
+          ELSE CAST(floor((CAST(x AS DOUBLE) * 127.0) /
+            CAST(m AS DOUBLE) + 0.5) AS INT) END) AS q
+      FROM (
+        SELECT vec_id, embedding,
+          list_max(list_transform(embedding, x -> abs(x))) AS m
+        FROM embeddings))
+    ORDER BY vec_id"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("s01_ann_brute_force", annBruteForce _, Some(annBruteForceSql)),
       ("s02_ann_lsh_bucketed", annLshBucketed _, None),
       ("s04_ann_ivf", annIvf _, None),
+      ("e01_embed_quantize", quantizeDemo _, Some(quantizeSql)),
     )
 }

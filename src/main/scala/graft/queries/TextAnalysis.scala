@@ -391,6 +391,33 @@ object TextAnalysis {
     WHERE doc_id % 23 = 0 AND doc_id % 17 <> 0
     ORDER BY doc_id"""
 
+  // ------------------------------------------------ token histogram
+  private val VocabTopK = 50
+
+  /** Corpus-wide token frequency table — the statistic every tokenizer
+    * build starts from. Shape at 100 TB: explode is map-side,
+    * the groupBy count is a partial-agg shuffle over the (small)
+    * distinct-token key space, and the top-k compiles to
+    * TakeOrderedAndProject — no global sort of the full histogram.
+    * Tie-break is (count desc, token asc), deterministic both sides. */
+  def tokenHistogram(s: SparkSession, dir: String): DataFrame =
+    Relational.table(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(VocabTopK)
+
+  val tokenHistogramSql: String = s"""
+    SELECT t AS token, count(*) AS n
+    FROM (
+      SELECT unnest(string_split(text, ' ')) AS t
+      FROM documents)
+    WHERE t <> ''
+    GROUP BY t
+    ORDER BY n DESC, t
+    LIMIT $VocabTopK"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("t01_token_count", tokenCount _, Some(tokenCountSql)),
@@ -402,5 +429,6 @@ object TextAnalysis {
       ("t07_repetition", repetition _, Some(repetitionSql)),
       ("t08_pii_redact", piiRedact _, Some(piiRedactSql)),
       ("t09_decontaminate", decontaminate _, Some(decontaminateSql)),
+      ("t10_token_histogram", tokenHistogram _, Some(tokenHistogramSql)),
     )
 }

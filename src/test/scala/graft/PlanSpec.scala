@@ -182,6 +182,24 @@ class PlanSpec extends SparkSpec {
       s"distinct, match agg, sort), got $shuffles:\n$p")
   }
 
+  test("t10 token histogram: partial-agg shuffle + TakeOrderedAndProject " +
+    "— never a global sort of the histogram") {
+    val p = TextAnalysis.tokenHistogram(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("partial_count"), s"map-side combine missing:\n$p")
+  }
+
+  test("e01 embedding quantization: pure per-row expressions — no " +
+    "shuffle, no UDF, before the presentation sort") {
+    import graft.queries.Similarity
+    val p = Similarity.quantizeDemo(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF"), p.take(2000))
+    assert("Exchange".r.findAllIn(p).length <= 1,
+      s"quantization should be a scan pass:\n$p")
+  }
+
   test("ANN family: only the brute-force baseline is allowed a nested-" +
     "loop join; LSH and IVF paths are equi-joins on bucket keys") {
     import graft.queries.Similarity
