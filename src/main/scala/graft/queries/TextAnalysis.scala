@@ -293,7 +293,14 @@ object TextAnalysis {
     * before IPs so a dotted hostname can never be half-eaten by the
     * IPv4 rule. */
   def piiRedact(s: SparkSession, dir: String): DataFrame =
-    piiPlanted(s, dir).select(col("doc_id"),
+    redact(piiPlanted(s, dir)).orderBy("doc_id")
+
+  /** The stateless scrub transform alone, on any (doc_id, text) frame —
+    * shared verbatim by the batch query above and Structured Streaming
+    * pipelines (a pure select is streamable unchanged; see
+    * StreamingSpec's composition test). */
+  def redact(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
       regexp_count(col("text"), lit(EmailRe)).as("n_emails"),
       regexp_count(col("text"), lit(PhoneRe)).as("n_phones"),
       regexp_count(col("text"), lit(IpRe)).as("n_ips"),
@@ -302,7 +309,6 @@ object TextAnalysis {
           regexp_replace(col("text"), EmailRe, "<EMAIL>"),
           PhoneRe, "<PHONE>"),
         IpRe, "<IP>").as("redacted"))
-      .orderBy("doc_id")
 
   val piiRedactSql: String = s"""
     WITH planted AS (

@@ -144,6 +144,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateless text ops compose into streaming: PII scrub stream == " +
+    "batch") {
+    // the scrub every pipeline runs before training: being a pure
+    // select, TextAnalysis.redact drops into readStream→writeStream
+    // unchanged — no rewrite, no state store, scan-speed per batch
+    val dir = java.nio.file.Files.createTempDirectory("pii-stream")
+    val docs = spark.range(40).select(col("id").as("doc_id"), concat(
+      lit("lorem ipsum "),
+      when(pmod(col("id"), lit(3)) === 0,
+        concat(lit("mail u"), col("id"), lit("@host.org ")))
+        .otherwise(lit("")),
+      when(pmod(col("id"), lit(5)) === 0, lit("call 555-0142 "))
+        .otherwise(lit("")),
+      when(pmod(col("id"), lit(7)) === 0, lit("at 10.0.3.77 "))
+        .otherwise(lit("")),
+      lit("dolor")).as("text"))
+    docs.coalesce(2).write.parquet(s"$dir/docs")
+    val stored = spark.read.parquet(s"$dir/docs")
+    val batch = graft.queries.TextAnalysis.redact(stored)
+      .orderBy("doc_id").collect()
+
+    val stream = spark.readStream.schema(stored.schema)
+      .parquet(s"$dir/docs")
+    val q = graft.queries.TextAnalysis.redact(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pii_stream_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("pii_stream_out")
+      .orderBy("doc_id").collect()
+    assert(streamed.sameElements(batch),
+      s"stream(${streamed.length}) != batch(${batch.length})")
+    // and the scrub actually fired on the planted rows: doc 0 carries
+    // all three PII kinds (0 mod n == 0), doc 1 carries none
+    val r0 = streamed.find(_.getLong(0) == 0L).get
+    assert(r0.getInt(1) == 1 && r0.getInt(2) == 1 && r0.getInt(3) == 1)
+    assert(r0.getString(4).contains("<EMAIL>") &&
+      r0.getString(4).contains("<PHONE>") &&
+      r0.getString(4).contains("<IP>"))
+    val r1 = streamed.find(_.getLong(0) == 1L).get
+    assert(r1.getInt(1) == 0 && r1.getInt(2) == 0 && r1.getInt(3) == 0)
+  }
+
   test("sinks: csv and parquet roundtrip preserves generated data") {
     import graft.gen.Generators._
     val dir = java.nio.file.Files.createTempDirectory("sink-test")
