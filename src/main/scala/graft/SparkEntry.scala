@@ -14,7 +14,7 @@ object SparkEntry {
   private def optional: Seq[(String, (SparkSession, String) => DataFrame,
     Option[String])] =
     LayerADemo.all ++ graft.queries.Invariants.all ++ Dedup.all ++
-      Similarity.all ++ TextAnalysis.all ++
+      Similarity.all ++ TextAnalysis.all ++ graft.queries.Curation.all ++
       graft.queries.Sampling.all ++
       Multimodal.all ++ Streaming.all ++ graft.queries.Skew.all ++
       graft.queries.AsOf.all ++ Seq(

@@ -74,7 +74,7 @@ object TextAnalysis {
     ORDER BY doc_id"""
 
   // ------------------------------------------------------- lang id
-  private val LangStopwords: Seq[(String, Seq[String])] = Seq(
+  private[queries] val LangStopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "to"),
     "de" -> Seq("der", "die", "das", "und", "ist"),
     "fr" -> Seq("le", "la", "de", "et", "est"),
@@ -265,16 +265,21 @@ object TextAnalysis {
   /** Email / phone / IPv4 patterns shared by the Spark path (Java
     * regex) and the DuckDB oracle (RE2) — restricted to syntax both
     * engines interpret identically. */
-  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  private val PhoneRe = "\\b555-[0-9]{4}\\b"
-  private val IpRe =
+  private[queries] val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[queries] val PhoneRe = "\\b555-[0-9]{4}\\b"
+  private[queries] val IpRe =
     "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
   /** The corpus with deterministic PII planted from doc_id arithmetic
     * (the synthetic corpus carries none of its own): every 7th doc an
     * email, every 11th a phone, every 13th an IPv4. */
   private def piiPlanted(s: SparkSession, dir: String): DataFrame =
-    Relational.table(s, dir, "documents").select(col("doc_id"), concat(
+    piiPlant(Relational.table(s, dir, "documents"))
+
+  /** Same planting on any (doc_id, text) frame — shared with the
+    * composed curation pipeline ([[Curation]]). */
+  private[queries] def piiPlant(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), concat(
       col("text"),
       when(pmod(col("doc_id"), lit(7)) === 0, concat(lit(" contact user"),
         col("doc_id"), lit("@example.com"))).otherwise(lit("")),
@@ -310,8 +315,9 @@ object TextAnalysis {
           PhoneRe, "<PHONE>"),
         IpRe, "<IP>").as("redacted"))
 
-  val piiRedactSql: String = s"""
-    WITH planted AS (
+  /** DuckDB twin of [[piiPlant]] over any relation — kept as a
+    * generator so t08 and the composed c01 pipeline can never drift. */
+  private[queries] def piiPlantSql(src: String): String = s"""
       SELECT doc_id, text ||
         CASE WHEN doc_id % 7 = 0
           THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
@@ -321,7 +327,10 @@ object TextAnalysis {
         CASE WHEN doc_id % 13 = 0
           THEN ' from 10.' || (doc_id % 256) || '.' ||
             ((doc_id // 7) % 256) || '.1' ELSE '' END AS text
-      FROM documents)
+      FROM $src"""
+
+  /** DuckDB twin of [[redact]] over any (doc_id, text) relation. */
+  private[queries] def redactSqlOver(src: String): String = s"""
     SELECT doc_id,
       CAST(len(regexp_extract_all(text, '$EmailRe')) AS INT) AS n_emails,
       CAST(len(regexp_extract_all(text, '$PhoneRe')) AS INT) AS n_phones,
@@ -330,7 +339,11 @@ object TextAnalysis {
         '$EmailRe', '<EMAIL>', 'g'),
         '$PhoneRe', '<PHONE>', 'g'),
         '$IpRe', '<IP>', 'g') AS redacted
-    FROM planted
+    FROM $src"""
+
+  val piiRedactSql: String = s"""
+    WITH planted AS (${piiPlantSql("documents")})
+    ${redactSqlOver("planted")}
     ORDER BY doc_id"""
 
   // ----------------------------------------- benchmark decontamination
@@ -424,6 +437,65 @@ object TextAnalysis {
     ORDER BY n DESC, t
     LIMIT $VocabTopK"""
 
+  // ------------------------------------------------------- tf-idf
+  private val TfIdfTopK = 3
+
+  /** Top-k characteristic terms per document by a log-free rational
+    * tf-idf: score_milli = (tf · N · 1000) div df. Monotone in tf and
+    * 1/df exactly like tf·log(N/df) for ranking within a document at
+    * fixed tf scale, but integer-exact — so the DuckDB oracle compares
+    * bit-for-bit (a transcendental log diverges in the last ulp
+    * between engines; swapping in log10(N/df) is a one-line change
+    * when exactness isn't needed).
+    *
+    * Shape at 100 TB: the explode is map-side; tf is a partial-agg
+    * shuffle keyed by (doc_id, token); df is a distinct-agg over the
+    * (much smaller) vocabulary; the tf⋈df join shuffles on token and
+    * the corpus size N rides in as a broadcast single-row agg. The
+    * final top-k is a per-doc window — partitioned by doc_id, never a
+    * global sort. */
+  def tfidf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Relational.table(s, dir, "documents")
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy("token")
+      .agg(count_distinct(col("doc_id")).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_milli").desc, col("token"))
+    tf.join(df, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score_milli", expr("(tf * n_docs * 1000) div df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TfIdfTopK)
+      .select("doc_id", "rank", "token", "tf", "df", "score_milli")
+      .orderBy("doc_id", "rank")
+  }
+
+  val tfidfSql: String = s"""
+    WITH toks AS (
+      SELECT doc_id, t AS token FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents)
+      WHERE t <> ''),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+    idf AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, idf.df,
+        (tf.tf * nd.n_docs * 1000) // idf.df AS score_milli
+      FROM tf JOIN idf USING (token) CROSS JOIN nd)
+    SELECT doc_id, CAST(rank AS INT) AS rank, token, tf, df, score_milli
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+        ORDER BY score_milli DESC, token) AS rank
+      FROM scored)
+    WHERE rank <= $TfIdfTopK
+    ORDER BY doc_id, rank"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("t01_token_count", tokenCount _, Some(tokenCountSql)),
@@ -436,5 +508,6 @@ object TextAnalysis {
       ("t08_pii_redact", piiRedact _, Some(piiRedactSql)),
       ("t09_decontaminate", decontaminate _, Some(decontaminateSql)),
       ("t10_token_histogram", tokenHistogram _, Some(tokenHistogramSql)),
+      ("t11_tfidf", tfidf _, Some(tfidfSql)),
     )
 }

@@ -277,6 +277,50 @@ class PipelineOpsSpec extends SparkSpec {
       decoded.samples.toSeq)
   }
 
+  test("tfidf: 3 ranked terms per doc, score is the exact rational " +
+    "(tf * N * 1000) div df, ranks deterministic") {
+    val rows = TextAnalysis.tfidf(spark, sfDir).collect()
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.forall { case (_, rs) =>
+      rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length) &&
+        rs.length <= 3
+    })
+    rows.foreach { r =>
+      val (tf, df, score) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(score == tf * nDocs * 1000 / df, r.toString)
+    }
+    // within a doc, rank order follows (score desc, token asc)
+    byDoc.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(1))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val (sa, sb) = (a.getLong(5), b.getLong(5))
+          assert(sa > sb || (sa == sb &&
+            a.getString(2) < b.getString(2)), s"$a !>= $b")
+        case _ =>
+      }
+    }
+  }
+
+  test("curation pipeline: every survivor passes every gate; planted " +
+    "duplicates never survive") {
+    val rows = graft.queries.Curation.curationPipeline(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTok, nUniq, en) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nTok >= 12 && nUniq * 2 >= nTok && en >= 1, r.toString)
+    }
+    // exact-dup copies are planted at doc_id + 1e6 with min-id
+    // survivorship — no copy may outlive its original
+    assert(rows.forall(_.getLong(0) < Plant),
+      "a planted duplicate survived dedup")
+    // the pipeline genuinely filters: survivors are a strict subset
+    val total = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.length < total)
+  }
+
   test("multimodal: media plumbing carries binary + metadata, real " +
     "decode features") {
     val meta = Multimodal.mediaMeta(spark, sfDir).collect()

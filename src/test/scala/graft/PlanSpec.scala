@@ -190,6 +190,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), s"map-side combine missing:\n$p")
   }
 
+  test("t11 tf-idf: map-side explode, partial-agg shuffles, broadcast " +
+    "corpus count — no cartesian on the tf x df join") {
+    val df = TextAnalysis.tfidf(spark, sfDir)
+    val p = finalPlan(df)
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the single-row n_docs agg rides in broadcast; tf join df must be
+    // a proper equi-join on token
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"tf-df join is not an equi-join:\n${p.take(3000)}")
+    assert(p.contains("partial_count"), s"map-side combine missing:\n$p")
+  }
+
+  test("c01 curation pipeline: ONE hash shuffle (the dedup groupBy); " +
+    "scrub + gates fuse into the scan pass") {
+    val df = graft.queries.Curation.curationPipeline(spark, sfDir)
+    val p = finalPlan(df)
+    val finalSection = p.split("== Initial Plan ==").head
+    val hashShuffles = "Exchange hashpartitioning".r
+      .findAllIn(finalSection).length
+    assert(hashShuffles == 1,
+      s"expected exactly 1 hash shuffle (dedup), got $hashShuffles:\n$p")
+    assert(!p.contains("ScalaUDF"), "curation stages must stay codegen'd")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      s"pipeline must be join-free:\n${p.take(3000)}")
+  }
+
   test("e01 embedding quantization: pure per-row expressions — no " +
     "shuffle, no UDF, before the presentation sort") {
     import graft.queries.Similarity
