@@ -431,6 +431,69 @@ object Dedup {
         SELECT doc_id + 1 AS doc_id FROM documents WHERE doc_id % 10 <= 2))
     ORDER BY cluster_id, doc_id"""
 
+  // ------------------------------------------- paragraph-level dedup
+  private val ParaTokens = 8
+
+  /** Paragraph-level dedup (the Dolma/FineWeb-style scrub): chunk each
+    * document into fixed 8-token paragraphs, keep only the globally
+    * FIRST occurrence of every distinct paragraph (by doc_id, then
+    * position), and re-assemble the survivors in document order. Docs
+    * whose every paragraph already appeared elsewhere — the planted
+    * exact copies — vanish entirely.
+    *
+    * Scale shape: the paragraph explode is map-side; first-occurrence
+    * is one shuffle keyed by paragraph text (partial-agg-friendly
+    * min-struct, no window over the corpus); the re-assembly groupBy
+    * shuffles back by doc_id. Two keyed shuffles total, both on keys
+    * with bounded fan-in, no joins, no cross products. */
+  def paragraphDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.table(s, dir, "documents")
+    val toks = split(col("text"), " ")
+    val nParas = ceil(size(toks).cast("double") / ParaTokens).cast("int")
+    val paras = docs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), nParas - 1),
+        i => array_join(slice(toks, i * ParaTokens + 1, lit(ParaTokens)),
+          " "))))
+      .toDF("doc_id", "pos", "para")
+    // first global occurrence per distinct paragraph: min (doc_id, pos)
+    // — an aggregation, not a window, so map-side partial agg applies
+    val first = paras.groupBy("para")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+      .select(col("f.doc_id").as("doc_id"), col("f.pos").as("pos"),
+        col("para"))
+    first.groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("para")))),
+          x => x.getField("para")), " ").as("text_clean"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin: same chunking arithmetic (1-based inclusive list
+    * slice == Spark's length-capped slice), first occurrence via
+    * min(doc_id, pos) per paragraph, order-preserving string_agg. */
+  val paragraphDedupSql: String = s"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    paras AS (
+      SELECT doc_id, i AS pos,
+        array_to_string(ts[(i * $ParaTokens + 1):((i + 1) * $ParaTokens)],
+          ' ') AS para
+      FROM toks,
+        LATERAL unnest(generate_series(0,
+          CAST(ceil(len(ts) / ${ParaTokens}.0) AS INT) - 1)) AS g(i)),
+    first AS (
+      SELECT para,
+        min(struct_pack(doc_id := doc_id, pos := pos)) AS f
+      FROM paras GROUP BY para),
+    kept AS (
+      SELECT f.doc_id AS doc_id, f.pos AS pos, para FROM first)
+    SELECT doc_id, count(*) AS n_kept,
+      string_agg(para, ' ' ORDER BY pos) AS text_clean
+    FROM kept
+    GROUP BY doc_id
+    ORDER BY doc_id"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("d01_dedup_exact", dedupExact _, Some(dedupExactSql)),
@@ -442,5 +505,6 @@ object Dedup {
         Some(dedupEmbeddingCosineSql)),
       ("d06_dedup_clusters", dedupClusters _, None),
       ("d07_cluster_chain", clusterChain _, Some(clusterChainSql)),
+      ("d08_paragraph_dedup", paragraphDedup _, Some(paragraphDedupSql)),
     )
 }

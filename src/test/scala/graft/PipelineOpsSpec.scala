@@ -277,6 +277,27 @@ class PipelineOpsSpec extends SparkSpec {
       decoded.samples.toSeq)
   }
 
+  test("paragraph_dedup: first occurrence wins globally; fully-" +
+    "duplicated docs vanish; doc order preserved in reassembly") {
+    import org.apache.spark.sql.functions._
+    val rows = Dedup.paragraphDedup(spark, sfDir).collect()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    assert(rows.length < docs.length,
+      "no doc fully vanished — planted duplicates not collapsing")
+    // the minimum doc_id can lose paragraphs only to itself: expected
+    // reassembly = its paragraphs with intra-doc later repeats removed
+    val (minId, minText) = docs.head
+    val paras = minText.split(" ").grouped(8).map(_.mkString(" ")).toSeq
+    val expected = paras.foldLeft(Vector.empty[String]) {
+      case (acc, p) => if (acc.contains(p)) acc else acc :+ p
+    }
+    val got = rows.find(_.getLong(0) == minId).get
+    assert(got.getLong(1) == expected.length, got.toString)
+    assert(got.getString(2) == expected.mkString(" "))
+  }
+
   test("tfidf: 3 ranked terms per doc, score is the exact rational " +
     "(tf * N * 1000) div df, ranks deterministic") {
     val rows = TextAnalysis.tfidf(spark, sfDir).collect()

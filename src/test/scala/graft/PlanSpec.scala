@@ -218,6 +218,21 @@ class PlanSpec extends SparkSpec {
       s"pipeline must be join-free:\n${p.take(3000)}")
   }
 
+  test("d08 paragraph dedup: two keyed shuffles (first-occurrence agg, " +
+    "reassembly), join-free, partial min-struct agg") {
+    val df = graft.queries.Dedup.paragraphDedup(spark, sfDir)
+    val p = finalPlan(df)
+    val finalSection = p.split("== Initial Plan ==").head
+    val hashShuffles = "Exchange hashpartitioning".r
+      .findAllIn(finalSection).length
+    assert(hashShuffles == 2,
+      s"expected 2 hash shuffles (para agg + doc agg), got " +
+        s"$hashShuffles:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"paragraph dedup must be join-free:\n${p.take(3000)}")
+    assert(p.contains("partial_min"), s"map-side combine missing:\n$p")
+  }
+
   test("e01 embedding quantization: pure per-row expressions — no " +
     "shuffle, no UDF, before the presentation sort") {
     import graft.queries.Similarity
