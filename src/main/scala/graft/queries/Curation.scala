@@ -73,7 +73,43 @@ object Curation {
     ORDER BY doc_id"""
   }
 
+  /** c02 — the per-(source, lang) data card: the summary table every
+    * corpus release ships (doc counts, token/char volumes, share
+    * passing the quality gate). All-integer aggregates, so the oracle
+    * is exact. One partial-agg shuffle over a tiny (source × lang) key
+    * space — at 100 TB this is a map-side-combine scan pass. */
+  def sourceDatacard(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTokens = size(toks).cast("long")
+    val nUnique = size(array_distinct(toks)).cast("long")
+    Relational.table(s, dir, "documents")
+      .select(col("source"), col("lang"), col("n_chars"), nTokens
+        .as("n_tokens"),
+        (nTokens >= MinTokens && nUnique * 2 >= nTokens).cast("long")
+          .as("quality_ok"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("quality_ok")).as("n_quality"))
+      .orderBy("source", "lang")
+  }
+
+  val sourceDatacardSql: String = s"""
+    SELECT source, lang, count(*) AS n_docs,
+      CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+      CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      CAST(sum(CASE WHEN len(string_split(text, ' ')) >= $MinTokens
+        AND len(list_distinct(string_split(text, ' '))) * 2 >=
+          len(string_split(text, ' '))
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+    FROM documents
+    GROUP BY source, lang
+    ORDER BY source, lang"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    Seq(("c01_curation_pipeline", curationPipeline _,
-      Some(curationPipelineSql)))
+    Seq(
+      ("c01_curation_pipeline", curationPipeline _,
+        Some(curationPipelineSql)),
+      ("c02_source_datacard", sourceDatacard _, Some(sourceDatacardSql)))
 }

@@ -233,6 +233,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_min"), s"map-side combine missing:\n$p")
   }
 
+  test("c02 data card: one partial-agg shuffle over the tiny " +
+    "(source, lang) key space — a map-side-combine scan pass") {
+    val df = graft.queries.Curation.sourceDatacard(spark, sfDir)
+    val p = finalPlan(df)
+    val finalSection = p.split("== Initial Plan ==").head
+    val hashShuffles = "Exchange hashpartitioning".r
+      .findAllIn(finalSection).length
+    assert(hashShuffles == 1, s"expected 1 hash shuffle, got " +
+      s"$hashShuffles:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"map-side combine missing:\n$p")
+    assert(!p.contains("Join"), s"data card must be join-free:\n$p")
+  }
+
   test("e01 embedding quantization: pure per-row expressions — no " +
     "shuffle, no UDF, before the presentation sort") {
     import graft.queries.Similarity
