@@ -177,6 +177,42 @@ object Streaming {
     FROM events
     ORDER BY event_id"""
 
+  /** Purchase attribution through the stream-stream interval join, run
+    * in batch: every click by the same user in the 30 minutes before a
+    * purchase is credited to it. Timestamps surface as epoch micros
+    * (exact integers) and the value sum routes through DECIMAL, so the
+    * oracle compares bit-exactly. */
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    EventStreams.attributionJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        windowMinutes = 30, watermark = "10 minutes")
+      .groupBy("purchase_id", "p_user")
+      .agg(count(lit(1)).as("n_clicks"),
+        max(unix_micros(col("c_ts"))).as("last_click_us"),
+        sum(col("c_value")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("clicks_value"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("n_clicks"), col("last_click_us"), col("clicks_value"))
+      .orderBy("purchase_id")
+  }
+
+  val attributionSql: String = """
+    SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+      count(*) AS n_clicks,
+      max(epoch_us(c.ts)) AS last_click_us,
+      CAST(sum(CAST(c.value AS DECIMAL(18,6))) AS DOUBLE) AS clicks_value
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    GROUP BY 1, 2
+    ORDER BY purchase_id"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("st01_tumbling_window", tumblingWindow _, Some(tumblingWindowSql)),
@@ -185,5 +221,6 @@ object Streaming {
       ("st04_funnel", funnel _, Some(funnelSql)),
       ("st05_json_props", jsonProps _, Some(jsonPropsSql)),
       ("st06_dedup_replay", dedupReplay _, Some(dedupReplaySql)),
+      ("st07_attribution", attribution _, Some(attributionSql)),
     )
 }

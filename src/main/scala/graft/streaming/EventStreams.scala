@@ -68,6 +68,28 @@ object EventStreams {
         .dropDuplicatesWithinWatermark("event_id")
     else events.dropDuplicates("event_id")
 
+  /** Stream-stream attribution join: each purchase paired with the
+    * same user's clicks in the preceding `windowMinutes`. The identical
+    * join predicate runs in batch and in Structured Streaming — in
+    * streaming, the event-time range condition plus per-input
+    * watermarks let Spark expire click state older than
+    * watermark − interval, so join state stays bounded no matter how
+    * long the streams run (inner-join results still emit eagerly). */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+      windowMinutes: Int, watermark: String): DataFrame = {
+    def wm(df: DataFrame) =
+      if (df.isStreaming) df.withWatermark("ts", watermark) else df
+    val c = wm(clicks).select(col("user_id").as("c_user"),
+      col("ts").as("c_ts"), col("value").as("c_value"))
+    val p = wm(purchases).select(col("event_id").as("purchase_id"),
+      col("user_id").as("p_user"), col("ts").as("p_ts"))
+    p.join(c,
+      col("c_user") === col("p_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") -
+          expr(s"INTERVAL '$windowMinutes' MINUTE"))
+  }
+
   // ---------------- streaming sessionization (stateful) ----------------
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -144,6 +144,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: attribution stream == batch, " +
+    "state bounded by watermark + range condition") {
+    val dir = java.nio.file.Files.createTempDirectory("attr-stream")
+    val ts = (m: Long) => new java.sql.Timestamp(m * 60000L)
+    val clicks = Seq(
+      EventStreams.Event(1, ts(1), 7L, "click", 1.0),
+      EventStreams.Event(2, ts(20), 7L, "click", 2.0),
+      EventStreams.Event(3, ts(90), 7L, "click", 4.0), // outside window
+      EventStreams.Event(4, ts(25), 9L, "click", 8.0)).toDS().toDF()
+    val purchases = Seq(
+      EventStreams.Event(10, ts(30), 7L, "purchase", 50.0),
+      EventStreams.Event(11, ts(200), 7L, "purchase", 60.0),
+      EventStreams.Event(12, ts(26), 9L, "purchase", 70.0)).toDS().toDF()
+    clicks.coalesce(1).write.parquet(s"$dir/clicks")
+    purchases.coalesce(1).write.parquet(s"$dir/purchases")
+
+    val batch = EventStreams.attributionJoin(clicks, purchases, 30,
+      "10 minutes").select("purchase_id", "c_ts", "c_value")
+      .orderBy("purchase_id", "c_ts").collect()
+    // purchase 10 attributes clicks 1+2 (click 3 is later, outside);
+    // purchase 11 nothing (inner join drops it); purchase 12 click 4
+    assert(batch.map(_.getLong(0)).toSeq == Seq(10L, 10L, 12L))
+
+    val enc = implicitly[org.apache.spark.sql.Encoder[EventStreams.Event]]
+    val cStream = spark.readStream.schema(enc.schema)
+      .parquet(s"$dir/clicks")
+    val pStream = spark.readStream.schema(enc.schema)
+      .parquet(s"$dir/purchases")
+    val q = EventStreams.attributionJoin(cStream, pStream, 30,
+      "10 minutes").select("purchase_id", "c_ts", "c_value")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("attr_out")
+      .orderBy("purchase_id", "c_ts").collect()
+    assert(streamed.sameElements(batch),
+      s"stream(${streamed.mkString(",")}) != batch(${batch.mkString(",")})")
+  }
+
   test("stateless text ops compose into streaming: PII scrub stream == " +
     "batch") {
     // the scrub every pipeline runs before training: being a pure
