@@ -15,6 +15,7 @@ object SparkEntry {
     Option[String])] =
     LayerADemo.all ++ graft.queries.Invariants.all ++ Dedup.all ++
       Similarity.all ++ TextAnalysis.all ++ graft.queries.Curation.all ++
+      graft.queries.Sketches.all ++
       graft.queries.Sampling.all ++
       Multimodal.all ++ Streaming.all ++ graft.queries.Skew.all ++
       graft.queries.AsOf.all ++ Seq(

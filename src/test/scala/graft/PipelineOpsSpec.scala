@@ -277,6 +277,25 @@ class PipelineOpsSpec extends SparkSpec {
       decoded.samples.toSeq)
   }
 
+  test("heavy_hitters: CMS never underestimates, estimates are tight " +
+    "at this vocab size, sketch is fixed 4x1024 cells") {
+    val rows = graft.queries.Sketches.heavyHitters(spark, sfDir).collect()
+    assert(rows.length == 30)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), s"CMS underestimated: $r")
+      // d=4 rows over w=1024 buckets with a ~50-word vocab: at least
+      // one collision-free row per token keeps the min exact-ish
+      assert(r.getLong(2) <= r.getLong(1) * 2, s"estimate off 2x: $r")
+    }
+    // ranked by true count descending, deterministic tie-break
+    assert(rows.sliding(2).forall {
+      case Array(a, b) => a.getLong(1) > b.getLong(1) ||
+        (a.getLong(1) == b.getLong(1) &&
+          a.getString(0) < b.getString(0))
+      case _ => true
+    })
+  }
+
   test("paragraph_dedup: first occurrence wins globally; fully-" +
     "duplicated docs vanish; doc order preserved in reassembly") {
     import org.apache.spark.sql.functions._

@@ -247,6 +247,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"data card must be join-free:\n$p")
   }
 
+  test("t12 CMS heavy hitters: sketch build is a partial-agg shuffle " +
+    "onto 4096 fixed cells; probes join the sketch via broadcast") {
+    val df = graft.queries.Sketches.heavyHitters(spark, sfDir)
+    val p = finalPlan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"sketch probe join must broadcast the 4096-cell sketch:\n" +
+        p.take(3000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("SortMergeJoin"), p.take(3000))
+    assert(p.contains("partial_count"), s"map-side combine missing:\n$p")
+  }
+
   test("e01 embedding quantization: pure per-row expressions — no " +
     "shuffle, no UDF, before the presentation sort") {
     import graft.queries.Similarity
