@@ -449,11 +449,11 @@ object TextAnalysis {
     * when exactness isn't needed).
     *
     * Shape at 100 TB: the explode is map-side; tf is a partial-agg
-    * shuffle keyed by (doc_id, token); df is a distinct-agg over the
-    * (much smaller) vocabulary; the tf⋈df join shuffles on token and
-    * the corpus size N rides in as a broadcast single-row agg. The
-    * final top-k is a per-doc window — partitioned by doc_id, never a
-    * global sort. */
+    * shuffle keyed by (doc_id, token); df is a distinct-agg whose
+    * OUTPUT is vocabulary-sized, so it is broadcast — the bulky tf
+    * side never shuffles onto token, only once more onto doc_id for
+    * the top-k window (never a global sort). The corpus size N rides
+    * in as a broadcast single-row agg. */
   def tfidf(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Relational.table(s, dir, "documents")
@@ -466,7 +466,7 @@ object TextAnalysis {
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score_milli").desc, col("token"))
-    tf.join(df, "token")
+    tf.join(broadcast(df), "token")
       .crossJoin(broadcast(nDocs))
       .withColumn("score_milli", expr("(tf * n_docs * 1000) div df"))
       .withColumn("rank", row_number().over(w))
