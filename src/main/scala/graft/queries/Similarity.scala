@@ -261,11 +261,45 @@ object Similarity {
         FROM embeddings))
     ORDER BY vec_id"""
 
+  // ------------------------------------------------------ clustering
+  /** s06 — embedding clustering as a first-class operator: the IVF
+    * index build exposed directly. Centroids train on the hash-gated
+    * sample; the corpus is then assigned in ONE broadcast pass (no
+    * shuffle of vectors) and summarized per cluster — the shape that
+    * holds at 100 TB, where only cluster ids and counts ever shuffle. */
+  def embeddingClusters(s: SparkSession, dir: String): DataFrame = {
+    val emb = Relational.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cents = ivfCentroids(emb, IvfK, IvfIters, seed = 9000)
+    val bc = s.sparkContext.broadcast(cents)
+    val assignUdf = udf((v: Seq[Float]) => nearestCentroid(v, bc.value))
+    emb.select(assignUdf(col("embedding")).as("cluster_id"))
+      .groupBy("cluster_id").agg(count(lit(1)).as("n_points"))
+      .orderBy("cluster_id")
+  }
+
+  /** s06's partition contract, exact-oracle-checkable: the clusters
+    * PARTITION the corpus — sizes sum to the corpus count, ids stay in
+    * [0, k), and there are at most k clusters. */
+  def clusterInv(s: SparkSession, dir: String): DataFrame =
+    embeddingClusters(s, dir).agg(
+      sum(col("n_points")).as("total_points"),
+      (min(col("cluster_id")) >= 0 && max(col("cluster_id")) < IvfK)
+        .as("ids_in_range"),
+      (count(lit(1)) <= IvfK).as("k_bounded"))
+
+  val clusterInvSql: String = """
+    SELECT CAST(count(*) AS BIGINT) AS total_points,
+      TRUE AS ids_in_range, TRUE AS k_bounded
+    FROM embeddings"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("s01_ann_brute_force", annBruteForce _, Some(annBruteForceSql)),
       ("s02_ann_lsh_bucketed", annLshBucketed _, None),
       ("s04_ann_ivf", annIvf _, None),
+      ("s06_embedding_clusters", embeddingClusters _, None),
+      ("s06_cluster_inv", clusterInv _, Some(clusterInvSql)),
       ("e01_embed_quantize", quantizeDemo _, Some(quantizeSql)),
     )
 }

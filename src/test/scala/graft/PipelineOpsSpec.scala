@@ -277,6 +277,17 @@ class PipelineOpsSpec extends SparkSpec {
       decoded.samples.toSeq)
   }
 
+  test("embedding_clusters: clusters partition the corpus, ids in " +
+    "[0, k), assignment deterministic across runs") {
+    val rows = Similarity.embeddingClusters(spark, sfDir).collect()
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == n)
+    assert(rows.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 16))
+    assert(rows.length > 1, "degenerate single-cluster solution")
+    val again = Similarity.embeddingClusters(spark, sfDir).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("heavy_hitters: CMS never underestimates, estimates are tight " +
     "at this vocab size, sketch is fixed 4x1024 cells") {
     val rows = graft.queries.Sketches.heavyHitters(spark, sfDir).collect()
