@@ -496,6 +496,44 @@ object TextAnalysis {
     WHERE rank <= $TfIdfTopK
     ORDER BY doc_id, rank"""
 
+  // --------------------------------------------------- token rarity
+  /** Per-document token-rarity signal — the unigram-LM quality proxy:
+    * documents dominated by globally rare tokens score low on
+    * sum_global / n_tokens. Outputs stay integer (sum of global
+    * counts + token count) so the oracle is exact; consumers divide.
+    *
+    * Shape at 100 TB: same as tf-idf's fixed — the global counts
+    * relation is vocabulary-sized and broadcast, so corpus tokens
+    * shuffle once onto doc_id for the per-doc sum. */
+  def tokenRarity(s: SparkSession, dir: String): DataFrame = {
+    val toks = Relational.table(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val global = toks.groupBy("token")
+      .agg(count(lit(1)).as("n_global"))
+    toks.join(broadcast(global), "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("n_global")).as("sum_global"),
+        min(col("n_global")).as("rarest"))
+      .orderBy("doc_id")
+  }
+
+  val tokenRaritySql: String = """
+    WITH toks AS (
+      SELECT doc_id, t AS token FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents)
+      WHERE t <> ''),
+    global AS (
+      SELECT token, count(*) AS n_global FROM toks GROUP BY token)
+    SELECT doc_id, count(*) AS n_tokens,
+      CAST(sum(n_global) AS BIGINT) AS sum_global,
+      min(n_global) AS rarest
+    FROM toks JOIN global USING (token)
+    GROUP BY doc_id
+    ORDER BY doc_id"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("t01_token_count", tokenCount _, Some(tokenCountSql)),
@@ -509,5 +547,6 @@ object TextAnalysis {
       ("t09_decontaminate", decontaminate _, Some(decontaminateSql)),
       ("t10_token_histogram", tokenHistogram _, Some(tokenHistogramSql)),
       ("t11_tfidf", tfidf _, Some(tfidfSql)),
+      ("t13_token_rarity", tokenRarity _, Some(tokenRaritySql)),
     )
 }
