@@ -183,6 +183,20 @@ object Similarity {
     cents
   }
 
+  /** Codegen'd nearest-centroid assignment for the corpus-wide pass:
+    * an array of k native cosine expressions and an argmax via
+    * array_position(·, array_max(·)) — first occurrence of the max,
+    * i.e. ties → lowest index, matching [[nearestCentroid]] exactly
+    * (same cosine arithmetic through [[graft.expr.CosineSimilarity]]).
+    * No ScalaUDF touches the full-corpus scan. */
+  private def nearestCentroidCol(emb: org.apache.spark.sql.Column,
+      cents: Array[Array[Float]]): org.apache.spark.sql.Column = {
+    val coses = array(cents.map(c =>
+      graft.expr.CosineSimilarity.cosineSimilarity(emb,
+        typedLit(c.toSeq))): _*)
+    (array_position(coses, array_max(coses)) - 1).cast("int")
+  }
+
   /** IVF ANN: k-means inverted lists + multi-probe. Every corpus
     * vector is assigned to its nearest centroid in ONE broadcast pass
     * (no shuffle); each query probes its `IvfProbe` closest lists, so
@@ -194,12 +208,12 @@ object Similarity {
       .select(col("vec_id"), col("embedding"))
     val cents = ivfCentroids(emb, IvfK, IvfIters, seed = 9000)
     val bc = s.sparkContext.broadcast(cents)
-    val assignUdf = udf((v: Seq[Float]) => nearestCentroid(v, bc.value))
     val probeUdf = udf((v: Seq[Float]) =>
       nearestCentroids(v, bc.value, IvfProbe))
 
+    // corpus side stays UDF-free: codegen'd k-cosine argmax
     val lists = emb.select(col("vec_id"), col("embedding"),
-      assignUdf(col("embedding")).as("cid"))
+      nearestCentroidCol(col("embedding"), cents).as("cid"))
     val queries = emb.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         explode(probeUdf(col("embedding"))).as("cid"))
@@ -271,12 +285,18 @@ object Similarity {
     val emb = Relational.table(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
     val cents = ivfCentroids(emb, IvfK, IvfIters, seed = 9000)
-    val bc = s.sparkContext.broadcast(cents)
-    val assignUdf = udf((v: Seq[Float]) => nearestCentroid(v, bc.value))
-    emb.select(assignUdf(col("embedding")).as("cluster_id"))
+    emb.select(nearestCentroidCol(col("embedding"), cents)
+        .as("cluster_id"))
       .groupBy("cluster_id").agg(count(lit(1)).as("n_points"))
       .orderBy("cluster_id")
   }
+
+  /** Test hook: per-vector assignments through the codegen'd argmax
+    * (see PipelineOpsSpec's UDF-parity check). */
+  private[graft] def embeddingClustersAssignments(emb: DataFrame,
+      cents: Array[Array[Float]]): DataFrame =
+    emb.select(col("vec_id"),
+      nearestCentroidCol(col("embedding"), cents).as("cluster_id"))
 
   /** s06's partition contract, exact-oracle-checkable: the clusters
     * PARTITION the corpus — sizes sum to the corpus count, ids stay in

@@ -277,6 +277,21 @@ class PipelineOpsSpec extends SparkSpec {
       decoded.samples.toSeq)
   }
 
+  test("embedding_clusters: codegen'd argmax assignment == UDF " +
+    "reference on every corpus vector") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.ivfCentroids(emb, 16, 2, seed = 9000)
+    val byUdf = emb.collect().map { r =>
+      r.getLong(0) ->
+        Similarity.nearestCentroid(r.getSeq[Float](1), cents)
+    }.toMap
+    val byExpr = Similarity.embeddingClustersAssignments(emb, cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(byExpr == byUdf)
+  }
+
   test("embedding_clusters: clusters partition the corpus, ids in " +
     "[0, k), assignment deterministic across runs") {
     val rows = Similarity.embeddingClusters(spark, sfDir).collect()

@@ -247,6 +247,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"data card must be join-free:\n$p")
   }
 
+  test("s06 embedding clusters: the corpus-wide assignment pass is " +
+    "UDF-free — codegen'd k-cosine argmax, one partial-agg shuffle") {
+    val df = graft.queries.Similarity.embeddingClusters(spark, sfDir)
+    val p = finalPlan(df)
+    assert(!p.contains("ScalaUDF"),
+      s"corpus assignment must stay codegen'd:\n${p.take(3000)}")
+    assert(p.contains("partial_count"), s"map-side combine missing:\n$p")
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
   test("t12 CMS heavy hitters: sketch build is a partial-agg shuffle " +
     "onto 4096 fixed cells; probes join the sketch via broadcast") {
     val df = graft.queries.Sketches.heavyHitters(spark, sfDir)
