@@ -16,7 +16,7 @@ object SparkEntry {
     LayerADemo.all ++ graft.queries.Invariants.all ++ Dedup.all ++
       Similarity.all ++ TextAnalysis.all ++ graft.queries.Curation.all ++
       graft.queries.Sketches.all ++
-      graft.queries.Sampling.all ++
+      graft.queries.Sampling.all ++ graft.queries.Linkage.all ++
       Multimodal.all ++ Streaming.all ++ graft.queries.Skew.all ++
       graft.queries.AsOf.all ++ Seq(
         ("q18_approx_distinct", Relational.q18ApproxDistinct _, None),

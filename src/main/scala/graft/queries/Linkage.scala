@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Record-linkage operators — the evaluation workload the reference's
+  * synthetic data exists to serve (`/root/reference/README.md:1-4`,
+  * `docs/index.md:3-11`: gecko generates corrupted records for
+  * record-linkage evaluation; the library itself stops at data
+  * generation). An engine that generates corrupted copies at 100 TB
+  * should also be able to LINK them back at 100 TB, so the matcher is
+  * a first-class operator here (absent in reference — Layer B).
+  *
+  * Core operator: the blocked similarity join. The naive formulation
+  * is an O(n²) cross join with an edit-distance predicate — a
+  * cartesian product Catalyst cannot save. The scale-safe formulation
+  * is the classic blocking decomposition: an EQUI-join on a cheap
+  * deterministic block key (so Catalyst plans a hash/sort-merge join,
+  * never a cartesian) and the expensive levenshtein verify runs on
+  * in-block candidates only. The block key is the scaling knob: a
+  * k-char prefix yields ≤|alphabet|^k blocks, so per-block candidate
+  * counts — and the quadratic term — are bounded by corpus/blocks;
+  * at larger corpora pass a longer prefix or a composite key
+  * (prefix + length band, domain, phonetic code).
+  */
+object Linkage {
+
+  /** Blocked fuzzy join: candidate pairs of (left, right) rows whose
+    * `blockOf(name)` keys are equal and whose names are within
+    * `maxDist` edits. `left` and `right` must not share column names.
+    *
+    * Plan shape (PlanSpec-asserted): one equi-join on the block key —
+    * shuffle hash / sort-merge at scale, broadcast when one side is
+    * tiny — with levenshtein applied as a post-join filter on
+    * candidates only. No CartesianProduct anywhere. */
+  def blockedLevenshteinJoin(left: DataFrame, leftName: String,
+                             right: DataFrame, rightName: String,
+                             blockOf: Column => Column,
+                             maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, is $maxDist")
+    val l = left.withColumn("__block", blockOf(col(leftName)))
+    val r = right.withColumn("__block", blockOf(col(rightName)))
+    l.join(r, Seq("__block"))
+      .filter(levenshtein(col(leftName), col(rightName)) <= maxDist)
+      .drop("__block")
+  }
+
+  // --------------------------------------------------- demo corpus
+  // A deterministic identity corpus: reverse the 9 zero-padded digits
+  // of c_name (so the varying low digits land in the blocking prefix,
+  // not a constant '000…' run) and map digits to letters. Unique per
+  // customer, pure SQL in both engines — which is what buys the demo
+  // queries an EXACT DuckDB oracle instead of a rows-only check.
+
+  private val DigitLetters = "aeioubcdfg"
+
+  private def identities(s: SparkSession, dir: String): DataFrame =
+    Relational.table(s, dir, "customer")
+      .select(col("c_custkey").as("cust_id"),
+        translate(reverse(substring(col("c_name"), 10, 9)),
+          "0123456789", DigitLetters).as("name"))
+
+  /** The corrupted copy: delete one character at position
+    * 4 + (key mod 5) — a with_delete-style single-edit corruption
+    * (reference semantics: gecko/mutator.py:762-812) made
+    * deterministic so the oracle can replay it. Positions ≥ 4 keep
+    * the 3-char blocking prefix intact, mirroring how real linkage
+    * pipelines pick block keys from stable name regions. */
+  private def corrupted(s: SparkSession, dir: String): DataFrame = {
+    val pos = (col("cust_id") % 5 + lit(4)).cast("int")
+    identities(s, dir).select(
+      col("cust_id").as("rec_id"),
+      concat(col("name").substr(lit(1), pos - 1),
+        col("name").substr(pos + 1, lit(9))).as("rec_name"))
+  }
+
+  private val identitiesSql = """
+    SELECT c_custkey AS cust_id,
+           translate(reverse(substr(c_name, 10, 9)),
+                     '0123456789', 'aeioubcdfg') AS name
+    FROM customer"""
+
+  private val corruptedSql = """
+    SELECT cust_id AS rec_id,
+           substr(name, 1, CAST(3 + cust_id % 5 AS INT)) ||
+           substr(name, CAST(5 + cust_id % 5 AS INT)) AS rec_name
+    FROM ids"""
+
+  // ------------------------------------------------------ l01 pairs
+
+  /** l01: all candidate pairs within 1 edit, 3-char-prefix blocking.
+    * Every corrupted record's true source shares its block (the edit
+    * never touches the prefix) at distance exactly 1; additional
+    * pairs are genuine near-collisions of the identity space — both
+    * engines must agree on the full pair set, hash-exactly. */
+  def linkagePairs(s: SparkSession, dir: String): DataFrame =
+    pairs(s, dir).orderBy("cust_id", "rec_id")
+
+  private def pairs(s: SparkSession, dir: String): DataFrame =
+    blockedLevenshteinJoin(identities(s, dir), "name",
+        corrupted(s, dir), "rec_name",
+        n => substring(n, 1, 3), maxDist = 1)
+      .select(col("cust_id"), col("rec_id"),
+        levenshtein(col("name"), col("rec_name")).cast("long").as("dist"))
+
+  val linkagePairsSql: String = s"""
+    WITH ids AS ($identitiesSql),
+    corr AS ($corruptedSql)
+    SELECT i.cust_id, c.rec_id,
+           CAST(levenshtein(i.name, c.rec_name) AS BIGINT) AS dist
+    FROM ids i JOIN corr c
+      ON substr(i.name, 1, 3) = substr(c.rec_name, 1, 3)
+    WHERE levenshtein(i.name, c.rec_name) <= 1
+    ORDER BY cust_id, rec_id"""
+
+  // ---------------------------------------------------- l02 quality
+
+  /** l02: linkage quality vs ground truth (a pair is correct iff it
+    * links a corrupted record to its own source). Precision/recall as
+    * exact integer millis — rational arithmetic, not floating log —
+    * so the oracle matches bit-for-bit (t11's trick). One aggregate
+    * over the candidate pairs + one count of the truth set. */
+  def linkageQuality(s: SparkSession, dir: String): DataFrame = {
+    val truth = identities(s, dir).agg(count(lit(1)).as("n_truth"))
+    pairs(s, dir)
+      .agg(count(lit(1)).as("n_pred"),
+        sum(when(col("cust_id") === col("rec_id"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .crossJoin(truth)
+      .select(col("n_truth"), col("n_pred"), col("n_correct"),
+        expr("n_correct * 1000 div n_pred").as("precision_milli"),
+        expr("n_correct * 1000 div n_truth").as("recall_milli"))
+  }
+
+  val linkageQualitySql: String = s"""
+    WITH ids AS ($identitiesSql),
+    corr AS ($corruptedSql),
+    p AS (
+      SELECT count(*) AS n_pred,
+             CAST(sum(CASE WHEN i.cust_id = c.rec_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_correct
+      FROM ids i JOIN corr c
+        ON substr(i.name, 1, 3) = substr(c.rec_name, 1, 3)
+      WHERE levenshtein(i.name, c.rec_name) <= 1),
+    t AS (SELECT count(*) AS n_truth FROM ids)
+    SELECT n_truth, n_pred, n_correct,
+           n_correct * 1000 // n_pred AS precision_milli,
+           n_correct * 1000 // n_truth AS recall_milli
+    FROM p, t"""
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
+    Seq(
+      ("l01_linkage_pairs", linkagePairs _, Some(linkagePairsSql)),
+      ("l02_linkage_quality", linkageQuality _, Some(linkageQualitySql)),
+    )
+}
