@@ -4,9 +4,10 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR, writes the metrics JSON to bench.json (in
-  * SPARK_GRAFT_OUT, or the working dir) and prints it as the final
-  * stdout line — the file is the canonical machine-readable artifact;
-  * the stdout line is a fallback for line-grepping drivers. */
+  * SPARK_GRAFT_OUT, or the working dir) and prints it, followed by a
+  * compact headline-subset line sized to fit the driver's 2000-char
+  * stdout tail — the file is the canonical machine-readable artifact;
+  * the compact stdout line is what tail-parsing drivers read. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -69,6 +70,33 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","cpus":$cpus,"iters":$iters}"""
+    // The driver stores only a 2000-char tail of stdout (BENCH_r0*.json
+    // "tail") and parses the metrics JSON out of it; the full per-query
+    // line is ~4-5 KB, so its opening brace falls outside the tail and
+    // the parse has returned null for three rounds. Emit a compact
+    // headline-subset line (<1.5 KB) as the LITERAL LAST stdout line so
+    // the whole object always fits the tail; bench.json and the full
+    // line (printed just before) still carry every query.
+    val headline = Seq(
+      "a01_bench_generate_1m", "a02_bench_mutate_1m", "g07_group",
+      "m13_lowercase", "m20_mutate_data_frame", "q01_pricing_summary",
+      "q03_top_revenue_orders", "q06_revenue_change", "q07_top_orders_per_customer",
+      "q13_order_lineitem_smj", "q16_salted_join", "q17_asof_join",
+      "d01_dedup_exact", "d02_dedup_minhash_lsh", "d06_dedup_clusters",
+      "d08_paragraph_dedup", "s01_ann_brute_force", "s02_ann_lsh_bucketed",
+      "s04_ann_ivf", "s06_embedding_clusters", "t01_token_count",
+      "t05_sequence_pack", "t09_decontaminate", "t11_tfidf",
+      "st01_tumbling_window", "st03_sessionize", "st06_dedup_replay",
+      "st07_attribution", "mm02_media_features", "c01_curation_pipeline")
+    val resultMap = results.toMap
+    val qsCompact = headline.flatMap(k => resultMap.get(k).map(v =>
+        "\"" + k + "\":" + (math.rint(v * 1000) / 1000)))
+      .mkString("{", ",", "}")
+    val jsonCompact =
+      s"""{"metric":"total","value":${math.rint(total * 100) / 100},""" +
+        s""""unit":"sec","queries":$qsCompact,"sf":"$sfDir",""" +
+        s""""cpus":$cpus,"iters":$iters,"n_queries":${results.size},""" +
+        s""""full":"bench.json"}"""
 
     // file first: survives any stdout interleaving from sbt/Spark
     val outDir = sys.env.getOrElse("SPARK_GRAFT_OUT", ".")
@@ -82,11 +110,12 @@ object Bench {
         System.err.println(s"[bench] could not write bench.json: ${e.getMessage}")
     }
 
-    // stop Spark BEFORE the JSON line so no executor-shutdown noise
-    // lands after it — the JSON must be the last line on stdout
+    // stop Spark BEFORE the JSON lines so no executor-shutdown noise
+    // lands after them — the compact JSON must be the last stdout line
     spark.stop()
     System.out.flush()
     println(json)
+    println(jsonCompact)
     System.out.flush()
   }
 }
