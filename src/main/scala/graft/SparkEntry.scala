@@ -18,7 +18,8 @@ object SparkEntry {
       graft.queries.Sketches.all ++
       graft.queries.Sampling.all ++ graft.queries.Linkage.all ++
       Multimodal.all ++ Streaming.all ++ graft.queries.Skew.all ++
-      graft.queries.AsOf.all ++ Seq(
+      graft.queries.AsOf.all ++ graft.queries.RangeJoin.all ++
+      graft.queries.Sources.all ++ Seq(
         ("q18_approx_distinct", Relational.q18ApproxDistinct _, None),
         ("q18_exact_distinct", Relational.q18ExactDistinct _,
           Some(Relational.q18ExactSql)),

@@ -494,6 +494,128 @@ object Dedup {
     GROUP BY doc_id
     ORDER BY doc_id"""
 
+  // ------------------------------------------------ semantic dedup
+  private val SemK = 8
+  private val SemTauNum = 81 // tau^2 = 81/100 => cosine threshold 0.9
+
+  /** d09 — SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    * cluster the corpus, then drop every vector that has a
+    * sufficiently-cosine-similar smaller-id neighbor in its own
+    * cluster. The in-cluster pairing is the whole point of the
+    * algorithm — cluster count scales with the corpus so cluster sizes
+    * (and the quadratic term) stay bounded, which is what makes it run
+    * where corpus-wide pairing can't.
+    *
+    * Everything after the scan is exact INTEGER arithmetic so a SQL
+    * oracle can replay it bit-for-bit: vectors are int8-quantized with
+    * e01's replayable formula, cluster assignment is an argmax of
+    * integer dot products against [[SemK]] deterministic centroids
+    * (the quantized lowest-id vectors; production would use s06's
+    * sampled k-means — the plan shape is identical), and the cosine
+    * test `cos > 0.9` is evaluated as `100*dot^2 > 81*|a|^2*|b|^2`
+    * with dot > 0 — no sqrt, no floats, no cross-engine ulp risk.
+    * Near-dups are planted as power-of-two-scaled copies (x2.0 is
+    * exact in IEEE arithmetic, so the planted copy quantizes to the
+    * IDENTICAL int8 vector in any engine — direction-preserving and
+    * rounding-proof, unlike the 1.003 factor d05 uses with its
+    * closed-form oracle).
+    *
+    * Scale shape: quantize + assign are map-only (broadcast
+    * centroids, codegen'd argmax, no UDF); the only shuffle is the
+    * cluster_id self-join, whose skew is bounded by cluster size. */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Relational.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val planted = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + PlantOffset).as("vec_id"),
+        transform(col("embedding"),
+          x => (x * lit(2.0f)).cast("float")).as("embedding"))
+    val corpus = emb.unionAll(planted)
+
+    val sqNorm = aggregate(transform(col("q"),
+        x => x.cast("long") * x.cast("long")), lit(0L), (acc, x) => acc + x)
+    val quant = Similarity.quantizeEmbeddings(corpus)
+      .select(col("vec_id"), col("q"))
+      .withColumn("n2", sqNorm)
+
+    // centroids: quantized vectors of the SemK lowest ids — plan-time
+    // driver lookup of a tiny, deterministic set (same pattern as the
+    // reference's factory-time table loads)
+    val cents: Array[Seq[Int]] = quant.filter(col("vec_id") < SemK)
+      .orderBy("vec_id").select(col("q")).collect()
+      .map(_.getSeq[Int](0))
+    def idot(a: Column, c: Seq[Int]): Column =
+      aggregate(zip_with(a, typedLit(c),
+        (x, y) => x.cast("long") * y.cast("long")),
+        lit(0L), (acc, x) => acc + x)
+    val dots = array(cents.map(c => idot(col("q"), c)): _*)
+    // first occurrence of the max => ties break to the lowest centroid
+    val cid = (array_position(dots, array_max(dots)) - 1).cast("long")
+    val assigned = quant.withColumn("cluster_id", cid).persist()
+
+    val a = assigned.select(col("cluster_id"), col("vec_id").as("a_id"),
+      col("q").as("qa"), col("n2").as("na2"))
+    val b = assigned.select(col("cluster_id"), col("vec_id").as("b_id"),
+      col("q").as("qb"), col("n2").as("nb2"))
+    val pairDot = aggregate(zip_with(col("qa"), col("qb"),
+      (x, y) => x.cast("long") * y.cast("long")), lit(0L), (acc, x) => acc + x)
+    a.join(b, Seq("cluster_id")).filter(col("a_id") < col("b_id"))
+      .withColumn("dot", pairDot)
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * 100 > col("na2") * col("nb2") * SemTauNum)
+      .groupBy("b_id")
+      .agg(min(col("cluster_id")).as("cluster_id"),
+        min(col("a_id")).as("keeper_id"))
+      .select(col("b_id").as("vec_id"), col("cluster_id"), col("keeper_id"))
+      .orderBy("vec_id")
+  }
+
+  /** Full-pipeline DuckDB replica of [[semanticDedup]] — quantization,
+    * centroid argmax, and the integer cosine test are all replayed, not
+    * assumed (the x2.0 planting makes every step IEEE-exact in both
+    * engines). */
+  val semanticDedupSql: String = s"""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + $PlantOffset AS vec_id,
+        list_transform(embedding, x -> CAST(x * 2 AS REAL)) AS embedding
+      FROM embeddings WHERE vec_id % 10 = 0),
+    qe AS (
+      SELECT vec_id,
+        list_transform(embedding, x -> CASE WHEN m = 0 THEN 0
+          ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 /
+            CAST(m AS DOUBLE) + 0.5) AS BIGINT) END) AS q
+      FROM (SELECT vec_id, embedding,
+            list_max(list_transform(embedding, x -> abs(x))) AS m
+            FROM corpus)),
+    qn AS (
+      SELECT vec_id, q,
+        list_sum(list_transform(q, x -> x * x)) AS n2 FROM qe),
+    cents AS (SELECT vec_id AS cid, q AS cq FROM qe WHERE vec_id < $SemK),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT qe.vec_id, c.cid,
+          row_number() OVER (PARTITION BY qe.vec_id ORDER BY
+            list_sum(list_transform(list_zip(qe.q, c.cq),
+              p -> p[1] * p[2])) DESC, c.cid) AS rn
+        FROM qe CROSS JOIN cents c) WHERE rn = 1),
+    av AS (
+      SELECT qn.vec_id, assign.cid, qn.q, qn.n2
+      FROM qn JOIN assign ON qn.vec_id = assign.vec_id),
+    cand AS (
+      SELECT a.cid AS cluster_id, a.vec_id AS a_id, b.vec_id AS b_id,
+        list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2]))
+          AS dot,
+        a.n2 AS na2, b.n2 AS nb2
+      FROM av a JOIN av b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+    SELECT b_id AS vec_id, min(cluster_id) AS cluster_id,
+      min(a_id) AS keeper_id
+    FROM cand
+    WHERE dot > 0 AND 100 * dot * dot > $SemTauNum * na2 * nb2
+    GROUP BY b_id
+    ORDER BY vec_id"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("d01_dedup_exact", dedupExact _, Some(dedupExactSql)),
@@ -506,5 +628,6 @@ object Dedup {
       ("d06_dedup_clusters", dedupClusters _, None),
       ("d07_cluster_chain", clusterChain _, Some(clusterChainSql)),
       ("d08_paragraph_dedup", paragraphDedup _, Some(paragraphDedupSql)),
+      ("d09_semantic_dedup", semanticDedup _, Some(semanticDedupSql)),
     )
 }

