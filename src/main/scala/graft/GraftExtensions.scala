@@ -5,7 +5,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo,
   Literal}
-import graft.expr.{CosineSimilarity, MinHashSignature, NgramHashes}
+import graft.expr.{CosineSimilarity, IntDotProduct, MinHashSignature,
+  NgramHashes}
 
 /** SQL-surface registration for the engine's custom expressions.
   *
@@ -17,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.minhashSignatureFn)
     ext.injectFunction(GraftExtensions.cosineSimilarityFn)
     ext.injectFunction(GraftExtensions.ngramHashesFn)
+    ext.injectFunction(GraftExtensions.intDotFn)
   }
 }
 
@@ -59,6 +61,17 @@ object GraftExtensions {
     new ExpressionInfo(classOf[NgramHashes].getName, "ngram_hashes"),
     (exprs: Seq[Expression]) => buildNgram(exprs))
 
+  private def buildIntDot(exprs: Seq[Expression]): Expression = {
+    require(exprs.size == 2,
+      s"int_dot takes exactly 2 arguments, got ${exprs.size}")
+    IntDotProduct(exprs.head, exprs(1))
+  }
+
+  private[graft] val intDotFn = (
+    FunctionIdentifier("int_dot"),
+    new ExpressionInfo(classOf[IntDotProduct].getName, "int_dot"),
+    (exprs: Seq[Expression]) => buildIntDot(exprs))
+
   private[graft] val cosineSimilarityFn = (
     FunctionIdentifier("cosine_similarity"),
     new ExpressionInfo(classOf[CosineSimilarity].getName,
@@ -73,5 +86,7 @@ object GraftExtensions {
       "cosine_similarity", buildCosine, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ngram_hashes", buildNgram, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "int_dot", buildIntDot, "scala_udf")
   }
 }

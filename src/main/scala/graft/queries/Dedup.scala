@@ -532,11 +532,13 @@ object Dedup {
           x => (x * lit(2.0f)).cast("float")).as("embedding"))
     val corpus = emb.unionAll(planted)
 
-    val sqNorm = aggregate(transform(col("q"),
-        x => x.cast("long") * x.cast("long")), lit(0L), (acc, x) => acc + x)
+    // all dot products go through the native codegen'd kernel — the
+    // composed aggregate(zip_with(...)) allocates an array per pair,
+    // which dominates over the quadratic in-cluster candidate set
+    val idot = graft.expr.IntDotProduct.intDot _
     val quant = Similarity.quantizeEmbeddings(corpus)
       .select(col("vec_id"), col("q"))
-      .withColumn("n2", sqNorm)
+      .withColumn("n2", idot(col("q"), col("q")))
 
     // centroids: quantized vectors of the SemK lowest ids — plan-time
     // driver lookup of a tiny, deterministic set (same pattern as the
@@ -544,11 +546,7 @@ object Dedup {
     val cents: Array[Seq[Int]] = quant.filter(col("vec_id") < SemK)
       .orderBy("vec_id").select(col("q")).collect()
       .map(_.getSeq[Int](0))
-    def idot(a: Column, c: Seq[Int]): Column =
-      aggregate(zip_with(a, typedLit(c),
-        (x, y) => x.cast("long") * y.cast("long")),
-        lit(0L), (acc, x) => acc + x)
-    val dots = array(cents.map(c => idot(col("q"), c)): _*)
+    val dots = array(cents.map(c => idot(col("q"), typedLit(c))): _*)
     // first occurrence of the max => ties break to the lowest centroid
     val cid = (array_position(dots, array_max(dots)) - 1).cast("long")
     val assigned = quant.withColumn("cluster_id", cid).persist()
@@ -557,8 +555,7 @@ object Dedup {
       col("q").as("qa"), col("n2").as("na2"))
     val b = assigned.select(col("cluster_id"), col("vec_id").as("b_id"),
       col("q").as("qb"), col("n2").as("nb2"))
-    val pairDot = aggregate(zip_with(col("qa"), col("qb"),
-      (x, y) => x.cast("long") * y.cast("long")), lit(0L), (acc, x) => acc + x)
+    val pairDot = idot(col("qa"), col("qb"))
     a.join(b, Seq("cluster_id")).filter(col("a_id") < col("b_id"))
       .withColumn("dot", pairDot)
       .filter(col("dot") > 0 &&

@@ -33,16 +33,22 @@ object RangeJoin {
       .select(col("o_orderkey"), col("o_orderdate"),
         (floor(unix_timestamp(col("o_orderdate")) / 86400) + col("off"))
           .as("day"))
+    // pre-aggregate the probe side by EXACT timestamp before the join:
+    // distinct shipdates are bounded by the calendar (~one per day),
+    // so the join probe shrinks from |lineitem| rows to a few thousand
+    // regardless of corpus size — map-side combine does the heavy
+    // lifting, and the bound predicate stays exact because it tests
+    // the grouped timestamp itself (no midnight-alignment assumption)
     val li = Relational.table(s, dir, "lineitem")
       .filter(col("l_quantity") >= 45)
-      .select(col("l_shipdate"),
-        floor(unix_timestamp(col("l_shipdate")) / 86400).as("day"))
+      .groupBy(col("l_shipdate")).agg(count(lit(1)).as("cnt"))
+      .withColumn("day", floor(unix_timestamp(col("l_shipdate")) / 86400))
     iv.join(li, Seq("day"))
       .filter(col("l_shipdate") >= col("o_orderdate") &&
         col("l_shipdate") <
           col("o_orderdate") + expr(s"INTERVAL $WindowDays DAYS"))
       .groupBy("o_orderkey")
-      .agg(count(lit(1)).as("n_shipped"))
+      .agg(sum(col("cnt")).as("n_shipped"))
       .orderBy(col("n_shipped").desc, col("o_orderkey"))
       .limit(TopN)
   }
