@@ -83,12 +83,20 @@ object Bench {
       "q03_top_revenue_orders", "q06_revenue_change", "q07_top_orders_per_customer",
       "q13_order_lineitem_smj", "q16_salted_join", "q17_asof_join",
       "d01_dedup_exact", "d02_dedup_minhash_lsh", "d06_dedup_clusters",
-      "d08_paragraph_dedup", "s01_ann_brute_force", "s02_ann_lsh_bucketed",
-      "s04_ann_ivf", "s06_embedding_clusters", "t01_token_count",
+      "d08_paragraph_dedup", "d09_semantic_dedup", "q21_range_join",
+      "s01_ann_brute_force", "s02_ann_lsh_bucketed",
+      "s04_ann_ivf", "s06_embedding_clusters", "s07_source_cap",
+      "t01_token_count",
       "t05_sequence_pack", "t09_decontaminate", "t11_tfidf",
-      "st01_tumbling_window", "st03_sessionize", "st06_dedup_replay",
-      "st07_attribution", "mm02_media_features", "c01_curation_pipeline")
+      "t14_quality_gate", "st01_tumbling_window", "st03_sessionize",
+      "st06_dedup_replay",
+      "st07_attribution", "mm02_media_features", "c01_curation_pipeline",
+      "j01_jsonl_roundtrip")
     val resultMap = results.toMap
+    // a headline key that stops matching a query name would otherwise
+    // silently vanish from the tail-parsed line — fail loudly instead
+    headline.filterNot(resultMap.contains).foreach(k =>
+      System.err.println(s"[bench] headline key missing from results: $k"))
     val qsCompact = headline.flatMap(k => resultMap.get(k).map(v =>
         "\"" + k + "\":" + (math.rint(v * 1000) / 1000)))
       .mkString("{", ",", "}")

@@ -1,11 +1,14 @@
 package graft.expr
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression,
+  Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
   ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType,
+  LongType}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** Native Catalyst expression for the integer dot product of two
@@ -21,6 +24,19 @@ case class IntDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = LongType
+  // The kernel reads element bytes via getInt: without an input-type
+  // check a SQL call on array<bigint>/array<float> would silently
+  // misread memory — the analyzer must reject it instead.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<int> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "int_dot"
 

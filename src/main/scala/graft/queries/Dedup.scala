@@ -543,12 +543,18 @@ object Dedup {
     // centroids: quantized vectors of the SemK lowest ids — plan-time
     // driver lookup of a tiny, deterministic set (same pattern as the
     // reference's factory-time table loads)
-    val cents: Array[Seq[Int]] = quant.filter(col("vec_id") < SemK)
-      .orderBy("vec_id").select(col("q")).collect()
-      .map(_.getSeq[Int](0))
-    val dots = array(cents.map(c => idot(col("q"), typedLit(c))): _*)
-    // first occurrence of the max => ties break to the lowest centroid
-    val cid = (array_position(dots, array_max(dots)) - 1).cast("long")
+    val cents: Array[(Long, Seq[Int])] = quant.filter(col("vec_id") < SemK)
+      .orderBy("vec_id").select(col("vec_id"), col("q")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1)))
+    val dots = array(cents.map { case (_, c) =>
+      idot(col("q"), typedLit(c)) }: _*)
+    // first occurrence of the max => ties break to the lowest centroid;
+    // the argmax position is mapped back to the centroid's actual
+    // vec_id (the oracle's cluster key) rather than assuming the
+    // centroid ids are the contiguous range 0..SemK-1
+    val centIds = typedLit(cents.map(_._1).toSeq)
+    val cid = element_at(centIds,
+      array_position(dots, array_max(dots)).cast("int"))
     val assigned = quant.withColumn("cluster_id", cid).persist()
 
     val a = assigned.select(col("cluster_id"), col("vec_id").as("a_id"),

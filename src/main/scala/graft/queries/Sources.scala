@@ -24,8 +24,10 @@ object Sources {
     val docs = Relational.table(s, dir, "documents")
       .filter(col("lang") === "en")
       .select(col("doc_id"), col("source"), col("text"))
-    val out = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_j01_jsonl").getAbsolutePath
+    // per-session dir: two concurrent JVMs (test run alongside bench)
+    // must not race on the same overwrite-mode output path
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_j01_jsonl_${s.sparkContext.applicationId}").getAbsolutePath
     docs.write.mode("overwrite").json(out)
     val schema = StructType(Seq(
       StructField("doc_id", LongType),

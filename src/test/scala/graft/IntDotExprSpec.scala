@@ -36,6 +36,18 @@ class IntDotExprSpec extends SparkSpec {
     assert(nul.head.isNullAt(0))
   }
 
+  test("non-array<int> arguments are rejected at analysis time") {
+    graft.GraftExtensions.register(spark)
+    Seq((Seq(1L, 2L), Seq(0.5f, 1.5f))).toDF("xl", "yf")
+      .createOrReplaceTempView("intdot_bad")
+    // array<bigint>/array<float> would silently misread element bytes
+    // in the getInt kernel — the analyzer must refuse instead
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT int_dot(xl, yf) FROM intdot_bad").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("array<int>"))
+  }
+
   test("SQL registration: int_dot usable from spark.sql") {
     graft.GraftExtensions.register(spark)
     Seq((Seq(1, 2, 3), Seq(3, 2, 1))).toDF("x", "y")
