@@ -49,6 +49,43 @@ object Sources {
     GROUP BY source
     ORDER BY source"""
 
+  /** j02 — hive-partitioned parquet sink → pruned source: write the
+    * documents table `partitionBy("lang")`, read it back filtered to
+    * two languages, and aggregate per (lang, source). The layout is
+    * THE standard 100-TB table organization — a `lang='en'` predicate
+    * becomes directory pruning, so the scan never opens the other
+    * partitions' files (PlanSpec asserts the scan's PartitionFilters
+    * and that the read schema excludes pruned data). Writer fanout is
+    * per-partition-per-task; no coalesce, no global sort.
+    *
+    * The DuckDB oracle aggregates the same slice straight from the
+    * original parquet, so a hash match proves the
+    * partition-write/prune-read cycle is lossless — including the
+    * lang column's round trip through directory names. */
+  def partitionedSink(s: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_j02_part_${s.sparkContext.applicationId}").getAbsolutePath
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    s.read.parquet(out)
+      .filter(col("lang").isin("en", "de"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        sum(col("n_chars").cast("long")).as("sum_chars"))
+      .orderBy("lang", "source")
+  }
+
+  val partitionedSinkSql: String = """
+    SELECT lang, source, count(*) AS n_docs,
+      CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+      CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE lang IN ('en', 'de')
+    GROUP BY lang, source
+    ORDER BY lang, source"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    Seq(("j01_jsonl_roundtrip", jsonlRoundtrip _, Some(jsonlRoundtripSql)))
+    Seq(("j01_jsonl_roundtrip", jsonlRoundtrip _, Some(jsonlRoundtripSql)),
+      ("j02_partitioned_sink", partitionedSink _, Some(partitionedSinkSql)))
 }

@@ -378,6 +378,22 @@ object TextAnalysis {
     * there is no corpus-side shuffle of all grams. */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     val bench = benchmarkCorpus(s)
+    val benchGrams = bench
+      .select(explode(gramHashes(col("btext"))).as("gram"))
+      .distinct()
+    plantedDocs(s, dir)
+      .select(col("doc_id"),
+        explode(gramHashes(col("text"))).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_bench_grams"))
+      .orderBy("doc_id")
+  }
+
+  /** The held-out documents with contamination planted — every 23rd
+    * doc gets the first 15 tokens of one benchmark doc appended
+    * (shared by t09 and t15, which must see the identical corpus). */
+  private def plantedDocs(s: SparkSession, dir: String): DataFrame = {
+    val bench = benchmarkCorpus(s)
     val docs = Relational.table(s, dir, "documents")
       .filter(pmod(col("doc_id"), lit(17)) =!= 0) // benchmark-held-out split
       .withColumn("bkey",
@@ -385,16 +401,45 @@ object TextAnalysis {
           pmod(expr("doc_id div 23"), lit(20))).otherwise(lit(-1L)))
     val spans = bench.select(col("bench_id").as("bkey"),
       array_join(slice(split(col("btext"), " "), 1, 15), " ").as("span"))
-    val planted = docs.join(broadcast(spans), Seq("bkey"), "left")
+    docs.join(broadcast(spans), Seq("bkey"), "left")
       .select(col("doc_id"),
         when(col("span").isNotNull, concat_ws(" ", col("text"), col("span")))
           .otherwise(col("text")).as("text"))
+  }
+
+  /** t15 — decontamination through a Bloom-filter prefilter + exact
+    * verify. t09 broadcasts the exact benchmark gram SET; that stops
+    * working when the eval suite grows to billions of grams (a hash
+    * set is ≥8 bytes/gram — past any broadcast threshold). The scale
+    * path: (1) build a Bloom filter over the benchmark grams in one
+    * distributed aggregate (~12 bits/gram at 1% fpp — 50-100× smaller
+    * than the set, broadcastable long after the set is not);
+    * (2) probe it map-side to drop ~99% of corpus grams before any
+    * shuffle; (3) resolve the false positives with an exact join on
+    * the tiny surviving candidate stream. The verify join receives
+    * only candidates, so its shuffle is proportional to the TRUE match
+    * count (+fpp leakage), not the corpus. Final result is EXACT —
+    * same closed-form oracle as t09, so the driver proves the bloom
+    * path loses nothing.
+    *
+    * The probe is a 2-arg pure function over a broadcast sketch — a
+    * justified UDF (the sketch probe is procedural by nature; the
+    * grams it reads are produced by the codegen'd [[gramHashes]]
+    * kernel, so the hot scan path stays UDF-free). */
+  def bloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val bench = benchmarkCorpus(s)
     val benchGrams = bench
       .select(explode(gramHashes(col("btext"))).as("gram"))
       .distinct()
-    planted
+    // one distributed BloomFilterAggregate job; tiny here, but the
+    // same call shape holds when benchGrams is a billion-row table
+    val bf = benchGrams.stat.bloomFilter("gram", 4096L, 0.01)
+    val bfB = s.sparkContext.broadcast(bf)
+    val mightContain = udf((g: Long) => bfB.value.mightContainLong(g))
+    plantedDocs(s, dir)
       .select(col("doc_id"),
         explode(gramHashes(col("text"))).as("gram"))
+      .filter(mightContain(col("gram")))
       .join(broadcast(benchGrams), Seq("gram"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_bench_grams"))
       .orderBy("doc_id")
@@ -587,6 +632,63 @@ object TextAnalysis {
     GROUP BY lang
     ORDER BY lang"""
 
+  // ------------------------------------------------ document chunking
+  private val ChunkTokens = 32
+  private val ChunkStride = 24
+
+  /** t16 — fixed-window document chunking with overlap: split each
+    * English doc into [[ChunkTokens]]-token windows advancing by
+    * [[ChunkStride]] tokens (8-token overlap keeps context across
+    * boundaries), the complement of t05's packing — long docs must be
+    * CUT to the model context before short ones are packed into it.
+    *
+    * Map-only at any scale: tokens, window count, and every chunk are
+    * computed per row inside one codegen'd projection + explode; there
+    * is no shuffle at all (the orderBy exists only for the oracle
+    * compare). The oracle rebuilds every chunk's exact text in DuckDB,
+    * so window arithmetic, clamping of the final short chunk, and
+    * reassembly are all proven byte-exact. */
+  def chunkOverlap(s: SparkSession, dir: String): DataFrame = {
+    val (w, st) = (ChunkTokens, ChunkStride)
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    // ceil((n-w)/st)+1 windows for n>w, else 1 — matches `//` below
+    val nChunks = when(n <= w, lit(1)).otherwise(
+      floor((n - w + st - 1) / lit(st)).cast("int") + 1)
+    Relational.table(s, dir, "documents")
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), toks.as("toks"), nChunks.as("k"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), col("k") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("toks"), col("chunk_id") * st + 1, lit(w)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val chunkOverlapSql: String = {
+    val (w, st) = (ChunkTokens, ChunkStride)
+    s"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE lang = 'en'),
+    k AS (
+      SELECT doc_id, toks,
+        CASE WHEN len(toks) <= $w THEN 1
+             ELSE (len(toks) - $w + $st - 1) // $st + 1 END AS nchunks
+      FROM d),
+    ch AS (
+      SELECT doc_id, toks, unnest(range(nchunks)) AS chunk_id FROM k)
+    SELECT doc_id, chunk_id,
+      len(toks[chunk_id * $st + 1 : chunk_id * $st + $w]) AS n_tokens,
+      array_to_string(toks[chunk_id * $st + 1 : chunk_id * $st + $w], ' ')
+        AS chunk_text
+    FROM ch
+    ORDER BY doc_id, chunk_id"""
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("t01_token_count", tokenCount _, Some(tokenCountSql)),
@@ -602,5 +704,8 @@ object TextAnalysis {
       ("t11_tfidf", tfidf _, Some(tfidfSql)),
       ("t13_token_rarity", tokenRarity _, Some(tokenRaritySql)),
       ("t14_quality_gate", qualityGate _, Some(qualityGateSql)),
+      ("t15_bloom_decontaminate", bloomDecontaminate _,
+        Some(decontaminateSql)),
+      ("t16_chunk_overlap", chunkOverlap _, Some(chunkOverlapSql)),
     )
 }

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{Layout, Sources, TextAnalysis}
+
+/** Round-5 operators: Z-order layout (q22), partitioned sink (j02),
+  * bloom decontamination (t15), chunking (t16). */
+class Round5Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------- q22 z-order
+
+  test("zValue matches the Morton-code table for 2-bit dims") {
+    // (x,y) -> interleave: y1 x1 y0 x0
+    val expect = Map((0, 0) -> 0, (1, 0) -> 1, (0, 1) -> 2, (1, 1) -> 3,
+      (2, 0) -> 4, (0, 2) -> 8, (2, 3) -> 14, (3, 3) -> 15)
+    val rows = expect.keys.toSeq.map { case (x, y) => (x.toLong, y.toLong) }
+      .toDF("x", "y")
+      .select(col("x"), col("y"),
+        Layout.zValue(col("x"), col("y"), bits = 2).as("z"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) ==
+        expect((r.getLong(0).toInt, r.getLong(1).toInt)),
+        s"z(${r.getLong(0)},${r.getLong(1)})")
+    }
+  }
+
+  test("q22: every z-bucket bounds a 128x128 rectangle in both dims") {
+    // top 6 z-bits fix 3 high bits of each 10-bit dim -> spans < 2^7;
+    // this IS the multi-dimensional pruning property a linear sort
+    // cannot give on its second column
+    val rows = Layout.zorderLayout(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("x_max") - r.getAs[Long]("x_min") < 128,
+        s"x span too wide in bucket ${r.getAs[Long]("zbucket")}")
+      assert(r.getAs[Long]("y_max") - r.getAs[Long]("y_min") < 128,
+        s"y span too wide in bucket ${r.getAs[Long]("zbucket")}")
+    }
+    // buckets partition the corpus exactly
+    val total = rows.map(_.getAs[Long]("n_rows")).sum
+    val n = queries.Relational.table(spark, sfDir, "lineitem").count()
+    assert(total == n)
+  }
+
+  test("q22 plan: z-value is pure codegen'd expression work — no UDF, " +
+    "and the scan reads only the two interleaved columns") {
+    val df = Layout.zorderLayout(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("l_quantity"), s"unpruned scan:\n$p")
+  }
+
+  // ----------------------------------------------- j02 partitioned sink
+
+  test("j02: lang predicate becomes partition pruning on the read-back") {
+    val docs = queries.Relational.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_j02spec_${spark.sparkContext.applicationId}").getAbsolutePath
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    val rb = spark.read.parquet(out).filter(col("lang") === "en")
+    rb.collect()
+    val p = rb.queryExecution.executedPlan.toString
+    // directory-level pruning shows up as PartitionFilters on the scan
+    assert(p.contains("PartitionFilters"), p)
+    assert("""PartitionFilters: \[[^\]]*lang""".r.findFirstIn(p).isDefined,
+      s"lang not in PartitionFilters:\n$p")
+    // and the pruned read matches the unpartitioned path exactly
+    val direct = docs.filter(col("lang") === "en")
+      .agg(count(lit(1)), sum("doc_id")).collect().head
+    val pruned = rb.agg(count(lit(1)), sum("doc_id")).collect().head
+    assert(direct == pruned)
+  }
+
+  // ------------------------------------------- t15 bloom decontaminate
+
+  test("t15 equals t09 row-for-row: the bloom prefilter loses nothing") {
+    val bloom = TextAnalysis.bloomDecontaminate(spark, sfDir)
+    val exact = TextAnalysis.decontaminate(spark, sfDir)
+    assert(bloom.exceptAll(exact).isEmpty && exact.exceptAll(bloom).isEmpty)
+  }
+
+  // ------------------------------------------------- t16 chunk overlap
+
+  test("t16: chunks reconstruct every doc exactly (stride overlap " +
+    "dropped), windows respect the 32-token cap") {
+    val chunks = TextAnalysis.chunkOverlap(spark, sfDir).collect()
+    assert(chunks.forall(_.getAs[Long]("n_tokens") <= 32))
+    assert(chunks.forall(r => r.getAs[Long]("n_tokens") ==
+      r.getAs[String]("chunk_text").split(" ", -1).length))
+    val docs = queries.Relational.table(spark, sfDir, "documents")
+      .filter(col("lang") === "en")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(docs.nonEmpty)
+    val byDoc = chunks.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet == docs.keySet)
+    byDoc.foreach { case (docId, rs) =>
+      val ordered = rs.sortBy(_.getAs[Long]("chunk_id"))
+      assert(ordered.map(_.getAs[Long]("chunk_id")).toSeq ==
+        (0L until ordered.length))
+      // chunk k starts at 24k: relative to chunk k-1 its first
+      // 32-24=8 tokens are overlap — dropping them re-tiles the doc
+      val rebuilt = ordered.zipWithIndex.flatMap { case (r, i) =>
+        val toks = r.getAs[String]("chunk_text").split(" ", -1)
+        if (i == 0) toks else toks.drop(8)
+      }.mkString(" ")
+      assert(rebuilt == docs(docId), s"doc $docId reassembly")
+    }
+  }
+}
