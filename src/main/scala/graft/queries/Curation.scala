@@ -107,9 +107,60 @@ object Curation {
     GROUP BY source, lang
     ORDER BY source, lang"""
 
+  /** c03 — snapshot diff: what changed between two corpus versions
+    * (the audit every dataset release publishes — added / removed /
+    * changed doc ids). Versions are derived deterministically from
+    * the documents table: v1 holds every doc except `doc_id % 11 = 3`
+    * (later additions), v2 drops `doc_id % 13 = 4` (removals) and
+    * rewrites the text of `doc_id % 17 = 2` (edits).
+    *
+    * Scale shape: each side is reduced MAP-SIDE to (key, md5 digest)
+    * before the join, so the one co-partitioned full-outer shuffle
+    * carries 32-byte fingerprints instead of document payloads — at
+    * 100 TB the diff costs two scan passes plus a hash join on keys,
+    * never a byte of text movement. md5 on both engines makes the
+    * change detection itself oracle-exact. */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.table(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val v1 = docs.filter(pmod(col("doc_id"), lit(11)) =!= 3)
+      .select(col("doc_id"), md5(col("text")).as("fp1"))
+    val v2 = docs.filter(pmod(col("doc_id"), lit(13)) =!= 4)
+      .select(col("doc_id"),
+        md5(when(pmod(col("doc_id"), lit(17)) === 2,
+          concat(lit("EDIT v2 "), col("text"))).otherwise(col("text")))
+          .as("fp2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("fp1").isNull, lit("added"))
+          .when(col("fp2").isNull, lit("removed"))
+          .when(col("fp1") =!= col("fp2"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(col("doc_id"), col("status"))
+      .orderBy("doc_id")
+  }
+
+  val snapshotDiffSql: String = """
+    WITH v1 AS (
+      SELECT doc_id, md5(text) AS fp1 FROM documents
+      WHERE doc_id % 11 <> 3),
+    v2 AS (
+      SELECT doc_id,
+        md5(CASE WHEN doc_id % 17 = 2 THEN 'EDIT v2 ' || text
+                 ELSE text END) AS fp2
+      FROM documents WHERE doc_id % 13 <> 4)
+    SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+      CASE WHEN v1.doc_id IS NULL THEN 'added'
+           WHEN v2.doc_id IS NULL THEN 'removed'
+           WHEN fp1 <> fp2 THEN 'changed' END AS status
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    WHERE (v1.doc_id IS NULL OR v2.doc_id IS NULL OR fp1 <> fp2)
+    ORDER BY doc_id"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("c01_curation_pipeline", curationPipeline _,
         Some(curationPipelineSql)),
-      ("c02_source_datacard", sourceDatacard _, Some(sourceDatacardSql)))
+      ("c02_source_datacard", sourceDatacard _, Some(sourceDatacardSql)),
+      ("c03_snapshot_diff", snapshotDiff _, Some(snapshotDiffSql)))
 }

@@ -182,10 +182,53 @@ object Sampling {
     WHERE rn <= $SourceCap
     ORDER BY source, doc_id"""
 
+  // --------------------------------------------- train/val/test split
+  /** Knuth multiplicative constant — the split hash must be integer
+    * arithmetic both engines evaluate identically (xxhash64 exists
+    * only on the Spark side), while still decorrelating the split from
+    * every id-derived planting pattern (`doc_id % k`) used elsewhere. */
+  private val SplitMult = 2654435761L
+  private val SplitMod = 1L << 32
+
+  /** s08 — reproducible train/val/test split (80/10/10): each doc's
+    * assignment is a pure integer function of its id, so the split is
+    * stable under partition layout, corpus growth, and engine — the
+    * property `randomSplit()` (per-partition RNG) cannot give. Exactly
+    * the same contract as [[deterministicSample]], but 3-way and
+    * oracle-checkable end-to-end because the gate is plain arithmetic
+    * rather than an engine hash. Map-only at any scale; the orderBy is
+    * presentation for the compare. */
+  def trainSplit(s: SparkSession, dir: String): DataFrame = {
+    val h = pmod(col("doc_id") * SplitMult, lit(SplitMod))
+    val bucket = pmod(h, lit(100L))
+    Relational.table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_doc_id"))
+      .orderBy("lang", "split")
+  }
+
+  val trainSplitSql: String = s"""
+    WITH assigned AS (
+      SELECT doc_id, lang,
+        CASE WHEN (doc_id * $SplitMult) % $SplitMod % 100 < 80 THEN 'train'
+             WHEN (doc_id * $SplitMult) % $SplitMod % 100 < 90 THEN 'val'
+             ELSE 'test' END AS split
+      FROM documents)
+    SELECT lang, split, count(*) AS n_docs,
+      CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+    FROM assigned
+    GROUP BY lang, split
+    ORDER BY lang, split"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("s03_stratified_sample", stratifiedDemo _, None),
       ("s05_mixture_sample", mixtureDemo _, Some(mixtureSql)),
       ("s07_source_cap", sourceCapSample _, Some(sourceCapSql)),
+      ("s08_train_split", trainSplit _, Some(trainSplitSql)),
     )
 }

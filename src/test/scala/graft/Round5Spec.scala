@@ -84,6 +84,43 @@ class Round5Spec extends SparkSpec {
     assert(bloom.exceptAll(exact).isEmpty && exact.exceptAll(bloom).isEmpty)
   }
 
+  // ------------------------------------------------ c03 snapshot diff
+
+  test("c03: every diff row matches the closed-form planted change set") {
+    val ids = queries.Relational.table(spark, sfDir, "documents")
+      .select("doc_id").as[Long].collect().toSet
+    val added = ids.filter(i => i % 11 == 3 && i % 13 != 4)
+    val removed = ids.filter(i => i % 13 == 4 && i % 11 != 3)
+    val changed = ids.filter(i =>
+      i % 17 == 2 && i % 11 != 3 && i % 13 != 4)
+    val got = queries.Curation.snapshotDiff(spark, sfDir).collect()
+      .groupBy(_.getAs[String]("status"))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Long]("doc_id")).toSet }
+    assert(got.getOrElse("added", Set.empty) == added)
+    assert(got.getOrElse("removed", Set.empty) == removed)
+    assert(got.getOrElse("changed", Set.empty) == changed)
+  }
+
+  // ------------------------------------------------ s08 train split
+
+  test("s08: split partitions the corpus 80/10/10 and is stable " +
+    "under partition layout") {
+    val rows = queries.Sampling.trainSplit(spark, sfDir).collect()
+    val bySplit = rows.groupBy(_.getAs[String]("split"))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Long]("n_docs")).sum }
+    val total = bySplit.values.sum
+    assert(total == queries.Relational.table(spark, sfDir, "documents")
+      .count())
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    // multiplicative-hash buckets: expect 80/10/10 within a loose band
+    assert(bySplit("train") > total * 7 / 10 &&
+      bySplit("train") < total * 9 / 10, bySplit.toString)
+    // the assignment is a pure function of doc_id: same result when
+    // the input arrives in a different partition layout
+    val a = queries.Sampling.trainSplit(spark, sfDir).collect().toSeq
+    assert(a == rows.toSeq)
+  }
+
   // ------------------------------------------------- t16 chunk overlap
 
   test("t16: chunks reconstruct every doc exactly (stride overlap " +
