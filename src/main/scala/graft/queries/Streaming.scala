@@ -213,6 +213,43 @@ object Streaming {
     GROUP BY 1, 2
     ORDER BY purchase_id"""
 
+  private val QuotaN = 5
+
+  /** st08 — per-(user, day) ingestion quota, run through the batch
+    * twin of the stateful stream gate: at most [[QuotaN]] events per
+    * user per day survive, decided in event-time order. The audit
+    * output aggregates totals, survivors, and the DECIMAL-routed value
+    * the cap admitted per (user, day) — every figure integer- or
+    * decimal-exact for the oracle. StreamingSpec proves the
+    * flatMapGroupsWithState stream path keeps the identical rows. */
+  def quota(s: SparkSession, dir: String): DataFrame =
+    EventStreams.quotaBatch(events(s, dir), QuotaN)
+      .groupBy(col("user_id"), date_format(to_date(col("ts")),
+        "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("kept")).as("n_kept"),
+        sum(when(col("kept") === 1, col("value"))
+          .otherwise(lit(0d))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("kept_value"))
+      .orderBy("user_id", "day")
+
+  val quotaSql: String = s"""
+    WITH ranked AS (
+      SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        value,
+        row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+          ORDER BY ts, event_id) AS rn
+      FROM events)
+    SELECT user_id, day, count(*) AS n_total,
+      CAST(sum(CASE WHEN rn <= $QuotaN THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_kept,
+      CAST(sum(CAST(CASE WHEN rn <= $QuotaN THEN value ELSE 0 END
+        AS DECIMAL(18,6))) AS DOUBLE) AS kept_value
+    FROM ranked
+    GROUP BY user_id, day
+    ORDER BY user_id, day"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("st01_tumbling_window", tumblingWindow _, Some(tumblingWindowSql)),
@@ -222,5 +259,6 @@ object Streaming {
       ("st05_json_props", jsonProps _, Some(jsonPropsSql)),
       ("st06_dedup_replay", dedupReplay _, Some(dedupReplaySql)),
       ("st07_attribution", attribution _, Some(attributionSql)),
+      ("st08_quota", quota _, Some(quotaSql)),
     )
 }

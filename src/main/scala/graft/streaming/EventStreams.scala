@@ -90,6 +90,20 @@ object EventStreams {
           expr(s"INTERVAL '$windowMinutes' MINUTE"))
   }
 
+  /** Batch quota gate: keep only the first `n` events per (user, day)
+    * in event-time order — the ingestion fairness cap every
+    * multi-tenant pipeline applies (one hot user must not dominate a
+    * day's corpus). One shuffle on (user_id, day); rank + filter are
+    * window work inside that partition. Returns the input rows plus a
+    * `kept` flag so callers can audit what the cap dropped. */
+  def quotaBatch(events: DataFrame, n: Int): DataFrame = {
+    val byUserDay = Window
+      .partitionBy(col("user_id"), to_date(col("ts")))
+      .orderBy(col("ts"), col("event_id"))
+    events.withColumn("kept",
+      (row_number().over(byUserDay) <= n).cast("long"))
+  }
+
   // ---------------- streaming sessionization (stateful) ----------------
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -97,6 +111,38 @@ object EventStreams {
   case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
   case class Session(user_id: Long, session_start: java.sql.Timestamp,
                      n_events: Long, total_value: Double)
+
+  case class KeptEvent(event_id: Long, ts: java.sql.Timestamp,
+                       user_id: Long, value: Double)
+
+  /** Streaming twin of [[quotaBatch]]: emits the events that pass the
+    * per-(user, day) cap as they arrive. State is ONE counter per
+    * active (user, day) key, expired by event-time timeout once the
+    * watermark passes the day's end — bounded no matter how long the
+    * stream runs. Within a micro-batch events are processed in event-
+    * time order, so replaying the stream through any batch slicing
+    * keeps exactly the rows [[quotaBatch]] keeps (tested). */
+  def quotaStream(events: Dataset[Event], n: Int): Dataset[KeptEvent] = {
+    import events.sparkSession.implicits._
+    val dayMs = 86400000L
+    events.groupByKey(e => (e.user_id, e.ts.getTime / dayMs))
+      .flatMapGroupsWithState[Long, KeptEvent](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, Long), rows: Iterator[Event],
+         state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var c = state.getOption.getOrElse(0L)
+            val kept = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+              .filter { e => val ok = c < n; if (ok) c += 1; ok }
+              .map(e => KeptEvent(e.event_id, e.ts, e.user_id, e.value))
+            state.update(c)
+            // drop the counter once the watermark clears the day
+            state.setTimeoutTimestamp((key._2 + 1) * dayMs)
+            kept.iterator
+          }
+      }
+  }
 
   /** Streaming sessionization via flatMapGroupsWithState: one state
     * entry per user, sessions emitted on gap timeout. State size is

@@ -229,6 +229,41 @@ class StreamingSpec extends SparkSpec {
     assert(r1.getInt(1) == 0 && r1.getInt(2) == 0 && r1.getInt(3) == 0)
   }
 
+  test("quota gate: streaming across micro-batches keeps exactly the " +
+    "rows the batch twin keeps") {
+    val batchEvents = graft.queries.Streaming.events(spark, sfDir)
+    val keptBatch = EventStreams.quotaBatch(batchEvents, 5)
+      .filter(col("kept") === 1)
+      .select("event_id").as[Long].collect().toSet
+
+    // split into two ts-ordered files so the second micro-batch never
+    // falls behind the first batch's watermark
+    val dir = java.nio.file.Files.createTempDirectory("events-quota")
+    val median = batchEvents.selectExpr("percentile(unix_micros(ts), 0.5)")
+      .collect().head.getDouble(0).toLong
+    batchEvents.filter(unix_micros(col("ts")) <= median)
+      .coalesce(1).write.parquet(s"$dir/f1")
+    batchEvents.filter(unix_micros(col("ts")) > median)
+      .coalesce(1).write.parquet(s"$dir/f2")
+
+    val stream = spark.readStream
+      .schema(EventStreams.EventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*")
+      .withWatermark("ts", "10 minutes")
+      .as[EventStreams.Event]
+    val q = EventStreams.quotaStream(stream, 5)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("quota_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val keptStream = spark.table("quota_out")
+      .select("event_id").as[Long].collect().toSet
+    assert(keptStream == keptBatch,
+      s"stream kept ${keptStream.size}, batch kept ${keptBatch.size}")
+  }
+
   test("sinks: csv and parquet roundtrip preserves generated data") {
     import graft.gen.Generators._
     val dir = java.nio.file.Files.createTempDirectory("sink-test")
