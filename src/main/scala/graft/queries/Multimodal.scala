@@ -215,10 +215,116 @@ object Multimodal {
       FROM documents)
     ORDER BY doc_id, frame_no"""
 
+  // ------------------------------------------------- PPM image codec
+
+  case class ImageRow(doc_id: Long, media: Array[Byte])
+  case class ImageFeatures(doc_id: Long, fmt: String, width: Long,
+                           height: Long, sum_r: Long, sum_g: Long,
+                           sum_b: Long)
+
+  /** Minimal canonical binary-PPM (P6) writer: one pixel per input
+    * byte b, a single row — R = b, G = 255−b, B = 7b mod 256. Exact
+    * byte arithmetic so the decoded features replay in any engine. */
+  def synthPpm(bytes: Array[Byte]): Array[Byte] = {
+    val header = s"P6\n${bytes.length} 1\n255\n".getBytes("US-ASCII")
+    val px = new Array[Byte](bytes.length * 3)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      px(3 * i) = b.toByte
+      px(3 * i + 1) = (255 - b).toByte
+      px(3 * i + 2) = (b * 7 % 256).toByte
+      i += 1
+    }
+    header ++ px
+  }
+
+  case class PpmImage(width: Int, height: Int, maxVal: Int,
+                      pixels: Array[Byte])
+
+  /** Real P6 parser: magic, '#' comments, arbitrary whitespace between
+    * header tokens, single whitespace before the raster, 3 bytes per
+    * pixel — decodes any canonical 8-bit binary PPM. No dependencies. */
+  def decodePpm(media: Array[Byte]): PpmImage = {
+    var pos = 0
+    def skipWs(): Unit = {
+      var in = true
+      while (in && pos < media.length) {
+        val c = media(pos).toChar
+        if (c == '#') { while (pos < media.length && media(pos) != '\n') pos += 1 }
+        else if (c.isWhitespace) pos += 1
+        else in = false
+      }
+    }
+    def token(): String = {
+      skipWs()
+      val start = pos
+      while (pos < media.length && !media(pos).toChar.isWhitespace) pos += 1
+      new String(media, start, pos - start, "US-ASCII")
+    }
+    require(token() == "P6", "not a binary PPM (P6) file")
+    val (w, h, maxVal) = (token().toInt, token().toInt, token().toInt)
+    require(maxVal == 255, s"only 8-bit PPM supported, maxval $maxVal")
+    pos += 1 // the single whitespace byte after maxval
+    val n = w * h * 3
+    require(media.length - pos >= n, "truncated PPM raster")
+    PpmImage(w, h, maxVal, java.util.Arrays.copyOfRange(media, pos, pos + n))
+  }
+
+  /** documents → image table: a real P6 file per non-empty document. */
+  def ppmTable(s: SparkSession, dir: String): DataFrame = {
+    val synth = udf((b: Array[Byte]) => synthPpm(b))
+    Relational.table(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .filter(octet_length(col("payload")) > 0)
+      .select(col("doc_id"), synth(col("payload")).as("media"))
+  }
+
+  /** mm04 — image decode + channel statistics through the real P6
+    * parser, batched per partition like [[mediaFeatures]] (same
+    * 100 TB shape: decoder init amortized per task, features exact
+    * integer arithmetic → DuckDB-replayable). */
+  def imageFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ppmTable(s, dir).as[ImageRow].mapPartitions { rows =>
+      rows.map { r =>
+        val img = decodePpm(r.media)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var i = 0
+        while (i < img.pixels.length) {
+          sr += img.pixels(i) & 0xff
+          sg += img.pixels(i + 1) & 0xff
+          sb += img.pixels(i + 2) & 0xff
+          i += 3
+        }
+        ImageFeatures(r.doc_id, "image/x-portable-pixmap",
+          img.width.toLong, img.height.toLong, sr, sg, sb)
+      }
+    }.toDF()
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replica via the synth formula: pure-ASCII corpus, so the
+    * channel sums are closed-form over the character codes. */
+  val imageFeaturesSql: String = """
+    SELECT doc_id, 'image/x-portable-pixmap' AS fmt,
+      CAST(octet_length(encode(text)) AS BIGINT) AS width,
+      CAST(1 AS BIGINT) AS height,
+      CAST(list_sum([ord(x) FOR x IN string_split(text, '')])
+        AS BIGINT) AS sum_r,
+      CAST(list_sum([255 - ord(x) FOR x IN string_split(text, '')])
+        AS BIGINT) AS sum_g,
+      CAST(list_sum([ord(x) * 7 % 256 FOR x IN string_split(text, '')])
+        AS BIGINT) AS sum_b
+    FROM documents
+    WHERE octet_length(encode(text)) > 0
+    ORDER BY doc_id"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("mm01_media_meta", mediaMeta _, Some(mediaMetaSql)),
       ("mm02_media_features", mediaFeatures _, Some(mediaFeaturesSql)),
       ("mm03_frame_sample", frameSample _, Some(frameSampleSql)),
+      ("mm04_image_features", imageFeatures _, Some(imageFeaturesSql)),
     )
 }

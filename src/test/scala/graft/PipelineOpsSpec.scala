@@ -277,6 +277,26 @@ class PipelineOpsSpec extends SparkSpec {
       decoded.samples.toSeq)
   }
 
+  test("multimodal: PPM codec round-trips pixels through a real P6 " +
+    "parse, including comments and multi-row images") {
+    val payload = "Hi PPM!".getBytes("US-ASCII")
+    val img = Multimodal.decodePpm(Multimodal.synthPpm(payload))
+    assert(img.width == payload.length && img.height == 1 &&
+      img.maxVal == 255)
+    payload.zipWithIndex.foreach { case (b, i) =>
+      assert((img.pixels(3 * i) & 0xff) == (b & 0xff))
+      assert((img.pixels(3 * i + 1) & 0xff) == 255 - (b & 0xff))
+      assert((img.pixels(3 * i + 2) & 0xff) == (b & 0xff) * 7 % 256)
+    }
+    // a real parser handles comments, extra whitespace, and w*h rasters
+    val raster = Array.tabulate[Byte](2 * 3 * 3)(i => (i * 11).toByte)
+    val exotic = ("P6 # a comment\n# another\n 3\t2 \n255\n"
+      .getBytes("US-ASCII")) ++ raster
+    val multi = Multimodal.decodePpm(exotic)
+    assert(multi.width == 3 && multi.height == 2)
+    assert(multi.pixels.toSeq == raster.toSeq)
+  }
+
   test("embedding_clusters: codegen'd argmax assignment == UDF " +
     "reference on every corpus vector") {
     import org.apache.spark.sql.functions._
