@@ -93,6 +93,44 @@ object Layout {
     ORDER BY zbucket"""
   }
 
+  private val Shards = 32
+
+  /** q23 — range-sharded sorted output: the write-side global ordering
+    * every sorted 100 TB table ships with. `repartitionByRange` samples
+    * split points (one pass), then each shard sorts independently —
+    * a global total order WITHOUT a single-reducer sort; shard files
+    * carry non-overlapping min/max so readers binary-search the shard
+    * list instead of scanning.
+    *
+    * The physical split points are sample-dependent (and may legally
+    * merge empty shards), so the query outputs the INVARIANTS of the
+    * layout, not the boundaries: total row count (nothing lost), shard
+    * count within [1, Shards], and cross-shard non-overlap — each a
+    * constant the oracle states in closed form. PlanSpec asserts the
+    * plan shape (range exchange + non-global sort). */
+  def rangeShards(s: SparkSession, dir: String): DataFrame = {
+    val sharded = Relational.table(s, dir, "lineitem")
+      .select(col("l_orderkey"))
+      .repartitionByRange(Shards, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+    val stats = sharded
+      .groupBy(spark_partition_id().as("pid"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_orderkey")).as("lo"), max(col("l_orderkey")).as("hi"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("lo", "pid")
+    stats
+      .withColumn("prev_hi", lag(col("hi"), 1).over(w))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        (count(lit(1)) >= 1 && count(lit(1)) <= Shards).as("shards_ok"),
+        coalesce(min(col("prev_hi") <= col("lo")), lit(true))
+          .as("non_overlapping"))
+  }
+
+  val rangeShardsSql: String =
+    "SELECT count(*) AS n_rows, TRUE AS shards_ok, " +
+      "TRUE AS non_overlapping FROM lineitem"
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    Seq(("q22_zorder_layout", zorderLayout _, Some(zorderLayoutSql)))
+    Seq(("q22_zorder_layout", zorderLayout _, Some(zorderLayoutSql)),
+      ("q23_range_shards", rangeShards _, Some(rangeShardsSql)))
 }

@@ -84,6 +84,31 @@ class Round5Spec extends SparkSpec {
     assert(bloom.exceptAll(exact).isEmpty && exact.exceptAll(bloom).isEmpty)
   }
 
+  // ------------------------------------------------ q23 range shards
+
+  test("q23: range exchange + shard-local sort, never a global sort; " +
+    "invariants hold") {
+    val sharded = queries.Relational.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"))
+      .repartitionByRange(32, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+    sharded.collect()
+    val p = sharded.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("rangepartitioning"), p)
+    // the sort must be shard-local ("false" = non-global in the plan
+    // rendering) — a single-reducer global sort would be the 100 TB
+    // anti-pattern this operator exists to avoid
+    assert("""Sort \[l_orderkey[^\]]*\], false""".r
+      .findFirstIn(p).isDefined, p)
+    assert(!"""Sort \[l_orderkey[^\]]*\], true""".r
+      .findFirstIn(p).isDefined, p)
+    val row = queries.Layout.rangeShards(spark, sfDir).collect().head
+    assert(row.getAs[Boolean]("shards_ok") &&
+      row.getAs[Boolean]("non_overlapping"))
+    assert(row.getAs[Long]("n_rows") ==
+      queries.Relational.table(spark, sfDir, "lineitem").count())
+  }
+
   // ------------------------------------------------ c03 snapshot diff
 
   test("c03: every diff row matches the closed-form planted change set") {
