@@ -320,11 +320,82 @@ object Multimodal {
     WHERE octet_length(encode(text)) > 0
     ORDER BY doc_id"""
 
+  // ------------------------------------------- decode-failure quarantine
+
+  case class QuarantineRow(doc_id: Long, source: String,
+                           media: Array[Byte])
+  case class DecodeOutcome(doc_id: Long, source: String, ok: Long,
+                           sum_r: Long)
+
+  /** mm05 — quarantine path: at 100 TB some payloads WILL be corrupt,
+    * and a decoder that throws kills the whole job. The production
+    * shape: decode inside a per-row try, emit an `ok` flag + features
+    * for good rows, and aggregate the quarantined rows per source
+    * instead of failing — bad records become a DATASET, not an
+    * exception. Corruption is planted deterministically (every 13th
+    * doc's payload is truncated mid-raster) so the oracle states the
+    * outcome in closed form; decode work stays batched per partition.
+    *
+    * Output: per-source totals, quarantine counts, and the channel-sum
+    * of the successfully decoded images — proving failures are
+    * isolated row-by-row, not batch-by-batch. */
+  def decodeQuarantine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val synth = udf { (id: Long, b: Array[Byte]) =>
+      val full = synthPpm(b)
+      // truncate INSIDE the raster: header parses, pixel read fails
+      if (id % 13 == 0) java.util.Arrays.copyOf(full, full.length - 2)
+      else full
+    }
+    val rows = Relational.table(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .filter(octet_length(col("payload")) > 0)
+      .select(col("doc_id"), col("source"),
+        synth(col("doc_id"), col("payload")).as("media"))
+    val outcomes = rows.as[QuarantineRow]
+      .mapPartitions { it =>
+        it.map { r =>
+          try {
+            val img = decodePpm(r.media)
+            var sr = 0L
+            var i = 0
+            while (i < img.pixels.length) { sr += img.pixels(i) & 0xff; i += 3 }
+            DecodeOutcome(r.doc_id, r.source, 1L, sr)
+          } catch {
+            case _: Exception => DecodeOutcome(r.doc_id, r.source, 0L, 0L)
+          }
+        }
+      }.toDF()
+    outcomes
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ok") === 0, 1L).otherwise(0L)).as("n_quarantined"),
+        sum(col("sum_r")).as("decoded_sum_r"))
+      .orderBy("source")
+  }
+
+  /** Closed-form oracle: exactly the planted truncations fail; the
+    * surviving channel sum is the synth formula over non-planted docs. */
+  val decodeQuarantineSql: String = """
+    SELECT source, count(*) AS n_docs,
+      CAST(sum(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_quarantined,
+      CAST(sum(CASE WHEN doc_id % 13 = 0 THEN 0 ELSE
+        coalesce(list_sum([ord(x) FOR x IN string_split(text, '')]), 0)
+        END) AS BIGINT) AS decoded_sum_r
+    FROM documents
+    WHERE octet_length(encode(text)) > 0
+    GROUP BY source
+    ORDER BY source"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("mm01_media_meta", mediaMeta _, Some(mediaMetaSql)),
       ("mm02_media_features", mediaFeatures _, Some(mediaFeaturesSql)),
       ("mm03_frame_sample", frameSample _, Some(frameSampleSql)),
       ("mm04_image_features", imageFeatures _, Some(imageFeaturesSql)),
+      ("mm05_decode_quarantine", decodeQuarantine _,
+        Some(decodeQuarantineSql)),
     )
 }

@@ -146,6 +146,71 @@ class Round5Spec extends SparkSpec {
     assert(a == rows.toSeq)
   }
 
+  // -------------------------------------------- mm05 decode quarantine
+
+  test("mm05: corrupt payloads quarantine row-by-row, good rows decode " +
+    "to the same sums as the clean path") {
+    val rows = queries.Multimodal.decodeQuarantine(spark, sfDir).collect()
+    val docs = queries.Relational.table(spark, sfDir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("source")).as[(Long, String)].collect()
+    val plantedBySource = docs.filter(_._1 % 13 == 0)
+      .groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_quarantined") ==
+        plantedBySource.getOrElse(r.getAs[String]("source"), 0L))
+    }
+    // decoded channel sums equal the clean mm04 path over survivors
+    val mm04Sums = queries.Multimodal.imageFeatures(spark, sfDir)
+      .filter(pmod(col("doc_id"), lit(13)) =!= 0)
+      .join(queries.Relational.table(spark, sfDir, "documents")
+        .select("doc_id", "source"), "doc_id")
+      .groupBy("source").agg(sum("sum_r").as("s"))
+      .as[(String, Long)].collect().toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("decoded_sum_r") ==
+        mm04Sums.getOrElse(r.getAs[String]("source"), 0L),
+        r.getAs[String]("source"))
+    }
+  }
+
+  // --------------------------------------------- AQE skew-join demo
+
+  test("AQE splits a skewed join partition at runtime (skew=true in " +
+    "the executed plan)") {
+    val prev = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "20KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "20KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "2")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // 95% of the left side lands on key 0 — one shuffle partition
+      // dwarfs the rest and AQE must split it instead of letting a
+      // single task carry the join
+      val left = spark.range(200000).select(
+        when(pmod(col("id"), lit(20)) =!= 0, 0L)
+          .otherwise(pmod(col("id"), lit(100))).as("k"),
+        col("id").as("payload"))
+      val right = spark.range(100).select(col("id").as("k"),
+        (col("id") * 2).as("dim"))
+      val joined = left.join(right, "k")
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), s"no skew split in:\n$p")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   // ------------------------------------------------- t16 chunk overlap
 
   test("t16: chunks reconstruct every doc exactly (stride overlap " +
