@@ -91,7 +91,12 @@ object Bench {
       "t14_quality_gate", "st01_tumbling_window", "st03_sessionize",
       "st06_dedup_replay",
       "st07_attribution", "mm02_media_features", "c01_curation_pipeline",
-      "j01_jsonl_roundtrip")
+      "j01_jsonl_roundtrip",
+      "q22_zorder_layout", "q23_range_shards", "j02_partitioned_sink",
+      "t15_bloom_decontaminate", "t16_chunk_overlap", "c03_snapshot_diff",
+      "s08_train_split", "st08_quota", "mm04_image_features",
+      "c04_cdc_compact",
+      "mm05_decode_quarantine")
     val resultMap = results.toMap
     // a headline key that stops matching a query name would otherwise
     // silently vanish from the tail-parsed line — fail loudly instead

@@ -157,10 +157,42 @@ object Curation {
     WHERE (v1.doc_id IS NULL OR v2.doc_id IS NULL OR fp1 <> fp2)
     ORDER BY doc_id"""
 
+  /** c04 — latest-wins compaction (the CDC/upsert merge every
+    * incrementally-updated corpus table needs): among each key's
+    * change records, keep exactly the newest version. One aggregate —
+    * `max(struct(ts, tiebreak, payload...))` — does it in a single
+    * map-side-combining shuffle; the window-rank formulation
+    * (`row_number() == 1`) shuffles the same data but cannot partial-
+    * aggregate, so at 100 TB the struct-max is the shape that wins.
+    * Keyed on (user_id, event_type) over the events table; event_id
+    * breaks exact-timestamp ties deterministically in both engines. */
+  def cdcCompact(s: SparkSession, dir: String): DataFrame =
+    Streaming.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(struct(col("ts"), col("event_id"), col("value")))
+        .as("latest"))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("latest.ts")).as("latest_us"),
+        col("latest.event_id").as("latest_event_id"),
+        col("latest.value").as("latest_value"))
+      .orderBy("user_id", "event_type")
+
+  val cdcCompactSql: String = """
+    SELECT user_id, event_type, epoch_us(m.ts) AS latest_us,
+      m.event_id AS latest_event_id, m.value AS latest_value
+    FROM (
+      SELECT user_id, event_type,
+        max(struct_pack(ts := ts, event_id := event_id,
+          value := value)) AS m
+      FROM events
+      GROUP BY user_id, event_type)
+    ORDER BY user_id, event_type"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("c01_curation_pipeline", curationPipeline _,
         Some(curationPipelineSql)),
       ("c02_source_datacard", sourceDatacard _, Some(sourceDatacardSql)),
-      ("c03_snapshot_diff", snapshotDiff _, Some(snapshotDiffSql)))
+      ("c03_snapshot_diff", snapshotDiff _, Some(snapshotDiffSql)),
+      ("c04_cdc_compact", cdcCompact _, Some(cdcCompactSql)))
 }

@@ -146,6 +146,22 @@ class Round5Spec extends SparkSpec {
     assert(a == rows.toSeq)
   }
 
+  // ------------------------------------------------ c04 cdc compaction
+
+  test("c04: latest-wins compaction is one partial-aggregating " +
+    "shuffle, not a window rank") {
+    val df = queries.Curation.cdcCompact(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("Window"), s"window rank crept in:\n$p")
+    // struct-max aggregates partially below the exchange (struct types
+    // sort-aggregate) — the property a row_number() formulation cannot
+    // have
+    assert(p.contains("partial_max(struct"),
+      s"no partial agg below the shuffle:\n$p")
+  }
+
   // -------------------------------------------- mm05 decode quarantine
 
   test("mm05: corrupt payloads quarantine row-by-row, good rows decode " +
