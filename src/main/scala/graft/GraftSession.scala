@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Production session factory: one place that encodes the cluster
+  * settings this engine is designed around, so "switch to geckospark"
+  * is `GraftSession.builder(...)` instead of a tuning checklist.
+  *
+  * What it sets and why (all overridable afterwards):
+  *  - AQE on, with skew-join handling: runtime coalescing + skew
+  *    splits are the first line of defense at 100 TB (Round5Spec
+  *    demonstrates the split firing).
+  *  - `spark.sql.shuffle.partitions` defaults to a multiple of the
+  *    executor parallelism instead of the static 200 — AQE coalesces
+  *    down, so err high; callers pass their cluster's core count.
+  *  - 128 MB `maxPartitionBytes` keeps scan tasks memory-bounded at
+  *    any table size.
+  *  - UTC session timezone: every datetime operator here is defined
+  *    against UTC, and oracle replay requires it.
+  *  - ANSI mode stays ON (Spark 4 default): silent overflow would
+  *    break the integer-exact oracles.
+  *  - [[GraftExtensions]] registered, so `minhash_signature`,
+  *    `cosine_similarity`, `ngram_hashes`, `int_dot` work from SQL.
+  *
+  * Local smoke use: `GraftSession.local(cores)`. */
+object GraftSession {
+
+  /** Builder pre-loaded with the engine's cluster settings; caller
+    * supplies master/deploy specifics and may override anything. */
+  def builder(parallelism: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.shuffle.partitions", (parallelism * 2).toString)
+      .config("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.serializer",
+        "org.apache.spark.serializer.KryoSerializer")
+
+  /** Local session sized to `cores` (tests, notebooks, smoke runs). */
+  def local(cores: Int): SparkSession =
+    builder(cores)
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+}
