@@ -689,6 +689,86 @@ object TextAnalysis {
     ORDER BY doc_id, chunk_id"""
   }
 
+  // ------------------------------------------- intra-doc boilerplate
+  private val ParaTokens = 8
+
+  /** t17 — intra-document boilerplate removal: drop repeated
+    * paragraphs WITHIN each doc, keeping first occurrences in order
+    * (headers/footers/nav text repeat inside a page — the complement
+    * of d08's cross-doc paragraph dedup). Paragraph = non-overlapping
+    * [[ParaTokens]]-token window. Duplication is planted by PREPENDING
+    * every 7th doc's first paragraph — prepending keeps window
+    * alignment, so the plant yields an exact duplicate window at any
+    * doc length (natural repeats in the tiny synthetic vocabulary are
+    * handled identically — the oracle replays the whole pipeline, not
+    * a closed form).
+    *
+    * Scale shape: the dedup key is (doc_id, paragraph), so the first
+    * shuffle's keys are scoped per document — no cross-doc hot keys by
+    * construction; reassembly is the d08 sort-collect on doc_id. Two
+    * keyed shuffles total, both map-side combining. */
+  def boilerplateDedup(s: SparkSession, dir: String): DataFrame = {
+    val w = ParaTokens
+    val toks0 = split(col("text"), " ")
+    val first = array_join(slice(toks0, 1, w), " ")
+    val planted = when(
+      pmod(col("doc_id"), lit(7)) === 0 && size(toks0) >= w,
+      concat(first, lit(" "), col("text"))).otherwise(col("text"))
+    val toks = split(col("planted"), " ")
+    val nWin = ((size(toks) + w - 1) / lit(w)).cast("int")
+    val paras = Relational.table(s, dir, "documents")
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), planted.as("planted"))
+      .select(col("doc_id"), toks.as("toks"),
+        explode(sequence(lit(0), nWin - 1)).as("wi"))
+      .select(col("doc_id"), col("wi"),
+        array_join(slice(col("toks"), col("wi") * w + 1, lit(w)), " ")
+          .as("key"))
+    paras
+      .groupBy("doc_id", "key")
+      .agg(min(col("wi")).as("pos"), count(lit(1)).as("reps"))
+      .groupBy("doc_id")
+      .agg(sum(col("reps")).as("n_paras"),
+        sum(col("reps") - 1).as("n_dupes"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("key")))),
+          x => x.getField("key")), " ").as("cleaned_text"))
+      .orderBy("doc_id")
+  }
+
+  val boilerplateDedupSql: String = {
+    val w = ParaTokens
+    s"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS t0
+      FROM documents WHERE lang = 'en'),
+    pl AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 7 = 0 AND len(t0) >= $w
+          THEN array_to_string(t0[1:$w], ' ') || ' ' ||
+            array_to_string(t0, ' ')
+          ELSE array_to_string(t0, ' ') END AS text
+      FROM base),
+    tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM pl),
+    wn AS (
+      SELECT doc_id, toks,
+        unnest(range((len(toks) + ${w - 1}) // $w)) AS wi
+      FROM tk),
+    k AS (
+      SELECT doc_id, wi,
+        array_to_string(toks[wi * $w + 1 : wi * $w + $w], ' ') AS key
+      FROM wn),
+    f AS (
+      SELECT doc_id, key, min(wi) AS pos, count(*) AS reps
+      FROM k GROUP BY doc_id, key)
+    SELECT doc_id, CAST(sum(reps) AS BIGINT) AS n_paras,
+      CAST(sum(reps - 1) AS BIGINT) AS n_dupes,
+      string_agg(key, ' ' ORDER BY pos) AS cleaned_text
+    FROM f
+    GROUP BY doc_id
+    ORDER BY doc_id"""
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("t01_token_count", tokenCount _, Some(tokenCountSql)),
@@ -707,5 +787,7 @@ object TextAnalysis {
       ("t15_bloom_decontaminate", bloomDecontaminate _,
         Some(decontaminateSql)),
       ("t16_chunk_overlap", chunkOverlap _, Some(chunkOverlapSql)),
+      ("t17_boilerplate_dedup", boilerplateDedup _,
+        Some(boilerplateDedupSql)),
     )
 }

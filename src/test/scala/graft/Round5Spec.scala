@@ -146,6 +146,35 @@ class Round5Spec extends SparkSpec {
     assert(a == rows.toSeq)
   }
 
+  // -------------------------------------------- t17 boilerplate dedup
+
+  test("t17: planted repeats are removed, survivors stay unique and " +
+    "in order") {
+    val rows = queries.TextAnalysis.boilerplateDedup(spark, sfDir)
+      .collect()
+    val texts = queries.Relational.table(spark, sfDir, "documents")
+      .filter(col("lang") === "en")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    def windows(t: String) =
+      t.split(" ", -1).grouped(8).map(_.mkString(" ")).toVector
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val cleaned = r.getAs[String]("cleaned_text")
+      val planted = id % 7 == 0 && texts(id).split(" ", -1).length >= 8
+      if (planted)
+        assert(r.getAs[Long]("n_dupes") >= 1, s"doc $id: plant survived")
+      // kept windows are exactly the first occurrences, in order,
+      // and re-windowing the cleaned text reproduces them uniquely
+      val w = windows(cleaned)
+      assert(w.distinct == w, s"doc $id: duplicate window kept")
+      val src = if (planted)
+        windows(texts(id).split(" ", -1).take(8).mkString(" ") + " " +
+          texts(id))
+      else windows(texts(id))
+      assert(w == src.distinct, s"doc $id: wrong survivors")
+    }
+  }
+
   // ------------------------------------------------ c04 cdc compaction
 
   test("c04: latest-wins compaction is one partial-aggregating " +
