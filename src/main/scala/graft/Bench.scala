@@ -95,8 +95,8 @@ object Bench {
       "q22_zorder_layout", "q23_range_shards", "j02_partitioned_sink",
       "t15_bloom_decontaminate", "t16_chunk_overlap", "c03_snapshot_diff",
       "s08_train_split", "st08_quota", "mm04_image_features",
-      "c04_cdc_compact",
-      "mm05_decode_quarantine")
+      "c04_cdc_compact", "t17_boilerplate_dedup", "t18_regex_tokens",
+      "mm05_decode_quarantine", "mm06_image_resize")
     val resultMap = results.toMap
     // a headline key that stops matching a query name would otherwise
     // silently vanish from the tail-parsed line — fail loudly instead

@@ -320,6 +320,74 @@ object Multimodal {
     WHERE octet_length(encode(text)) > 0
     ORDER BY doc_id"""
 
+  // ----------------------------------------------------- image resize
+
+  /** Nearest-neighbor resample of a decoded image to half width: keep
+    * every even-indexed source column. Integer-exact (no filtering
+    * kernel), so the resized raster replays in SQL. */
+  def resizeHalf(img: PpmImage): PpmImage = {
+    val newW = (img.width + 1) / 2
+    val out = new Array[Byte](newW * img.height * 3)
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < newW) {
+        val src = (y * img.width + 2 * x) * 3
+        val dst = (y * newW + x) * 3
+        out(dst) = img.pixels(src)
+        out(dst + 1) = img.pixels(src + 1)
+        out(dst + 2) = img.pixels(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    PpmImage(newW, img.height, img.maxVal, out)
+  }
+
+  /** mm06 — decode → resize → feature-extract, the standard media
+    * preprocessing chain (thumbnail/downsample before feature
+    * extraction), batched per partition like every decode here.
+    * Nearest-neighbor keeps the arithmetic integer-exact: the oracle
+    * recomputes the resized channel sums from the even-position
+    * characters of the source text. */
+  def imageResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ppmTable(s, dir).as[ImageRow].mapPartitions { it =>
+      it.map { r =>
+        val img = resizeHalf(decodePpm(r.media))
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var i = 0
+        while (i < img.pixels.length) {
+          sr += img.pixels(i) & 0xff
+          sg += img.pixels(i + 1) & 0xff
+          sb += img.pixels(i + 2) & 0xff
+          i += 3
+        }
+        ImageFeatures(r.doc_id, "image/x-portable-pixmap",
+          img.width.toLong, img.height.toLong, sr, sg, sb)
+      }
+    }.toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Resized replica: pixel x of the output is source pixel 2x, i.e.
+    * the odd-POSITION characters of the 1-indexed text. */
+  val imageResizeSql: String = """
+    WITH px AS (
+      SELECT doc_id, octet_length(encode(text)) AS w,
+        list_transform(range(1, octet_length(encode(text)) + 1, 2),
+          i -> ord(text[i])) AS keep
+      FROM documents
+      WHERE octet_length(encode(text)) > 0)
+    SELECT doc_id, 'image/x-portable-pixmap' AS fmt,
+      CAST((w + 1) // 2 AS BIGINT) AS width,
+      CAST(1 AS BIGINT) AS height,
+      CAST(list_sum(keep) AS BIGINT) AS sum_r,
+      CAST(list_sum([255 - v FOR v IN keep]) AS BIGINT) AS sum_g,
+      CAST(list_sum([v * 7 % 256 FOR v IN keep]) AS BIGINT) AS sum_b
+    FROM px
+    ORDER BY doc_id"""
+
   // ------------------------------------------- decode-failure quarantine
 
   case class QuarantineRow(doc_id: Long, source: String,
@@ -397,5 +465,6 @@ object Multimodal {
       ("mm04_image_features", imageFeatures _, Some(imageFeaturesSql)),
       ("mm05_decode_quarantine", decodeQuarantine _,
         Some(decodeQuarantineSql)),
+      ("mm06_image_resize", imageResize _, Some(imageResizeSql)),
     )
 }

@@ -689,6 +689,39 @@ object TextAnalysis {
     ORDER BY doc_id, chunk_id"""
   }
 
+  // --------------------------------------------- regex tokenization
+  /** Class pattern shared by both engines (Java regex and RE2 agree on
+    * this subset): letter runs, digit runs, runs of anything else but
+    * spaces — the GPT-2-style pre-tokenizer shape. */
+  private val AlphaRe = "[A-Za-z]+"
+  private val NumRe = "[0-9]+"
+  private val OtherRe = "[^A-Za-z0-9 ]+"
+
+  /** t18 — regex pre-tokenization stats (the BPE-front-end complement
+    * of t01's whitespace count): token counts per character class over
+    * the PII-planted corpus (the planting injects digits/punctuation,
+    * so the class split is non-trivial). `regexp_extract_all` is a
+    * codegen'd builtin — scan-speed, map-only; the orderBy is
+    * presentation for the oracle. */
+  def regexTokens(s: SparkSession, dir: String): DataFrame = {
+    def n(re: String) =
+      size(expr(s"regexp_extract_all(text, '$re', 0)")).cast("long")
+    piiPlant(Relational.table(s, dir, "documents")
+        .select(col("doc_id"), col("text")))
+      .select(col("doc_id"), n(AlphaRe).as("n_alpha"),
+        n(NumRe).as("n_num"), n(OtherRe).as("n_other"))
+      .orderBy("doc_id")
+  }
+
+  val regexTokensSql: String = s"""
+    WITH planted AS (${piiPlantSql("documents")})
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '$AlphaRe')) AS BIGINT) AS n_alpha,
+      CAST(len(regexp_extract_all(text, '$NumRe')) AS BIGINT) AS n_num,
+      CAST(len(regexp_extract_all(text, '$OtherRe')) AS BIGINT) AS n_other
+    FROM planted
+    ORDER BY doc_id"""
+
   // ------------------------------------------- intra-doc boilerplate
   private val ParaTokens = 8
 
@@ -789,5 +822,6 @@ object TextAnalysis {
       ("t16_chunk_overlap", chunkOverlap _, Some(chunkOverlapSql)),
       ("t17_boilerplate_dedup", boilerplateDedup _,
         Some(boilerplateDedupSql)),
+      ("t18_regex_tokens", regexTokens _, Some(regexTokensSql)),
     )
 }

@@ -297,6 +297,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(multi.pixels.toSeq == raster.toSeq)
   }
 
+  test("multimodal: nearest-neighbor half-width resize keeps even " +
+    "source columns, odd widths round up, rows independent") {
+    // 5x2 image, pixel (x,y) has R = 10*y + x (G/B mirror R)
+    val px = (for { y <- 0 until 2; x <- 0 until 5; _ <- 0 until 3 }
+      yield (10 * y + x).toByte).toArray
+    val img = Multimodal.PpmImage(5, 2, 255, px)
+    val half = Multimodal.resizeHalf(img)
+    assert(half.width == 3 && half.height == 2)
+    val r = (0 until half.width * half.height)
+      .map(i => half.pixels(3 * i) & 0xff)
+    assert(r == Seq(0, 2, 4, 10, 12, 14)) // even columns per row
+  }
+
   test("embedding_clusters: codegen'd argmax assignment == UDF " +
     "reference on every corpus vector") {
     import org.apache.spark.sql.functions._
