@@ -96,7 +96,9 @@ object Bench {
       "t15_bloom_decontaminate", "t16_chunk_overlap", "c03_snapshot_diff",
       "s08_train_split", "st08_quota", "mm04_image_features",
       "c04_cdc_compact", "t17_boilerplate_dedup", "t18_regex_tokens",
-      "mm05_decode_quarantine", "mm06_image_resize")
+      "mm05_decode_quarantine", "mm06_image_resize",
+      "j03_orc_roundtrip", "s09_epoch_shuffle", "t19_bm25_topk",
+      "t20_length_batches", "mm07_audio_resample", "st09_enrich")
     val resultMap = results.toMap
     // a headline key that stops matching a query name would otherwise
     // silently vanish from the tail-parsed line — fail loudly instead

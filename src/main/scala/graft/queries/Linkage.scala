@@ -148,9 +148,102 @@ object Linkage {
            n_correct * 1000 // n_truth AS recall_milli
     FROM p, t"""
 
+  // ---------------------------------------- l03 sorted neighborhood
+  private val SnWindow = 3
+
+  /** l03 — sorted-neighborhood blocking, the classic complement to
+    * l01's prefix blocking (Hernández & Stolfo's merge/purge): sort
+    * BOTH sides on the match key and compare each record only to its
+    * [[SnWindow]] successors in the global sort order. Where prefix
+    * blocking bounds candidates by block size, SNM bounds them by a
+    * CONSTANT per record — robust when key distributions make some
+    * blocks huge.
+    *
+    * Scale shape: the global sort RANK uses s09's two-phase trick
+    * (bucket by first key char — lexicographic bucket order is a
+    * prefix of the key order — tiny count/offset agg, rank within
+    * buckets), so no single window partition sees the corpus. The
+    * neighborhood itself is an EQUI-join: each record explodes into
+    * [[SnWindow]] (rank+k) probes joined on rank — never a theta
+    * join, fanout bounded by the window. The expensive levenshtein
+    * runs on the W·n candidates only. */
+  def sortedNeighborhood(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = identities(s, dir)
+        .select(col("cust_id").as("id"), col("name").as("key"),
+          lit("i").as("side"))
+      .unionAll(corrupted(s, dir)
+        .select(col("rec_id").as("id"), col("rec_name").as("key"),
+          lit("c").as("side")))
+      .withColumn("bucket", substring(col("key"), 1, 1))
+    val counts = u.groupBy("bucket").agg(count(lit(1)).as("n"))
+    val wOff = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts.withColumn("offset",
+        coalesce(sum(col("n")).over(wOff), lit(0L)))
+      .select("bucket", "offset")
+    val wIn = Window.partitionBy("bucket").orderBy("key", "side", "id")
+    // consumed twice (probe + build) — truncate lineage once
+    val ranked = u.join(broadcast(offsets), "bucket")
+      .withColumn("r",
+        (col("offset") + row_number().over(wIn) - 1).cast("long"))
+      .select("id", "key", "side", "r")
+      .localCheckpoint()
+    val probe = ranked
+      .select(col("id").as("a_id"), col("key").as("a_key"),
+        col("side").as("a_side"),
+        explode(array((1 to SnWindow).map(lit(_)): _*)).as("k"),
+        col("r").as("a_r"))
+      .withColumn("r", col("a_r") + col("k"))
+    probe
+      .join(ranked
+        .withColumnRenamed("id", "b_id")
+        .withColumnRenamed("key", "b_key")
+        .withColumnRenamed("side", "b_side"), "r")
+      .filter((col("a_side") === "i" && col("b_side") === "c") ||
+        (col("a_side") === "c" && col("b_side") === "i"))
+      .filter(levenshtein(col("a_key"), col("b_key")) <= 1)
+      .select(
+        when(col("a_side") === "i", col("a_id")).otherwise(col("b_id"))
+          .as("cust_id"),
+        when(col("a_side") === "i", col("b_id")).otherwise(col("a_id"))
+          .as("rec_id"),
+        levenshtein(col("a_key"), col("b_key")).cast("long").as("dist"),
+        col("k").cast("long").as("rank_gap"))
+      .orderBy("cust_id", "rec_id")
+  }
+
+  val sortedNeighborhoodSql: String = s"""
+    WITH ids AS ($identitiesSql),
+    corr AS ($corruptedSql),
+    u AS (
+      SELECT cust_id AS id, name AS key, 'i' AS side FROM ids
+      UNION ALL
+      SELECT rec_id, rec_name, 'c' FROM corr),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY key, side, id) - 1 AS r
+      FROM u),
+    cand AS (
+      SELECT a.id AS a_id, a.key AS a_key, a.side AS a_side,
+             b.id AS b_id, b.key AS b_key, b.side AS b_side,
+             b.r - a.r AS rank_gap
+      FROM ranked a JOIN ranked b
+        ON b.r >= a.r + 1 AND b.r <= a.r + $SnWindow)
+    SELECT CASE WHEN a_side = 'i' THEN a_id ELSE b_id END AS cust_id,
+           CASE WHEN a_side = 'i' THEN b_id ELSE a_id END AS rec_id,
+           CAST(levenshtein(a_key, b_key) AS BIGINT) AS dist,
+           CAST(rank_gap AS BIGINT) AS rank_gap
+    FROM cand
+    WHERE ((a_side = 'i' AND b_side = 'c')
+        OR (a_side = 'c' AND b_side = 'i'))
+      AND levenshtein(a_key, b_key) <= 1
+    ORDER BY cust_id, rec_id"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("l01_linkage_pairs", linkagePairs _, Some(linkagePairsSql)),
       ("l02_linkage_quality", linkageQuality _, Some(linkageQualitySql)),
+      ("l03_sorted_neighborhood", sortedNeighborhood _,
+        Some(sortedNeighborhoodSql)),
     )
 }

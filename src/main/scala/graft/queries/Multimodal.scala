@@ -457,6 +457,68 @@ object Multimodal {
     GROUP BY source
     ORDER BY source"""
 
+  // ----------------------------------------------- audio resample
+
+  case class AudioResampled(doc_id: Long, sample_rate: Long,
+                            n_samples: Long, sum_abs: Long, max_abs: Long)
+
+  /** Decimate PCM by 2: keep every even-indexed sample. Integer-exact
+    * (no anti-alias filter — the nearest-neighbor analog for audio),
+    * so the resampled amplitude features replay in SQL. */
+  def decimate2(samples: Array[Short]): Array[Short] = {
+    val out = new Array[Short]((samples.length + 1) / 2)
+    var i = 0
+    while (i < out.length) { out(i) = samples(2 * i); i += 1 }
+    out
+  }
+
+  /** mm07 — audio downsample chain: decode WAV → decimate to half the
+    * sample rate → amplitude features, the audio twin of mm06's image
+    * resize (decode-transform-extract with the transform inside the
+    * same per-partition batch, so samples never leave the task that
+    * decoded them). The oracle recomputes the surviving samples from
+    * the odd-position source characters via the synth formula. */
+  def audioResample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    wavTable(s, dir)
+      .filter(col("n_bytes") > lit(44L)) // ≥1 sample past the header
+      .select(col("doc_id"), col("media"), col("fmt"), col("n_bytes"))
+      .as[MediaRow].mapPartitions { it =>
+        it.map { r =>
+          val wav = decodeWav(r.media)
+          val half = decimate2(wav.samples)
+          var sumAbs = 0L
+          var maxAbs = 0L
+          var i = 0
+          while (i < half.length) {
+            val a = math.abs(half(i).toLong)
+            sumAbs += a
+            if (a > maxAbs) maxAbs = a
+            i += 1
+          }
+          AudioResampled(r.doc_id, wav.sampleRate / 2L, half.length.toLong,
+            sumAbs, maxAbs)
+        }
+      }.toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Surviving sample i is source sample 2i = the odd-position
+    * characters of the 1-indexed text; each sample is (byte-128)*256. */
+  val audioResampleSql: String = s"""
+    WITH sm AS (
+      SELECT doc_id,
+        list_transform(range(1, octet_length(encode(text)) + 1, 2),
+          i -> abs((ord(text[i]) - 128) * 256)) AS v
+      FROM documents
+      WHERE octet_length(encode(text)) > 0)
+    SELECT doc_id, CAST(${WavRate / 2} AS BIGINT) AS sample_rate,
+      CAST(len(v) AS BIGINT) AS n_samples,
+      CAST(list_sum(v) AS BIGINT) AS sum_abs,
+      CAST(list_max(v) AS BIGINT) AS max_abs
+    FROM sm
+    ORDER BY doc_id"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("mm01_media_meta", mediaMeta _, Some(mediaMetaSql)),
@@ -466,5 +528,6 @@ object Multimodal {
       ("mm05_decode_quarantine", decodeQuarantine _,
         Some(decodeQuarantineSql)),
       ("mm06_image_resize", imageResize _, Some(imageResizeSql)),
+      ("mm07_audio_resample", audioResample _, Some(audioResampleSql)),
     )
 }

@@ -489,6 +489,40 @@ object Relational {
   }
 
   /** name -> (query fn, oracle sql) */
+  // --------------------------------------------------------------- Q24
+  /** Pivot (wide reshape): per-year order counts and DECIMAL-exact
+    * revenue, one column pair per order status. The status values are
+    * DECLARED (`pivot(col, values)`), not discovered — at 100 TB the
+    * discovery variant costs an extra distinct-scan of the pivot
+    * column before planning; declaring the domain keeps the whole
+    * reshape a single map-side-combinable aggregate with a fixed
+    * output schema. The oracle rebuilds the same wide shape with
+    * conditional aggregation (the portable pivot encoding). */
+  def q24StatusPivot(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .select(year(col("o_orderdate")).cast("long").as("o_year"),
+        col("o_orderstatus"), col("o_totalprice"))
+      .groupBy("o_year")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("o_totalprice"), 2).as("rev"))
+      .orderBy("o_year")
+
+  val q24Sql: String = s"""
+    SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+      count(*) FILTER (o_orderstatus = 'F') AS "F_n",
+      ${dsumSql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END", 2)}
+        AS "F_rev",
+      count(*) FILTER (o_orderstatus = 'O') AS "O_n",
+      ${dsumSql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END", 2)}
+        AS "O_rev",
+      count(*) FILTER (o_orderstatus = 'P') AS "P_n",
+      ${dsumSql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END", 2)}
+        AS "P_rev"
+    FROM orders
+    GROUP BY 1
+    ORDER BY o_year"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_segment_revenue", q02SegmentRevenue _, q02Sql),
@@ -506,5 +540,6 @@ object Relational {
     ("q14_top_parts_per_brand", q14TopPartsPerBrand _, q14Sql),
     ("q15_brand_size_cube", q15BrandSizeCube _, q15Sql),
     ("q19_percentiles", q19Percentiles _, q19Sql),
+    ("q24_status_pivot", q24StatusPivot _, q24Sql),
   )
 }

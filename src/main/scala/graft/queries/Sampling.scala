@@ -224,11 +224,59 @@ object Sampling {
     GROUP BY lang, split
     ORDER BY lang, split"""
 
+  // --------------------------------------------- epoch shuffle
+  private val EpochSeed = 7L
+
+  /** s09 — deterministic global epoch shuffle: assign every document a
+    * dense position 0..n-1 in a pseudorandom total order keyed by
+    * md5(epoch, doc_id). This is the training-data "shuffle each epoch"
+    * primitive; a different seed reshuffles, the same seed replays
+    * byte-identically on any cluster (md5 is engine-portable, unlike
+    * xxhash64 — which is what makes the whole rank oracle-checkable).
+    *
+    * The scale story is the global RANK, not the sort: a naive
+    * `row_number() OVER (ORDER BY key)` funnels 100 TB through ONE
+    * window partition. Instead: bucket rows by the key's first byte
+    * (256 buckets — the bucket order IS the key order because
+    * fixed-width lowercase hex sorts lexicographically like its
+    * numeric value), count per bucket (tiny agg), prefix-sum the 256
+    * counts in a one-partition window over 256 ROWS, broadcast the
+    * offsets back, and rank within buckets only. Every per-row step
+    * distributes; the single-partition step touches 256 rows. */
+  def epochShuffle(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(concat_ws("-", lit(EpochSeed), col("doc_id")))
+    val docs = Relational.table(s, dir, "documents")
+      .select(col("doc_id"), key.as("skey"),
+        conv(substring(key, 1, 2), 16, 10).cast("long").as("bucket"))
+    val counts = docs.groupBy("bucket").agg(count(lit(1)).as("n"))
+    val wOff = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("offset", coalesce(sum(col("n")).over(wOff), lit(0L)))
+      .select("bucket", "offset")
+    val wIn = Window.partitionBy("bucket").orderBy("skey", "doc_id")
+    docs.join(broadcast(offsets), "bucket")
+      .withColumn("pos",
+        (col("offset") + row_number().over(wIn) - 1).cast("long"))
+      .select(col("doc_id"), col("skey"), col("pos"))
+      .orderBy("doc_id")
+  }
+
+  val epochShuffleSql: String = s"""
+    SELECT doc_id, md5('$EpochSeed-' || doc_id) AS skey,
+      CAST(row_number() OVER (
+        ORDER BY md5('$EpochSeed-' || doc_id), doc_id) - 1 AS BIGINT)
+        AS pos
+    FROM documents
+    ORDER BY doc_id"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("s03_stratified_sample", stratifiedDemo _, None),
       ("s05_mixture_sample", mixtureDemo _, Some(mixtureSql)),
       ("s07_source_cap", sourceCapSample _, Some(sourceCapSql)),
       ("s08_train_split", trainSplit _, Some(trainSplitSql)),
+      ("s09_epoch_shuffle", epochShuffle _, Some(epochShuffleSql)),
     )
 }

@@ -85,7 +85,47 @@ object Sources {
     GROUP BY lang, source
     ORDER BY lang, source"""
 
+  /** j03 — ORC sink → source roundtrip (same contract as j01 for the
+    * other columnar format Spark ships a native vectorized reader for;
+    * ORC is what Hive-lineage warehouses hand a training pipeline).
+    * Write the German documents as ORC, read back with an explicit
+    * schema, and aggregate; the oracle computes identical aggregates
+    * from the original parquet, so a hash match proves the ORC
+    * encode/decode cycle is lossless — including string payload bytes
+    * through ORC's dictionary+RLE encodings. Per-partition writer
+    * fanout; no coalesce. */
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.table(s, dir, "documents")
+      .filter(col("lang") === "de")
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_j03_orc_${s.sparkContext.applicationId}").getAbsolutePath
+    docs.write.mode("overwrite").orc(out)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("source", StringType),
+      StructField("text", StringType),
+      StructField("n_chars", LongType)))
+    s.read.schema(schema).orc(out)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        sum(col("n_chars")).as("sum_n_chars"),
+        sum(length(col("text")).cast("long")).as("sum_chars"))
+      .orderBy("source")
+  }
+
+  val orcRoundtripSql: String = """
+    SELECT source, count(*) AS n_docs,
+      CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+      CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+      CAST(sum(length(text)) AS BIGINT) AS sum_chars
+    FROM documents WHERE lang = 'de'
+    GROUP BY source
+    ORDER BY source"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(("j01_jsonl_roundtrip", jsonlRoundtrip _, Some(jsonlRoundtripSql)),
-      ("j02_partitioned_sink", partitionedSink _, Some(partitionedSinkSql)))
+      ("j02_partitioned_sink", partitionedSink _, Some(partitionedSinkSql)),
+      ("j03_orc_roundtrip", orcRoundtrip _, Some(orcRoundtripSql)))
 }

@@ -250,6 +250,36 @@ object Streaming {
     GROUP BY user_id, day
     ORDER BY user_id, day"""
 
+  /** st09 — stream-static enrichment: join the event stream to the
+    * customer dimension (event user ids live inside the custkey
+    * domain) and aggregate admitted value per (market segment, event
+    * type). Run here through the batch path of [[EventStreams.enrich]];
+    * StreamingSpec proves the readStream path emits the identical
+    * enriched rows. Integer counts + DECIMAL-routed sums → exact
+    * oracle. */
+  def enrichSegments(s: SparkSession, dir: String): DataFrame = {
+    val dim = Relational.table(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    EventStreams.enrich(events(s, dir), dim, "c_custkey")
+      .groupBy(col("c_mktsegment").as("mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        sum(col("value")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("total_value"))
+      .orderBy("mktsegment", "event_type")
+  }
+
+  val enrichSegmentsSql: String = """
+    SELECT c.c_mktsegment AS mktsegment, e.event_type,
+      count(*) AS n_events,
+      count(DISTINCT e.user_id) AS n_users,
+      CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    ORDER BY mktsegment, event_type"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("st01_tumbling_window", tumblingWindow _, Some(tumblingWindowSql)),
@@ -260,5 +290,6 @@ object Streaming {
       ("st06_dedup_replay", dedupReplay _, Some(dedupReplaySql)),
       ("st07_attribution", attribution _, Some(attributionSql)),
       ("st08_quota", quota _, Some(quotaSql)),
+      ("st09_enrich", enrichSegments _, Some(enrichSegmentsSql)),
     )
 }

@@ -802,6 +802,206 @@ object TextAnalysis {
     ORDER BY doc_id"""
   }
 
+  // -------------------------------------------------- BM25 retrieval
+  private val Bm25Terms = Seq("join", "vector", "stream")
+  private val Bm25TopK = 10
+
+  /** t19 — BM25 keyword retrieval: top-k documents for a fixed query
+    * term set, scored with the standard Okapi BM25 shape (k1=1.2,
+    * b=0.75) made integer-exact. Both factors are rational, so they
+    * are scaled to milli-units and evaluated with integer division —
+    * the exact-oracle trick t11 uses for tf-idf, extended to BM25's
+    * length normalization:
+    *
+    *   idf ≈ (N - df + 0.5)/(df + 0.5)           = (2N-2df+1)/(2df+1)
+    *   tf-sat = tf·(k1+1)/(tf + k1(1-b) + k1·b·dl/avgdl)
+    *          = 22·T·tf / (10·T·tf + 3·T + 9·dl·N)   with avgdl = T/N
+    *
+    * (the log around idf is monotone, so ranking is unchanged; at this
+    * corpus scale the ×1000·T products stay far inside int64 — a
+    * 100 TB corpus would route the same integers through DECIMAL(38)).
+    *
+    * Scale shape: the corpus scan filters to the query terms BEFORE
+    * any shuffle, so tf is an agg over only matching postings; df is
+    * |terms| rows and broadcast; N and T ride in as one broadcast agg
+    * row; the only full-width shuffle keys matching docs by doc_id to
+    * pick up dl; top-k is TakeOrderedAndProject, never a global
+    * sort. */
+  def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.table(s, dir, "documents")
+    val dl = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("dl"))
+    val qtoks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token").isin(Bm25Terms: _*))
+    val tf = qtoks.groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = qtoks.groupBy("token")
+      .agg(count_distinct(col("doc_id")).as("df"))
+    val totals = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(tokens(col("text"))).cast("long")).as("t_tokens"))
+    tf.join(broadcast(dfreq), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("idf_milli",
+        expr("((2*n_docs - 2*df + 1) * 1000) div (2*df + 1)"))
+      .withColumn("sat_milli",
+        expr("(22 * t_tokens * tf * 1000) div " +
+          "(10 * t_tokens * tf + 3 * t_tokens + 9 * dl * n_docs)"))
+      .groupBy("doc_id")
+      .agg(sum(col("idf_milli") * col("sat_milli")).as("score_micro"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(Bm25TopK)
+  }
+
+  val bm25TopKSql: String = s"""
+    WITH qt AS (
+      SELECT doc_id, t AS token FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents)
+      WHERE t IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM qt GROUP BY 1, 2),
+    dfreq AS (
+      SELECT token, count(DISTINCT doc_id) AS df FROM qt GROUP BY 1),
+    dl AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents),
+    tot AS (
+      SELECT count(*) AS n_docs,
+        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t_tokens
+      FROM documents),
+    scored AS (
+      SELECT tf.doc_id,
+        ((2*n_docs - 2*df + 1) * 1000) // (2*df + 1) AS idf_milli,
+        (22 * t_tokens * tf * 1000) //
+          (10 * t_tokens * tf + 3 * t_tokens + 9 * dl.dl * n_docs)
+          AS sat_milli
+      FROM tf JOIN dfreq USING (token) JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN tot)
+    SELECT doc_id,
+      CAST(sum(idf_milli * sat_milli) AS BIGINT) AS score_micro,
+      count(*) AS n_terms_hit
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id
+    LIMIT $Bm25TopK"""
+
+  // ------------------------------------------- length-binned batching
+  private val PadBins = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L)
+  private val PadOverflowBin = 2048L
+  private val PadBatch = 8
+  private val PadShards = 16
+
+  /** t20 — padding-efficient batch construction: round each document's
+    * token count up to a power-of-two length bin, then group documents
+    * of the same bin into fixed-size batches. Every sequence in a
+    * batch pads to the SAME bin length, so the reported `waste` (padded
+    * minus real tokens) is the exact number of pad tokens the training
+    * job would burn — the quantity this layout minimizes vs. naive
+    * in-order batching across mixed lengths.
+    *
+    * Distribution: batch numbering runs per (bin, shard) — the t05
+    * compromise — so no window partition sees more than corpus/(bins×
+    * shards) rows; all counters are integers, so the oracle replays
+    * the batch assignment and waste accounting exactly. */
+  def lengthBinnedBatches(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = size(tokens(col("text"))).cast("long")
+    val bin = PadBins.foldRight(lit(PadOverflowBin)) { (b, acc) =>
+      when(col("n_tokens") <= b, lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy("bin", "shard").orderBy("doc_id")
+    Relational.table(s, dir, "documents")
+      .select(col("doc_id"), n.as("n_tokens"),
+        (col("doc_id") % PadShards).as("shard"))
+      .withColumn("bin", bin)
+      .withColumn("batch",
+        floor((row_number().over(w) - 1) / PadBatch).cast("long"))
+      .groupBy("bin", "shard", "batch")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("real_tokens"),
+        (count(lit(1)) * col("bin")).as("padded_tokens"),
+        (count(lit(1)) * col("bin") - sum(col("n_tokens"))).as("waste"))
+      .orderBy("bin", "shard", "batch")
+  }
+
+  val lengthBinnedBatchesSql: String = {
+    val caseBin = PadBins.map(b => s"WHEN n_tokens <= $b THEN $b")
+      .mkString("CASE ", " ", s" ELSE $PadOverflowBin END")
+    s"""
+    WITH sized AS (
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        doc_id % $PadShards AS shard
+      FROM documents),
+    binned AS (
+      SELECT doc_id, n_tokens, shard, $caseBin AS bin FROM sized),
+    batched AS (
+      SELECT *, CAST((row_number() OVER (
+          PARTITION BY bin, shard ORDER BY doc_id) - 1) // $PadBatch
+        AS BIGINT) AS batch
+      FROM binned)
+    SELECT bin, shard, batch, count(*) AS n_docs,
+      CAST(sum(n_tokens) AS BIGINT) AS real_tokens,
+      CAST(count(*) * bin AS BIGINT) AS padded_tokens,
+      CAST(count(*) * bin - sum(n_tokens) AS BIGINT) AS waste
+    FROM batched
+    GROUP BY bin, shard, batch
+    ORDER BY bin, shard, batch"""
+  }
+
+  // ------------------------------------------ duplicated-n-gram fraction
+  private val DupGramN = 8
+
+  /** t21 — duplicated-n-gram fraction, the tractable proxy for exact
+    * substring dedup (the suffix-array formulation of "dedup exact
+    * 50-token spans" does not distribute; counting how much of each
+    * document is covered by GLOBALLY repeated n-gram spans does, and
+    * is the standard corpus quality signal derived from it). Per
+    * document: total 8-gram positions and how many of them carry a
+    * gram that occurs more than once corpus-wide. Consumers divide
+    * for the fraction; outputs stay integer so the oracle is exact.
+    *
+    * Shape at 100 TB: gram construction is a map-side expression
+    * (transform over the token array — no UDF); the global gram count
+    * is a partial-agg shuffle keyed by gram (the unavoidable cost —
+    * this SHUFFLE is what replaces the suffix array); the count join
+    * is gram-keyed big-big (sort-merge), then one doc_id-keyed agg.
+    * Grams could ride as xxhash64 instead of strings to shrink the
+    * shuffle 5-10× — kept as strings here so the oracle replays
+    * them verbatim. */
+  def dupNgramFraction(s: SparkSession, dir: String): DataFrame = {
+    val grams = Relational.table(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= DupGramN)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - $DupGramN + 1), " +
+          s"i -> array_join(slice(toks, i, $DupGramN), ' '))")).as("gram"))
+    val counts = grams.groupBy("gram").agg(count(lit(1)).as("n_global"))
+    grams.join(counts, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("n_global") > 1, 1L).otherwise(0L)).as("n_dup_grams"))
+      .orderBy("doc_id")
+  }
+
+  val dupNgramFractionSql: String = s"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id, unnest(list_transform(
+          range(1, len(t) - $DupGramN + 2),
+          i -> array_to_string(t[i:i+$DupGramN-1], ' '))) AS gram
+      FROM toks WHERE len(t) >= $DupGramN),
+    gcount AS (SELECT gram, count(*) AS n_global FROM grams GROUP BY 1)
+    SELECT doc_id, count(*) AS n_grams,
+      CAST(sum(CASE WHEN n_global > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_dup_grams
+    FROM grams JOIN gcount USING (gram)
+    GROUP BY doc_id
+    ORDER BY doc_id"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("t01_token_count", tokenCount _, Some(tokenCountSql)),
@@ -823,5 +1023,9 @@ object TextAnalysis {
       ("t17_boilerplate_dedup", boilerplateDedup _,
         Some(boilerplateDedupSql)),
       ("t18_regex_tokens", regexTokens _, Some(regexTokensSql)),
+      ("t19_bm25_topk", bm25TopK _, Some(bm25TopKSql)),
+      ("t20_length_batches", lengthBinnedBatches _,
+        Some(lengthBinnedBatchesSql)),
+      ("t21_dup_ngrams", dupNgramFraction _, Some(dupNgramFractionSql)),
     )
 }

@@ -90,6 +90,17 @@ object EventStreams {
           expr(s"INTERVAL '$windowMinutes' MINUTE"))
   }
 
+  /** Stream-static enrichment join: decorate each event with dimension
+    * attributes looked up by user id. The static side is a bounded
+    * table re-broadcast per micro-batch (Spark re-plans the batch side
+    * each trigger, so slowly-changing dimensions pick up updates
+    * without restarting the stream); the stream side never shuffles —
+    * stateless, no watermark required, safe for unbounded streams.
+    * The SAME call site serves batch callers (the oracle path). */
+  def enrich(events: DataFrame, dim: DataFrame,
+             dimKey: String): DataFrame =
+    events.join(broadcast(dim), events("user_id") === dim(dimKey))
+
   /** Batch quota gate: keep only the first `n` events per (user, day)
     * in event-time order — the ingestion fairness cap every
     * multi-tenant pipeline applies (one hot user must not dominate a

@@ -307,4 +307,44 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"all-pairs join in:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"all-pairs join in:\n$p")
   }
+
+  test("t19 BM25: top-k via TakeOrderedAndProject, no cartesian in the " +
+    "scoring joins") {
+    val p = finalPlan(TextAnalysis.bm25TopK(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), s"global sort in:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("s09 epoch shuffle: exactly two windows — the per-bucket rank " +
+    "and the 256-row offset prefix sum — offsets broadcast back") {
+    // the AQE rendering repeats the plan ("Final"/"Initial" sections):
+    // audit only the executed final section
+    val p = finalPlan(graft.queries.Sampling.epochShuffle(spark, sfDir))
+      .split("== Initial Plan ==")(0)
+    assert("""Window""".r.findAllIn(p).length == 2, p)
+    assert(p.contains("BroadcastExchange"), s"offsets not broadcast:\n$p")
+  }
+
+  test("l03 sorted neighborhood: the neighborhood probe is an " +
+    "equi-join, never a theta/all-pairs product") {
+    val p = finalPlan(graft.queries.Linkage.sortedNeighborhood(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), s"all-pairs join in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"theta join in:\n$p")
+  }
+
+  test("q24 pivot: declared domain — single scan of orders, no " +
+    "discovery pass") {
+    val p = finalPlan(Relational.q24StatusPivot(spark, sfDir))
+      .split("== Initial Plan ==")(0)
+    assert("""orders\.parquet""".r.findAllIn(p).length == 1,
+      s"pivot re-scanned orders:\n$p")
+  }
+
+  test("t21 dup n-grams: gram counting is a keyed partial-agg shuffle " +
+    "with no all-pairs comparison anywhere") {
+    val p = finalPlan(TextAnalysis.dupNgramFraction(spark, sfDir))
+    assert(p.contains("hashpartitioning(gram"), s"no gram shuffle in:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
