@@ -619,6 +619,56 @@ object Dedup {
     GROUP BY b_id
     ORDER BY vec_id"""
 
+  // ------------------------------------------- d10 incremental dedup
+  /** d10 — incremental ingestion dedup: admit only the rows of a NEW
+    * batch whose content fingerprint is absent from the existing
+    * corpus. This is the shape every append-only pipeline actually
+    * runs — dedup of the delta AGAINST history, not a full-corpus
+    * re-dedup: one anti-join of the (small) delta onto the corpus
+    * fingerprint set, so the per-ingest cost is O(delta) shuffle plus
+    * a fingerprint-table probe, never a rescan-the-world groupBy. At
+    * 100 TB the fingerprint relation is the thing a production system
+    * would keep materialized (it is corpus-sized but 16 bytes/row);
+    * here it is derived in-plan from the held-out split.
+    *
+    * The synthetic corpus has no natural cross-batch duplicates, so
+    * they are PLANTED deterministically: the delta is every 10th doc,
+    * and every 3rd delta doc's payload is replaced by its successor's
+    * (a corpus member) — those rows must be rejected; the oracle
+    * replays the planting in closed form. */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = Relational.table(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val donor = base.select((col("doc_id") - 1).as("doc_id"),
+      col("text").as("donor_text"))
+    val delta = base.filter(col("doc_id") % 10 === 0)
+      .join(donor, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 30 === 0 && col("donor_text").isNotNull,
+          col("donor_text")).otherwise(col("text")).as("text"))
+    val corpusFp = base.filter(col("doc_id") % 10 =!= 0)
+      .select(md5(col("text")).as("fp")).distinct()
+    delta.withColumn("fp", md5(col("text")))
+      .join(corpusFp, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("fp"))
+      .orderBy("doc_id")
+  }
+
+  val incrementalDedupSql: String = """
+    WITH base AS (SELECT doc_id, text FROM documents),
+    delta AS (
+      SELECT b.doc_id,
+        CASE WHEN b.doc_id % 30 = 0 AND d.text IS NOT NULL
+             THEN d.text ELSE b.text END AS text
+      FROM base b LEFT JOIN base d ON d.doc_id = b.doc_id + 1
+      WHERE b.doc_id % 10 = 0),
+    corpus AS (
+      SELECT DISTINCT md5(text) AS fp FROM base WHERE doc_id % 10 <> 0)
+    SELECT doc_id, md5(text) AS fp
+    FROM delta
+    WHERE md5(text) NOT IN (SELECT fp FROM corpus)
+    ORDER BY doc_id"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("d01_dedup_exact", dedupExact _, Some(dedupExactSql)),
@@ -632,5 +682,7 @@ object Dedup {
       ("d07_cluster_chain", clusterChain _, Some(clusterChainSql)),
       ("d08_paragraph_dedup", paragraphDedup _, Some(paragraphDedupSql)),
       ("d09_semantic_dedup", semanticDedup _, Some(semanticDedupSql)),
+      ("d10_incremental_dedup", incrementalDedup _,
+        Some(incrementalDedupSql)),
     )
 }

@@ -357,6 +357,25 @@ object Invariants {
         (col("n_over") === 0).as("k_bounded"))
   }
 
+  /** S10: PQ ANN results are k-bounded and overlap the exact top-k by
+    * >= 30% (deterministic codebooks; measured well above the bound —
+    * the exact re-rank stage means misses can only come from the
+    * approx stage dropping a true neighbor out of its top-24). */
+  def s10AnnInv(s: SparkSession, dir: String): DataFrame = {
+    val bf = Similarity.annBruteForce(s, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val pq = Similarity.annPq(s, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val hit = bf.join(pq, Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("hit"))
+    val tot = bf.agg(count(lit(1)).as("tot"))
+    val overK = pq.groupBy("query_id").agg(count(lit(1)).as("k"))
+      .agg(sum((col("k") > 5).cast("long")).as("n_over"))
+    hit.crossJoin(tot).crossJoin(overK)
+      .select((col("hit") >= lit(0.3) * col("tot")).as("recall_ok"),
+        (col("n_over") === 0).as("k_bounded"))
+  }
+
   /** Q18: the HyperLogLog++ distinct estimate stays within 5% of the
     * exact count per group (rsd=0.02 sketch). */
   def q18ErrorInv(s: SparkSession, dir: String): DataFrame =
@@ -486,6 +505,7 @@ object Invariants {
       ("d06_star_inv", d06StarInv _, Some(d06Sql)),
       ("s02_ann_inv", s02AnnInv _, Some(s02Sql)),
       ("s04_ann_inv", s04AnnInv _, Some(s02Sql)),
+      ("s10_ann_inv", s10AnnInv _, Some(s02Sql)),
       ("q18_error_inv", q18ErrorInv _, Some(q18ErrSql)),
       ("q20_error_inv", q20ErrorInv _, Some(q20ErrSql)),
       ("a01_generate_inv", a01GenerateInv _, Some(a01Sql)),

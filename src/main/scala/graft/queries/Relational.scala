@@ -523,6 +523,41 @@ object Relational {
     GROUP BY 1
     ORDER BY o_year"""
 
+  // --------------------------------------------------------------- Q25
+  /** Correlated scalar subqueries through the SQL front end: orders
+    * priced above 1.5× their customer's average order value. Catalyst
+    * DECORRELATES both per-customer subqueries into one aggregate +
+    * join (PlanSpec asserts no nested-loop re-execution per outer
+    * row — the difference between O(n) and O(n·groups) at 100 TB).
+    * The 1.5× threshold is compared in cross-multiplied DECIMAL form
+    * (2·price·count > 3·sum) so no division or double accumulation
+    * ever happens — borderline rows agree bit-exactly with the
+    * oracle. */
+  def q25CorrSubquery(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "orders").createOrReplaceTempView("graft_q25_orders")
+    spark.sql("""
+      SELECT o_orderkey, o_custkey
+      FROM graft_q25_orders o
+      WHERE CAST(o_totalprice AS DECIMAL(18,2)) * 2 *
+          (SELECT count(*) FROM graft_q25_orders i
+           WHERE i.o_custkey = o.o_custkey) >
+        (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+         FROM graft_q25_orders i
+         WHERE i.o_custkey = o.o_custkey) * 3
+      ORDER BY o_orderkey""")
+  }
+
+  val q25Sql: String = """
+    SELECT o_orderkey, o_custkey
+    FROM orders o
+    WHERE CAST(o_totalprice AS DECIMAL(18,2)) * 2 *
+        (SELECT count(*) FROM orders i
+         WHERE i.o_custkey = o.o_custkey) >
+      (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+       FROM orders i
+       WHERE i.o_custkey = o.o_custkey) * 3
+    ORDER BY o_orderkey"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_segment_revenue", q02SegmentRevenue _, q02Sql),
@@ -541,5 +576,6 @@ object Relational {
     ("q15_brand_size_cube", q15BrandSizeCube _, q15Sql),
     ("q19_percentiles", q19Percentiles _, q19Sql),
     ("q24_status_pivot", q24StatusPivot _, q24Sql),
+    ("q25_corr_subquery", q25CorrSubquery _, q25Sql),
   )
 }

@@ -313,6 +313,146 @@ object Similarity {
       TRUE AS ids_in_range, TRUE AS k_bounded
     FROM embeddings"""
 
+  // --------------------------------------- product quantization (PQ)
+  private val PqM = 8 // subspaces
+  private val PqK = 16 // centroids per subspace (4-bit codes)
+  private val PqSub = 64 / PqM
+  private val PqRerank = 24 // approx candidates re-ranked exactly
+
+  /** Nearest codebook entry by squared L2 (ties → lowest index). */
+  def pqNearest(x: Array[Float], cents: Array[Array[Float]]): Int = {
+    var best = 0
+    var bd = Double.MaxValue
+    var i = 0
+    while (i < cents.length) {
+      var d = 0.0
+      var j = 0
+      while (j < x.length) {
+        val t = x(j).toDouble - cents(i)(j); d += t * t; j += 1
+      }
+      if (d < bd) { bd = d; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** Per-subspace codebooks trained driver-side on the hash-gated
+    * sample (deterministic strided init + 2 Lloyd rounds): the PQ
+    * analog of [[ivfCentroids]]' train-on-sample shape — at 100 TB the
+    * corpus is never touched for training, only for the one encoding
+    * pass. */
+  def pqCodebooks(emb: DataFrame, seed: Long): Array[Array[Array[Float]]] = {
+    val sample = emb
+      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
+      .limit(IvfTrainCap)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "empty embedding table")
+    Array.tabulate(PqM) { m =>
+      val subs = sample.map(_.slice(m * PqSub, (m + 1) * PqSub))
+      var cents = Array.tabulate(PqK)(i =>
+        subs((i * 31 + 7) % subs.length).clone())
+      (1 to 2).foreach { _ =>
+        val sums = Array.fill(PqK)(new Array[Double](PqSub))
+        val cnt = new Array[Int](PqK)
+        subs.foreach { x =>
+          val c = pqNearest(x, cents)
+          cnt(c) += 1
+          var j = 0
+          while (j < PqSub) { sums(c)(j) += x(j); j += 1 }
+        }
+        cents = Array.tabulate(PqK)(c =>
+          if (cnt(c) == 0) cents(c)
+          else Array.tabulate(PqSub)(j => (sums(c)(j) / cnt(c)).toFloat))
+      }
+      cents
+    }
+  }
+
+  /** PQ code of a vector: the nearest codebook entry per subspace. */
+  def pqEncode(v: Seq[Float], cbs: Array[Array[Array[Float]]]): Seq[Int] = {
+    val arr = v.toArray
+    (0 until PqM).map(m =>
+      pqNearest(arr.slice(m * PqSub, (m + 1) * PqSub), cbs(m)))
+  }
+
+  /** s10 — PQ ANN (asymmetric distance computation): corpus vectors
+    * compress to M=8 4-bit codes (64 floats → 4 bytes, the 64×
+    * memory step that makes billion-scale indexes fit at all); each
+    * query precomputes an M×K table of partial dot products against
+    * the codebooks, so scoring a candidate is M table lookups instead
+    * of a 64-float dot; the approx top-[[PqRerank]] are re-ranked with
+    * exact cosine against the ORIGINAL vectors (two-stage retrieval).
+    *
+    * Scale shape: training reads a sample; encoding is one map pass
+    * (procedural kernel UDF, the simhash precedent); scoring scans
+    * codes (map-side, LUT-broadcast) with a per-query top-R window;
+    * only R·queries rows ever rejoin the full vectors (broadcast-side)
+    * for the exact re-rank. */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Relational.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cbs = pqCodebooks(emb, seed = 11000)
+    val bcCbs = s.sparkContext.broadcast(cbs)
+    val encodeUdf = udf((v: Seq[Float]) => pqEncode(v, bcCbs.value))
+
+    // per-query LUT: lut(m)(k) = dot(query subvector m, codebook[m][k])
+    val queryRows = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val luts: Map[Long, Array[Array[Double]]] = queryRows.map {
+      case (qid, q) =>
+        qid -> Array.tabulate(PqM) { m =>
+          Array.tabulate(PqK) { k =>
+            var d = 0.0
+            var j = 0
+            while (j < PqSub) {
+              d += q(m * PqSub + j).toDouble * cbs(m)(k)(j); j += 1
+            }
+            d
+          }
+        }
+    }
+    val bcLuts = s.sparkContext.broadcast(luts)
+    val scoreUdf = udf { (code: Seq[Int], qid: Long) =>
+      val lut = bcLuts.value(qid)
+      var sc = 0.0
+      var m = 0
+      while (m < PqM) { sc += lut(m)(code(m)); m += 1 }
+      sc
+    }
+
+    val codes = emb.select(col("vec_id"),
+      encodeUdf(col("embedding")).as("code"))
+    val qids = queryRows.keys.toSeq.sorted
+      .toDF("query_id")
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("vec_id"))
+    val candidates = codes.crossJoin(broadcast(qids))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("approx", scoreUdf(col("code"), col("query_id")))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= PqRerank)
+      .select(col("query_id"), col("vec_id"))
+
+    // exact re-rank of the tiny candidate set against full vectors
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    candidates
+      .join(emb, "vec_id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        graft.expr.CosineSimilarity.cosineSimilarity(
+          col("embedding"), col("qe")).as("cos"))
+      .withColumn("rank", row_number().over(wExact).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("s01_ann_brute_force", annBruteForce _, Some(annBruteForceSql)),
@@ -320,6 +460,7 @@ object Similarity {
       ("s04_ann_ivf", annIvf _, None),
       ("s06_embedding_clusters", embeddingClusters _, None),
       ("s06_cluster_inv", clusterInv _, Some(clusterInvSql)),
+      ("s10_ann_pq", annPq _, None),
       ("e01_embed_quantize", quantizeDemo _, Some(quantizeSql)),
     )
 }

@@ -340,6 +340,20 @@ class PlanSpec extends SparkSpec {
       s"pivot re-scanned orders:\n$p")
   }
 
+  test("q25 correlated subqueries decorrelate: aggregate + equi-join, " +
+    "never a per-row re-execution loop") {
+    val p = finalPlan(Relational.q25CorrSubquery(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("d10 incremental dedup: delta-vs-history is an anti-join, " +
+    "no full-corpus re-aggregation of the delta path") {
+    val p = finalPlan(graft.queries.Dedup.incrementalDedup(spark, sfDir))
+    assert(p.contains("LeftAnti"), s"no anti-join in:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("t21 dup n-grams: gram counting is a keyed partial-agg shuffle " +
     "with no all-pairs comparison anywhere") {
     val p = finalPlan(TextAnalysis.dupNgramFraction(spark, sfDir))

@@ -110,6 +110,44 @@ class Round5bSpec extends SparkSpec {
     assert(half.sameElements(expect))
   }
 
+  // --------------------------------------------- d10 incremental dedup
+  test("incremental dedup: planted cross-batch duplicates rejected, " +
+    "every survivor genuinely absent from the corpus") {
+    val survivors = graft.queries.Dedup
+      .incrementalDedup(spark, sfDir).collect()
+    val ids = survivors.map(_.getLong(0)).toSet
+    val base = graft.queries.Relational.table(spark, sfDir, "documents")
+    val maxId = base.agg(max(col("doc_id"))).head().getLong(0)
+    // every planted duplicate (donor exists) must be rejected
+    val planted = (0L to maxId by 30).filter(_ + 1 <= maxId)
+    assert(planted.forall(!ids.contains(_)),
+      "planted duplicates must not survive the anti-join")
+    // every survivor's fingerprint really is new vs the corpus
+    val corpusFps = base.filter(col("doc_id") % 10 =!= 0)
+      .select(md5(col("text"))).collect().map(_.getString(0)).toSet
+    assert(survivors.forall(r => !corpusFps.contains(r.getString(1))))
+  }
+
+  // --------------------------------------------- q25 corr subquery
+  test("correlated subquery: flagged orders exceed 1.5x their " +
+    "customer's average, cross-checked via DataFrame aggregation") {
+    val flagged = graft.queries.Relational
+      .q25CorrSubquery(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flagged.nonEmpty)
+    import org.apache.spark.sql.types.DecimalType
+    val o = graft.queries.Relational.table(spark, sfDir, "orders")
+    val perCust = o.groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("s"),
+        count(lit(1)).as("n"))
+    val expect = o.join(perCust, "o_custkey")
+      .filter(col("o_totalprice").cast(DecimalType(18, 2)) * 2 * col("n")
+        > col("s") * 3)
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flagged == expect)
+  }
+
   // ------------------------------------------------- t21 dup n-grams
   test("dup n-grams: dup count bounded by gram count, short docs " +
     "excluded, corpus has repeated spans") {
@@ -147,6 +185,28 @@ class Round5bSpec extends SparkSpec {
     val again = graft.queries.Linkage
       .sortedNeighborhood(spark, sfDir).collect()
     assert(again.map(_.toSeq).toSeq == pairs.map(_.toSeq).toSeq)
+  }
+
+  // --------------------------------------------- s10 PQ ANN
+  test("pq: codebooks deterministic, codes well-formed, nearest " +
+    "assignment exact on a closed-form example") {
+    import graft.queries.Similarity
+    // closed-form nearest: centroid 1 is exactly x
+    val cents = Array(Array(0f, 0f), Array(1f, 2f), Array(5f, 5f))
+    assert(Similarity.pqNearest(Array(1f, 2f), cents) == 1)
+    // tie (equidistant) → lowest index
+    assert(Similarity.pqNearest(Array(3f, 3.5f),
+      Array(Array(3f, 3f), Array(3f, 4f))) == 0)
+    val emb = graft.queries.Relational.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cb1 = Similarity.pqCodebooks(emb, seed = 11000)
+    val cb2 = Similarity.pqCodebooks(emb, seed = 11000)
+    assert(cb1.length == 8 && cb1.forall(_.length == 16))
+    assert(cb1.flatten.flatten.toSeq == cb2.flatten.flatten.toSeq,
+      "training must be deterministic for a fixed seed")
+    val v = emb.head().getSeq[Float](1)
+    val code = Similarity.pqEncode(v, cb1)
+    assert(code.length == 8 && code.forall(c => c >= 0 && c < 16))
   }
 
   // --------------------------------------------- st09 stream-static join
