@@ -5,8 +5,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo,
   Literal}
-import graft.expr.{CosineSimilarity, IntDotProduct, MinHashSignature,
-  NgramHashes}
+import graft.expr.{CosineSimilarity, HyperplaneBuckets, IntDotProduct,
+  MinHashSignature, NgramHashes}
 
 /** SQL-surface registration for the engine's custom expressions.
   *
@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cosineSimilarityFn)
     ext.injectFunction(GraftExtensions.ngramHashesFn)
     ext.injectFunction(GraftExtensions.intDotFn)
+    ext.injectFunction(GraftExtensions.hyperplaneBucketsFn)
   }
 }
 
@@ -72,6 +73,31 @@ object GraftExtensions {
     new ExpressionInfo(classOf[IntDotProduct].getName, "int_dot"),
     (exprs: Seq[Expression]) => buildIntDot(exprs))
 
+  private def buildHyperplaneBuckets(exprs: Seq[Expression]): Expression = {
+    require(exprs.size == 5,
+      s"hyperplane_buckets takes (vec, tables, planes, dim, seed), " +
+        s"got ${exprs.size}")
+    def intLit(i: Int): Int = exprs(i) match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"hyperplane_buckets: argument $i must be an integer literal, " +
+          s"got $other")
+    }
+    val seed = exprs(4) match {
+      case Literal(v: Long, _) => v
+      case Literal(v: Int, _) => v.toLong
+      case other => throw new IllegalArgumentException(
+        s"hyperplane_buckets: seed must be an integer literal, got $other")
+    }
+    HyperplaneBuckets(exprs.head, intLit(1), intLit(2), intLit(3), seed)
+  }
+
+  private[graft] val hyperplaneBucketsFn = (
+    FunctionIdentifier("hyperplane_buckets"),
+    new ExpressionInfo(classOf[HyperplaneBuckets].getName,
+      "hyperplane_buckets"),
+    (exprs: Seq[Expression]) => buildHyperplaneBuckets(exprs))
+
   private[graft] val cosineSimilarityFn = (
     FunctionIdentifier("cosine_similarity"),
     new ExpressionInfo(classOf[CosineSimilarity].getName,
@@ -88,5 +114,7 @@ object GraftExtensions {
       "ngram_hashes", buildNgram, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "int_dot", buildIntDot, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hyperplane_buckets", buildHyperplaneBuckets, "scala_udf")
   }
 }

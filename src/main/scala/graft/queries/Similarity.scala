@@ -95,16 +95,18 @@ object Similarity {
     * raises both recall and bucket selectivity); candidates share a
     * bucket in at least one table; exact cosine re-ranks them. Scale
     * path: each table's join is bucket-equi, so cost is corpus-linear
-    * with small constants instead of quadratic. */
+    * with small constants instead of quadratic. The corpus-wide bucket
+    * assignment is a native codegen'd expression
+    * ([[graft.expr.HyperplaneBuckets]], bit-identical to
+    * [[signBucket]] over [[hyperplanes]] — spec-checked) — no ScalaUDF
+    * touches the full scan. */
   def annLshBucketed(s: SparkSession, dir: String): DataFrame = {
     val emb = Relational.table(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    val tables = (0 until 6).map(t => (t, hyperplanes(5, 64, 7000 + t)))
-    val bucketsUdf = udf { (v: Seq[Float]) =>
-      tables.map { case (t, planes) => t.toLong << 32 | signBucket(v, planes) }
-    }
     val bucketed = emb.select(col("vec_id"), col("embedding"),
-      explode(bucketsUdf(col("embedding"))).as("bucket")).persist()
+      explode(graft.expr.HyperplaneBuckets.hyperplaneBuckets(
+        col("embedding"), tables = 6, planes = 5, dim = 64, seed = 7000L))
+        .as("bucket")).persist()
 
     val queries = bucketed.filter(col("vec_id") < NumQueries)
       .select(col("bucket"), col("vec_id").as("query_id"),

@@ -298,6 +298,11 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("BroadcastNestedLoopJoin"),
         s"$name candidate join went nested-loop:\n$p")
     }
+    // s02's corpus-wide bucket assignment is the native codegen'd
+    // expression — no ScalaUDF anywhere in the scan
+    val s02 = finalPlan(Similarity.annLshBucketed(spark, sfDir))
+    assert(s02.contains("hyperplane_buckets"), s02)
+    assert(!s02.contains("ScalaUDF"), s"UDF left in the s02 scan:\n$s02")
   }
 
   test("d02 MinHash-LSH: banded candidate join is an equi-join, " +
