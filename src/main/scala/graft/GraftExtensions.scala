@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo,
   Literal}
 import graft.expr.{CosineSimilarity, HyperplaneBuckets, IntDotProduct,
-  MinHashSignature, NgramHashes}
+  MinHashSignature, NgramHashes, SimHash64}
 
 /** SQL-surface registration for the engine's custom expressions.
   *
@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.ngramHashesFn)
     ext.injectFunction(GraftExtensions.intDotFn)
     ext.injectFunction(GraftExtensions.hyperplaneBucketsFn)
+    ext.injectFunction(GraftExtensions.simhash64Fn)
   }
 }
 
@@ -104,6 +105,17 @@ object GraftExtensions {
       "cosine_similarity"),
     (exprs: Seq[Expression]) => buildCosine(exprs))
 
+  private def buildSimhash(exprs: Seq[Expression]): Expression = {
+    require(exprs.size == 1,
+      s"simhash64 takes exactly 1 argument, got ${exprs.size}")
+    SimHash64(exprs.head)
+  }
+
+  private[graft] val simhash64Fn = (
+    FunctionIdentifier("simhash64"),
+    new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+    (exprs: Seq[Expression]) => buildSimhash(exprs))
+
   /** Register the engine's SQL functions on an existing session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -116,5 +128,7 @@ object GraftExtensions {
       "int_dot", buildIntDot, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hyperplane_buckets", buildHyperplaneBuckets, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", buildSimhash, "scala_udf")
   }
 }

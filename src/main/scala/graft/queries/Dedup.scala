@@ -166,7 +166,10 @@ object Dedup {
   }
 
   // -------------------------------------------------------- simhash
-  /** 64-bit SimHash over word hashes (unweighted). */
+  /** 64-bit SimHash over word hashes (unweighted). Reference Scala
+    * formulation — production scans use the native
+    * [[graft.expr.SimHash64]] expression; SimHashExprSpec asserts
+    * bit-parity between the two. */
   private[graft] def simhash64(text: String): Long = {
     val acc = new Array[Int](64)
     text.split(' ').foreach { w =>
@@ -191,10 +194,16 @@ object Dedup {
   /** SimHash near-dup pairs over exact-duplicate representatives:
     * fingerprint once per doc, candidates via 16-bit chunk banding
     * (any equal chunk), verified by Hamming distance <= 16. */
+  /** The d03 fingerprint scan (pre-banding) — separate so PlanSpec can
+    * assert the native expression on the scan itself; the banded join
+    * below persists it, which hides the scan inside the cached plan. */
+  private[graft] def simhashSigs(s: SparkSession, dir: String): DataFrame =
+    exactReps(corpusWithNearDups(s, dir))
+      .select(col("doc_id"),
+        graft.expr.SimHash64.simhash64(col("text")).as("sh"))
+
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val shUdf = udf(simhash64 _)
-    val sigs = exactReps(corpusWithNearDups(s, dir))
-      .select(col("doc_id"), shUdf(col("text")).as("sh"))
+    val sigs = simhashSigs(s, dir)
     // chunk i = bits [16i, 16i+16)
     val buckets = sigs.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(i => struct(lit(i).as("chunk"),

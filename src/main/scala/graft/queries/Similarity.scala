@@ -386,9 +386,10 @@ object Similarity {
     * of a 64-float dot; the approx top-[[PqRerank]] are re-ranked with
     * exact cosine against the ORIGINAL vectors (two-stage retrieval).
     *
-    * Scale shape: training reads a sample; encoding is one map pass
-    * (procedural kernel UDF, the simhash precedent); scoring scans
-    * codes (map-side, LUT-broadcast) with a per-query top-R window;
+    * Scale shape: training reads a sample; encoding is one UDF-free
+    * map pass (native [[graft.expr.PqEncode]] — trained codebooks ride
+    * into whole-stage codegen as a reference object); scoring is
+    * builtin LUT lookups, map-side, with a per-query top-R window;
     * only R·queries rows ever rejoin the full vectors (broadcast-side)
     * for the exact re-rank. */
   def annPq(s: SparkSession, dir: String): DataFrame = {
@@ -396,8 +397,6 @@ object Similarity {
     val emb = Relational.table(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
     val cbs = pqCodebooks(emb, seed = 11000)
-    val bcCbs = s.sparkContext.broadcast(cbs)
-    val encodeUdf = udf((v: Seq[Float]) => pqEncode(v, bcCbs.value))
 
     // per-query LUT: lut(m)(k) = dot(query subvector m, codebook[m][k])
     val queryRows = emb.filter(col("vec_id") < NumQueries)
@@ -416,24 +415,30 @@ object Similarity {
           }
         }
     }
-    val bcLuts = s.sparkContext.broadcast(luts)
-    val scoreUdf = udf { (code: Seq[Int], qid: Long) =>
-      val lut = bcLuts.value(qid)
-      var sc = 0.0
-      var m = 0
-      while (m < PqM) { sc += lut(m)(code(m)); m += 1 }
-      sc
-    }
 
+    // both hot passes are UDF-free: codes via the native PqEncode
+    // expression (codebooks ride into codegen as a reference object),
+    // ADC scores via builtin element_at lookups on the per-query LUT
+    // literals, dispatched by a when-chain over the tiny query set —
+    // summation order matches the imperative loop (m ascending)
     val codes = emb.select(col("vec_id"),
-      encodeUdf(col("embedding")).as("code"))
+      graft.expr.PqEncode.pqEncode(col("embedding"), cbs).as("code"))
+    def adc(lut: Array[Array[Double]]): org.apache.spark.sql.Column =
+      (0 until PqM).map { m =>
+        element_at(typedLit(lut(m).toSeq),
+          element_at(col("code"), m + 1) + 1)
+      }.reduce(_ + _)
+    val approx = luts.keys.toSeq.sorted.foldLeft(lit(Double.MinValue)) {
+      (acc, qid) => when(col("query_id") === qid, adc(luts(qid)))
+        .otherwise(acc)
+    }
     val qids = queryRows.keys.toSeq.sorted
       .toDF("query_id")
     val wApprox = Window.partitionBy(col("query_id"))
       .orderBy(col("approx").desc, col("vec_id"))
     val candidates = codes.crossJoin(broadcast(qids))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("approx", scoreUdf(col("code"), col("query_id")))
+      .withColumn("approx", approx)
       .withColumn("arank", row_number().over(wApprox))
       .filter(col("arank") <= PqRerank)
       .select(col("query_id"), col("vec_id"))

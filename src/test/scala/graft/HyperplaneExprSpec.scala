@@ -43,6 +43,20 @@ class HyperplaneExprSpec extends SparkSpec {
       "table id must ride the high bits")
   }
 
+  test("pq encode expression == scala pqEncode for every corpus " +
+    "vector (trained codebooks through addReferenceObj)") {
+    val emb = graft.queries.Relational.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cbs = Similarity.pqCodebooks(emb, seed = 11000)
+    val refUdf = udf((v: Seq[Float]) => Similarity.pqEncode(v, cbs))
+    val mismatches = emb.select(
+        graft.expr.PqEncode.pqEncode(col("embedding"), cbs).as("native"),
+        refUdf(col("embedding")).as("ref"))
+      .filter(col("native") =!= col("ref"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("analysis-time rejection of non-float arrays") {
     graft.GraftExtensions.register(spark)
     val e = intercept[Exception] {

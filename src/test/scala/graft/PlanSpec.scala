@@ -303,6 +303,22 @@ class PlanSpec extends SparkSpec {
     val s02 = finalPlan(Similarity.annLshBucketed(spark, sfDir))
     assert(s02.contains("hyperplane_buckets"), s02)
     assert(!s02.contains("ScalaUDF"), s"UDF left in the s02 scan:\n$s02")
+    // s10's encode (native PqEncode w/ reference-object codebooks) and
+    // ADC scoring (builtin element_at lookups) are both UDF-free too
+    val s10 = finalPlan(Similarity.annPq(spark, sfDir))
+    assert(s10.contains("pq_encode"), s10)
+    assert(!s10.contains("ScalaUDF"), s"UDF left in the s10 path:\n$s10")
+    // d03's corpus-wide fingerprint is the native simhash64 expression
+    // (asserted on the pre-persist scan — the banded join caches it,
+    // which would hide the expression inside the InMemoryRelation)
+    val d03df = graft.queries.Dedup.simhashSigs(spark, sfDir)
+    // presence is asserted on the optimized logical plan — physically
+    // the call collapses into the aggregate's result expressions,
+    // which the executed-plan string does not print
+    val d03log = d03df.queryExecution.optimizedPlan.toString
+    assert(d03log.contains("simhash64"), d03log)
+    val d03 = finalPlan(d03df)
+    assert(!d03.contains("ScalaUDF"), s"UDF left in the d03 scan:\n$d03")
   }
 
   test("d02 MinHash-LSH: banded candidate join is an equi-join, " +
