@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo,
   Literal}
 import graft.expr.{CosineSimilarity, HyperplaneBuckets, IntDotProduct,
-  MinHashSignature, NgramHashes, SimHash64}
+  MinHashSignature, MisraGriesTopK, NgramHashes, SimHash64}
 
 /** SQL-surface registration for the engine's custom expressions.
   *
@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.intDotFn)
     ext.injectFunction(GraftExtensions.hyperplaneBucketsFn)
     ext.injectFunction(GraftExtensions.simhash64Fn)
+    ext.injectFunction(GraftExtensions.mgTopKFn)
   }
 }
 
@@ -116,6 +117,24 @@ object GraftExtensions {
     new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
     (exprs: Seq[Expression]) => buildSimhash(exprs))
 
+  // the analyzer wraps a bare AggregateFunction from a registry
+  // builder in an AggregateExpression, same as builtin aggregates
+  private def buildMgTopK(exprs: Seq[Expression]): Expression = {
+    require(exprs.size == 2,
+      s"mg_topk takes (token, k), got ${exprs.size}")
+    val k = exprs(1) match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"mg_topk: k must be an integer literal, got $other")
+    }
+    MisraGriesTopK(exprs.head, k)
+  }
+
+  private[graft] val mgTopKFn = (
+    FunctionIdentifier("mg_topk"),
+    new ExpressionInfo(classOf[MisraGriesTopK].getName, "mg_topk"),
+    (exprs: Seq[Expression]) => buildMgTopK(exprs))
+
   /** Register the engine's SQL functions on an existing session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -130,5 +149,7 @@ object GraftExtensions {
       "hyperplane_buckets", buildHyperplaneBuckets, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", buildSimhash, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "mg_topk", buildMgTopK, "scala_udf")
   }
 }

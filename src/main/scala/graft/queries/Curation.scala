@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The composed curation pipeline — the "a user could switch" showcase:
@@ -188,11 +189,61 @@ object Curation {
       GROUP BY user_id, event_type)
     ORDER BY user_id, event_type"""
 
+  /** c05 — SCD2 history build (the dimension-versioning complement of
+    * c04's latest-wins compaction): from each key's change log, emit
+    * one row per DISTINCT consecutive value with its validity interval
+    * `[valid_from, valid_to)` and an `is_current` flag — the standard
+    * slowly-changing-dimension type-2 table every warehouse keeps.
+    *
+    * Scale shape: ONE shuffle on the key. Change detection (`lag`),
+    * interval close (`lead`) and the current flag are all windows over
+    * the SAME (key, ts, event_id) partitioning — Catalyst plans them
+    * without a second exchange, and the change filter between them
+    * only shrinks partitions. A join-based formulation (self-join on
+    * "next change") would shuffle the log twice. Ties on ts break by
+    * event_id, so intervals are deterministic in both engines. */
+  def scd2History(s: SparkSession, dir: String): DataFrame = {
+    val key = Seq(col("user_id"), col("event_type"))
+    val w = Window.partitionBy(key: _*)
+      .orderBy(col("ts"), col("event_id"))
+    val changes = Streaming.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id"), col("value"))
+      .withColumn("prev", lag(col("value"), 1).over(w))
+      .filter(col("prev").isNull || col("value") =!= col("prev"))
+    changes
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("valid_from_us"),
+        unix_micros(col("next_ts")).as("valid_to_us"),
+        col("next_ts").isNull.cast("long").as("is_current"))
+      .orderBy("user_id", "event_type", "valid_from_us")
+  }
+
+  val scd2HistorySql: String = """
+    WITH changes AS (
+      SELECT user_id, event_type, ts, event_id, value
+      FROM (
+        SELECT user_id, event_type, ts, event_id, value,
+          lag(value) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev
+        FROM events)
+      WHERE prev IS NULL OR value <> prev)
+    SELECT user_id, event_type, value,
+      epoch_us(ts) AS valid_from_us,
+      epoch_us(lead(ts) OVER w) AS valid_to_us,
+      CAST(CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END
+        AS BIGINT) AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    ORDER BY user_id, event_type, valid_from_us"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("c01_curation_pipeline", curationPipeline _,
         Some(curationPipelineSql)),
       ("c02_source_datacard", sourceDatacard _, Some(sourceDatacardSql)),
       ("c03_snapshot_diff", snapshotDiff _, Some(snapshotDiffSql)),
-      ("c04_cdc_compact", cdcCompact _, Some(cdcCompactSql)))
+      ("c04_cdc_compact", cdcCompact _, Some(cdcCompactSql)),
+      ("c05_scd2_history", scd2History _, Some(scd2HistorySql)))
 }

@@ -340,6 +340,32 @@ object Invariants {
 
   val s02Sql: String = "SELECT TRUE AS recall_ok, TRUE AS k_bounded"
 
+  /** T22: the Misra-Gries contract, checked against the exact token
+    * counts — (a) every token with true frequency > N/(k+1) is present
+    * in the sketch output, (b) every tracked token's true count lies
+    * in [est, est + err]. Both hold by construction under ANY
+    * partitioning / merge order (mergeable-summaries bound), which is
+    * what makes the engine-specific estimates drivable to a constant. */
+  def t22HeavyInv(s: SparkSession, dir: String): DataFrame = {
+    val sketch = TextAnalysis.heavyHitters(s, dir)
+    val exact = TextAnalysis.heavyTokenStream(s, dir)
+      .groupBy("token").agg(count(lit(1)).as("true_n"))
+    val n = exact.agg(sum(col("true_n")).as("n_total"))
+    val heavyMissed = exact.crossJoin(n)
+      .filter(col("true_n") * lit(TextAnalysis.HeavyK + 1) > col("n_total"))
+      .join(sketch.select("token"), Seq("token"), "left_anti")
+      .agg(count(lit(1)).as("heavy_missed"))
+    val boundViolations = sketch.join(exact, Seq("token"))
+      .agg(sum((col("est") > col("true_n") ||
+        col("est") + col("err") < col("true_n")).cast("long"))
+        .as("bound_violations"))
+    heavyMissed.crossJoin(boundViolations)
+  }
+
+  val t22Sql: String =
+    "SELECT CAST(0 AS BIGINT) AS heavy_missed, " +
+      "CAST(0 AS BIGINT) AS bound_violations"
+
   /** S4: IVF ANN results are k-bounded and overlap the exact top-k by
     * >= 30% (seeded-deterministic centroids). */
   def s04AnnInv(s: SparkSession, dir: String): DataFrame = {
@@ -506,6 +532,7 @@ object Invariants {
       ("s02_ann_inv", s02AnnInv _, Some(s02Sql)),
       ("s04_ann_inv", s04AnnInv _, Some(s02Sql)),
       ("s10_ann_inv", s10AnnInv _, Some(s02Sql)),
+      ("t22_heavy_inv", t22HeavyInv _, Some(t22Sql)),
       ("q18_error_inv", q18ErrorInv _, Some(q18ErrSql)),
       ("q20_error_inv", q20ErrorInv _, Some(q20ErrSql)),
       ("a01_generate_inv", a01GenerateInv _, Some(a01Sql)),

@@ -1009,6 +1009,48 @@ object TextAnalysis {
     GROUP BY doc_id
     ORDER BY doc_id"""
 
+  // --------------------------------------- heavy hitters (sketch)
+  // k chosen BELOW the corpus vocabulary size so the sketch actually
+  // evicts and merges lossily at test scale — the guarantee (not the
+  // trivial no-eviction regime) is what t22_heavy_inv certifies
+  private[graft] val HeavyK = 8
+
+  /** The t22 input stream: corpus tokens plus a planted hot token
+    * (10 per document ≈ 15% of the stream — a constant FRACTION, so
+    * it stays above the N/(k+1) ≈ 11% frequency threshold at every
+    * scale factor, while the near-uniform organic vocabulary stays
+    * far below it). The plant makes the recall half of the
+    * Misra-Gries contract non-vacuous; shared by the query and its
+    * invariant oracle. */
+  private[graft] def heavyTokenStream(s: SparkSession,
+                                      dir: String): DataFrame = {
+    val docs = Relational.table(s, dir, "documents")
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .unionAll(docs.select(
+        explode(array_repeat(lit("zzz_hot"), 10)).as("token")))
+  }
+
+  /** t22 — distributed Misra-Gries heavy hitters over the corpus
+    * token stream (the sketch-shaped alternative to t10's exact
+    * histogram). t10's exact groupBy shuffles EVERY distinct token —
+    * fine while vocabularies are small, painful once the "token"
+    * is an n-gram or URL at 100 TB. The [[graft.expr.MisraGriesTopK]]
+    * aggregate builds one k-entry sketch per partition map-side and
+    * ships at most k rows each to a single merge, with the provably
+    * merge-safe guarantee: every token with true frequency > N/(k+1)
+    * survives, and true is always within [est, est + err].
+    *
+    * Estimates are merge-order-dependent (engine-internal) → rows-only
+    * here; the guarantee itself is the DuckDB-checked t22_heavy_inv. */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame =
+    heavyTokenStream(s, dir)
+      .agg(graft.expr.MisraGriesTopK
+        .mgTopK(col("token"), HeavyK).as("sketch"))
+      .select(explode(col("sketch")).as("hh"))
+      .select(col("hh.token").as("token"), col("hh.est").as("est"),
+        col("hh.err").as("err"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("t01_token_count", tokenCount _, Some(tokenCountSql)),
@@ -1034,5 +1076,6 @@ object TextAnalysis {
       ("t20_length_batches", lengthBinnedBatches _,
         Some(lengthBinnedBatchesSql)),
       ("t21_dup_ngrams", dupNgramFraction _, Some(dupNgramFractionSql)),
+      ("t22_heavy_hitters", heavyHitters _, None),
     )
 }

@@ -283,4 +283,32 @@ class Round5Spec extends SparkSpec {
       assert(rebuilt == docs(docId), s"doc $docId reassembly")
     }
   }
+
+  // ------------------------------------------------------- c05 scd2
+
+  test("c05: SCD2 history is well-formed — intervals chain " +
+    "gap-free per key, consecutive values differ, exactly one " +
+    "current row per key, and versions reconstruct the change log") {
+    val hist = queries.Curation.scd2History(spark, sfDir)
+      .collect()
+      .groupBy(r => (r.getLong(0), r.getString(1)))
+    assert(hist.nonEmpty)
+    hist.foreach { case (key, rows) =>
+      val ordered = rows.sortBy(_.getAs[Long]("valid_from_us"))
+      // exactly one open (current) interval, and it is the last
+      assert(ordered.count(_.getAs[Long]("is_current") == 1L) == 1, key)
+      assert(ordered.last.getAs[Long]("is_current") == 1L, key)
+      // interval chain: each valid_to equals the next valid_from
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("valid_to_us") ==
+            b.getAs[Long]("valid_from_us"), key)
+          // a new version only opens when the value actually changed
+          assert(a.getAs[Double]("value") != b.getAs[Double]("value"), key)
+        case _ =>
+      }
+      assert(ordered.last.isNullAt(
+        ordered.last.fieldIndex("valid_to_us")), key)
+    }
+  }
 }
