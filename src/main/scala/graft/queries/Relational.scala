@@ -558,6 +558,40 @@ object Relational {
        WHERE i.o_custkey = o.o_custkey) * 3
     ORDER BY o_orderkey"""
 
+  /** q26 — correlated EXISTS / NOT EXISTS chain (TPC-H Q21/Q22
+    * lineage): customers holding at least one open ('O') order but no
+    * failed ('F') one. Catalyst decorrelates both subqueries into one
+    * semi- and one anti-join on o_custkey — PlanSpec asserts no
+    * nested-loop / per-row subquery survives. At scale both probes
+    * shuffle on the same key as the main table, and the anti-join's
+    * build side is filter-pruned before it ever moves. */
+  def q26ExistsChain(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "customer")
+      .createOrReplaceTempView("graft_q26_customer")
+    table(spark, dir, "orders").createOrReplaceTempView("graft_q26_orders")
+    spark.sql("""
+      SELECT c_custkey, c_name
+      FROM graft_q26_customer c
+      WHERE EXISTS (
+          SELECT 1 FROM graft_q26_orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+        AND NOT EXISTS (
+          SELECT 1 FROM graft_q26_orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      ORDER BY c_custkey""")
+  }
+
+  val q26Sql: String = """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    ORDER BY c_custkey"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_segment_revenue", q02SegmentRevenue _, q02Sql),
@@ -577,5 +611,6 @@ object Relational {
     ("q19_percentiles", q19Percentiles _, q19Sql),
     ("q24_status_pivot", q24StatusPivot _, q24Sql),
     ("q25_corr_subquery", q25CorrSubquery _, q25Sql),
+    ("q26_exists_chain", q26ExistsChain _, q26Sql),
   )
 }

@@ -280,6 +280,47 @@ object Streaming {
     GROUP BY 1, 2
     ORDER BY mktsegment, event_type"""
 
+  /** st10 — outer attribution through the left-outer stream-stream
+    * join, run in batch: every purchase appears, click-less ones
+    * null-padded (surfaced as n_clicks = 0 / zero value). Exact
+    * integers + DECIMAL-routed sum → bit-exact oracle. The streaming
+    * semantics (null emission gated on the watermark) are proven in
+    * StreamingSpec against this same call site. */
+  def attributionOuter(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    EventStreams.attributionOuterJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        windowMinutes = 30, watermark = "10 minutes")
+      .groupBy("purchase_id", "p_user")
+      .agg(count(col("c_user")).as("n_clicks"),
+        max(unix_micros(col("c_ts"))).as("last_click_us"),
+        coalesce(sum(col("c_value")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6))),
+          lit(java.math.BigDecimal.ZERO))
+          .cast("double").as("clicks_value"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("n_clicks"), col("last_click_us"), col("clicks_value"))
+      .orderBy("purchase_id")
+  }
+
+  val attributionOuterSql: String = """
+    SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+      count(c.c_user) AS n_clicks,
+      max(epoch_us(c.c_ts)) AS last_click_us,
+      CAST(coalesce(sum(CAST(c.c_value AS DECIMAL(18,6))), 0) AS DOUBLE)
+        AS clicks_value
+    FROM events p
+    LEFT JOIN (
+      SELECT user_id AS c_user, ts AS c_ts, value AS c_value
+      FROM events WHERE event_type = 'click') c
+      ON c.c_user = p.user_id
+     AND c.c_ts <= p.ts
+     AND c.c_ts >= p.ts - INTERVAL 30 MINUTE
+    WHERE p.event_type = 'purchase'
+    GROUP BY 1, 2
+    ORDER BY purchase_id"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("st01_tumbling_window", tumblingWindow _, Some(tumblingWindowSql)),
@@ -291,5 +332,7 @@ object Streaming {
       ("st07_attribution", attribution _, Some(attributionSql)),
       ("st08_quota", quota _, Some(quotaSql)),
       ("st09_enrich", enrichSegments _, Some(enrichSegmentsSql)),
+      ("st10_attribution_outer", attributionOuter _,
+        Some(attributionOuterSql)),
     )
 }

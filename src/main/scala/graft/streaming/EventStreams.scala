@@ -90,6 +90,31 @@ object EventStreams {
           expr(s"INTERVAL '$windowMinutes' MINUTE"))
   }
 
+  /** Left-outer stream-stream attribution: like [[attributionJoin]],
+    * but purchases with NO preceding click still emit, null-padded —
+    * the "every purchase must appear in the report" variant. In
+    * streaming this is a semantically different machine from the inner
+    * join: a null-padded row can only be produced once the watermark
+    * proves no matching click can still arrive, so unmatched results
+    * emit with watermark delay (inner matches still emit eagerly) and
+    * state stays bounded by the same watermark + range-condition
+    * eviction. Batch callers get an ordinary left outer join. */
+  def attributionOuterJoin(clicks: DataFrame, purchases: DataFrame,
+      windowMinutes: Int, watermark: String): DataFrame = {
+    def wm(df: DataFrame) =
+      if (df.isStreaming) df.withWatermark("ts", watermark) else df
+    val c = wm(clicks).select(col("user_id").as("c_user"),
+      col("ts").as("c_ts"), col("value").as("c_value"))
+    val p = wm(purchases).select(col("event_id").as("purchase_id"),
+      col("user_id").as("p_user"), col("ts").as("p_ts"))
+    p.join(c,
+      col("c_user") === col("p_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") -
+          expr(s"INTERVAL '$windowMinutes' MINUTE"),
+      "left_outer")
+  }
+
   /** Stream-static enrichment join: decorate each event with dimension
     * attributes looked up by user id. The static side is a bounded
     * table re-broadcast per micro-batch (Spark re-plans the batch side

@@ -368,6 +368,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q26 EXISTS / NOT EXISTS chain decorrelates into one semi- " +
+    "and one anti-join on the customer key, never a per-row probe") {
+    val p = finalPlan(Relational.q26ExistsChain(spark, sfDir))
+    assert(p.contains("LeftSemi"), s"no semi-join in:\n$p")
+    assert(p.contains("LeftAnti"), s"no anti-join in:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("d10 incremental dedup: delta-vs-history is an anti-join, " +
     "no full-corpus re-aggregation of the delta path") {
     val p = finalPlan(graft.queries.Dedup.incrementalDedup(spark, sfDir))

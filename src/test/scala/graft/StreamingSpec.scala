@@ -185,6 +185,90 @@ class StreamingSpec extends SparkSpec {
       s"stream(${streamed.mkString(",")}) != batch(${batch.mkString(",")})")
   }
 
+  test("stream-stream LEFT OUTER join: click-less purchases emit " +
+    "null-padded once the watermark proves no match can arrive; " +
+    "stream == batch") {
+    val dir = java.nio.file.Files.createTempDirectory("attr-outer")
+    val ts = (m: Long) => new java.sql.Timestamp(m * 60000L)
+    val clicks = Seq(
+      EventStreams.Event(1, ts(1), 7L, "click", 1.0),
+      EventStreams.Event(2, ts(20), 7L, "click", 2.0),
+      EventStreams.Event(4, ts(25), 9L, "click", 8.0)).toDS().toDF()
+    val purchases = Seq(
+      EventStreams.Event(10, ts(30), 7L, "purchase", 50.0),
+      EventStreams.Event(11, ts(200), 7L, "purchase", 60.0), // no click
+      EventStreams.Event(12, ts(26), 9L, "purchase", 70.0)).toDS().toDF()
+    // sentinels by a user with no counterpart, in SEPARATE files and
+    // on BOTH streams: the global watermark is the MIN over all
+    // event-time columns, so the click sentinels alone would leave the
+    // purchase-side watermark at 190 (< purchase 11's 200) and the
+    // null-padded row would sit in join state forever — exactly the
+    // semantics this test pins down. Sentinels are filtered out of
+    // the compared output.
+    val s1 = Seq(EventStreams.Event(90, ts(400), 999L, "click", 0.0))
+      .toDS().toDF()
+    val ps1 = Seq(EventStreams.Event(95, ts(400), 999L, "purchase", 0.0))
+      .toDS().toDF()
+    clicks.coalesce(1).write.parquet(s"$dir/clicks")
+    purchases.coalesce(1).write.parquet(s"$dir/purchases")
+
+    // NB: the sentinel filter must NOT ride into the streaming plan —
+    // Catalyst pushes `p_user != 999` (and the inferred
+    // `c_user != 999`) below the watermark operators into both scans,
+    // pruning the sentinel rows before they can advance the watermark;
+    // sentinels are excluded at ASSERTION time instead
+    def proj(df: org.apache.spark.sql.DataFrame) =
+      df.select("purchase_id", "p_user", "c_ts", "c_value")
+    def noSentinels(rows: Array[org.apache.spark.sql.Row]) =
+      rows.filter(_.getLong(1) != 999L)
+    val batch = noSentinels(proj(EventStreams.attributionOuterJoin(
+        spark.read.parquet(s"$dir/clicks"),
+        spark.read.parquet(s"$dir/purchases"), 30, "10 minutes"))
+      .orderBy("purchase_id", "c_ts").collect())
+    // purchase 10 -> clicks 1+2; purchase 11 -> NULL row; 12 -> click 4
+    assert(batch.map(_.getLong(0)).toSeq == Seq(10L, 10L, 11L, 12L))
+    assert(batch(2).isNullAt(2) && batch(2).isNullAt(3))
+
+    val enc = implicitly[org.apache.spark.sql.Encoder[EventStreams.Event]]
+    val cStream = spark.readStream.schema(enc.schema)
+      .parquet(s"$dir/clicks")
+    val pStream = spark.readStream.schema(enc.schema)
+      .parquet(s"$dir/purchases")
+    // default trigger, not AvailableNow: the null-padded row is
+    // emitted by the state-cleanup (no-data) micro-batch that runs
+    // AFTER a later data batch advanced the watermark — AvailableNow
+    // terminates before it, which is itself part of the semantics
+    // this test documents
+    val q = proj(EventStreams.attributionOuterJoin(cStream, pStream,
+        30, "10 minutes"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_outer_out").start()
+    q.processAllAvailable()
+    // inner matches emit eagerly; the unmatched purchase 11 is still
+    // held in state because no match can be RULED OUT yet — this is
+    // where stream and batch semantics visibly differ mid-stream
+    def streamedRows() = noSentinels(
+      spark.table("attr_outer_out").collect())
+    assert(streamedRows().length == batch.length - 1)
+    // second micro-batch: sentinels advance BOTH watermarks past every
+    // purchase (the global watermark is the MIN over all event-time
+    // columns, so a click-only sentinel would leave the purchase-side
+    // watermark behind and the null row in state forever)
+    s1.coalesce(1).write.mode("append").parquet(s"$dir/clicks")
+    ps1.coalesce(1).write.mode("append").parquet(s"$dir/purchases")
+    q.processAllAvailable()
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (streamedRows().length < batch.length &&
+        System.nanoTime() < deadline) {
+      Thread.sleep(200)
+    }
+    q.stop()
+    val streamed = noSentinels(spark.table("attr_outer_out")
+      .orderBy("purchase_id", "c_ts").collect())
+    assert(streamed.sameElements(batch),
+      s"stream(${streamed.mkString(",")}) != batch(${batch.mkString(",")})")
+  }
+
   test("stateless text ops compose into streaming: PII scrub stream == " +
     "batch") {
     // the scrub every pipeline runs before training: being a pure
