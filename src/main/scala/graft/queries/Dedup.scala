@@ -283,6 +283,12 @@ object Dedup {
     * plants a +0.3%-perturbed copy of every 10th embedding. At 100 TB
     * the bucket join touches only same-bucket vectors; the planted
     * near-dups land in the same bucket with overwhelming probability. */
+  private[graft] def d05Bucketed(corpus: DataFrame): DataFrame =
+    corpus.select(col("vec_id"), col("embedding"),
+      element_at(graft.expr.HyperplaneBuckets.hyperplaneBuckets(
+        col("embedding"), tables = 1, planes = 12, dim = 64,
+        seed = 4242L), 1).as("bucket"))
+
   def dedupEmbeddingCosine(s: SparkSession, dir: String): DataFrame = {
     val emb = Relational.table(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
@@ -292,11 +298,11 @@ object Dedup {
           x => (x * lit(1.003f)).cast("float")).as("embedding"))
     val corpus = emb.unionAll(perturbed)
 
-    val planes = Similarity.hyperplanes(12, 64, seed = 4242)
-    val bucketUdf = udf((v: Seq[Float]) => Similarity.signBucket(v, planes))
-
-    val bucketed = corpus.select(col("vec_id"),
-      col("embedding"), bucketUdf(col("embedding")).as("bucket")).persist()
+    // native sign-bucket expression — a 1-table instance of the s02
+    // kernel (element 0 is `(0 << 32) | signBucket(v, planes)`, and
+    // hyperplanes(12, 64, 4242) == table 0 of seed 4242); the UDF-free
+    // scan is asserted by PlanSpec on this pre-persist projection
+    val bucketed = d05Bucketed(corpus).persist()
     val a = bucketed.select(col("bucket"), col("vec_id").as("a"),
       col("embedding").as("ea"))
     val b = bucketed.select(col("bucket"), col("vec_id").as("b"),

@@ -159,7 +159,6 @@ object Similarity {
     * (train on a sample, assign the corpus in one broadcast pass). */
   def ivfCentroids(emb: DataFrame, k: Int, iters: Int,
                    seed: Long): Array[Array[Float]] = {
-    val session = emb.sparkSession
     val sample = emb
       .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
       .limit(IvfTrainCap)
@@ -169,9 +168,12 @@ object Similarity {
       .limit(k).collect()
       .map(_.getSeq[Float](1).toArray)
     (1 to iters).foreach { _ =>
-      val bc = session.sparkContext.broadcast(cents)
-      val nearest = udf((v: Seq[Float]) => nearestCentroid(v, bc.value))
-      val means = sample.withColumn("cid", nearest(col("embedding")))
+      // same codegen'd k-cosine argmax as the corpus pass — the
+      // training loop is sample-sized, but there is no reason for its
+      // only remaining ScalaUDF to exist when the native formulation
+      // is bit-identical (ties -> lowest index, same double cosine)
+      val means = sample.withColumn("cid",
+          nearestCentroidCol(col("embedding"), cents))
         .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
         .collect()

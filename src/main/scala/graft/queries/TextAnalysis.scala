@@ -422,10 +422,12 @@ object TextAnalysis {
     * same closed-form oracle as t09, so the driver proves the bloom
     * path loses nothing.
     *
-    * The probe is a 2-arg pure function over a broadcast sketch — a
-    * justified UDF (the sketch probe is procedural by nature; the
-    * grams it reads are produced by the codegen'd [[gramHashes]]
-    * kernel, so the hot scan path stays UDF-free). */
+    * The probe is Catalyst's own codegen'd
+    * `BloomFilterMightContain` — the expression Spark's runtime-filter
+    * rewrite injects for exactly this broadcast-sketch-probe shape —
+    * over a serialized-filter literal, so the whole scan (gram
+    * production AND probe) stays inside whole-stage codegen with no
+    * ScalaUDF boxing per gram. */
   def bloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
     val bench = benchmarkCorpus(s)
     val benchGrams = bench
@@ -434,12 +436,22 @@ object TextAnalysis {
     // one distributed BloomFilterAggregate job; tiny here, but the
     // same call shape holds when benchGrams is a billion-row table
     val bf = benchGrams.stat.bloomFilter("gram", 4096L, 0.01)
-    val bfB = s.sparkContext.broadcast(bf)
-    val mightContain = udf((g: Long) => bfB.value.mightContainLong(g))
+    val bfBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val mightContain = org.apache.spark.sql.graftbridge.ColumnBridge
+      .column(org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(
+          org.apache.spark.sql.catalyst.expressions.Literal(bfBytes,
+            org.apache.spark.sql.types.BinaryType),
+          org.apache.spark.sql.graftbridge.ColumnBridge
+            .expression(col("gram"))))
     plantedDocs(s, dir)
       .select(col("doc_id"),
         explode(gramHashes(col("text"))).as("gram"))
-      .filter(mightContain(col("gram")))
+      .filter(mightContain)
       .join(broadcast(benchGrams), Seq("gram"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_bench_grams"))
       .orderBy("doc_id")

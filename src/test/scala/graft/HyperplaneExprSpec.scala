@@ -43,6 +43,21 @@ class HyperplaneExprSpec extends SparkSpec {
       "table id must ride the high bits")
   }
 
+  test("d05 config (1 table, 12 planes, seed 4242) == scala " +
+    "signBucket over hyperplanes(12, 64, 4242) for every vector") {
+    val planes = Similarity.hyperplanes(12, 64, seed = 4242)
+    val refUdf = udf((v: Seq[Float]) => Similarity.signBucket(v, planes))
+    val mismatches = graft.queries.Relational
+      .table(spark, sfDir, "embeddings")
+      .select(
+        element_at(graft.expr.HyperplaneBuckets.hyperplaneBuckets(
+          col("embedding"), 1, 12, 64, 4242L), 1).as("native"),
+        refUdf(col("embedding")).cast("long").as("ref"))
+      .filter(col("native") =!= col("ref"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("pq encode expression == scala pqEncode for every corpus " +
     "vector (trained codebooks through addReferenceObj)") {
     val emb = graft.queries.Relational.table(spark, sfDir, "embeddings")

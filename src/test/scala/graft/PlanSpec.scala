@@ -319,6 +319,15 @@ class PlanSpec extends SparkSpec {
     assert(d03log.contains("simhash64"), d03log)
     val d03 = finalPlan(d03df)
     assert(!d03.contains("ScalaUDF"), s"UDF left in the d03 scan:\n$d03")
+    // d05's corpus-wide sign-bucket assignment is a 1-table instance
+    // of the same native hyperplane expression
+    val d05df = graft.queries.Dedup.d05Bucketed(
+      Relational.table(spark, sfDir, "embeddings")
+        .select(org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("embedding")))
+    val d05 = finalPlan(d05df)
+    assert(d05.contains("hyperplane_buckets"), d05)
+    assert(!d05.contains("ScalaUDF"), s"UDF left in the d05 scan:\n$d05")
   }
 
   test("d02 MinHash-LSH: banded candidate join is an equi-join, " +

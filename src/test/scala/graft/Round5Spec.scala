@@ -82,6 +82,11 @@ class Round5Spec extends SparkSpec {
     val bloom = TextAnalysis.bloomDecontaminate(spark, sfDir)
     val exact = TextAnalysis.decontaminate(spark, sfDir)
     assert(bloom.exceptAll(exact).isEmpty && exact.exceptAll(bloom).isEmpty)
+    // the probe is Catalyst's codegen'd might_contain over a
+    // serialized-filter literal — no ScalaUDF boxing per gram
+    val p = bloom.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), p)
+    assert(!p.contains("ScalaUDF"), s"UDF left in the t15 scan:\n$p")
   }
 
   // ------------------------------------------------ q23 range shards
