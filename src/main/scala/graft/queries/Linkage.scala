@@ -239,11 +239,118 @@ object Linkage {
       AND levenshtein(a_key, b_key) <= 1
     ORDER BY cust_id, rec_id"""
 
+  // ------------------------------------------- l04 Fellegi-Sunter
+  // Milli-scaled log2(m/u) agreement weights (fixed, published-style
+  // parameters — FS weights are model constants at scoring time, so
+  // the score is exact integer arithmetic both engines replay).
+  private val WNameExact = 2800 // log2(m≈.95/u≈.14)·1000-ish
+  private val WNameClose = 1500 // 1-edit within the block: weaker
+  private val WNationAgree = 3300
+  private val WNationDis = -1100
+  private val WSegAgree = 700 // 5 segments: weak evidence
+  private val WSegDis = -1500
+  private val MatchAt = 5000
+  private val ReviewAt = 2000
+
+  /** The l04 record sides: l01's name corruption plus two more
+    * compared fields, each corrupted on a deterministic key slice —
+    * nation key bumped to the next code for every 3rd record, market
+    * segment blanked for every 7th (gecko's categorical/missing-value
+    * mutator semantics, made replayable). */
+  private def l04Identities(s: SparkSession, dir: String): DataFrame =
+    Relational.table(s, dir, "customer")
+      .select(col("c_custkey").as("cust_id"),
+        translate(reverse(substring(col("c_name"), 10, 9)),
+          "0123456789", DigitLetters).as("name"),
+        col("c_nationkey").as("nation"),
+        col("c_mktsegment").as("segment"))
+
+  private def l04Corrupted(s: SparkSession, dir: String): DataFrame = {
+    val pos = (col("cust_id") % 5 + lit(4)).cast("int")
+    l04Identities(s, dir).select(
+      col("cust_id").as("rec_id"),
+      concat(col("name").substr(lit(1), pos - 1),
+        col("name").substr(pos + 1, lit(9))).as("rec_name"),
+      when(col("cust_id") % 3 === 0, (col("nation") + 1) % 25)
+        .otherwise(col("nation")).as("rec_nation"),
+      when(col("cust_id") % 7 === 0, lit("UNKNOWN"))
+        .otherwise(col("segment")).as("rec_segment"))
+  }
+
+  /** l04 — Fellegi-Sunter match scoring over the blocked candidates:
+    * each (field, agreement level) contributes its fixed log-odds
+    * weight, the milli-scaled integer sum classifies the pair as
+    * match / review / non_match. This is the decision layer of the
+    * classic linkage stack (blocking l01/l03 → comparison → FS
+    * decision); weights are constants, so at 100 TB it adds ZERO
+    * shuffles to the blocking join — pure codegen'd case arithmetic
+    * on candidates. */
+  def fellegiSunter(s: SparkSession, dir: String): DataFrame = {
+    val cand = blockedLevenshteinJoin(l04Identities(s, dir), "name",
+      l04Corrupted(s, dir), "rec_name",
+      n => substring(n, 1, 3), maxDist = 1)
+    val score =
+      when(levenshtein(col("name"), col("rec_name")) === 0,
+        lit(WNameExact)).otherwise(lit(WNameClose)) +
+      when(col("nation") === col("rec_nation"), lit(WNationAgree))
+        .otherwise(lit(WNationDis)) +
+      when(col("segment") === col("rec_segment"), lit(WSegAgree))
+        .otherwise(lit(WSegDis))
+    cand
+      .withColumn("score_milli", score.cast("long"))
+      .select(col("cust_id"), col("rec_id"), col("score_milli"),
+        when(col("score_milli") >= MatchAt, lit("match"))
+          .when(col("score_milli") >= ReviewAt, lit("review"))
+          .otherwise(lit("non_match")).as("decision"))
+      .orderBy("cust_id", "rec_id")
+  }
+
+  private val l04IdentitiesSql = """
+    SELECT c_custkey AS cust_id,
+           translate(reverse(substr(c_name, 10, 9)),
+                     '0123456789', 'aeioubcdfg') AS name,
+           c_nationkey AS nation,
+           c_mktsegment AS segment
+    FROM customer"""
+
+  private val l04CorruptedSql = """
+    SELECT cust_id AS rec_id,
+           substr(name, 1, CAST(3 + cust_id % 5 AS INT)) ||
+           substr(name, CAST(5 + cust_id % 5 AS INT)) AS rec_name,
+           CASE WHEN cust_id % 3 = 0 THEN (nation + 1) % 25
+                ELSE nation END AS rec_nation,
+           CASE WHEN cust_id % 7 = 0 THEN 'UNKNOWN'
+                ELSE segment END AS rec_segment
+    FROM ids"""
+
+  val fellegiSunterSql: String = s"""
+    WITH ids AS ($l04IdentitiesSql),
+    corr AS ($l04CorruptedSql),
+    scored AS (
+      SELECT i.cust_id, c.rec_id,
+        CAST(CASE WHEN levenshtein(i.name, c.rec_name) = 0
+                  THEN $WNameExact ELSE $WNameClose END
+           + CASE WHEN i.nation = c.rec_nation
+                  THEN $WNationAgree ELSE $WNationDis END
+           + CASE WHEN i.segment = c.rec_segment
+                  THEN $WSegAgree ELSE $WSegDis END AS BIGINT)
+          AS score_milli
+      FROM ids i JOIN corr c
+        ON substr(i.name, 1, 3) = substr(c.rec_name, 1, 3)
+      WHERE levenshtein(i.name, c.rec_name) <= 1)
+    SELECT cust_id, rec_id, score_milli,
+      CASE WHEN score_milli >= $MatchAt THEN 'match'
+           WHEN score_milli >= $ReviewAt THEN 'review'
+           ELSE 'non_match' END AS decision
+    FROM scored
+    ORDER BY cust_id, rec_id"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("l01_linkage_pairs", linkagePairs _, Some(linkagePairsSql)),
       ("l02_linkage_quality", linkageQuality _, Some(linkageQualitySql)),
       ("l03_sorted_neighborhood", sortedNeighborhood _,
         Some(sortedNeighborhoodSql)),
+      ("l04_fellegi_sunter", fellegiSunter _, Some(fellegiSunterSql)),
     )
 }

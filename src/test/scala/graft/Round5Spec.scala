@@ -289,6 +289,30 @@ class Round5Spec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------ l04 fellegi-sunter
+
+  test("l04: every true pair's FS decision follows the closed-form " +
+    "corruption classes (clean->match, phone-flip->non_match, " +
+    "segment-blank->review, both->non_match)") {
+    val out = queries.Linkage.fellegiSunter(spark, sfDir)
+      .filter(col("cust_id") === col("rec_id")) // true pairs
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val expected =
+        if (id % 3 == 0 && id % 7 == 0) "non_match"
+        else if (id % 3 == 0) "non_match" // 1500 - 1100 + 700 = 1100
+        else if (id % 7 == 0) "review" // 1500 + 3300 - 1500 = 3300
+        else "match" // 1500 + 3300 + 700 = 5500
+      assert(r.getString(3) == expected,
+        s"cust $id score=${r.getLong(2)} got ${r.getString(3)}")
+    }
+    // and all three decision classes actually occur
+    assert(out.map(_.getString(3)).toSet == Set("match", "review",
+      "non_match"))
+  }
+
   // ------------------------------------------------------- c05 scd2
 
   test("c05: SCD2 history is well-formed — intervals chain " +
