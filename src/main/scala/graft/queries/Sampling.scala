@@ -271,6 +271,66 @@ object Sampling {
     FROM documents
     ORDER BY doc_id"""
 
+  // ------------------------------------------------ s11 curriculum
+  private val CurriculumStops = Seq("the", "a", "of", "and", "to", "in")
+
+  /** s11 — curriculum data ordering: serve documents easiest-first by
+    * quality stage, shuffled within each stage. Stage tiers come from
+    * integer token statistics (stopword-rich natural text first, then
+    * vocabulary-diverse text, then the rest — cross-multiplied integer
+    * tests, no division), the within-stage order is the md5 epoch
+    * shuffle, and the global serving position uses s09's two-phase
+    * rank (composite (stage, key-prefix) bucket → tiny offset agg →
+    * in-bucket row_number) — a total curriculum order with NO
+    * single-partition global sort, same shape at 100 TB. */
+  def curriculumOrder(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col("text"), " ")
+    val nTokens = size(toks).cast("long")
+    val nStop = size(filter(toks,
+      t => CurriculumStops.map(w => t === w).reduce(_ || _))).cast("long")
+    val nUnique = size(array_distinct(toks)).cast("long")
+    val stage = when(nStop * 5 >= nTokens, lit(0L))
+      .when(nUnique * 2 >= nTokens, lit(1L))
+      .otherwise(lit(2L))
+    val key = md5(concat_ws("-", lit(EpochSeed), col("doc_id")))
+    val docs = Relational.table(s, dir, "documents")
+      .select(col("doc_id"), stage.as("stage"), key.as("skey"))
+      .withColumn("bucket",
+        col("stage") * 256 +
+          conv(substring(col("skey"), 1, 2), 16, 10).cast("long"))
+    val counts = docs.groupBy("bucket").agg(count(lit(1)).as("n"))
+    val wOff = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("offset", coalesce(sum(col("n")).over(wOff), lit(0L)))
+      .select("bucket", "offset")
+    val wIn = Window.partitionBy("bucket").orderBy("skey", "doc_id")
+    docs.join(broadcast(offsets), "bucket")
+      .withColumn("pos",
+        (col("offset") + row_number().over(wIn) - 1).cast("long"))
+      .select(col("doc_id"), col("stage"), col("pos"))
+      .orderBy("doc_id")
+  }
+
+  val curriculumOrderSql: String = s"""
+    WITH staged AS (
+      SELECT doc_id,
+        CAST(CASE
+          WHEN 5 * len(list_filter(string_split(text, ' '),
+            t -> t IN (${CurriculumStops.map(w => s"'$w'").mkString(", ")})))
+              >= len(string_split(text, ' ')) THEN 0
+          WHEN 2 * len(list_distinct(string_split(text, ' ')))
+              >= len(string_split(text, ' ')) THEN 1
+          ELSE 2 END AS BIGINT) AS stage,
+        md5('$EpochSeed-' || doc_id) AS skey
+      FROM documents)
+    SELECT doc_id, stage,
+      CAST(row_number() OVER (ORDER BY stage, skey, doc_id) - 1 AS BIGINT)
+        AS pos
+    FROM staged
+    ORDER BY doc_id"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("s03_stratified_sample", stratifiedDemo _, None),
@@ -278,5 +338,6 @@ object Sampling {
       ("s07_source_cap", sourceCapSample _, Some(sourceCapSql)),
       ("s08_train_split", trainSplit _, Some(trainSplitSql)),
       ("s09_epoch_shuffle", epochShuffle _, Some(epochShuffleSql)),
+      ("s11_curriculum", curriculumOrder _, Some(curriculumOrderSql)),
     )
 }

@@ -289,6 +289,20 @@ class Round5Spec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------- s11 curriculum order
+
+  test("s11: curriculum positions are a dense 0..n-1 permutation, " +
+    "stages are served in order, and every stage occurs") {
+    val rows = queries.Sampling.curriculumOrder(spark, sfDir).collect()
+    val byPos = rows.sortBy(_.getAs[Long]("pos"))
+    assert(byPos.map(_.getAs[Long]("pos")).toSeq ==
+      (0L until rows.length.toLong))
+    val stages = byPos.map(_.getAs[Long]("stage"))
+    assert(stages.zip(stages.tail).forall { case (a, b) => a <= b },
+      "a later-stage doc was served before an earlier-stage one")
+    assert(stages.toSet.size >= 2, "degenerate staging: all docs equal")
+  }
+
   // ------------------------------------------------ l04 fellegi-sunter
 
   test("l04: every true pair's FS decision follows the closed-form " +
