@@ -321,6 +321,36 @@ object Streaming {
     GROUP BY 1, 2
     ORDER BY purchase_id"""
 
+  private val SpendThresholdMicros = 100000000L // 100.0 in micro-units
+
+  /** st11 — per-user cumulative spend alerts, run through the batch
+    * twin of the `transformWithState` processor (the arbitrary-state
+    * v2 streaming API): an alert each time a user's running purchase
+    * total crosses a 100-unit multiple. Micro-unit integers end to
+    * end → bit-exact oracle; StreamingSpec proves the stateful stream
+    * path emits the identical alert set across batch slicings. */
+  def spendAlerts(s: SparkSession, dir: String): DataFrame =
+    EventStreams.spendAlertsBatch(events(s, dir), SpendThresholdMicros)
+      .orderBy("user_id", "event_id")
+
+  val spendAlertsSql: String = s"""
+    WITH purchases AS (
+      SELECT user_id, event_id, ts,
+        CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS micros
+      FROM events
+      WHERE event_type = 'purchase' AND value >= 0),
+    cums AS (
+      SELECT user_id, event_id, micros,
+        sum(micros) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING) AS cum_micros
+      FROM purchases)
+    SELECT user_id, event_id, cum_micros,
+      cum_micros // $SpendThresholdMicros AS level
+    FROM cums
+    WHERE cum_micros // $SpendThresholdMicros
+        > (cum_micros - micros) // $SpendThresholdMicros
+    ORDER BY user_id, event_id"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("st01_tumbling_window", tumblingWindow _, Some(tumblingWindowSql)),
@@ -334,5 +364,6 @@ object Streaming {
       ("st09_enrich", enrichSegments _, Some(enrichSegmentsSql)),
       ("st10_attribution_outer", attributionOuter _,
         Some(attributionOuterSql)),
+      ("st11_spend_alerts", spendAlerts _, Some(spendAlertsSql)),
     )
 }

@@ -217,4 +217,89 @@ object EventStreams {
           out.iterator
       }
   }
+
+  // --------------- spend alerts (transformWithState, Spark 4 API) ---------------
+
+  case class SpendAlert(user_id: Long, event_id: Long, cum_micros: Long,
+                        level: Long)
+
+  /** Micro-unit conversion shared by the stream processor and the
+    * batch twin's expectations: identical to Spark's
+    * `cast(value as decimal(18,6)) * 1000000 → long` (double→decimal
+    * goes through `Double.toString`, HALF_UP at scale 6). */
+  private[graft] def valueMicros(value: Double): Long =
+    new java.math.BigDecimal(java.lang.Double.toString(value))
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+      .movePointRight(6).longValueExact()
+
+  /** Per-user cumulative spend monitor on the arbitrary-state v2 API
+    * ([[org.apache.spark.sql.streaming.StatefulProcessor]] via
+    * `transformWithState`, RocksDB-backed): one ValueState[Long]
+    * holds the running micro-unit total; an alert row is emitted each
+    * time the total crosses a multiple of `thresholdMicros`. Within a
+    * batch, rows are processed in (ts, event_id) order so any batch
+    * slicing of the stream replays to the identical alert set
+    * (tested); state is one long per user — bounded. */
+  class SpendMonitor(thresholdMicros: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, SpendAlert] {
+    @transient private var cum:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      cum = getHandle.getValueState[Long]("cum",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[SpendAlert] = {
+      var c = if (cum.exists()) cum.get() else 0L
+      val out = scala.collection.mutable.ArrayBuffer.empty[SpendAlert]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val c2 = c + valueMicros(e.value)
+        if (c2 / thresholdMicros > c / thresholdMicros)
+          out += SpendAlert(key, e.event_id, c2, c2 / thresholdMicros)
+        c = c2
+      }
+      cum.update(c)
+      out.iterator
+    }
+  }
+
+  /** The spend stream both paths monitor: non-negative purchases
+    * only, so the threshold crossings use plain integer division on
+    * monotone totals (identical in Spark, DuckDB and the processor). */
+  def spendStream(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "purchase" && col("value") >= 0)
+
+  /** Batch twin of [[SpendMonitor]]: running DECIMAL-exact micro
+    * totals per user via a window cumsum, alert rows where the total
+    * crosses a threshold multiple. ONE shuffle on user_id. */
+  def spendAlertsBatch(events: DataFrame, thresholdMicros: Long)
+      : DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    spendStream(events)
+      .withColumn("micros",
+        (col("value").cast(DecimalType(18, 6)) * 1000000).cast("long"))
+      .withColumn("cum_micros", sum(col("micros")).over(w))
+      .withColumn("level", expr(s"cum_micros div ${thresholdMicros}L"))
+      .filter(col("level") >
+        expr(s"(cum_micros - micros) div ${thresholdMicros}L"))
+      .select(col("user_id"), col("event_id"), col("cum_micros"),
+        col("level"))
+  }
+
+  /** Streaming twin on the v2 API — same alerts, incremental. */
+  def spendAlertsStream(events: Dataset[Event],
+                        thresholdMicros: Long): Dataset[SpendAlert] = {
+    import events.sparkSession.implicits._
+    events.filter(e => e.event_type == "purchase" && e.value >= 0)
+      .groupByKey(_.user_id)
+      .transformWithState(new SpendMonitor(thresholdMicros),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
 }

@@ -269,6 +269,57 @@ class StreamingSpec extends SparkSpec {
       s"stream(${streamed.mkString(",")}) != batch(${batch.mkString(",")})")
   }
 
+  test("transformWithState (arbitrary-state v2 API): spend alerts " +
+    "from the RocksDB-backed processor == batch twin, with state " +
+    "carried across batch slicings") {
+    val dir = java.nio.file.Files.createTempDirectory("spend-stream")
+    val ts = (m: Long) => new java.sql.Timestamp(m * 60000L)
+    // user 7 crosses 100 at event 2 (cum 120) and 200 at event 4
+    // (cum 210); user 9 crosses only once; the file split puts the
+    // second crossing in a LATER micro-batch, so the 120-micro state
+    // must survive the batch boundary for event 4's alert to fire
+    val f1 = Seq(
+      EventStreams.Event(1, ts(1), 7L, "purchase", 60.0),
+      EventStreams.Event(2, ts(2), 7L, "purchase", 60.0),
+      EventStreams.Event(3, ts(3), 9L, "purchase", 150.0),
+      EventStreams.Event(90, ts(4), 9L, "click", 999.0), // not spend
+      EventStreams.Event(91, ts(5), 7L, "purchase", -5.0)) // filtered
+    val f2 = Seq(
+      EventStreams.Event(4, ts(10), 7L, "purchase", 90.0),
+      EventStreams.Event(5, ts(11), 9L, "purchase", 30.0))
+    f1.toDS().coalesce(1).write.mode("append").parquet(s"$dir/in")
+
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val enc = implicitly[org.apache.spark.sql.Encoder[EventStreams.Event]]
+      val q = EventStreams.spendAlertsStream(
+          spark.readStream.schema(enc.schema).parquet(s"$dir/in")
+            .as[EventStreams.Event],
+          thresholdMicros = 100000000L)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("spend_out").start()
+      q.processAllAvailable()
+      assert(spark.table("spend_out").count() == 2) // events 2 and 3
+      f2.toDS().coalesce(1).write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      q.stop()
+
+      val streamed = spark.table("spend_out")
+        .orderBy("user_id", "event_id").collect()
+      val batch = EventStreams.spendAlertsBatch(
+          spark.read.parquet(s"$dir/in"), 100000000L)
+        .orderBy("user_id", "event_id").collect()
+      assert(batch.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+        Seq((7L, 2L), (7L, 4L), (9L, 3L)))
+      assert(streamed.sameElements(batch),
+        s"stream(${streamed.mkString(",")}) != batch(${batch.mkString(",")})")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stateless text ops compose into streaming: PII scrub stream == " +
     "batch") {
     // the scrub every pipeline runs before training: being a pure
