@@ -519,6 +519,85 @@ object Multimodal {
     FROM sm
     ORDER BY doc_id"""
 
+  // -------------------------------------------- video scene changes
+  private val FrameChars = 16
+  private val SceneThreshold = 100L
+
+  case class VideoFrame(doc_id: Long, frame_no: Long, media: Array[Byte])
+  case class FrameStat(doc_id: Long, frame_no: Long, sum_r: Long)
+
+  /** documents → video table: each document becomes a frame SEQUENCE —
+    * one real P6 file per [[FrameChars]]-char text slice. The chunking
+    * is declarative (sequence + substring, zero shuffles); only the
+    * per-frame codec runs imperatively. */
+  def videoFrames(s: SparkSession, dir: String): DataFrame = {
+    val synth = udf((b: Array[Byte]) => synthPpm(b))
+    Relational.table(s, dir, "documents")
+      // sequence(0, n-1) flips to a DESCENDING range when n = 0:
+      // empty documents must not reach it
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0),
+            expr(s"(length(text) + ${FrameChars - 1}) div $FrameChars") - 1),
+          f => substring(col("text"), (f * FrameChars + 1).cast("int"),
+            lit(FrameChars)))).as(Seq("frame_no", "chunk")))
+      .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
+        encode(col("chunk"), "UTF-8").as("payload"))
+      .select(col("doc_id"), col("frame_no"),
+        synth(col("payload")).as("media"))
+  }
+
+  /** mm08 — video scene-change detection: decode every frame through
+    * the real P6 parser (batched per partition, decoder init amortized
+    * per task), reduce each to an exact integer intensity sum, and
+    * flag frames whose red-channel sum jumps more than
+    * [[SceneThreshold]] from the previous frame. Temporal comparison
+    * is one lag window keyed on doc_id — frame streams of one
+    * document never cross partitions, so at 100 TB the shuffle is one
+    * pass of (doc, frame, sum) triples, never raster bytes. */
+  def sceneChanges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_no"))
+    videoFrames(s, dir).as[VideoFrame].mapPartitions { rows =>
+      rows.map { f =>
+        val img = decodePpm(f.media)
+        var sr = 0L
+        var i = 0
+        while (i < img.pixels.length) { sr += img.pixels(i) & 0xff; i += 3 }
+        FrameStat(f.doc_id, f.frame_no, sr)
+      }
+    }.toDF()
+      .withColumn("prev", lag(col("sum_r"), 1).over(w))
+      .select(col("doc_id"), col("frame_no"), col("sum_r"),
+        (col("prev").isNotNull &&
+          abs(col("sum_r") - col("prev")) > SceneThreshold)
+          .cast("long").as("is_scene_change"))
+      .orderBy("doc_id", "frame_no")
+  }
+
+  /** DuckDB replica via the synth formula (pure-ASCII corpus: the
+    * red channel is the character code, so frame sums are closed-form
+    * over the text slices). */
+  val sceneChangesSql: String = s"""
+    WITH frames AS (
+      SELECT doc_id, CAST(f AS BIGINT) AS frame_no,
+        CAST(list_sum([ord(x) FOR x IN string_split(
+          substr(text, CAST(f * $FrameChars + 1 AS INT), $FrameChars),
+          '')]) AS BIGINT) AS sum_r
+      FROM documents,
+        LATERAL (SELECT unnest(range(
+          (length(text) + ${FrameChars - 1}) // $FrameChars)) AS f)
+      WHERE length(text) > 0)
+    SELECT doc_id, frame_no, sum_r,
+      CAST(CASE WHEN lag(sum_r) OVER w IS NOT NULL
+            AND abs(sum_r - lag(sum_r) OVER w) > $SceneThreshold
+           THEN 1 ELSE 0 END AS BIGINT) AS is_scene_change
+    FROM frames
+    WINDOW w AS (PARTITION BY doc_id ORDER BY frame_no)
+    ORDER BY doc_id, frame_no"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("mm01_media_meta", mediaMeta _, Some(mediaMetaSql)),
@@ -529,5 +608,6 @@ object Multimodal {
         Some(decodeQuarantineSql)),
       ("mm06_image_resize", imageResize _, Some(imageResizeSql)),
       ("mm07_audio_resample", audioResample _, Some(audioResampleSql)),
+      ("mm08_scene_changes", sceneChanges _, Some(sceneChangesSql)),
     )
 }

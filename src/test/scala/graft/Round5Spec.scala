@@ -289,6 +289,31 @@ class Round5Spec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------ mm08 scene changes
+
+  test("mm08: every video frame round-trips the real P6 codec — " +
+    "decoded red channels reassemble each document's text exactly") {
+    import org.apache.spark.sql.functions.col
+    val docs = queries.Relational.table(spark, sfDir, "documents")
+      .filter(col("doc_id") < 20 && org.apache.spark.sql.functions
+        .length(col("text")) > 0)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val frames = queries.Multimodal.videoFrames(spark, sfDir)
+      .filter(col("doc_id") < 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Array[Byte]]("media")))
+    assert(frames.nonEmpty)
+    frames.groupBy(_._1).foreach { case (docId, fs) =>
+      val rebuilt = fs.sortBy(_._2).map { case (_, _, media) =>
+        val img = queries.Multimodal.decodePpm(media)
+        // red channel = the character codes of the text slice
+        new String(img.pixels.indices.collect {
+          case i if i % 3 == 0 => img.pixels(i)
+        }.toArray, "US-ASCII")
+      }.mkString
+      assert(rebuilt == docs(docId), s"doc $docId frame reassembly")
+    }
+  }
+
   // ---------------------------------------------- s11 curriculum order
 
   test("s11: curriculum positions are a dense 0..n-1 permutation, " +
