@@ -351,6 +351,30 @@ object Streaming {
         > (cum_micros - micros) // $SpendThresholdMicros
     ORDER BY user_id, event_id"""
 
+  private val BasketN = 3
+
+  /** st12 — rolling recent-basket features, run through the batch twin
+    * of the ListState `transformWithState` processor: for every
+    * purchase, the user's last-up-to-[[BasketN]] purchase amounts
+    * (micro-unit integers, oldest-first, dash-joined for an exact
+    * string compare) and their sum. */
+  def recentBaskets(s: SparkSession, dir: String): DataFrame =
+    EventStreams.recentBasketBatch(events(s, dir), BasketN)
+      .orderBy("user_id", "event_id")
+
+  val recentBasketsSql: String = s"""
+    SELECT user_id, event_id,
+      array_to_string(list(micros) OVER w, '-') AS basket,
+      sum(micros) OVER w AS basket_sum
+    FROM (
+      SELECT user_id, event_id, ts,
+        CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS micros
+      FROM events
+      WHERE event_type = 'purchase' AND value >= 0)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN ${BasketN - 1} PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("st01_tumbling_window", tumblingWindow _, Some(tumblingWindowSql)),
@@ -365,5 +389,6 @@ object Streaming {
       ("st10_attribution_outer", attributionOuter _,
         Some(attributionOuterSql)),
       ("st11_spend_alerts", spendAlerts _, Some(spendAlertsSql)),
+      ("st12_recent_baskets", recentBaskets _, Some(recentBasketsSql)),
     )
 }

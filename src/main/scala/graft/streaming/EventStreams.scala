@@ -268,6 +268,69 @@ object EventStreams {
     }
   }
 
+  // ------------- recent-basket features (ListState, v2 API) -------------
+
+  case class BasketRow(user_id: Long, event_id: Long, basket: String,
+                       basket_sum: Long)
+
+  /** Rolling recent-context features on [[ListState]]: for every
+    * purchase, the user's last-up-to-`n` purchase amounts (micro-unit
+    * integers, oldest first) and their sum — the feature-generation
+    * shape online inference pipelines maintain per entity. The list
+    * state is trimmed to `n` on every update, so state is O(n) per
+    * user no matter how long the stream runs. */
+  class BasketBuilder(n: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, BasketRow] {
+    @transient private var recent:
+      org.apache.spark.sql.streaming.ListState[Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      recent = getHandle.getListState[Long]("recent",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[BasketRow] = {
+      var window = if (recent.exists()) recent.get().toVector
+        else Vector.empty[Long]
+      val out = scala.collection.mutable.ArrayBuffer.empty[BasketRow]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        window = (window :+ valueMicros(e.value)).takeRight(n)
+        out += BasketRow(key, e.event_id, window.mkString("-"), window.sum)
+      }
+      recent.put(window.toArray)
+      out.iterator
+    }
+  }
+
+  /** Batch twin of [[BasketBuilder]]: a rows-bounded window collect —
+    * ONE shuffle on user_id, the basket never exceeds `n` values. */
+  def recentBasketBatch(events: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-(n - 1), Window.currentRow)
+    spendStream(events)
+      .withColumn("micros",
+        (col("value").cast(DecimalType(18, 6)) * 1000000).cast("long"))
+      .select(col("user_id"), col("event_id"),
+        array_join(collect_list(col("micros")).over(w), "-").as("basket"),
+        sum(col("micros")).over(w).as("basket_sum"))
+  }
+
+  /** Streaming twin on the v2 API — same rows, incremental. */
+  def recentBasketStream(events: Dataset[Event],
+                         n: Int): Dataset[BasketRow] = {
+    import events.sparkSession.implicits._
+    events.filter(e => e.event_type == "purchase" && e.value >= 0)
+      .groupByKey(_.user_id)
+      .transformWithState(new BasketBuilder(n),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** The spend stream both paths monitor: non-negative purchases
     * only, so the threshold crossings use plain integer division on
     * monotone totals (identical in Spark, DuckDB and the processor). */

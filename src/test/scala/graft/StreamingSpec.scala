@@ -320,6 +320,52 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState ListState: rolling baskets == batch twin, " +
+    "trimmed list state carried across batch slicings") {
+    val dir = java.nio.file.Files.createTempDirectory("basket-stream")
+    val ts = (m: Long) => new java.sql.Timestamp(m * 60000L)
+    // user 7 makes 4 purchases split across two batches: event 4's
+    // basket must contain events 2-4 (state trimmed to 3, carried over)
+    val f1 = Seq(
+      EventStreams.Event(1, ts(1), 7L, "purchase", 10.0),
+      EventStreams.Event(2, ts(2), 7L, "purchase", 20.0),
+      EventStreams.Event(3, ts(3), 7L, "purchase", 30.0),
+      EventStreams.Event(50, ts(4), 9L, "purchase", 5.0))
+    val f2 = Seq(
+      EventStreams.Event(4, ts(10), 7L, "purchase", 40.0),
+      EventStreams.Event(51, ts(11), 9L, "purchase", 6.0))
+    f1.toDS().coalesce(1).write.mode("append").parquet(s"$dir/in")
+
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val enc = implicitly[org.apache.spark.sql.Encoder[EventStreams.Event]]
+      val q = EventStreams.recentBasketStream(
+          spark.readStream.schema(enc.schema).parquet(s"$dir/in")
+            .as[EventStreams.Event], n = 3)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("basket_out").start()
+      q.processAllAvailable()
+      f2.toDS().coalesce(1).write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      q.stop()
+
+      val streamed = spark.table("basket_out")
+        .orderBy("user_id", "event_id").collect()
+      val batch = EventStreams.recentBasketBatch(
+          spark.read.parquet(s"$dir/in"), 3)
+        .orderBy("user_id", "event_id").collect()
+      val e4 = streamed.find(r => r.getLong(1) == 4L).get
+      assert(e4.getString(2) == "20000000-30000000-40000000",
+        s"event 4 basket: ${e4.getString(2)}")
+      assert(streamed.sameElements(batch),
+        s"stream(${streamed.mkString(",")}) != batch(${batch.mkString(",")})")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stateless text ops compose into streaming: PII scrub stream == " +
     "batch") {
     // the scrub every pipeline runs before training: being a pure
