@@ -109,8 +109,11 @@ object Bench {
     // silently vanish from the tail-parsed line — fail loudly instead
     headline.filterNot(resultMap.contains).foreach(k =>
       System.err.println(s"[bench] headline key missing from results: $k"))
+    // 2 decimals: centisecond resolution is enough for the driver's
+    // trend reading and buys the 2000-char stdout-tail budget ~1 char
+    // per key — the list is at 1973 chars with 3 decimals and 67 keys
     val qsCompact = headline.flatMap(k => resultMap.get(k).map(v =>
-        "\"" + k + "\":" + (math.rint(v * 1000) / 1000)))
+        "\"" + k + "\":" + (math.rint(v * 100) / 100)))
       .mkString("{", ",", "}")
     val jsonCompact =
       s"""{"metric":"total","value":${math.rint(total * 100) / 100},""" +
