@@ -103,7 +103,8 @@ object Bench {
       "s10_ann_pq", "l03_sorted_neighborhood", "q24_status_pivot",
       "c05_scd2_history", "t22_heavy_hitters", "st10_attribution_outer",
       "q26_exists_chain", "l04_fellegi_sunter", "s11_curriculum",
-      "st11_spend_alerts", "mm08_scene_changes", "st12_recent_baskets")
+      "st11_spend_alerts", "mm08_scene_changes", "st12_recent_baskets",
+      "st13_idle_users")
     val resultMap = results.toMap
     // a headline key that stops matching a query name would otherwise
     // silently vanish from the tail-parsed line — fail loudly instead

@@ -375,6 +375,36 @@ object Streaming {
       ROWS BETWEEN ${BasketN - 1} PRECEDING AND CURRENT ROW)
     ORDER BY user_id, event_id"""
 
+  private val IdleGapMinutes = 30
+  private val IdleWmMinutes = 10
+
+  /** st13 — idle-user detection, run through the batch twin of the
+    * event-time-timer processor: one alert per silence wider than
+    * [[IdleGapMinutes]], including the trailing silence the closing
+    * watermark has confirmed. Exact epoch-micro integers → bit-exact
+    * oracle; StreamingSpec proves the timer-pushed stream path emits
+    * the identical alerts under event-time-ordered slicing. */
+  def idleUsers(s: SparkSession, dir: String): DataFrame =
+    EventStreams.idleBatch(events(s, dir), IdleGapMinutes, IdleWmMinutes)
+      .orderBy("user_id", "last_seen_us")
+
+  val idleUsersSql: String = s"""
+    WITH mx AS (SELECT max(ts) AS max_ts FROM events),
+    seq AS (
+      SELECT user_id, ts,
+        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS next_ts
+      FROM events)
+    SELECT user_id, epoch_us(ts) AS last_seen_us,
+      epoch_us(ts + INTERVAL $IdleGapMinutes MINUTE) AS idle_at_us
+    FROM seq, mx
+    WHERE (next_ts IS NOT NULL
+           AND next_ts > ts + INTERVAL $IdleGapMinutes MINUTE)
+       OR (next_ts IS NULL
+           AND max_ts - INTERVAL $IdleWmMinutes MINUTE
+               >= ts + INTERVAL $IdleGapMinutes MINUTE)
+    ORDER BY user_id, last_seen_us"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("st01_tumbling_window", tumblingWindow _, Some(tumblingWindowSql)),
@@ -390,5 +420,6 @@ object Streaming {
         Some(attributionOuterSql)),
       ("st11_spend_alerts", spendAlerts _, Some(spendAlertsSql)),
       ("st12_recent_baskets", recentBaskets _, Some(recentBasketsSql)),
+      ("st13_idle_users", idleUsers _, Some(idleUsersSql)),
     )
 }

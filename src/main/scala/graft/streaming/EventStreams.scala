@@ -331,6 +331,88 @@ object EventStreams {
         OutputMode.Append())
   }
 
+  // ----------- idle detection (event-time timers, v2 API) -----------
+
+  case class IdleAlert(user_id: Long, last_seen_us: Long, idle_at_us: Long)
+
+  /** Event-time-timer idleness detector on the v2 API: each user's
+    * state is one `lastTs` long plus ONE registered timer at
+    * `lastTs + gap`; new events slide the timer forward, and when the
+    * WATERMARK passes an un-slid timer, [[StatefulProcessor
+    * .handleExpiredTimer]] emits the idle alert — the push-based
+    * "entity went quiet" primitive (session expiry, heartbeat loss,
+    * cache invalidation) that polling formulations scan the whole
+    * state store for. State and timer count are O(1) per user.
+    *
+    * Alert timing depends on watermark progression, so the bit-exact
+    * batch twin ([[idleBatch]]) is the driver-facing query; the spec
+    * proves stream == batch under event-time-ordered batch slicing. */
+  class IdleDetector(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, IdleAlert] {
+    @transient private var lastTs:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      lastTs = getHandle.getValueState[Long]("lastTs",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[IdleAlert] = {
+      val batchMax = rows.map(_.ts.getTime).max
+      if (lastTs.exists()) {
+        getHandle.deleteTimer(lastTs.get() + gapMs)
+        if (batchMax > lastTs.get()) lastTs.update(batchMax)
+      } else lastTs.update(batchMax)
+      getHandle.registerTimer(lastTs.get() + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[IdleAlert] =
+      Iterator.single(IdleAlert(key, lastTs.get() * 1000L,
+        expired.getExpiryTimeInMs * 1000L))
+  }
+
+  /** Batch twin of [[IdleDetector]] over a finite log: an idle alert
+    * after every consecutive-event gap wider than the threshold, plus
+    * the trailing alert for users whose final silence the closing
+    * watermark (corpus max ts − delay) has already confirmed. ONE
+    * user_id shuffle; the global max is a broadcast scalar. */
+  def idleBatch(events: DataFrame, gapMinutes: Int,
+                watermarkMinutes: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gap = expr(s"INTERVAL '$gapMinutes' MINUTE")
+    val mx = events.agg(max(col("ts")).as("max_ts"))
+    events.select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .crossJoin(broadcast(mx))
+      .filter(
+        (col("next_ts").isNotNull && col("next_ts") > col("ts") + gap) ||
+        (col("next_ts").isNull &&
+          col("max_ts") - expr(s"INTERVAL '$watermarkMinutes' MINUTE")
+            >= col("ts") + gap))
+      .select(col("user_id"), unix_micros(col("ts")).as("last_seen_us"),
+        unix_micros(col("ts") + gap).as("idle_at_us"))
+  }
+
+  /** Streaming twin on the v2 API — same alerts, pushed by timers. */
+  def idleStream(events: Dataset[Event], gapMinutes: Int,
+                 watermark: String): Dataset[IdleAlert] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new IdleDetector(gapMinutes * 60000L),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** The spend stream both paths monitor: non-negative purchases
     * only, so the threshold crossings use plain integer division on
     * monotone totals (identical in Spark, DuckDB and the processor). */

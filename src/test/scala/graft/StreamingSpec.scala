@@ -366,6 +366,70 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState event-time timers: idle alerts pushed when " +
+    "the watermark passes an un-slid timer == batch twin under " +
+    "event-time-ordered slicing") {
+    val dir = java.nio.file.Files.createTempDirectory("idle-stream")
+    val ts = (m: Long) => new java.sql.Timestamp(m * 60000L)
+    // user 7: events at 1 and 2, silent until 100 (mid-stream gap),
+    // then silent forever (trailing). user 9: active at 1, 20, 40 —
+    // never idle mid-stream, but idle at the end. sentinel user 999's
+    // far-future events advance the watermark so every timer fires.
+    val f1 = Seq(
+      EventStreams.Event(1, ts(1), 7L, "click", 1.0),
+      EventStreams.Event(2, ts(2), 7L, "click", 1.0),
+      EventStreams.Event(3, ts(1), 9L, "click", 1.0),
+      EventStreams.Event(4, ts(20), 9L, "click", 1.0))
+    // sentinel at 45 pushes the watermark to 35 > user 7's timer (32)
+    // BEFORE 7's return at 100 arrives — if the return rode the same
+    // batch it would slide the timer and the mid-stream alert could
+    // never fire (exactly the ordering dependence this test pins down)
+    val f2 = Seq(EventStreams.Event(90, ts(45), 999L, "click", 0.0))
+    val f3 = Seq(
+      EventStreams.Event(5, ts(100), 7L, "click", 1.0),
+      EventStreams.Event(6, ts(40), 9L, "click", 1.0))
+    val f4 = Seq(EventStreams.Event(91, ts(500), 999L, "click", 0.0))
+    f1.toDS().coalesce(1).write.mode("append").parquet(s"$dir/in")
+
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val enc = implicitly[org.apache.spark.sql.Encoder[EventStreams.Event]]
+      val q = EventStreams.idleStream(
+          spark.readStream.schema(enc.schema).parquet(s"$dir/in")
+            .as[EventStreams.Event],
+          gapMinutes = 30, watermark = "10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("idle_out").start()
+      q.processAllAvailable()
+      // event-time-ordered slices: each batch's events precede the
+      // next batch's, so timers fire exactly where the batch twin
+      // sees gaps
+      Seq(f2, f3, f4).foreach { f =>
+        f.toDS().coalesce(1).write.mode("append").parquet(s"$dir/in")
+        q.processAllAvailable()
+      }
+      q.stop()
+
+      val streamed = spark.table("idle_out")
+        .filter(col("user_id") =!= 999L)
+        .orderBy("user_id", "last_seen_us").collect()
+      val batch = EventStreams.idleBatch(
+          spark.read.parquet(s"$dir/in"), 30, 10)
+        .filter(col("user_id") =!= 999L)
+        .orderBy("user_id", "last_seen_us").collect()
+      // user 7: mid-stream gap after ts 2 + trailing after ts 100;
+      // user 9: trailing after ts 40
+      assert(batch.map(r => (r.getLong(0), r.getLong(1) / 60000000L))
+        .toSeq == Seq((7L, 2L), (7L, 100L), (9L, 40L)))
+      assert(streamed.sameElements(batch),
+        s"stream(${streamed.mkString(",")}) != batch(${batch.mkString(",")})")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stateless text ops compose into streaming: PII scrub stream == " +
     "batch") {
     // the scrub every pipeline runs before training: being a pure
