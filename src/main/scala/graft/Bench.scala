@@ -104,7 +104,7 @@ object Bench {
       "c05_scd2_history", "t22_heavy_hitters", "st10_attribution_outer",
       "q26_exists_chain", "l04_fellegi_sunter", "s11_curriculum",
       "st11_spend_alerts", "mm08_scene_changes", "st12_recent_baskets",
-      "st13_idle_users")
+      "st13_idle_users", "d11_golden_records")
     val resultMap = results.toMap
     // a headline key that stops matching a query name would otherwise
     // silently vanish from the tail-parsed line — fail loudly instead

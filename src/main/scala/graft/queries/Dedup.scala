@@ -418,6 +418,50 @@ object Dedup {
       (col("doc_id") === col("label")).as("keep")), round)
   }
 
+  /** d11 — golden-record survivorship: instead of d06's min-id keep
+    * rule, each near-dup cluster keeps its BEST member, scored by an
+    * integer quality key (longest text, ties to the lowest id) — the
+    * MDM "survivorship policy" every dedup pipeline bolts on after
+    * clustering. One `max(struct(quality, -doc_id, payload))` per
+    * cluster — a map-side-combinable aggregate, never a window rank
+    * (c04's shape: partial aggregation below the shuffle is what
+    * survives at 100 TB). Clusters here are the closed-form chains
+    * (d07's harness), so the WHOLE stack — multi-hop clustering plus
+    * survivorship — is oracle-checked bit-exactly. */
+  def goldenRecords(s: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.table(s, dir, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("quality"))
+    clusterChain(s, dir)
+      .join(docs, "doc_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("quality"), (-col("doc_id")).as("neg_id")))
+          .as("best"))
+      .select(col("cluster_id"), col("n_members"),
+        (-col("best.neg_id")).as("golden_id"),
+        col("best.quality").as("golden_quality"))
+      .orderBy("cluster_id")
+  }
+
+  val goldenRecordsSql: String = """
+    WITH members AS (
+      SELECT DISTINCT doc_id, doc_id - (doc_id % 10) AS cluster_id
+      FROM (
+        SELECT doc_id FROM documents WHERE doc_id % 10 <= 2
+        UNION ALL
+        SELECT doc_id + 1 AS doc_id FROM documents WHERE doc_id % 10 <= 2)),
+    scored AS (
+      SELECT m.cluster_id, m.doc_id, length(d.text) AS quality
+      FROM members m JOIN documents d ON d.doc_id = m.doc_id)
+    SELECT cluster_id, count(*) AS n_members,
+      CAST(-(max(struct_pack(q := quality, nid := -doc_id)).nid)
+        AS BIGINT) AS golden_id,
+      CAST(max(struct_pack(q := quality, nid := -doc_id)).q
+        AS BIGINT) AS golden_quality
+    FROM scored
+    GROUP BY cluster_id
+    ORDER BY cluster_id"""
+
   /** MinHash candidate pairs → clusters → canonical keep decision. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     clusterPairs(dedupMinhashLsh(s, dir))
@@ -699,5 +743,6 @@ object Dedup {
       ("d09_semantic_dedup", semanticDedup _, Some(semanticDedupSql)),
       ("d10_incremental_dedup", incrementalDedup _,
         Some(incrementalDedupSql)),
+      ("d11_golden_records", goldenRecords _, Some(goldenRecordsSql)),
     )
 }

@@ -289,6 +289,30 @@ class Round5Spec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------ d11 golden records
+
+  test("d11: survivorship is a partial-aggregating struct-max (no " +
+    "window rank), and every golden record is its cluster's longest " +
+    "member with ties to the lowest id") {
+    import org.apache.spark.sql.functions.{col, length}
+    val df = queries.Dedup.goldenRecords(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window rank crept in:\n$plan")
+    assert(plan.contains("partial_max") || plan.contains("partial_"),
+      s"no partial aggregation below the shuffle:\n$plan")
+    val lengths = queries.Relational.table(spark, sfDir, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    df.collect().foreach { r =>
+      val (cid, golden, gq) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      val members = (cid to cid + 3).filter(lengths.contains)
+      assert(members.contains(golden), s"cluster $cid golden $golden")
+      assert(gq == members.map(lengths).max, s"cluster $cid quality")
+      val best = members.filter(m => lengths(m) == gq).min
+      assert(golden == best, s"cluster $cid tie-break")
+    }
+  }
+
   // ------------------------------------------------ mm08 scene changes
 
   test("mm08: every video frame round-trips the real P6 codec — " +
