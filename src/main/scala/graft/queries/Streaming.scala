@@ -405,6 +405,28 @@ object Streaming {
                >= ts + INTERVAL $IdleGapMinutes MINUTE)
     ORDER BY user_id, last_seen_us"""
 
+  /** st14 — point-in-time feature profiles, run through the batch
+    * twin of the MapState processor: for every event, the user's
+    * per-event-type counts AS OF that event — the feature-store
+    * snapshot discipline that prevents training-serving skew. Pure
+    * integer running counts → bit-exact oracle. */
+  def userProfiles(s: SparkSession, dir: String): DataFrame =
+    EventStreams.profileBatch(events(s, dir))
+      .orderBy("user_id", "event_id")
+
+  val userProfilesSql: String = {
+    val counts = EventStreams.ProfileTypes.map(t =>
+      s"""      sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END)
+        OVER w AS n_$t""").mkString(",\n")
+    s"""
+    SELECT user_id, event_id,
+$counts
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING)
+    ORDER BY user_id, event_id"""
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("st01_tumbling_window", tumblingWindow _, Some(tumblingWindowSql)),
@@ -421,5 +443,6 @@ object Streaming {
       ("st11_spend_alerts", spendAlerts _, Some(spendAlertsSql)),
       ("st12_recent_baskets", recentBaskets _, Some(recentBasketsSql)),
       ("st13_idle_users", idleUsers _, Some(idleUsersSql)),
+      ("st14_user_profiles", userProfiles _, Some(userProfilesSql)),
     )
 }

@@ -413,6 +413,74 @@ object EventStreams {
         OutputMode.Append())
   }
 
+  // -------- point-in-time feature profiles (MapState, v2 API) --------
+
+  case class ProfileRow(user_id: Long, event_id: Long, n_click: Long,
+                        n_view: Long, n_purchase: Long, n_signup: Long,
+                        n_error: Long)
+
+  private[graft] val ProfileTypes =
+    Seq("click", "view", "purchase", "signup", "error")
+
+  /** Point-in-time-correct feature snapshots on [[MapState]]: for
+    * every event, the user's per-event-type counts AS OF that event
+    * (inclusive) — the feature-store discipline that avoids
+    * training-serving skew, maintained incrementally instead of
+    * recomputed per training run. State is one (type → count) map per
+    * user, O(|types|); the snapshot is emitted per event, so the
+    * stream IS the point-in-time feature log. */
+  class ProfileBuilder
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, ProfileRow] {
+    @transient private var profile:
+      org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      profile = getHandle.getMapState[String, Long]("profile",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[ProfileRow] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[ProfileRow]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val n = (if (profile.containsKey(e.event_type))
+          profile.getValue(e.event_type) else 0L) + 1L
+        profile.updateValue(e.event_type, n)
+        def c(t: String): Long =
+          if (profile.containsKey(t)) profile.getValue(t) else 0L
+        out += ProfileRow(key, e.event_id, c("click"), c("view"),
+          c("purchase"), c("signup"), c("error"))
+      }
+      out.iterator
+    }
+  }
+
+  /** Batch twin of [[ProfileBuilder]]: one user_id window, one
+    * conditional running count per declared type — the offline
+    * backfill of the same point-in-time feature log. */
+  def profileBatch(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val counts = ProfileTypes.map(t =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).over(w)
+        .as(s"n_$t"))
+    events.select(col("user_id") +: col("event_id") +: counts: _*)
+  }
+
+  /** Streaming twin on the v2 API — same snapshots, incremental. */
+  def profileStream(events: Dataset[Event]): Dataset[ProfileRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new ProfileBuilder,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** The spend stream both paths monitor: non-negative purchases
     * only, so the threshold crossings use plain integer division on
     * monotone totals (identical in Spark, DuckDB and the processor). */

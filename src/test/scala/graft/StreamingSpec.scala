@@ -430,6 +430,54 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState MapState: point-in-time profiles == batch " +
+    "twin, per-type counts carried across batch slicings") {
+    val dir = java.nio.file.Files.createTempDirectory("profile-stream")
+    val ts = (m: Long) => new java.sql.Timestamp(m * 60000L)
+    val f1 = Seq(
+      EventStreams.Event(1, ts(1), 7L, "click", 1.0),
+      EventStreams.Event(2, ts(2), 7L, "view", 1.0),
+      EventStreams.Event(3, ts(3), 7L, "click", 1.0),
+      EventStreams.Event(4, ts(1), 9L, "signup", 1.0))
+    val f2 = Seq(
+      EventStreams.Event(5, ts(10), 7L, "purchase", 1.0),
+      EventStreams.Event(6, ts(11), 7L, "click", 1.0),
+      EventStreams.Event(7, ts(10), 9L, "error", 1.0))
+    f1.toDS().coalesce(1).write.mode("append").parquet(s"$dir/in")
+
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val enc = implicitly[org.apache.spark.sql.Encoder[EventStreams.Event]]
+      val q = EventStreams.profileStream(
+          spark.readStream.schema(enc.schema).parquet(s"$dir/in")
+            .as[EventStreams.Event])
+        .writeStream.outputMode("append")
+        .format("memory").queryName("profile_out").start()
+      q.processAllAvailable()
+      f2.toDS().coalesce(1).write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      q.stop()
+
+      val streamed = spark.table("profile_out")
+        .orderBy("user_id", "event_id").collect()
+      val batch = EventStreams.profileBatch(
+          spark.read.parquet(s"$dir/in"))
+        .orderBy("user_id", "event_id").collect()
+      // event 6 (user 7's 5th event, 2nd batch): 3 clicks, 1 view,
+      // 1 purchase as of then — the click count crossed the batch
+      // boundary through the map state
+      val e6 = streamed.find(_.getLong(1) == 6L).get
+      assert((e6.getLong(2), e6.getLong(3), e6.getLong(4)) == ((3L, 1L, 1L)),
+        s"event 6 profile: $e6")
+      assert(streamed.sameElements(batch),
+        s"stream(${streamed.mkString(",")}) != batch(${batch.mkString(",")})")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stateless text ops compose into streaming: PII scrub stream == " +
     "batch") {
     // the scrub every pipeline runs before training: being a pure
