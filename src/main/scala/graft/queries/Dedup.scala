@@ -728,6 +728,109 @@ object Dedup {
     WHERE md5(text) NOT IN (SELECT fp FROM corpus)
     ORDER BY doc_id"""
 
+  // ------------------------------------ d12 duplicated-span removal
+
+  /** Window length (tokens) above which a repeated span is cut. */
+  private[graft] val SpanL = 8
+
+  /** 12 sentinel tokens appended to every 7th doc — a shared tail whose
+    * internal L-grams are duplicated corpus-wide by construction, so
+    * span removal (and its island merge: 5 overlapping dup windows →
+    * ONE 12-token cut) is exercised at every SF. Grams straddling the
+    * original text and the tail differ per doc and stay unique. */
+  private[graft] val PlantTail: String =
+    (1 to 12).map(i => f"pz$i%02d").mkString(" ")
+
+  private def plantedSpanCorpus(s: SparkSession, dir: String): DataFrame =
+    Relational.table(s, dir, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" " + PlantTail)))
+          .otherwise(col("text")).as("text"))
+
+  /** d12 — exact duplicated-substring REMOVAL (the cut, not just the
+    * t21 coverage measure): every token span of length ≥ [[SpanL]]
+    * whose text occurs ≥ 2 times anywhere in the corpus is deleted
+    * from every document, overlapping spans merged (cf. the
+    * exact-substring dedup of Lee et al. 2021, token granularity).
+    *
+    * Scale shape: the ONLY corpus-proportional shuffle is the gram
+    * window (same key/fanout as t21 — one row per token position,
+    * counted per gram). Duplicated positions then collapse to ONE row
+    * per affected doc (collect_list bounded by the doc's own token
+    * count), and the cut itself is map-side array arithmetic after a
+    * doc_id-keyed join — at test scale AQE broadcasts the position
+    * side so the payload text never shuffles; at 100 TB it degrades
+    * to a single doc_id SMJ. No per-token join, no second pass over
+    * the corpus. */
+  def substringDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = plantedSpanCorpus(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val grams = toks.filter(size(col("toks")) >= SpanL)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - $SpanL + 1), i -> " +
+          s"named_struct('pos', i, 'gram', " +
+          s"array_join(slice(toks, i, $SpanL), ' ')))")).as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"),
+        col("pg.gram").as("gram"))
+    val dupPos = grams
+      .withColumn("n_global", count(lit(1)).over(Window.partitionBy("gram")))
+      .filter(col("n_global") > 1)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("dup_pos"))
+    toks.join(dupPos, Seq("doc_id"), "left")
+      .withColumn("covered", expr(
+        s"array_distinct(flatten(transform(" +
+          s"coalesce(dup_pos, cast(array() as array<int>)), " +
+          s"p -> sequence(p, p + $SpanL - 1))))"))
+      .withColumn("kept", expr(
+        "filter(zip_with(toks, sequence(1, size(toks)), " +
+          "(t, i) -> named_struct('t', t, 'i', i)), " +
+          "s -> NOT array_contains(covered, s.i))"))
+      .select(col("doc_id"),
+        expr("array_join(transform(kept, s -> s.t), ' ')")
+          .as("clean_text"),
+        (size(col("toks")) - size(col("kept"))).cast("long")
+          .as("n_removed"))
+      .orderBy("doc_id")
+  }
+
+  val substringDedupSql: String = s"""
+    WITH docs2 AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 7 = 0 THEN text || ' $PlantTail'
+             ELSE text END AS text
+      FROM documents),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs2),
+    grams AS (
+      SELECT doc_id,
+        unnest(range(1, len(t) - $SpanL + 2)) AS pos,
+        unnest(list_transform(range(1, len(t) - $SpanL + 2),
+          i -> array_to_string(t[i:i+$SpanL-1], ' '))) AS gram
+      FROM toks WHERE len(t) >= $SpanL),
+    dup AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS n
+        FROM grams) WHERE n > 1),
+    covered AS (
+      SELECT DISTINCT doc_id, idx FROM (
+        SELECT doc_id, pos + unnest(range(0, $SpanL)) AS idx FROM dup)),
+    tokidx AS (
+      SELECT doc_id, unnest(t) AS tok,
+        unnest(range(1, len(t) + 1)) AS idx
+      FROM toks),
+    kept AS (
+      SELECT k.doc_id, k.tok, k.idx FROM tokidx k
+      LEFT JOIN covered c ON c.doc_id = k.doc_id AND c.idx = k.idx
+      WHERE c.doc_id IS NULL)
+    SELECT t.doc_id,
+      coalesce(string_agg(k.tok, ' ' ORDER BY k.idx), '') AS clean_text,
+      CAST(len(t.t) - count(k.tok) AS BIGINT) AS n_removed
+    FROM toks t LEFT JOIN kept k ON k.doc_id = t.doc_id
+    GROUP BY t.doc_id, len(t.t)
+    ORDER BY t.doc_id"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("d01_dedup_exact", dedupExact _, Some(dedupExactSql)),
@@ -744,5 +847,6 @@ object Dedup {
       ("d10_incremental_dedup", incrementalDedup _,
         Some(incrementalDedupSql)),
       ("d11_golden_records", goldenRecords _, Some(goldenRecordsSql)),
+      ("d12_substring_dedup", substringDedup _, Some(substringDedupSql)),
     )
 }

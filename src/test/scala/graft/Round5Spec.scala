@@ -403,4 +403,42 @@ class Round5Spec extends SparkSpec {
         ordered.last.fieldIndex("valid_to_us")), key)
     }
   }
+
+  // --------------------------------------------- d12 substring dedup
+
+  test("d12: planted shared tails are cut as ONE merged island, " +
+    "sentinels never survive, and unduplicated docs pass unchanged") {
+    import graft.queries.Dedup
+    val out = Dedup.substringDedup(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val orig = queries.Relational.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == orig.keySet)
+    // no sentinel token survives anywhere
+    out.values.foreach { case (txt, _) =>
+      assert(!txt.contains("pz0") && !txt.contains("pz1"), txt.take(80))
+    }
+    // island merge: a planted doc loses AT LEAST the whole 12-token
+    // tail (5 overlapping dup 8-gram windows -> one contiguous cut),
+    // never 5 separate 8-token cuts of the tail alone
+    val planted = orig.keys.filter(_ % 7 == 0)
+    assert(planted.nonEmpty)
+    planted.foreach { id => assert(out(id)._2 >= 12, s"doc $id") }
+    // a doc with no duplicated span anywhere must be byte-identical
+    val untouched = orig.collect {
+      case (id, txt) if id % 7 != 0 && out(id)._2 == 0 => (id, txt)
+    }
+    assert(untouched.nonEmpty)
+    untouched.foreach { case (id, txt) =>
+      assert(out(id)._1 == txt, s"doc $id mutated") }
+    // removal is exact token accounting: kept + removed == original
+    orig.foreach { case (id, txt) =>
+      val nOrig = txt.split(" ").length +
+        (if (id % 7 == 0) 12 else 0)
+      val kept = out(id)._1 match {
+        case "" => 0; case t => t.split(" ").length }
+      assert(kept + out(id)._2.toInt == nOrig, s"doc $id")
+    }
+  }
 }
