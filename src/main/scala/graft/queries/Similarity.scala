@@ -201,6 +201,25 @@ object Similarity {
     (array_position(coses, array_max(coses)) - 1).cast("int")
   }
 
+  /** Native multi-probe: top-`n` centroid indices by cosine, as pure
+    * expression work — `array_sort` over `(−cos, idx)` structs (struct
+    * default ordering = cos desc, ties → lowest index, exactly
+    * [[nearestCentroids]]' `sortBy((-c, i))`), then slice + project.
+    * Replaces the last ScalaUDF on the s04 query side: k is plan-time
+    * constant, so the sort is over a k-element literal-shaped array
+    * per row — no serialization boundary, no broadcast handle. */
+  private[graft] def nearestCentroidsCol(emb: org.apache.spark.sql.Column,
+      cents: Array[Array[Float]], n: Int): org.apache.spark.sql.Column = {
+    val entries = cents.zipWithIndex.map { case (c, i) =>
+      struct(
+        (graft.expr.CosineSimilarity.cosineSimilarity(emb,
+          typedLit(c.toSeq)) * lit(-1.0)).as("negcos"),
+        lit(i).as("idx"))
+    }
+    transform(slice(array_sort(array(entries: _*)), 1, n),
+      s => s.getField("idx"))
+  }
+
   /** IVF ANN: k-means inverted lists + multi-probe. Every corpus
     * vector is assigned to its nearest centroid in ONE broadcast pass
     * (no shuffle); each query probes its `IvfProbe` closest lists, so
@@ -211,16 +230,15 @@ object Similarity {
     val emb = Relational.table(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
     val cents = ivfCentroids(emb, IvfK, IvfIters, seed = 9000)
-    val bc = s.sparkContext.broadcast(cents)
-    val probeUdf = udf((v: Seq[Float]) =>
-      nearestCentroids(v, bc.value, IvfProbe))
 
     // corpus side stays UDF-free: codegen'd k-cosine argmax
     val lists = emb.select(col("vec_id"), col("embedding"),
       nearestCentroidCol(col("embedding"), cents).as("cid"))
+    // ...and so does the query side: native top-n probe expression
     val queries = emb.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        explode(probeUdf(col("embedding"))).as("cid"))
+        explode(nearestCentroidsCol(col("embedding"), cents, IvfProbe))
+          .as("cid"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     // each corpus vector lives in exactly one list and each query

@@ -64,5 +64,31 @@ class CosineExprSpec extends SparkSpec {
     val bf = Similarity.annBruteForce(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert(!bf.contains("ScalaUDF"), bf.take(2000))
+    // ...and so is IVF, including the query-side multi-probe
+    val ivf = Similarity.annIvf(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!ivf.contains("ScalaUDF"), ivf.take(2000))
+  }
+
+  test("native multi-probe expression is bit-parity with the Scala " +
+    "nearestCentroids on every corpus vector") {
+    val emb = graft.queries.Relational.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cents = Array(Seq(1f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f),
+      Seq(0f, 0f, 1f, 0f), Seq(0.5f, 0.5f, 0f, 0f), Seq(0f, 0f, 0f, 1f))
+      .map(_.toArray)
+    // pad/truncate corpus vectors to dim 4 via the first 4 dims
+    val v4 = emb.select(col("vec_id"),
+      expr("slice(embedding, 1, 4)").as("e"))
+    val native = v4.select(col("vec_id"),
+      Similarity.nearestCentroidsCol(col("e"), cents, 3).as("probe"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val viaScala = v4.collect().map { r =>
+      r.getLong(0) ->
+        Similarity.nearestCentroids(r.getSeq[Float](1), cents, 3)
+    }.toMap
+    assert(native.keySet == viaScala.keySet && native.nonEmpty)
+    native.foreach { case (id, p) =>
+      assert(p == viaScala(id), s"vec $id: $p vs ${viaScala(id)}") }
   }
 }
