@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo,
   Literal}
 import graft.expr.{CosineSimilarity, HyperplaneBuckets, IntDotProduct,
-  MinHashSignature, MisraGriesTopK, NgramHashes, SimHash64}
+  MinHashSignature, MisraGriesTopK, NgramHashes, SimHash64, TopKPairs}
 
 /** SQL-surface registration for the engine's custom expressions.
   *
@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.hyperplaneBucketsFn)
     ext.injectFunction(GraftExtensions.simhash64Fn)
     ext.injectFunction(GraftExtensions.mgTopKFn)
+    ext.injectFunction(GraftExtensions.topkPairsFn)
   }
 }
 
@@ -135,6 +136,22 @@ object GraftExtensions {
     new ExpressionInfo(classOf[MisraGriesTopK].getName, "mg_topk"),
     (exprs: Seq[Expression]) => buildMgTopK(exprs))
 
+  private def buildTopkPairs(exprs: Seq[Expression]): Expression = {
+    require(exprs.size == 3,
+      s"topk_pairs takes (score, tag, k), got ${exprs.size}")
+    val k = exprs(2) match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"topk_pairs: k must be an integer literal, got $other")
+    }
+    TopKPairs(exprs(0), exprs(1), k)
+  }
+
+  private[graft] val topkPairsFn = (
+    FunctionIdentifier("topk_pairs"),
+    new ExpressionInfo(classOf[TopKPairs].getName, "topk_pairs"),
+    (exprs: Seq[Expression]) => buildTopkPairs(exprs))
+
   /** Register the engine's SQL functions on an existing session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -151,5 +168,7 @@ object GraftExtensions {
       "simhash64", buildSimhash, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "mg_topk", buildMgTopK, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk_pairs", buildTopkPairs, "scala_udf")
   }
 }

@@ -223,6 +223,64 @@ object Relational {
     WHERE rn <= 3
     ORDER BY o_custkey, rn"""
 
+  /** q27 — q07's top-3-orders-per-customer via the bounded-heap
+    * [[graft.expr.TopKPairs]] aggregate instead of a window rank.
+    * The window shape shuffles EVERY order row and sorts every
+    * customer's full order list just to keep 3; this one partial-
+    * aggregates map-side (≤ 3 pairs per customer per partition cross
+    * the wire) and never sorts a group — the plan shape that survives
+    * a customer with 10^6 orders at 100 TB. Same oracle as q07,
+    * column for column. */
+  def q27TopkAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    o.groupBy(col("o_custkey"))
+      .agg(graft.expr.TopKPairs.topkPairs(
+        col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("o_custkey"), col("p.tag").as("o_orderkey"),
+        col("p.score").as("o_totalprice"),
+        (col("pos") + 1).cast("long").as("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** q28 — GROUPING SETS with an ASYMMETRIC margin set: (region,
+    * nation) detail, nation-only margins, and the grand total. The
+    * nation-only margin is the set neither `rollup` (prefix-closed)
+    * nor `cube` (all 4 sets) can express alone — this is the general
+    * multi-margin aggregation surface, planned by Spark as ONE Expand
+    * + single hash aggregate (each input row expands to 3 grouping
+    * tuples map-side; no per-set rescan of the joined fact). */
+  def q28GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val r = table(spark, dir, "region")
+    val n = table(spark, dir, "nation")
+    val c = table(spark, dir, "customer")
+    val o = table(spark, dir, "orders")
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupingSets(
+        Seq(Seq(col("r_name"), col("n_name")), Seq(col("n_name")), Seq()),
+        col("r_name"), col("n_name"))
+      .agg(dsum(col("o_totalprice"), 2).as("revenue"),
+        count(lit(1)).as("order_cnt"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("revenue"), col("order_cnt"))
+      .orderBy("region", "nation")
+  }
+
+  val q28Sql: String = s"""
+    SELECT coalesce(r_name, 'ALL') AS region,
+      coalesce(n_name, 'ALL') AS nation,
+      ${dsumSql("o_totalprice", 2)} AS revenue,
+      count(*) AS order_cnt
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name, n_name), (n_name), ())
+    ORDER BY region, nation"""
+
   // ---------------------------------------------------------------- Q8
   /** Rollup over region/nation revenue. region+nation are genuinely tiny
     * at any SF → explicit broadcast hints. */
@@ -612,5 +670,7 @@ object Relational {
     ("q24_status_pivot", q24StatusPivot _, q24Sql),
     ("q25_corr_subquery", q25CorrSubquery _, q25Sql),
     ("q26_exists_chain", q26ExistsChain _, q26Sql),
+    ("q27_topk_agg", q27TopkAgg _, q07Sql),
+    ("q28_grouping_sets", q28GroupingSets _, q28Sql),
   )
 }
