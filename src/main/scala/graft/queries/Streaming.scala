@@ -80,6 +80,19 @@ object Streaming {
     GROUP BY user_id, session_no
     ORDER BY user_id, session_start"""
 
+  /** Native session_window sessionization (st03's platform twin). */
+  def sessionWindowNative(s: SparkSession, dir: String): DataFrame =
+    EventStreams.sessionWindowAgg(events(s, dir), "30 minutes",
+      "10 minutes")
+      .orderBy("user_id", "session_start")
+
+  /** st03's oracle verbatim: session_window merges windows that
+    * TOUCH (event at exactly prev_ts + gap extends the session —
+    * merge condition is start <= current end), which is precisely the
+    * lag formulation's strict `> gap` split rule. StreamingSpec pins
+    * the ==gap boundary on both formulations. */
+  val sessionWindowNativeSql: String = sessionizeSql
+
   /** Ordered conversion funnel signup → click → purchase: each stage
     * counts users whose earliest stage event strictly follows their
     * earliest previous-stage event. Three filtered aggregations joined
@@ -427,6 +440,26 @@ $counts
     ORDER BY user_id, event_id"""
   }
 
+  /** Two-level windowed rollup (chained stateful aggregations). */
+  def chainedRollup(s: SparkSession, dir: String): DataFrame =
+    EventStreams.chainedRollup(events(s, dir), "10 minutes")
+      .orderBy("w_start", "event_type")
+
+  /** One-level hour oracle: the chained two-level sum must match the
+    * direct aggregation bit for bit (micro-unit longs all the way);
+    * n_subwindows = distinct non-empty 10-minute buckets. */
+  val chainedRollupSql: String = """
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+             '%Y-%m-%d %H:%M') AS w_start,
+      event_type, count(*) AS n_events,
+      CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+        AS BIGINT) AS value_micros,
+      count(DISTINCT time_bucket(INTERVAL '10 minutes', ts))
+        AS n_subwindows
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY w_start, event_type"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("st01_tumbling_window", tumblingWindow _, Some(tumblingWindowSql)),
@@ -444,5 +477,8 @@ $counts
       ("st12_recent_baskets", recentBaskets _, Some(recentBasketsSql)),
       ("st13_idle_users", idleUsers _, Some(idleUsersSql)),
       ("st14_user_profiles", userProfiles _, Some(userProfilesSql)),
+      ("st15_chained_rollup", chainedRollup _, Some(chainedRollupSql)),
+      ("st16_session_window", sessionWindowNative _,
+        Some(sessionWindowNativeSql)),
     )
 }

@@ -33,6 +33,62 @@ object EventStreams {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("w_start"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** st15 — CHAINED windowed aggregations: 10-minute sub-window
+    * partials per event type rolled up into 1-hour totals, TWO
+    * stateful operators in one query (Spark's multi-stateful-operator
+    * streaming support; the outer groupBy keys on
+    * `window_time(window)`, the event-time column the first aggregate
+    * emits). Why chain instead of aggregating the hour directly: the
+    * first stage compacts the raw stream to one row per (sub-window,
+    * type) BEFORE the second sees anything — at 100 TB/day the hourly
+    * state holds thousands of partial rows, not billions of events —
+    * and the sub-window stream is itself reusable by finer-grained
+    * consumers. Value is micro-unit integer end to end (the st11
+    * DECIMAL(18,6) route), so the two-level sum is bit-exact against
+    * the one-level oracle. Same code runs in batch for the driver
+    * gate. */
+  def chainedRollup(events: DataFrame, watermark: String): DataFrame = {
+    val sub = events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("value").cast(DecimalType(18, 6)) * 1000000)
+          .cast("long")).as("v"))
+    sub
+      .groupBy(window(window_time(col("window")), "1 hour"),
+        col("event_type"))
+      .agg(sum(col("n")).as("n_events"),
+        sum(col("v")).as("value_micros"),
+        count(lit(1)).as("n_subwindows"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("w_start"),
+        col("event_type"), col("n_events"), col("value_micros"),
+        col("n_subwindows"))
+  }
+
+  /** st16 — sessionization via the NATIVE `session_window` aggregate
+    * (vs st03's hand-built lag + running-sum formulation): the state
+    * store merges overlapping [ts, ts+gap) windows per user, which is
+    * the platform-managed path for streaming sessions — no custom
+    * state code, watermark-driven eviction for free. Boundary
+    * semantics match st03 exactly — windows that TOUCH merge (the
+    * merge test is start <= current session end), so an event at
+    * precisely prev_ts + gap extends the session, same as the lag
+    * formulation's strict `> gap` split; StreamingSpec pins this.
+    * Same code runs in batch for the driver gate. */
+  def sessionWindowAgg(events: DataFrame, gap: String,
+                       watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double")
+          .as("total_value"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("n_events"), col("total_value"))
+
   /** Batch sessionization: a session closes after `gapMinutes` of user
     * inactivity. Classic lag + running-sum-of-boundaries formulation —
     * one shuffle on user_id, everything else window functions. */

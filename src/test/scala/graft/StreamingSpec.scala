@@ -37,6 +37,107 @@ class StreamingSpec extends SparkSpec {
       s"stream(${streamed.length}) != batch(${batch.length})")
   }
 
+  test("chained rollup: TWO stateful window aggregations in one " +
+    "streaming query == batch, emission gated on the watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("rollup")
+    val batchEvents = graft.queries.Streaming.events(spark, sfDir)
+    batchEvents.write.mode("overwrite").parquet(s"$dir/events")
+    val batch = EventStreams.chainedRollup(
+        spark.read.parquet(s"$dir/events"), "10 minutes")
+      .orderBy("w_start", "event_type").collect()
+    assert(batch.nonEmpty)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/events").schema)
+      .parquet(s"$dir/events")
+    // append mode is REQUIRED for chained stateful aggregations: the
+    // hour rows only emit once the watermark passes the hour end
+    val q = EventStreams.chainedRollup(stream, "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("rollup_out").start()
+    q.processAllAvailable()
+    // nothing can have emitted for the LAST hour yet; most earlier
+    // hours are already closed by the data's own watermark progress
+    def rows() = spark.table("rollup_out").collect()
+      .filter(_.getString(1) != "zz_sentinel")
+    assert(rows().length < batch.length)
+
+    // a sentinel 4 hours past the max event closes every real window;
+    // written as a separate FILE (a later micro-batch) — and filtered
+    // at ASSERTION time, never in the streaming plan, where Catalyst
+    // would push the filter below the watermark operator and prune the
+    // watermark-advancing row itself
+    val maxTs = batchEvents.agg(max("ts")).head.getTimestamp(0)
+    spark.read.parquet(s"$dir/events").limit(1)
+      .withColumn("ts",
+        lit(new java.sql.Timestamp(maxTs.getTime + 4L * 3600 * 1000)))
+      .withColumn("event_type", lit("zz_sentinel"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/events")
+    q.processAllAvailable()
+    // the final flush rides the no-data state-cleanup batch AFTER the
+    // sentinel batch advanced the watermark — poll, don't assume
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (rows().length < batch.length && System.nanoTime() < deadline)
+      Thread.sleep(200)
+    q.stop()
+    val streamed = spark.table("rollup_out")
+      .filter(col("event_type") =!= "zz_sentinel")
+      .orderBy("w_start", "event_type").collect()
+    assert(streamed.sameElements(batch),
+      s"stream(${streamed.length}) != batch(${batch.length})")
+  }
+
+  test("native session_window: streaming == batch, and the exact-gap " +
+    "boundary MERGES — same rule as the lag formulation") {
+    val ts = (ms: Long) => new java.sql.Timestamp(ms)
+    val gapMs = 30L * 60000
+    val events = Seq(
+      EventStreams.Event(1, ts(0), 7L, "click", 1.0),
+      EventStreams.Event(2, ts(gapMs - 1), 7L, "view", 2.0), // merges
+      EventStreams.Event(3, ts(2 * gapMs - 1 + gapMs), 7L, "click", 4.0),
+      // EXACTLY gap after event 3: windows TOUCH (start == prev end)
+      // and session_window merges them — identical to the lag
+      // formulation's strict `> gap` split rule; gap+1 would split
+      EventStreams.Event(4, ts(2 * gapMs - 1 + 2 * gapMs), 7L, "buy", 8.0),
+      // one ms past the gap: this DOES split in both formulations
+      EventStreams.Event(5, ts(2 * gapMs - 1 + 3 * gapMs + 1), 7L,
+        "view", 16.0))
+      .toDS().toDF()
+    val batch = EventStreams.sessionWindowAgg(events, "30 minutes",
+      "10 minutes").orderBy("session_start").collect()
+    assert(batch.length == 3) // {1,2}, {3,4}, {5}
+    assert(batch.map(_.getLong(2)).toSeq == Seq(2L, 2L, 1L))
+    val lagForm = EventStreams.sessionizeBatch(events, 30).collect()
+    assert(lagForm.length == 3, "lag formulation agrees on both " +
+      "boundaries: == gap merges, gap+1ms splits")
+
+    val dir = java.nio.file.Files.createTempDirectory("sesswin")
+    events.coalesce(1).write.parquet(s"$dir/events")
+    val stream = spark.readStream
+      .schema(events.schema).parquet(s"$dir/events")
+    val q = EventStreams.sessionWindowAgg(stream, "30 minutes",
+        "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sesswin_out").start()
+    q.processAllAvailable()
+    // sentinel file advances the watermark past every session end
+    Seq(EventStreams.Event(99, ts(10 * gapMs), 999L, "zz", 0.0))
+      .toDS().toDF().coalesce(1).write.mode("append")
+      .parquet(s"$dir/events")
+    q.processAllAvailable()
+    def rows() = spark.table("sesswin_out").collect()
+      .filter(_.getLong(0) != 999L)
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (rows().length < batch.length && System.nanoTime() < deadline)
+      Thread.sleep(200)
+    q.stop()
+    val streamed = spark.table("sesswin_out")
+      .filter(col("user_id") =!= 999L)
+      .orderBy("session_start").collect()
+    assert(streamed.sameElements(batch),
+      s"stream(${streamed.length}) != batch(${batch.length})")
+  }
+
   test("stateful sessionization: gap splits sessions, totals correct") {
     val ts = (m: Long) => new java.sql.Timestamp(m * 60000L)
     val events = Seq(
