@@ -2,7 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DecimalType, LongType, StringType,
+  StructField, StructType}
 
 /** Source/sink coverage beyond parquet+CSV (the reference only ever
   * reads CSV/XML and writes CSV — `generator.py:147-161`,
@@ -124,8 +125,54 @@ object Sources {
     GROUP BY source
     ORDER BY source"""
 
+  /** j04 — small-file compaction: the "small files problem" remedy.
+    * A fragmented table (64 tiny files — the residue of a 64-task
+    * ingest) is rewritten to 4 right-sized files with a round-robin
+    * `repartition` (even output sizes regardless of input skew; a
+    * `coalesce` would just glue neighbors and inherit the skew). At
+    * 100 TB the same two-liner runs with target = bytes/128 MB; file
+    * counts are part of the checked OUTPUT (both repartitions are
+    * deterministic row-count splits), and the content checksums prove
+    * the rewrite lossless — computed from the COMPACTED files, matched
+    * by the oracle against the original source table. */
+  def compaction(s: SparkSession, dir: String): DataFrame = {
+    val li = Relational.table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+    val frag = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_j04_frag_${s.sparkContext.applicationId}").getAbsolutePath
+    val compact = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_j04_comp_${s.sparkContext.applicationId}").getAbsolutePath
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+    val fragged = s.read.parquet(frag)
+    fragged.repartition(4).write.mode("overwrite").parquet(compact)
+    def nFiles(p: String): Long = new java.io.File(p).listFiles()
+      .count(f => f.getName.endsWith(".parquet")).toLong
+    s.read.parquet(compact)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_orderkey")).as("sum_okey"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_price"))
+      .withColumn("files_before", lit(nFiles(frag)))
+      .withColumn("files_after", lit(nFiles(compact)))
+      .select(col("files_before"), col("files_after"), col("n_rows"),
+        col("sum_okey"), col("sum_qty"), col("sum_price"))
+  }
+
+  val compactionSql: String = """
+    SELECT CAST(64 AS BIGINT) AS files_before,
+      CAST(4 AS BIGINT) AS files_after,
+      count(*) AS n_rows,
+      CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        AS sum_price
+    FROM lineitem"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(("j01_jsonl_roundtrip", jsonlRoundtrip _, Some(jsonlRoundtripSql)),
       ("j02_partitioned_sink", partitionedSink _, Some(partitionedSinkSql)),
-      ("j03_orc_roundtrip", orcRoundtrip _, Some(orcRoundtripSql)))
+      ("j03_orc_roundtrip", orcRoundtrip _, Some(orcRoundtripSql)),
+      ("j04_compaction", compaction _, Some(compactionSql)))
 }
