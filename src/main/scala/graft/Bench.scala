@@ -77,10 +77,11 @@ object Bench {
     // headline-subset line (<1.5 KB) as the LITERAL LAST stdout line so
     // the whole object always fits the tail; bench.json and the full
     // line (printed just before) still carry every query.
-    // pruned when the 2000-char budget tightens: m13/m20/t01/st01
+    // pruned when the 2000-char budget tightens: m13/m20/t01/st01,
+    // then g07/st06/st03/mm02 for the round-5 session-3 keys
     // (stable sub-0.2s rows for 4+ rounds; bench.json keeps them all)
     val headline = Seq(
-      "a01_bench_generate_1m", "a02_bench_mutate_1m", "g07_group",
+      "a01_bench_generate_1m", "a02_bench_mutate_1m",
       "q01_pricing_summary",
       "q03_top_revenue_orders", "q06_revenue_change", "q07_top_orders_per_customer",
       "q13_order_lineitem_smj", "q16_salted_join", "q17_asof_join",
@@ -89,9 +90,8 @@ object Bench {
       "s01_ann_brute_force", "s02_ann_lsh_bucketed",
       "s04_ann_ivf", "s06_embedding_clusters", "s07_source_cap",
       "t05_sequence_pack", "t09_decontaminate", "t11_tfidf",
-      "t14_quality_gate", "st03_sessionize",
-      "st06_dedup_replay",
-      "st07_attribution", "mm02_media_features", "c01_curation_pipeline",
+      "t14_quality_gate",
+      "st07_attribution", "c01_curation_pipeline",
       "j01_jsonl_roundtrip",
       "q22_zorder_layout", "q23_range_shards", "j02_partitioned_sink",
       "t15_bloom_decontaminate", "t16_chunk_overlap", "c03_snapshot_diff",
@@ -105,7 +105,9 @@ object Bench {
       "c05_scd2_history", "t22_heavy_hitters", "st10_attribution_outer",
       "q26_exists_chain", "l04_fellegi_sunter", "s11_curriculum",
       "st11_spend_alerts", "mm08_scene_changes", "st12_recent_baskets",
-      "st13_idle_users", "d11_golden_records", "st14_user_profiles")
+      "st13_idle_users", "d11_golden_records", "st14_user_profiles",
+      "d12_substring_dedup", "q27_topk_agg", "q28_grouping_sets",
+      "st15_chained_rollup", "st16_session_window", "j04_compaction")
     val resultMap = results.toMap
     // a headline key that stops matching a query name would otherwise
     // silently vanish from the tail-parsed line — fail loudly instead
