@@ -331,6 +331,60 @@ object Sampling {
     FROM staged
     ORDER BY doc_id"""
 
+  // --------------------------------------- s12 negative sampling
+
+  private val NegAnchors = 32L
+  private val NegK = 4
+
+  /** s12 — deterministic negative sampling for contrastive training:
+    * for each anchor document, `NegK` pseudo-random negatives drawn
+    * from the corpus by HASH-MIN — negative j of anchor a is the doc
+    * minimizing md5(a, j, doc_id) over all eligible docs (different
+    * doc AND different source, the hard-negative hygiene rule). No
+    * rejection loop, no global rank, no assumption that doc_ids are
+    * dense: one corpus scan computes all |anchors|·k hashes map-side
+    * (anchor set broadcast — it is a training batch, inherently
+    * bounded) and a partial-min aggregation ships k·|anchors| rows
+    * per partition. Layout-stable and replayable: the same (a, j)
+    * always yields the same negative regardless of partitioning or
+    * corpus file order. */
+  def negativeSampling(s: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.table(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    val anchors = docs.filter(col("doc_id") < NegAnchors)
+      .select(col("doc_id").as("a"), col("source").as("asrc"))
+    docs.crossJoin(broadcast(anchors))
+      .filter(col("doc_id") =!= col("a") && col("source") =!= col("asrc"))
+      .select(col("a"), col("doc_id"),
+        explode(expr(s"sequence(0, ${NegK - 1})")).as("j"))
+      .withColumn("h",
+        md5(concat_ws("#", col("a"), col("j"), col("doc_id"))))
+      .groupBy("a", "j")
+      .agg(min(struct(col("h"), col("doc_id"))).as("b"))
+      .select(col("a").as("anchor_id"), col("j").cast("long").as("j"),
+        col("b.doc_id").as("neg_id"))
+      .orderBy("anchor_id", "j")
+  }
+
+  /** md5 values are distinct across distinct preimages (a collision
+    * inside one (a, j) group would be an md5 collision), so scalar
+    * min(h) + join-back is exactly Spark's min(struct(h, doc_id)). */
+  val negativeSamplingSql: String = s"""
+    WITH anchors AS (
+      SELECT doc_id AS a, source AS asrc FROM documents
+      WHERE doc_id < $NegAnchors),
+    cand AS (
+      SELECT an.a, j.j, d.doc_id,
+        md5(an.a || '#' || j.j || '#' || d.doc_id) AS h
+      FROM anchors an
+      CROSS JOIN (SELECT unnest(range(0, $NegK)) AS j) j
+      CROSS JOIN documents d
+      WHERE d.doc_id <> an.a AND d.source <> an.asrc),
+    mins AS (SELECT a, j, min(h) AS h FROM cand GROUP BY a, j)
+    SELECT c.a AS anchor_id, c.j, c.doc_id AS neg_id
+    FROM mins m JOIN cand c USING (a, j, h)
+    ORDER BY anchor_id, j"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("s03_stratified_sample", stratifiedDemo _, None),
@@ -339,5 +393,7 @@ object Sampling {
       ("s08_train_split", trainSplit _, Some(trainSplitSql)),
       ("s09_epoch_shuffle", epochShuffle _, Some(epochShuffleSql)),
       ("s11_curriculum", curriculumOrder _, Some(curriculumOrderSql)),
+      ("s12_negative_sampling", negativeSampling _,
+        Some(negativeSamplingSql)),
     )
 }

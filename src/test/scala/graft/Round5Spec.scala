@@ -441,4 +441,39 @@ class Round5Spec extends SparkSpec {
       assert(kept + out(id)._2.toInt == nOrig, s"doc $id")
     }
   }
+
+  // ------------------------------------------- s12 negative sampling
+
+  test("s12: every anchor gets k negatives, never itself, never its " +
+    "own source, and the draw is replay-stable") {
+    import graft.queries.Sampling
+    val out = Sampling.negativeSampling(spark, sfDir).collect()
+    val src = queries.Relational.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.length == 32 * 4)
+    out.foreach { r =>
+      val (a, neg) = (r.getLong(0), r.getLong(2))
+      assert(neg != a, s"anchor $a drew itself")
+      assert(src(neg) != src(a), s"anchor $a drew its own source")
+    }
+    // same (anchor, j) -> same negative on a second evaluation
+    val again = Sampling.negativeSampling(spark, sfDir).collect()
+    assert(out.sameElements(again))
+  }
+
+  // ------------------------------------------------- t23 BPE merges
+
+  test("t23: three merge rules with non-increasing counts — a later " +
+    "round's top pair can never beat an earlier one") {
+    val rules = queries.TextAnalysis.bpeMerges(spark, sfDir).collect()
+    assert(rules.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    rules.foreach(r => assert(r.getString(1).length >= 2))
+    val counts = rules.map(_.getLong(2))
+    // any pair in round r+1 existed (or was created from) a round-r
+    // configuration with count <= the round-r max
+    counts.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a, s"counts not monotone: ${counts.mkString(",")}")
+    case _ => }
+  }
 }
