@@ -1063,6 +1063,101 @@ object TextAnalysis {
       .select(col("hh.token").as("token"), col("hh.est").as("est"),
         col("hh.err").as("err"))
 
+  // ------------------------------------------------- t23 BPE merges
+  private val BpeRounds = 3
+  /** Unit separator wraps every symbol so a literal `replace` can
+    * never match across symbol boundaries (a pair pattern "b␟  ␟c"
+    * would otherwise also hit the tail of symbol "ab"). */
+  private val USep = "\u001f"
+
+  /** t23 — BPE merge-rule induction, the first `BpeRounds` rounds of
+    * byte-pair-encoding tokenizer training: per round, the globally
+    * most frequent adjacent symbol pair (occurrence-weighted,
+    * deterministic count-desc/lexicographic tie-break) is merged
+    * everywhere it occurs, greedily left-to-right.
+    *
+    * Scale shape — the standard BPE-trainer compression: the corpus
+    * collapses to (distinct word, freq) in ONE shuffle and every
+    * round after that runs over the VOCABULARY (pair explode +
+    * freq-weighted partial-agg count + a 1-row argmax collect + a
+    * map-side literal replace), never the corpus again — at 100 TB
+    * the vocab is ~10^7 rows, so the per-round cost is constant-ish.
+    * localCheckpoint truncates the per-round lineage exactly like the
+    * d06 cluster loop. The merge itself is a plain string `replace`
+    * over ␟-marked double-space-joined symbols: non-overlapping
+    * left-to-right, which IS the greedy BPE merge order, and the
+    * marker makes sub-symbol matches impossible. The DuckDB oracle
+    * unrolls all three rounds with the same representation. */
+  def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Relational.table(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .withColumn("sym", concat(lit(USep),
+        array_join(split(col("w"), ""), USep + "  " + USep), lit(USep)))
+      .select(col("sym"), col("freq"))
+      .localCheckpoint()
+    var cur = words
+    val rules = Seq.newBuilder[(Int, String, Long)]
+    for (r <- 1 to BpeRounds) {
+      val top = cur
+        .withColumn("l", split(col("sym"), "  "))
+        .select(col("freq"), explode(expr(
+          "zip_with(slice(l, 1, size(l) - 1), slice(l, 2, size(l) - 1), " +
+            "(a, b) -> struct(a AS a, b AS b))")).as("p"))
+        .groupBy(col("p.a").as("s1"), col("p.b").as("s2"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("s1"), col("s2"))
+        .limit(1).collect()(0)
+      val (s1, s2, cnt) =
+        (top.getString(0), top.getString(1), top.getLong(2))
+      val merged = s1.dropRight(1) + s2.drop(1) // ␟p1␟+␟p2␟ → ␟p1p2␟
+      rules += ((r, merged.replace(USep, ""), cnt))
+      cur = cur.withColumn("sym",
+          replace(col("sym"), lit(s1 + "  " + s2), lit(merged)))
+        .localCheckpoint()
+    }
+    rules.result().toDF("round", "merged_token", "pair_count")
+      .orderBy("round")
+  }
+
+  val bpeMergesSql: String = {
+    val mark = "chr(31)"
+    def pairs(src: String): String = s"""
+      SELECT s1, s2, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        SELECT unnest(l[1:len(l)-1]) AS s1, unnest(l[2:len(l)]) AS s2,
+          freq
+        FROM (SELECT string_split(sym, '  ') AS l, freq FROM $src))
+      GROUP BY s1, s2"""
+    def best(p: String): String =
+      s"SELECT s1, s2, cnt FROM $p ORDER BY cnt DESC, s1, s2 LIMIT 1"
+    def merge(src: String, m: String): String = s"""
+      SELECT replace(sym, m.s1 || '  ' || m.s2,
+        m.s1[1:len(m.s1)-1] || m.s2[2:]) AS sym, freq
+      FROM $src, $m m"""
+    s"""
+    WITH words AS (
+      SELECT w, count(*) AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w),
+    r0 AS (
+      SELECT $mark || array_to_string(string_split(w, ''),
+          $mark || '  ' || $mark) || $mark AS sym, freq
+      FROM words),
+    p1 AS (${pairs("r0")}), m1 AS (${best("p1")}),
+    r1 AS (${merge("r0", "m1")}),
+    p2 AS (${pairs("r1")}), m2 AS (${best("p2")}),
+    r2 AS (${merge("r1", "m2")}),
+    p3 AS (${pairs("r2")}), m3 AS (${best("p3")})
+    SELECT * FROM (
+      SELECT 1 AS round, replace(s1 || s2, $mark, '') AS merged_token,
+        cnt AS pair_count FROM m1
+      UNION ALL SELECT 2, replace(s1 || s2, $mark, ''), cnt FROM m2
+      UNION ALL SELECT 3, replace(s1 || s2, $mark, ''), cnt FROM m3)
+    ORDER BY round"""
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("t01_token_count", tokenCount _, Some(tokenCountSql)),
@@ -1089,5 +1184,6 @@ object TextAnalysis {
         Some(lengthBinnedBatchesSql)),
       ("t21_dup_ngrams", dupNgramFraction _, Some(dupNgramFractionSql)),
       ("t22_heavy_hitters", heavyHitters _, None),
+      ("t23_bpe_merges", bpeMerges _, Some(bpeMergesSql)),
     )
 }
