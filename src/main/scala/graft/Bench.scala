@@ -107,7 +107,8 @@ object Bench {
       "st11_spend_alerts", "mm08_scene_changes", "st12_recent_baskets",
       "st13_idle_users", "d11_golden_records", "st14_user_profiles",
       "d12_substring_dedup", "q27_topk_agg", "q28_grouping_sets",
-      "st15_chained_rollup", "st16_session_window", "j04_compaction")
+      "st15_chained_rollup", "st16_session_window", "j04_compaction",
+      "s12_negative_sampling", "t23_bpe_merges")
     val resultMap = results.toMap
     // a headline key that stops matching a query name would otherwise
     // silently vanish from the tail-parsed line — fail loudly instead
