@@ -400,4 +400,43 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  // ------------------------------- round-5 session-3 plan-shape audits
+
+  test("q07 window top-k: Spark's WindowGroupLimit caps per-group " +
+    "buffering — documented context for q27's aggregate variant") {
+    val p = graft.queries.Relational
+      .q07TopOrdersPerCustomer(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // Spark 3.5+ inserts WindowGroupLimit below the rank filter; the
+    // full-row shuffle AND per-group sort remain (what q27 removes)
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    assert(p.contains("Sort"), p.take(2000))
+  }
+
+  test("q28 grouping sets: ONE Expand + a single aggregate pair, " +
+    "never a 3-way union of rescans") {
+    val p = finalPlan(graft.queries.Relational
+      .q28GroupingSets(spark, sfDir))
+    assert(p.contains("Expand"), p.take(2000))
+    assert(!p.contains("Union"), s"grouping sets must not rescan:\n$p")
+  }
+
+  test("d12 substring dedup: the gram window is the only " +
+    "corpus-proportional shuffle and there is no pairwise join") {
+    val p = finalPlan(graft.queries.Dedup.substringDedup(spark, sfDir))
+    assert(p.contains("hashpartitioning(gram"), s"no gram shuffle in:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("s12 negative sampling: anchors broadcast, partial min below " +
+    "the exchange — negatives never round-trip the corpus") {
+    val df = graft.queries.Sampling.negativeSampling(spark, sfDir)
+    val p = finalPlan(df)
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("partial_min"), s"map-side min missing:\n$p")
+    assert(!p.contains("ScalaUDF"), p.take(2000))
+  }
 }
