@@ -238,6 +238,77 @@ object Curation {
     WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
     ORDER BY user_id, event_type, valid_from_us"""
 
+  /** c06 — declarative data-quality EXPECTATIONS audit (the
+    * deequ/Great-Expectations job every ingest gate runs): one pass
+    * over orders emits row count, per-column null counts, distinct
+    * cardinalities, and min/max ranges as a long-format
+    * (metric, value) report. All metrics are integer-valued — prices
+    * route through DECIMAL cents and dates through epoch days — so
+    * the report hash-matches the oracle exactly.
+    *
+    * Scale shape: every metric rides ONE aggregate job; the two
+    * DISTINCT cardinalities make it a single Expand-based
+    * multi-distinct pass (Catalyst's standard plan), so the table is
+    * scanned once no matter how many expectations ride it. The
+    * `stack` to long format is a 1-row local transform. At 100 TB the
+    * exact distincts would swap for q18's HLL sketch — same plan
+    * shape minus the Expand. */
+  def expectations(s: SparkSession, dir: String): DataFrame =
+    Relational.table(s, dir, "orders")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("o_custkey")).as("custkey_nonnull"),
+        count_distinct(col("o_custkey")).as("custkey_distinct"),
+        count_distinct(col("o_orderstatus")).as("status_distinct"),
+        min(col("o_orderkey")).as("orderkey_min"),
+        max(col("o_orderkey")).as("orderkey_max"),
+        min(col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("price_cents_min"),
+        max(col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("price_cents_max"),
+        min(datediff(col("o_orderdate"), lit("1970-01-01")))
+          .cast("long").as("date_epoch_day_min"),
+        max(datediff(col("o_orderdate"), lit("1970-01-01")))
+          .cast("long").as("date_epoch_day_max"))
+      .selectExpr("""stack(10,
+        'n_rows', n_rows,
+        'custkey_nonnull', custkey_nonnull,
+        'custkey_distinct', custkey_distinct,
+        'status_distinct', status_distinct,
+        'orderkey_min', orderkey_min,
+        'orderkey_max', orderkey_max,
+        'price_cents_min', price_cents_min,
+        'price_cents_max', price_cents_max,
+        'date_epoch_day_min', date_epoch_day_min,
+        'date_epoch_day_max', date_epoch_day_max) AS (metric, value)""")
+      .orderBy("metric")
+
+  val expectationsSql: String = """
+    SELECT metric, value FROM (
+      SELECT 'n_rows' AS metric, CAST(count(*) AS BIGINT) AS value
+        FROM orders
+      UNION ALL SELECT 'custkey_nonnull',
+        CAST(count(o_custkey) AS BIGINT) FROM orders
+      UNION ALL SELECT 'custkey_distinct',
+        CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+      UNION ALL SELECT 'status_distinct',
+        CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+      UNION ALL SELECT 'orderkey_min', min(o_orderkey) FROM orders
+      UNION ALL SELECT 'orderkey_max', max(o_orderkey) FROM orders
+      UNION ALL SELECT 'price_cents_min',
+        CAST(min(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+        FROM orders
+      UNION ALL SELECT 'price_cents_max',
+        CAST(max(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+        FROM orders
+      UNION ALL SELECT 'date_epoch_day_min',
+        CAST(datediff('day', DATE '1970-01-01',
+          CAST(min(o_orderdate) AS DATE)) AS BIGINT) FROM orders
+      UNION ALL SELECT 'date_epoch_day_max',
+        CAST(datediff('day', DATE '1970-01-01',
+          CAST(max(o_orderdate) AS DATE)) AS BIGINT) FROM orders)
+    ORDER BY metric"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("c01_curation_pipeline", curationPipeline _,
@@ -245,5 +316,6 @@ object Curation {
       ("c02_source_datacard", sourceDatacard _, Some(sourceDatacardSql)),
       ("c03_snapshot_diff", snapshotDiff _, Some(snapshotDiffSql)),
       ("c04_cdc_compact", cdcCompact _, Some(cdcCompactSql)),
-      ("c05_scd2_history", scd2History _, Some(scd2HistorySql)))
+      ("c05_scd2_history", scd2History _, Some(scd2HistorySql)),
+      ("c06_expectations", expectations _, Some(expectationsSql)))
 }

@@ -650,6 +650,43 @@ object Relational {
         WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
     ORDER BY c_custkey"""
 
+  /** q29 — the analytic window-function suite (lag / lead / ntile /
+    * running sum) over each customer's order history, the shape every
+    * "sessionized customer timeline" feature job takes. One window
+    * spec serves all four functions, so the physical plan is ONE
+    * hash-partition exchange on o_custkey + ONE sort — Spark computes
+    * every function in a single WindowExec pass over that sort, and
+    * at 100 TB the job costs exactly one shuffle of the fact table no
+    * matter how many window features ride it. The running sum is
+    * DECIMAL-routed ([[dsum]] pattern) so it matches the oracle
+    * bit-exactly; lag/lead move values untouched. The unique
+    * (o_orderdate, o_orderkey) sort key makes the default RANGE frame
+    * equal ROWS and every function deterministic. */
+  def q29WindowSuite(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    table(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        lag("o_totalprice", 1).over(w).as("prev_price"),
+        lead("o_totalprice", 1).over(w).as("next_price"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("running_spend"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q29Sql: String = """
+    SELECT o_custkey, o_orderkey,
+      lag(o_totalprice, 1) OVER w AS prev_price,
+      lead(o_totalprice, 1) OVER w AS next_price,
+      ntile(4) OVER w AS quartile,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        AS running_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_segment_revenue", q02SegmentRevenue _, q02Sql),
@@ -672,5 +709,6 @@ object Relational {
     ("q26_exists_chain", q26ExistsChain _, q26Sql),
     ("q27_topk_agg", q27TopkAgg _, q07Sql),
     ("q28_grouping_sets", q28GroupingSets _, q28Sql),
+    ("q29_window_suite", q29WindowSuite _, q29Sql),
   )
 }

@@ -1090,6 +1090,17 @@ object TextAnalysis {
     * unrolls all three rounds with the same representation. */
   def bpeMerges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    bpeRules(s, dir)
+      .map { case (r, _, merged, cnt) => (r, merged.replace(USep, ""), cnt) }
+      .toDF("round", "merged_token", "pair_count")
+      .orderBy("round")
+  }
+
+  /** The t23 induction loop itself, returning each round's rule in
+    * symbol form: (round, "␟s1␟  ␟s2␟" pattern, "␟s1s2␟" replacement,
+    * pair count). Shared by t23 (reporting) and t24 (application). */
+  private def bpeRules(s: SparkSession,
+      dir: String): Seq[(Int, String, String, Long)] = {
     val words = Relational.table(s, dir, "documents")
       .select(explode(tokens(col("text"))).as("w"))
       .filter(col("w") =!= "")
@@ -1099,7 +1110,7 @@ object TextAnalysis {
       .select(col("sym"), col("freq"))
       .localCheckpoint()
     var cur = words
-    val rules = Seq.newBuilder[(Int, String, Long)]
+    val rules = Seq.newBuilder[(Int, String, String, Long)]
     for (r <- 1 to BpeRounds) {
       val top = cur
         .withColumn("l", split(col("sym"), "  "))
@@ -1113,17 +1124,79 @@ object TextAnalysis {
       val (s1, s2, cnt) =
         (top.getString(0), top.getString(1), top.getLong(2))
       val merged = s1.dropRight(1) + s2.drop(1) // ␟p1␟+␟p2␟ → ␟p1p2␟
-      rules += ((r, merged.replace(USep, ""), cnt))
+      rules += ((r, s1 + "  " + s2, merged, cnt))
       cur = cur.withColumn("sym",
           replace(col("sym"), lit(s1 + "  " + s2), lit(merged)))
         .localCheckpoint()
     }
-    rules.result().toDF("round", "merged_token", "pair_count")
-      .orderBy("round")
+    rules.result()
   }
 
-  val bpeMergesSql: String = {
-    val mark = "chr(31)"
+  /** t24 — BPE tokenization: ENCODE the corpus with the merge rules
+    * t23 induced, reporting per-document word and post-merge token
+    * counts (the compression the tokenizer actually buys).
+    *
+    * Scale shape: induction runs over the vocabulary (see t23); the
+    * encode pass is the only corpus-proportional work and it is pure
+    * map-side codegen — the three collected rules are string LITERALS
+    * folded into nested `replace` calls, so no join, no broadcast, no
+    * UDF touches the corpus, and the single shuffle is the final
+    * per-doc count agg (map-side partial). At 100 TB a real 30k-rule
+    * vocab would swap the literal fold for one generated expression
+    * chain or a native Expression — same plan shape. */
+  def bpeApply(s: SparkSession, dir: String): DataFrame = {
+    val rules = bpeRules(s, dir)
+    val docw = Relational.table(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+    val sym0 = concat(lit(USep),
+      array_join(split(col("w"), ""), USep + "  " + USep), lit(USep))
+    val symN = rules.foldLeft(sym0) { case (c, (_, pat, merged, _)) =>
+      replace(c, lit(pat), lit(merged)) }
+    docw.select(col("doc_id"), symN.as("sym"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(split(col("sym"), "  ")).cast("long")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** t25 — unigram-LM surprisal scoring, the perplexity-proxy quality
+    * signal training-data pipelines sort by: rare-token-heavy docs
+    * score high, boilerplate scores low. Per token the corpus model
+    * gives p = cnt/N; surprisal is quantized to exact INTEGER bits as
+    * floor(log2(N div cnt)) = length(bin(N div cnt)) - 1 — pure
+    * integer/string arithmetic, so Spark and the DuckDB oracle agree
+    * bit-exactly with no floating log anywhere (the l04 milli-weight
+    * pattern taken one step further).
+    *
+    * Scale shape: one shuffle builds the unigram table, which is
+    * vocabulary-sized → broadcast back onto the token stream; the
+    * per-doc sum is the only other shuffle and partial-aggregates
+    * map-side. At 100 TB the vocab table is the classic "small model,
+    * big corpus" broadcast — never a corpus-vs-corpus shuffle join. */
+  def surprisal(s: SparkSession, dir: String): DataFrame = {
+    val toks = Relational.table(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val global = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(broadcast(global), "token")
+      .crossJoin(broadcast(total))
+      .withColumn("bits",
+        (length(bin(expr("n_total div cnt"))) - 1).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("bits")).as("surprisal_bits"))
+      .orderBy("doc_id")
+  }
+
+  private val BpeMark = "chr(31)"
+
+  /** The WITH-clause body for the 3-round merge induction — shared by
+    * the t23 and t24 oracles (words → r0 symbols → per-round pair
+    * count / argmax / merge). */
+  private val bpeChainCtes: String = {
+    val mark = BpeMark
     def pairs(src: String): String = s"""
       SELECT s1, s2, CAST(sum(freq) AS BIGINT) AS cnt FROM (
         SELECT unnest(l[1:len(l)-1]) AS s1, unnest(l[2:len(l)]) AS s2,
@@ -1136,8 +1209,7 @@ object TextAnalysis {
       SELECT replace(sym, m.s1 || '  ' || m.s2,
         m.s1[1:len(m.s1)-1] || m.s2[2:]) AS sym, freq
       FROM $src, $m m"""
-    s"""
-    WITH words AS (
+    s"""words AS (
       SELECT w, count(*) AS freq FROM (
         SELECT unnest(string_split(text, ' ')) AS w FROM documents)
       WHERE w <> '' GROUP BY w),
@@ -1149,14 +1221,59 @@ object TextAnalysis {
     r1 AS (${merge("r0", "m1")}),
     p2 AS (${pairs("r1")}), m2 AS (${best("p2")}),
     r2 AS (${merge("r1", "m2")}),
-    p3 AS (${pairs("r2")}), m3 AS (${best("p3")})
-    SELECT * FROM (
-      SELECT 1 AS round, replace(s1 || s2, $mark, '') AS merged_token,
-        cnt AS pair_count FROM m1
-      UNION ALL SELECT 2, replace(s1 || s2, $mark, ''), cnt FROM m2
-      UNION ALL SELECT 3, replace(s1 || s2, $mark, ''), cnt FROM m3)
-    ORDER BY round"""
+    p3 AS (${pairs("r2")}), m3 AS (${best("p3")})"""
   }
+
+  val bpeMergesSql: String = s"""
+    WITH $bpeChainCtes
+    SELECT * FROM (
+      SELECT 1 AS round, replace(s1 || s2, $BpeMark, '') AS merged_token,
+        cnt AS pair_count FROM m1
+      UNION ALL SELECT 2, replace(s1 || s2, $BpeMark, ''), cnt FROM m2
+      UNION ALL SELECT 3, replace(s1 || s2, $BpeMark, ''), cnt FROM m3)
+    ORDER BY round"""
+
+  val bpeApplySql: String = {
+    val mark = BpeMark
+    def apply(src: String, m: String): String = s"""
+      SELECT doc_id, replace(sym, m.s1 || '  ' || m.s2,
+        m.s1[1:len(m.s1)-1] || m.s2[2:]) AS sym
+      FROM $src, $m m"""
+    s"""
+    WITH $bpeChainCtes,
+    docw AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents)
+      WHERE w <> ''),
+    a0 AS (
+      SELECT doc_id, $mark || array_to_string(string_split(w, ''),
+          $mark || '  ' || $mark) || $mark AS sym
+      FROM docw),
+    a1 AS (${apply("a0", "m1")}),
+    a2 AS (${apply("a1", "m2")}),
+    a3 AS (${apply("a2", "m3")})
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      CAST(sum(len(string_split(sym, '  '))) AS BIGINT) AS n_bpe_tokens
+    FROM a3
+    GROUP BY doc_id
+    ORDER BY doc_id"""
+  }
+
+  val surprisalSql: String = """
+    WITH toks AS (
+      SELECT doc_id, w AS token FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents)
+      WHERE w <> ''),
+    vocab AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+    total AS (SELECT count(*) AS n_total FROM toks)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      CAST(sum(length(bin(n_total // cnt)) - 1) AS BIGINT)
+        AS surprisal_bits
+    FROM toks JOIN vocab USING (token), total
+    GROUP BY doc_id
+    ORDER BY doc_id"""
 
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
@@ -1185,5 +1302,7 @@ object TextAnalysis {
       ("t21_dup_ngrams", dupNgramFraction _, Some(dupNgramFractionSql)),
       ("t22_heavy_hitters", heavyHitters _, None),
       ("t23_bpe_merges", bpeMerges _, Some(bpeMergesSql)),
+      ("t24_bpe_apply", bpeApply _, Some(bpeApplySql)),
+      ("t25_surprisal", surprisal _, Some(surprisalSql)),
     )
 }

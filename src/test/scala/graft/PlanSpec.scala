@@ -430,6 +430,47 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  // ------------------------------- round-5 session-4 plan-shape audits
+
+  test("t24 bpe apply: the encode pass is join-free map-side codegen — " +
+    "rules are folded literals, the only shuffle is the per-doc agg") {
+    val p = finalPlan(graft.queries.TextAnalysis.bpeApply(spark, sfDir))
+    assert(!p.contains("Join"), s"encode pass must not join:\n$p")
+    assert(!p.contains("ScalaUDF"), p.take(2000))
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"no map-side partial agg in:\n$p")
+  }
+
+  test("t25 surprisal: vocab broadcasts back onto the token stream — " +
+    "never a corpus-vs-corpus shuffle join, no UDF") {
+    val p = finalPlan(graft.queries.TextAnalysis.surprisal(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"vocab not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for join:\n$p")
+    assert(!p.contains("ScalaUDF"), p.take(2000))
+  }
+
+  test("q29 window suite: all four functions ride ONE o_custkey " +
+    "exchange and one sort — no per-function re-shuffle") {
+    // count only the Final Plan — AQE's toString appends the Initial
+    // Plan too, which would double-count every node
+    val p = finalPlan(graft.queries.Relational
+      .q29WindowSuite(spark, sfDir)).split("== Initial Plan ==")(0)
+    val exchanges = "hashpartitioning\\(o_custkey".r
+      .findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 window exchange, got $exchanges:\n$p")
+    assert(p.contains("Window"), p.take(2000))
+  }
+
+  test("c06 expectations: every metric rides one scan — a single " +
+    "Expand-based multi-distinct aggregate, no Union of rescans") {
+    val p = finalPlan(graft.queries.Curation.expectations(spark, sfDir))
+      .split("== Initial Plan ==")(0)
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 scan, got $scans:\n$p")
+    assert(p.contains("Expand"), s"multi-distinct should Expand:\n$p")
+    assert(!p.contains("Union"), s"audit must not rescan per metric:\n$p")
+  }
+
   test("s12 negative sampling: anchors broadcast, partial min below " +
     "the exchange — negatives never round-trip the corpus") {
     val df = graft.queries.Sampling.negativeSampling(spark, sfDir)
