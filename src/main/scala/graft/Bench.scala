@@ -79,7 +79,7 @@ object Bench {
     // line (printed just before) still carry every query.
     // pruned when the 2000-char budget tightens: m13/m20/t01/st01,
     // then g07/st06/st03/mm02 for the round-5 session-3 keys, then
-    // q24/t18/st12/mm06 for the session-4 keys
+    // q24/t18/st12/mm06/mm07/st14 for the session-4 keys
     // (stable sub-0.2s rows for 4+ rounds; bench.json keeps them all)
     val headline = Seq(
       "a01_bench_generate_1m", "a02_bench_mutate_1m",
@@ -100,18 +100,18 @@ object Bench {
       "c04_cdc_compact", "t17_boilerplate_dedup",
       "mm05_decode_quarantine",
       "j03_orc_roundtrip", "s09_epoch_shuffle", "t19_bm25_topk",
-      "t20_length_batches", "mm07_audio_resample", "st09_enrich",
+      "t20_length_batches", "st09_enrich",
       "t21_dup_ngrams", "d10_incremental_dedup", "q25_corr_subquery",
       "s10_ann_pq", "l03_sorted_neighborhood",
       "c05_scd2_history", "t22_heavy_hitters", "st10_attribution_outer",
       "q26_exists_chain", "l04_fellegi_sunter", "s11_curriculum",
       "st11_spend_alerts", "mm08_scene_changes",
-      "st13_idle_users", "d11_golden_records", "st14_user_profiles",
+      "st13_idle_users", "d11_golden_records",
       "d12_substring_dedup", "q27_topk_agg", "q28_grouping_sets",
       "st15_chained_rollup", "st16_session_window", "j04_compaction",
       "s12_negative_sampling", "t23_bpe_merges",
       "t24_bpe_apply", "t25_surprisal", "q29_window_suite",
-      "c06_expectations")
+      "c06_expectations", "j05_csv_roundtrip", "s13_mmr_diversify")
     val resultMap = results.toMap
     // a headline key that stops matching a query name would otherwise
     // silently vanish from the tail-parsed line — fail loudly instead

@@ -480,9 +480,102 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  // ---------------------------------------------------- s13 MMR
+  private val MmrPool = 20
+  private val MmrK = 5
+  private val MmrLambda = 0.7
+
+  /** One retrieval candidate flowing into the per-query MMR group.
+    * NOT private — the Dataset encoder's generated deserializer must
+    * be able to construct it. */
+  case class MmrCand(query_id: Long, vec_id: Long, cos: Double,
+    embedding: Array[Float])
+
+  private def cosD(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i); i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** s13 — Maximal-Marginal-Relevance diversification, the re-rank
+    * every retrieval-augmented pipeline runs between ANN and the
+    * consumer: from each query's top-[[MmrPool]] cosine candidates,
+    * greedily pick [[MmrK]] maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈picked} sim(c, s), ties by vec_id.
+    *
+    * Scale shape: candidate generation is the s01/s02 retrieval plan
+    * (at 100 TB the LSH/IVF variant feeds this instead — same
+    * interface); the greedy loop runs per-query inside
+    * `flatMapGroups`, so a million queries diversify in parallel with
+    * O(pool·k) work each and NOTHING is collected to the driver. The
+    * first pick is provably the top-cosine neighbour — that slice of
+    * the output is the DuckDB-checked s13_mmr_inv. */
+  def mmrDiversify(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Relational.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val cand = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.expr.CosineSimilarity.cosineSimilarity(
+          col("embedding"), col("qe")).as("cos"),
+        col("embedding"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= MmrPool)
+      .select("query_id", "vec_id", "cos", "embedding")
+      .as[MmrCand]
+    cand.groupByKey(_.query_id)
+      .flatMapGroups { (q, it) =>
+        val pool = it.toArray.sortBy(c => (-c.cos, c.vec_id))
+        val picked = scala.collection.mutable.ArrayBuffer(pool.head)
+        var rest = pool.tail.toBuffer
+        while (picked.size < MmrK && rest.nonEmpty) {
+          val best = rest.minBy { c =>
+            val div = picked.map(p => cosD(c.embedding, p.embedding)).max
+            (-(MmrLambda * c.cos - (1 - MmrLambda) * div), c.vec_id)
+          }
+          picked += best
+          rest = rest.filterNot(_.vec_id == best.vec_id)
+        }
+        picked.zipWithIndex.map { case (c, i) =>
+          (q, (i + 1).toLong, c.vec_id)
+        }
+      }
+      .toDF("query_id", "pick_rank", "vec_id")
+      .orderBy("query_id", "pick_rank")
+  }
+
+  /** The DuckDB-checkable slice of s13: MMR's first pick IS the
+    * top-cosine neighbour (the diversity term is zero for an empty
+    * picked set), so pick_rank=1 must match s01's rank=1 row. */
+  def mmrFirstPickInv(s: SparkSession, dir: String): DataFrame =
+    mmrDiversify(s, dir).filter(col("pick_rank") === 1)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .orderBy("query_id")
+
+  val mmrFirstPickSql: String = s"""
+    SELECT query_id, neighbor_id FROM (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        row_number() OVER (PARTITION BY q.vec_id
+          ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+                   e.vec_id) AS rank
+      FROM embeddings e, embeddings q
+      WHERE q.vec_id < $NumQueries AND e.vec_id <> q.vec_id)
+    WHERE rank = 1
+    ORDER BY query_id"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("s01_ann_brute_force", annBruteForce _, Some(annBruteForceSql)),
+      ("s13_mmr_diversify", mmrDiversify _, None),
+      ("s13_mmr_inv", mmrFirstPickInv _, Some(mmrFirstPickSql)),
       ("s02_ann_lsh_bucketed", annLshBucketed _, None),
       ("s04_ann_ivf", annIvf _, None),
       ("s06_embedding_clusters", embeddingClusters _, None),

@@ -170,9 +170,66 @@ object Sources {
         AS sum_price
     FROM lineitem"""
 
-  val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
+  /** j05 — RFC-4180 CSV sink → source roundtrip under HOSTILE content:
+    * the corpus text is CSV-clean, so the query PLANTS the characters
+    * that break naive CSV plumbing — commas, double quotes, and
+    * embedded newlines — deterministically per doc_id, writes with
+    * quote-all + doubled-quote escaping (the RFC dialect every
+    * downstream parser speaks, not Spark's backslash default), and
+    * reads back with `multiLine` (embedded newlines make records span
+    * lines). Aggregate equality against the oracle recomputing the
+    * same planted values straight from parquet proves the full
+    * quote/escape/newline cycle is lossless byte-for-byte.
+    *
+    * Scale note: multiLine CSV is NOT splittable — a file must be
+    * read by one task, so the writer's per-partition fanout (no
+    * coalesce) is what keeps read parallelism at 100 TB; the Scaladoc
+    * contract is "many medium files", never one giant one. */
+  def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val planted = Relational.table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        concat(lit("\""), col("source"), lit("\",\n"),
+          col("text")).as("text"))
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_j05_csv_${s.sparkContext.applicationId}").getAbsolutePath
+    planted.write.mode("overwrite")
+      .option("quoteAll", "true").option("escape", "\"")
+      .csv(out)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("lang", StringType),
+      StructField("text", StringType)))
+    s.read.schema(schema)
+      .option("multiLine", "true").option("escape", "\"")
+      .csv(out)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        sum(length(col("text")).cast("long")).as("sum_chars"),
+        sum(length(regexp_replace(col("text"), "[^\"\n,]", ""))
+          .cast("long")).as("sum_hostile"))
+      .orderBy("lang")
+  }
+
+  val csvRoundtripSql: String = """
+    WITH planted AS (
+      SELECT doc_id, lang,
+        '"' || source || '",' || chr(10) || text AS text
+      FROM documents)
+    SELECT lang, count(*) AS n_docs,
+      CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+      CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+      CAST(sum(length(regexp_replace(text, '[^"' || chr(10) || ',]',
+        '', 'g'))) AS BIGINT) AS sum_hostile
+    FROM planted
+    GROUP BY lang
+    ORDER BY lang"""
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame,
+    Option[String])] =
     Seq(("j01_jsonl_roundtrip", jsonlRoundtrip _, Some(jsonlRoundtripSql)),
       ("j02_partitioned_sink", partitionedSink _, Some(partitionedSinkSql)),
       ("j03_orc_roundtrip", orcRoundtrip _, Some(orcRoundtripSql)),
-      ("j04_compaction", compaction _, Some(compactionSql)))
+      ("j04_compaction", compaction _, Some(compactionSql)),
+      ("j05_csv_roundtrip", csvRoundtrip _, Some(csvRoundtripSql)))
 }

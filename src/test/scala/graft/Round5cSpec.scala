@@ -102,6 +102,69 @@ class Round5cSpec extends SparkSpec {
       s"edge counts: lag=$prevs lead=$nexts")
   }
 
+  // ------------------------------------------------- j05 csv roundtrip
+  test("j05: RFC-4180 csv cycle is byte-lossless for planted commas, " +
+    "quotes, and embedded newlines") {
+    import org.apache.spark.sql.types._
+    val planted = Relational.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        concat(lit("\""), col("source"), lit("\",\n"), col("text"))
+          .as("text"))
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_spec_j05_${spark.sparkContext.applicationId}")
+      .getAbsolutePath
+    planted.write.mode("overwrite")
+      .option("quoteAll", "true").option("escape", "\"").csv(out)
+    val back = spark.read
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("multiLine", "true").option("escape", "\"").csv(out)
+    // row-for-row text equality through the cycle — not just counts
+    val mismatched = planted.as("a").join(back.as("b"), "doc_id")
+      .filter(col("a.text") =!= col("b.text")).count()
+    assert(mismatched == 0, "csv cycle corrupted planted text")
+    assert(back.count() == planted.count())
+    // and the plant really is hostile: every row carries all three
+    val tame = back.filter(!col("text").contains(",") ||
+      !col("text").contains("\"") || !col("text").contains("\n")).count()
+    assert(tame == 0, s"$tame rows lost their hostile characters")
+  }
+
+  // ------------------------------------------------- s13 MMR
+  test("s13: per query — exactly 5 distinct picks, never the query " +
+    "itself, first pick is the top-cosine neighbour, and the picked " +
+    "set is more diverse than plain top-5") {
+    import graft.queries.Similarity
+    val picks = Similarity.mmrDiversify(spark, sfDir).collect()
+      .groupBy(_.getLong(0))
+    assert(picks.size == 8)
+    val emb = Relational.table(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    def avgPairSim(ids: Seq[Long]): Double = {
+      val ps = for (i <- ids.indices; j <- i + 1 until ids.size)
+        yield cos(emb(ids(i)), emb(ids(j)))
+      ps.sum / ps.size
+    }
+    picks.foreach { case (q, rows) =>
+      val ids = rows.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq
+      assert(ids.size == 5 && ids.distinct.size == 5, s"query $q picks")
+      assert(!ids.contains(q), s"query $q picked itself")
+      // top-5 by pure relevance for the same query
+      val top5 = emb.keys.filter(_ != q).toSeq
+        .sortBy(v => (-cos(emb(q), emb(v)), v)).take(5)
+      assert(ids.head == top5.head,
+        s"query $q: first MMR pick != top-cosine neighbour")
+      assert(avgPairSim(ids) <= avgPairSim(top5) + 1e-12,
+        s"query $q: MMR set no more diverse than top-5")
+    }
+  }
+
   // ------------------------------------------------- c06 expectations
   test("c06: audit metrics are mutually consistent and match the " +
     "source table") {
