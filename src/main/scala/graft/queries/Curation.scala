@@ -309,6 +309,73 @@ object Curation {
           CAST(max(o_orderdate) AS DATE)) AS BIGINT) FROM orders)
     ORDER BY metric"""
 
+  /** c07 — robust outlier gate: per order status, flag orders whose
+    * price sits more than 3 MADs from the median (median absolute
+    * deviation — the robust spread every data-quality stack prefers
+    * over stddev, which outliers themselves inflate). Prices route
+    * through integer cents; the exact `percentile` of integers
+    * interpolates at worst to .5, which doubles represent exactly, so
+    * median, MAD, and every flag comparison match DuckDB's
+    * quantile_cont bit-for-bit (the q19 exact-percentile parity,
+    * reused as a FILTER).
+    *
+    * Scale shape: two grouped aggregations over the same o_orderstatus
+    * partitioning (medians need a second pass over |x − med|, joined
+    * back broadcast since groups are few) + one stateless flag scan.
+    * Exact per-group percentile buffers a group's values — at 100 TB
+    * with high-cardinality groups the swap is q20's t-digest, same
+    * plan minus the buffering.
+    *
+    * The synthetic prices are uniform — no natural point clears 3
+    * MADs (a 0-row gate proves nothing) — so every 500th order is
+    * PLANTED 25× high, the t22/mm08 closed-form-plant pattern: the
+    * gate must recover exactly the planted set for the hash to
+    * match. */
+  def robustOutliers(s: SparkSession, dir: String): DataFrame = {
+    val cents = Relational.table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("raw"))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        when(col("o_orderkey") % 500 === 0, col("raw") * 25)
+          .otherwise(col("raw")).as("cents"))
+    val med = cents.groupBy("o_orderstatus")
+      .agg(expr("percentile(cents, 0.5)").as("med"))
+    val mad = cents.join(broadcast(med), "o_orderstatus")
+      .groupBy("o_orderstatus")
+      .agg(expr("percentile(abs(cents - med), 0.5)").as("mad"))
+    cents.join(broadcast(med), "o_orderstatus")
+      .join(broadcast(mad), "o_orderstatus")
+      .filter(abs(col("cents") - col("med")) > col("mad") * 3)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("cents"),
+        col("med"), col("mad"))
+      .orderBy("o_orderkey")
+  }
+
+  val robustOutliersSql: String = """
+    WITH raw AS (
+      SELECT o_orderkey, o_orderstatus,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+          AS raw
+      FROM orders),
+    cents AS (
+      SELECT o_orderkey, o_orderstatus,
+        CASE WHEN o_orderkey % 500 = 0 THEN raw * 25 ELSE raw END
+          AS cents
+      FROM raw),
+    med AS (
+      SELECT o_orderstatus, quantile_cont(cents, 0.5) AS med
+      FROM cents GROUP BY o_orderstatus),
+    mad AS (
+      SELECT o_orderstatus, quantile_cont(abs(cents - med), 0.5) AS mad
+      FROM cents JOIN med USING (o_orderstatus)
+      GROUP BY o_orderstatus)
+    SELECT o_orderkey, o_orderstatus, cents, med, mad
+    FROM cents JOIN med USING (o_orderstatus)
+               JOIN mad USING (o_orderstatus)
+    WHERE abs(cents - med) > mad * 3
+    ORDER BY o_orderkey"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("c01_curation_pipeline", curationPipeline _,
@@ -317,5 +384,6 @@ object Curation {
       ("c03_snapshot_diff", snapshotDiff _, Some(snapshotDiffSql)),
       ("c04_cdc_compact", cdcCompact _, Some(cdcCompactSql)),
       ("c05_scd2_history", scd2History _, Some(scd2HistorySql)),
-      ("c06_expectations", expectations _, Some(expectationsSql)))
+      ("c06_expectations", expectations _, Some(expectationsSql)),
+      ("c07_robust_outliers", robustOutliers _, Some(robustOutliersSql)))
 }

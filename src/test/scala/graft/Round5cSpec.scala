@@ -165,6 +165,19 @@ class Round5cSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------- c07 MAD outliers
+  test("c07: the MAD gate recovers exactly the planted anomalies — " +
+    "every 500th order, nothing else") {
+    val flagged = Curation.robustOutliers(spark, sfDir)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val planted = Relational.table(spark, sfDir, "orders")
+      .filter(col("o_orderkey") % 500 === 0)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(planted.nonEmpty, "no plants in this sf — test is vacuous")
+    assert(flagged == planted,
+      s"missed=${planted -- flagged} spurious=${flagged -- planted}")
+  }
+
   // ------------------------------------------------- c06 expectations
   test("c06: audit metrics are mutually consistent and match the " +
     "source table") {
