@@ -79,7 +79,7 @@ object Bench {
     // line (printed just before) still carry every query.
     // pruned when the 2000-char budget tightens: m13/m20/t01/st01,
     // then g07/st06/st03/mm02 for the round-5 session-3 keys, then
-    // q24/t18/st12/mm06/mm07/st14 for the session-4 keys
+    // q24/t18/st12/mm06/mm07/st14/t16/s08 for the session-4 keys
     // (stable sub-0.2s rows for 4+ rounds; bench.json keeps them all)
     val headline = Seq(
       "a01_bench_generate_1m", "a02_bench_mutate_1m",
@@ -95,8 +95,8 @@ object Bench {
       "st07_attribution", "c01_curation_pipeline",
       "j01_jsonl_roundtrip",
       "q22_zorder_layout", "q23_range_shards", "j02_partitioned_sink",
-      "t15_bloom_decontaminate", "t16_chunk_overlap", "c03_snapshot_diff",
-      "s08_train_split", "st08_quota", "mm04_image_features",
+      "t15_bloom_decontaminate", "c03_snapshot_diff",
+      "st08_quota", "mm04_image_features",
       "c04_cdc_compact", "t17_boilerplate_dedup",
       "mm05_decode_quarantine",
       "j03_orc_roundtrip", "s09_epoch_shuffle", "t19_bm25_topk",
