@@ -19,7 +19,8 @@ object SparkEntry {
       graft.queries.Sampling.all ++ graft.queries.Linkage.all ++
       Multimodal.all ++ Streaming.all ++ graft.queries.Skew.all ++
       graft.queries.AsOf.all ++ graft.queries.RangeJoin.all ++
-      graft.queries.Sources.all ++ graft.queries.Layout.all ++ Seq(
+      graft.queries.Sources.all ++ graft.queries.Layout.all ++
+      graft.queries.Graph.all ++ Seq(
         ("q18_approx_distinct", Relational.q18ApproxDistinct _, None),
         ("q18_exact_distinct", Relational.q18ExactDistinct _,
           Some(Relational.q18ExactSql)),

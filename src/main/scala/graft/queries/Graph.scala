@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics expressed as the canonical
+  * Pregel-as-DataFrame loop: each superstep is ONE edge⋈rank join +
+  * ONE destination-keyed aggregation — exactly how large-scale graph
+  * engines (GraphX, connected-components in d06/d07) run on Spark.
+  *
+  * The rank arithmetic is ALL INTEGER (micro-points, floor division),
+  * so three unrolled rounds replay bit-exactly in DuckDB — the same
+  * float-free trick as l04's milli log-odds and t25's bit surprisal. */
+object Graph {
+
+  /** Customers' node ids live above suppliers'. */
+  private val CustOffset = 1000000L
+  private val PrRounds = 3
+  /** Rank unit: 1.0 == 1e6 micro-points; damping 0.85. */
+  private val PrBase = 150000L
+
+  /** The trade graph: supplier ↔ customer edges (one per distinct
+    * trading pair, BOTH directions so the graph is cyclic and every
+    * round genuinely moves rank — a one-way bipartite graph would
+    * converge after round 1 and leave rounds 2–3 untested). */
+  private def edges(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Relational.table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Relational.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("supp"),
+        (col("o_custkey") + CustOffset).as("cust"))
+      .distinct()
+    pairs.select(col("supp").as("src"), col("cust").as("dst"))
+      .union(pairs.select(col("cust").as("src"), col("supp").as("dst")))
+  }
+
+  /** gr01 — PageRank over the supplier↔customer trade graph, 3
+    * supersteps of r(v) ← 0.15 + 0.85·Σ r(u)/outdeg(u) in exact
+    * micro-point integers: contribution = (85 × (r div outdeg))
+    * div 100, floor division both engines.
+    *
+    * Scale shape: the edge list is built ONCE (one orderkey join +
+    * distinct) and persisted; every superstep then shuffles ONLY
+    * (node, rank) pairs through an edges⋈ranks join on src and a
+    * dst-keyed sum — partial-aggregated map-side, so the per-round
+    * network cost is O(edges) with combiner compression, constant in
+    * the round count. At 100 TB the edge list would be bucketed by
+    * src so the join side never re-shuffles; the rank table is the
+    * only thing that moves. localCheckpoint truncates the per-round
+    * lineage exactly like the d06 label-propagation loop. */
+  def pagerank(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir).persist()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val withDeg = e.join(outdeg, "src").persist()
+    val nodes = e.select(col("src").as("node")).distinct().persist()
+    var ranks = nodes.select(col("node"), lit(1000000L).as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to PrRounds) {
+      val contrib = withDeg
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"),
+          expr("85 * (r div outdeg) div 100").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("in_rank"))
+      ranks = nodes
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(PrBase) + coalesce(col("in_rank"), lit(0L))).as("r"))
+        .localCheckpoint()
+    }
+    ranks.orderBy("node").select(col("node"), col("r").as("rank_micro"))
+  }
+
+  val pagerankSql: String = {
+    def round(prev: String, out: String): String = s"""
+    $out AS (
+      SELECT n.node,
+        $PrBase + COALESCE(c.in_rank, 0) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst, CAST(sum(85 * (p.r // e.outdeg) // 100)
+          AS BIGINT) AS in_rank
+        FROM degedges e JOIN $prev p ON e.src = p.node
+        GROUP BY e.dst) c ON n.node = c.dst)"""
+    s"""
+    WITH pairs AS (
+      SELECT DISTINCT l.l_suppkey AS supp,
+        o.o_custkey + $CustOffset AS cust
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    edges AS (
+      SELECT supp AS src, cust AS dst FROM pairs
+      UNION ALL
+      SELECT cust AS src, supp AS dst FROM pairs),
+    degedges AS (
+      SELECT src, dst,
+        count(*) OVER (PARTITION BY src) AS outdeg
+      FROM edges),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+    ${round("r0", "r1")},
+    ${round("r1", "r2")},
+    ${round("r2", "r3")}
+    SELECT node, r AS rank_micro FROM r3 ORDER BY node"""
+  }
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame,
+    Option[String])] =
+    Seq(("gr01_pagerank", pagerank _, Some(pagerankSql)))
+}

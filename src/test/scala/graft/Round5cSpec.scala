@@ -178,6 +178,29 @@ class Round5cSpec extends SparkSpec {
       s"missed=${planted -- flagged} spurious=${flagged -- planted}")
   }
 
+  // ------------------------------------------------- gr01 pagerank
+  test("gr01: rank algebra — every node holds at least the base " +
+    "rank, hub suppliers outrank customers, total rank is bounded " +
+    "by teleport + damped circulation") {
+    val rows = graft.queries.Graph.pagerank(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val (supp, cust) = rows.partition(_.getLong(0) < 1000000L)
+    assert(supp.nonEmpty && cust.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) >= 150000L,
+      s"node ${r.getLong(0)} below base rank"))
+    // suppliers aggregate rank from MANY customers each (hub side of
+    // the trade graph) — their mean rank must exceed the customers'
+    val meanS = supp.map(_.getLong(1)).sum.toDouble / supp.length
+    val meanC = cust.map(_.getLong(1)).sum.toDouble / cust.length
+    assert(meanS > meanC, s"supplier mean $meanS <= customer mean $meanC")
+    // conservation bound: one round moves at most 85% of the previous
+    // total (floor division only loses), plus n teleports
+    val n = rows.length
+    val total = rows.map(_.getLong(1)).sum
+    assert(total <= n * 1000000L,
+      "total rank exceeds the theoretical fixed-point bound")
+  }
+
   // ------------------------------------------------- c06 expectations
   test("c06: audit metrics are mutually consistent and match the " +
     "source table") {
