@@ -112,7 +112,7 @@ object Bench {
       "s12_negative_sampling", "t23_bpe_merges",
       "t24_bpe_apply", "t25_surprisal", "q29_window_suite",
       "c06_expectations", "j05_csv_roundtrip", "s13_mmr_diversify",
-      "c07_robust_outliers", "gr01_pagerank")
+      "c07_robust_outliers", "gr01_pagerank", "gr02_components")
     val resultMap = results.toMap
     // a headline key that stops matching a query name would otherwise
     // silently vanish from the tail-parsed line — fail loudly instead

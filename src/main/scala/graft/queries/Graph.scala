@@ -103,7 +103,57 @@ object Graph {
     SELECT node, r AS rank_micro FROM r3 ORDER BY node"""
   }
 
+  /** gr02 — connected components over a SPARSIFIED trade graph,
+    * reusing d06's large-star/small-star machinery (O(log diameter)
+    * rounds, round-count spec'd there) on organically-derived edges
+    * instead of d07's planted chains. The full trade graph is one
+    * giant component (every supplier trades with overlapping
+    * customers — a vacuous closure), so edges are deterministically
+    * sparsified to the (31·supp + cust) ≡ 0 (mod 11) residue slice,
+    * which splits the graph into ~11 multi-hop components both
+    * engines must agree on node by node. The DuckDB oracle is a
+    * recursive-CTE transitive closure taking min reachable label per
+    * node — fine at oracle scale, quadratic-in-component-size in
+    * general, which is exactly WHY the Spark side uses the
+    * star-contraction algorithm instead. */
+  def components(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Relational.table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Relational.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter((col("l_suppkey") * 31 + col("o_custkey")) % 11 === 0)
+      .select(col("l_suppkey").as("supp"),
+        (col("o_custkey") + CustOffset).as("cust"))
+      .distinct()
+    val e = pairs.select(col("supp").as("a"), col("cust").as("b"))
+    Dedup.clusterPairs(e)
+      .select(col("doc_id").as("node"), col("cluster_id"))
+      .orderBy("node")
+  }
+
+  val componentsSql: String = s"""
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT l.l_suppkey AS supp,
+        o.o_custkey + $CustOffset AS cust
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE (l.l_suppkey * 31 + o.o_custkey) % 11 = 0),
+    edges AS (
+      SELECT supp AS src, cust AS dst FROM pairs
+      UNION ALL
+      SELECT cust AS src, supp AS dst FROM pairs),
+    reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label
+      FROM edges e JOIN reach r ON e.src = r.node)
+    SELECT node, CAST(min(label) AS BIGINT) AS cluster_id
+    FROM reach
+    GROUP BY node
+    ORDER BY node"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame,
     Option[String])] =
-    Seq(("gr01_pagerank", pagerank _, Some(pagerankSql)))
+    Seq(("gr01_pagerank", pagerank _, Some(pagerankSql)),
+      ("gr02_components", components _, Some(componentsSql)))
 }

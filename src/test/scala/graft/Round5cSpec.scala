@@ -201,6 +201,22 @@ class Round5cSpec extends SparkSpec {
       "total rank exceeds the theoretical fixed-point bound")
   }
 
+  // ------------------------------------------------- gr02 components
+  test("gr02: sparsified trade graph splits into multiple genuine " +
+    "components — each bipartite, labelled by its minimum node") {
+    val rows = graft.queries.Graph.components(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val comps = rows.groupBy(_._2)
+    assert(comps.size > 1, "sparsification produced a single component")
+    comps.foreach { case (label, members) =>
+      val nodes = members.map(_._1)
+      assert(label == nodes.min, s"label $label is not the min node")
+      // closure crossed the bipartite boundary: both sides present
+      assert(nodes.exists(_ < 1000000L) && nodes.exists(_ >= 1000000L),
+        s"component $label never crossed supplier<->customer")
+    }
+  }
+
   // ------------------------------------------------- c06 expectations
   test("c06: audit metrics are mutually consistent and match the " +
     "source table") {
