@@ -15,6 +15,10 @@ import graft.expr.{CosineSimilarity, HyperplaneBuckets, IntDotProduct,
   * tests, notebooks — call [[GraftExtensions.register]] directly. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator extension: native as-of join (planner strategy +
+    // left-predicate pushdown rule)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.AsofPushdown)
     ext.injectFunction(GraftExtensions.minhashSignatureFn)
     ext.injectFunction(GraftExtensions.cosineSimilarityFn)
     ext.injectFunction(GraftExtensions.ngramHashesFn)

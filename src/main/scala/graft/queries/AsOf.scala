@@ -104,6 +104,31 @@ object AsOf {
       ON l.user_id = r.user_id AND l.ts >= r.ts
     ORDER BY l.event_id"""
 
+  /** q31 — the SAME as-of query through the native physical operator
+    * ([[graft.plans.AsofJoinExec]]: co-partitioned sort-merge, one
+    * streaming pass, O(1) state) instead of the union+window
+    * formulation. Reuses q17's DuckDB oracle verbatim, so the custom
+    * LogicalPlan → Strategy → SparkPlan path is hash-checked
+    * bit-for-bit, not just spec-asserted. Unlike q17 it needs no
+    * right-side (key, ts) pre-dedupe: the merge's (ts, tie)-ascending
+    * consume order makes the highest tiebreak win naturally. */
+  def q31AsofNative(spark: SparkSession, dir: String): DataFrame = {
+    val e = Streaming.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value"))
+    graft.plans.AsofJoin.asofJoin(purchases, signups, "user_id", "ts",
+      payload = Seq("value"), rightTie = "event_id")
+      .select(col("event_id"),
+        col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        col("asof_value").as("signup_value"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    Seq(("q17_asof_join", q17AsofJoin _, Some(q17Sql)))
+    Seq(("q17_asof_join", q17AsofJoin _, Some(q17Sql)),
+      ("q31_asof_native", q31AsofNative _, Some(q17Sql)))
 }
