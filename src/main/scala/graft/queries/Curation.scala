@@ -376,6 +376,56 @@ object Curation {
     WHERE abs(cents - med) > mad * 3
     ORDER BY o_orderkey"""
 
+  /** c08 — incremental materialized-view maintenance: the per-
+    * (customer, month) order rollup is built for the BASE epoch
+    * (orders before 1997), persisted as the stored view state, then
+    * brought current by merging only the DELTA epoch's partial
+    * aggregates — never re-reading base facts. This is the standard
+    * warehouse pattern for keeping a 100 TB rollup fresh: it works
+    * because (count, sum) form a commutative monoid, so "aggregate of
+    * union" = "re-aggregate of per-batch aggregates" — the same
+    * algebra Spark's own partial aggregation applies within a job,
+    * applied here ACROSS jobs with parquet as the carrier.
+    *
+    * Scale shape: refresh cost is O(|delta| + |view|), independent of
+    * |base facts|; at 100 TB the view would be partitioned by month so
+    * the merge re-agg touches only the months the delta names
+    * (partition pruning on the state read), making refresh O(|delta|).
+    * The oracle recomputes from ALL facts — equality proves the
+    * incremental path loses nothing. */
+  def incrementalMv(s: SparkSession, dir: String): DataFrame = {
+    val orders = Relational.table(s, dir, "orders")
+      .select(col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"),
+        col("o_orderdate"))
+    val split = lit("1997-01-01").cast("timestamp")
+    def rollup(df: DataFrame): DataFrame =
+      df.groupBy("o_custkey", "month")
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+    val stateDir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_c08_mv_${s.sparkContext.applicationId}").getAbsolutePath
+    rollup(orders.filter(col("o_orderdate") < split))
+      .write.mode("overwrite").parquet(stateDir)
+    val base = s.read.parquet(stateDir) // the stored view, read back
+    val delta = rollup(orders.filter(col("o_orderdate") >= split))
+    base.unionByName(delta)
+      .groupBy("o_custkey", "month")
+      .agg(sum(col("n_orders")).as("n_orders"),
+        sum(col("cents")).as("cents"))
+      .orderBy("o_custkey", "month")
+  }
+
+  val incrementalMvSql: String = """
+    SELECT o_custkey, strftime(o_orderdate, '%Y-%m') AS month,
+      CAST(count(*) AS BIGINT) AS n_orders,
+      CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        AS BIGINT)) AS BIGINT) AS cents
+    FROM orders
+    GROUP BY o_custkey, strftime(o_orderdate, '%Y-%m')
+    ORDER BY o_custkey, month"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("c01_curation_pipeline", curationPipeline _,
@@ -385,5 +435,6 @@ object Curation {
       ("c04_cdc_compact", cdcCompact _, Some(cdcCompactSql)),
       ("c05_scd2_history", scd2History _, Some(scd2HistorySql)),
       ("c06_expectations", expectations _, Some(expectationsSql)),
-      ("c07_robust_outliers", robustOutliers _, Some(robustOutliersSql)))
+      ("c07_robust_outliers", robustOutliers _, Some(robustOutliersSql)),
+      ("c08_incremental_mv", incrementalMv _, Some(incrementalMvSql)))
 }

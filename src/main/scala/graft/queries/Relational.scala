@@ -687,6 +687,76 @@ object Relational {
                  ORDER BY o_orderdate, o_orderkey)
     ORDER BY o_custkey, o_orderkey"""
 
+  // --------------------------------------------------------------- Q30
+  /** q30 — calendar gap-fill + last-observation-carried-forward: the
+    * standard time-series densification every feature/forecasting
+    * pipeline runs. Per order priority, the day's "reading" is the
+    * price of that day's highest-numbered order (a deterministic
+    * struct-max, c04's pattern); the calendar is generated
+    * declaratively (min..max date `sequence` + explode — no driver
+    * loop, no collect) and missing days carry the last reading
+    * forward with `last(_, ignoreNulls)` over a day-ordered window.
+    *
+    * Scale shape: the calendar explode is |groups| × |days| — output-
+    * sized, not fact-sized; the LOCF window shuffles once on the
+    * group key and streams in day order. Leading days before a
+    * group's first reading stay NULL (nothing to carry), which the
+    * oracle must reproduce — an off-by-one in either engine's frame
+    * would hash-mismatch. */
+  def q30GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long")
+    val orders = table(spark, dir, "orders")
+      .select(col("o_orderpriority"), to_date(col("o_orderdate")).as("day"),
+        col("o_orderkey"), cents.as("cents"))
+    val daily = orders.groupBy("o_orderpriority", "day")
+      .agg(max(struct(col("o_orderkey"), col("cents")))
+        .getField("cents").as("reading"))
+    val bounds = orders.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val calendar = orders.select("o_orderpriority").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("o_orderpriority"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 day")))
+          .as("day"))
+    val w = Window.partitionBy("o_orderpriority").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    calendar.join(daily, Seq("o_orderpriority", "day"), "left")
+      .withColumn("filled", last(col("reading"), ignoreNulls = true).over(w))
+      .select(col("o_orderpriority"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("reading"), col("filled"))
+      .orderBy("o_orderpriority", "day")
+  }
+
+  val q30Sql: String = """
+    WITH orders_d AS (
+      SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+        o_orderkey,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+          AS cents
+      FROM orders),
+    daily AS (
+      SELECT o_orderpriority, day,
+        (max(struct_pack(k := o_orderkey, cents := cents))).cents
+          AS reading
+      FROM orders_d GROUP BY o_orderpriority, day),
+    bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM orders_d),
+    calendar AS (
+      SELECT p.o_orderpriority, CAST(d.day AS DATE) AS day
+      FROM (SELECT DISTINCT o_orderpriority FROM orders_d) p
+      CROSS JOIN (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+        FROM bounds) d)
+    SELECT c.o_orderpriority, strftime(c.day, '%Y-%m-%d') AS day,
+      dl.reading,
+      last_value(dl.reading IGNORE NULLS) OVER (
+        PARTITION BY c.o_orderpriority ORDER BY c.day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+    FROM calendar c
+    LEFT JOIN daily dl
+      ON c.o_orderpriority = dl.o_orderpriority AND c.day = dl.day
+    ORDER BY c.o_orderpriority, c.day"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_segment_revenue", q02SegmentRevenue _, q02Sql),
@@ -710,5 +780,6 @@ object Relational {
     ("q27_topk_agg", q27TopkAgg _, q07Sql),
     ("q28_grouping_sets", q28GroupingSets _, q28Sql),
     ("q29_window_suite", q29WindowSuite _, q29Sql),
+    ("q30_gapfill", q30GapFill _, q30Sql),
   )
 }

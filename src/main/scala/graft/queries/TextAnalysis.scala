@@ -1275,6 +1275,133 @@ object TextAnalysis {
     GROUP BY doc_id
     ORDER BY doc_id"""
 
+  // ------------------------------------------ t26 classifier gate
+  private val ClfDim = 64L
+
+  /** t26 — model-based quality filtering with a hashing-trick linear
+    * classifier (the fastText-style gate most corpus pipelines run
+    * after the heuristic gates): each token hashes into one of
+    * [[ClfDim]] feature buckets (md5 → 16-bit int → mod, the s09
+    * portable-hash idiom), each bucket carries a small integer weight,
+    * and a document's score is the weight-sum of its token bag;
+    * `score >= 0` keeps the doc. Weights are derived here from the
+    * bucket id ((b·37) mod 21 − 10 ∈ [−10, 10]) so the ORACLE can
+    * replay them — in production they'd be trained parameters shipped
+    * into codegen exactly like [[graft.expr.PqEncode]]'s codebooks
+    * (`ctx.addReferenceObj`), with identical plan shape.
+    *
+    * Scale shape: inference is a pure map pass — `transform` +
+    * `aggregate` over the token array, zero shuffles, zero UDFs, one
+    * WholeStageCodegen span; 100 TB costs one scan. */
+  def classifierGate(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val bucket = (t: Column) =>
+      conv(substring(md5(concat(lit("t26#"), t)), 1, 4), 16, 10)
+        .cast("long") % ClfDim
+    val weight = (b: Column) => (b * 37) % 21 - 10
+    val score = aggregate(toks, lit(0L),
+      (acc, t) => acc + weight(bucket(t)))
+    Relational.table(s, dir, "documents")
+      .select(col("doc_id"), score.as("score"))
+      .withColumn("kept", (col("score") >= 0).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  val classifierGateSql: String = s"""
+    SELECT doc_id, score,
+      CAST(CASE WHEN score >= 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM (
+      SELECT doc_id,
+        CAST(coalesce(list_sum(list_transform(string_split(text, ' '),
+          t -> ((('0x' || substr(md5('t26#' || t), 1, 4))::BIGINT
+                 % $ClfDim) * 37) % 21 - 10)), 0) AS BIGINT) AS score
+      FROM documents)
+    ORDER BY doc_id"""
+
+  // ------------------------------------------- t27 Luhn redaction
+  /** t27 — checksum-validated PII redaction: t08's regex finds digit
+    * runs, but real pipelines must not scrub every 16-digit number —
+    * only those passing the Luhn check (the card-number checksum) are
+    * PII. A 16-digit candidate is planted in every third document with
+    * a doc-id-derived check digit, so validity varies pseudo-randomly
+    * across the corpus and the gate's selectivity is real. Validation
+    * is pure integer expression work: char array → per-position
+    * contribution (every second digit from the right doubled, −9 when
+    * >9) → `aggregate` sum mod 10; valid candidates are replaced with
+    * `[CARD]`, invalid ones (false positives under t08's rule) are
+    * preserved.
+    *
+    * Scale shape: map-only — regex extract + fixed-16 `transform` +
+    * literal `replace` per row, no shuffle, no UDF; the oracle
+    * replays plant, checksum, and redaction byte-for-byte. */
+  def luhnRedact(s: SparkSession, dir: String): DataFrame = {
+    val card = concat(lit("4"),
+      lpad(((col("doc_id") * 7919) % 100000000000000L).cast("string"),
+        14, "0"),
+      ((col("doc_id") * 31) % 10).cast("string"))
+    val planted = when(pmod(col("doc_id"), lit(3)) === 0,
+      concat(col("text"), lit(" card "), card)).otherwise(col("text"))
+    val cands = regexp_extract_all(col("planted"), lit("\\d{16}"), lit(0))
+    def luhnValid(c: Column): Column = {
+      val chars = split(c, "")
+      val contrib = transform(chars, (ch, i) => {
+        val d = ch.cast("long")
+        val dd = when(i % 2 === 0, d * 2).otherwise(d)
+        when(dd > 9, dd - 9).otherwise(dd)
+      })
+      aggregate(contrib, lit(0L), _ + _) % 10 === 0
+    }
+    val valids = filter(col("cands"), luhnValid _)
+    Relational.table(s, dir, "documents")
+      .select(col("doc_id"), planted.as("planted"))
+      .withColumn("cands", cands)
+      .withColumn("n_cards", size(col("cands")).cast("long"))
+      .withColumn("valids", valids)
+      .withColumn("n_valid", size(col("valids")).cast("long"))
+      .withColumn("redacted",
+        when(col("n_valid") > 0,
+          replace(col("planted"), element_at(col("valids"), 1),
+            lit("[CARD]"))).otherwise(col("planted")))
+      .select(col("doc_id"), col("n_cards"), col("n_valid"),
+        md5(col("redacted")).as("redacted_fp"))
+      .orderBy("doc_id")
+  }
+
+  val luhnRedactSql: String = """
+    WITH planted AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN
+          text || ' card ' || '4' ||
+          lpad(CAST((doc_id * 7919) % 100000000000000 AS VARCHAR),
+            14, '0') ||
+          CAST((doc_id * 31) % 10 AS VARCHAR)
+        ELSE text END AS planted
+      FROM documents),
+    scanned AS (
+      SELECT doc_id, planted,
+        regexp_extract_all(planted, '\d{16}') AS cands
+      FROM planted),
+    validated AS (
+      SELECT doc_id, planted, cands,
+        list_filter(cands, c ->
+          list_sum(list_transform(range(1, 17), i ->
+            CASE WHEN (CASE WHEN i % 2 = 1 THEN 2 ELSE 1 END)
+                   * substr(c, i::INT, 1)::BIGINT > 9
+              THEN (CASE WHEN i % 2 = 1 THEN 2 ELSE 1 END)
+                   * substr(c, i::INT, 1)::BIGINT - 9
+              ELSE (CASE WHEN i % 2 = 1 THEN 2 ELSE 1 END)
+                   * substr(c, i::INT, 1)::BIGINT END)) % 10 = 0)
+          AS valids
+      FROM scanned)
+    SELECT doc_id,
+      CAST(len(cands) AS BIGINT) AS n_cards,
+      CAST(len(valids) AS BIGINT) AS n_valid,
+      md5(CASE WHEN len(valids) > 0
+        THEN replace(planted, valids[1], '[CARD]')
+        ELSE planted END) AS redacted_fp
+    FROM validated
+    ORDER BY doc_id"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("t01_token_count", tokenCount _, Some(tokenCountSql)),
@@ -1304,5 +1431,7 @@ object TextAnalysis {
       ("t23_bpe_merges", bpeMerges _, Some(bpeMergesSql)),
       ("t24_bpe_apply", bpeApply _, Some(bpeApplySql)),
       ("t25_surprisal", surprisal _, Some(surprisalSql)),
+      ("t26_classifier_gate", classifierGate _, Some(classifierGateSql)),
+      ("t27_luhn_redact", luhnRedact _, Some(luhnRedactSql)),
     )
 }

@@ -94,4 +94,62 @@ class Round5dSpec extends SparkSpec {
       "user_id", "ts", Seq("value"), "event_id")
     assert(joinedThenFiltered.collect().toSeq == pre.collect().toSeq)
   }
+
+  test("c08: incremental merge == one-shot recompute, and both epochs " +
+    "contribute (the split is real)") {
+    val inc = queries.Curation.incrementalMv(spark, sfDir)
+    val full = queries.Relational.table(spark, sfDir, "orders")
+      .groupBy(col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum((col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long")).as("cents"))
+      .orderBy("o_custkey", "month")
+    assert(inc.collect().toSeq == full.collect().toSeq)
+    val months = inc.select("month").distinct().collect()
+      .map(_.getString(0))
+    assert(months.exists(_ < "1997") && months.exists(_ >= "1997"))
+  }
+
+  test("q30: LOCF fills exactly the gap days — filled changes only on " +
+    "observed days, leading days stay null") {
+    val rows = queries.Relational.q30GapFill(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val byGroup = rows.groupBy(_._1)
+    assert(byGroup.size >= 3)
+    byGroup.foreach { case (_, g) =>
+      var carry: Option[Long] = None
+      g.sortBy(_._2).foreach { case (_, day, reading, filled) =>
+        if (reading.isDefined) carry = reading
+        assert(filled == carry, s"LOCF broke at $day")
+      }
+    }
+    // the gap-fill must actually fill: more rows than observations
+    assert(rows.count(_._3.isEmpty) > rows.count(_._3.isDefined))
+  }
+
+  test("t26: classifier gate is selective and consistent") {
+    val rows = queries.TextAnalysis.classifierGate(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(rows.forall { case (s, k) => (s >= 0) == (k == 1L) })
+    assert(rows.exists(_._2 == 1L) && rows.exists(_._2 == 0L),
+      "gate is vacuous: all kept or all dropped")
+  }
+
+  test("t27: Luhn gate splits the planted candidates — some validate " +
+    "and redact, some are preserved false positives") {
+    val rows = queries.TextAnalysis.luhnRedact(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (_, cards, valid) => assert(valid <= cards) }
+    assert(rows.exists { case (_, c, v) => c > 0 && v > 0 })
+    assert(rows.exists { case (_, c, v) => c > 0 && v == 0 })
+    // plants land only on doc_id % 3 == 0 (corpus has no natural
+    // 16-digit runs)
+    rows.foreach { case (id, c, _) =>
+      if (id % 3 != 0) assert(c == 0, s"unexpected candidate in doc $id")
+    }
+  }
 }
