@@ -152,8 +152,92 @@ object Graph {
     GROUP BY node
     ORDER BY node"""
 
+  /** gr03 — triangle counting on the part co-purchase graph (parts
+    * appearing in the same order, capped to each order's 4 lowest part
+    * keys so per-order fanout is a constant ≤ 6 pairs). Triangles are
+    * the clustering primitive behind community detection and
+    * recommendation diversity scoring.
+    *
+    * Scale shape: the classic degree-ordered orientation (each
+    * undirected edge directed from its (degree, id)-smaller endpoint)
+    * bounds every vertex's out-degree by O(√m), so the wedge join
+    * (e1.dst = e2.src) materializes O(m^1.5) candidates worst-case
+    * instead of Σ deg² — the MapReduce triangle-counting bound. Three
+    * shuffles total (wedge join + closing-edge semi-join + the final
+    * per-node count), all on edge keys, no broadcast requirement.
+    * Every count is an exact integer, so the DuckDB replica matches
+    * hash-exactly. */
+  def triangles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Relational.table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val capped = pairs.withColumn("rn", row_number().over(
+        Window.partitionBy("l_orderkey").orderBy("l_partkey")))
+      .filter(col("rn") <= 4).drop("rn")
+    val a = capped.select(col("l_orderkey"), col("l_partkey").as("u"))
+    val b = capped.select(col("l_orderkey"), col("l_partkey").as("v"))
+    val edges = a.join(b, "l_orderkey").filter(col("u") < col("v"))
+      .select("u", "v").distinct().persist()
+    val deg = edges.select(col("u").as("n"))
+      .unionAll(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("c"))
+    val du = deg.select(col("n").as("u"), col("c").as("cu"))
+    val dv = deg.select(col("n").as("v"), col("c").as("cv"))
+    val orient = edges.join(du, "u").join(dv, "v")
+      .select(
+        when(struct(col("cu"), col("u")) < struct(col("cv"), col("v")),
+          col("u")).otherwise(col("v")).as("s"),
+        when(struct(col("cu"), col("u")) < struct(col("cv"), col("v")),
+          col("v")).otherwise(col("u")).as("d"))
+      .persist()
+    val wedges = orient.select(col("s").as("a"), col("d").as("b"))
+      .join(orient.select(col("s").as("b"), col("d").as("c")), "b")
+    val tris = wedges.join(
+      orient.select(col("s").as("a"), col("d").as("c")), Seq("a", "c"),
+      "left_semi")
+    tris.select(col("a").as("node"))
+      .unionAll(tris.select(col("b").as("node")))
+      .unionAll(tris.select(col("c").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+      .orderBy("node")
+  }
+
+  val trianglesSql: String = """
+    WITH ranked AS (
+      SELECT l_orderkey, l_partkey,
+        row_number() OVER (PARTITION BY l_orderkey
+                           ORDER BY l_partkey) AS rn
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)),
+    capped AS (SELECT l_orderkey, l_partkey FROM ranked WHERE rn <= 4),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM capped a JOIN capped b ON a.l_orderkey = b.l_orderkey
+        AND a.l_partkey < b.l_partkey),
+    deg AS (
+      SELECT n, count(*) AS c FROM (
+        SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)
+      GROUP BY n),
+    orient AS (
+      SELECT CASE WHEN (du.c, e.u) < (dv.c, e.v) THEN e.u ELSE e.v
+               END AS s,
+             CASE WHEN (du.c, e.u) < (dv.c, e.v) THEN e.v ELSE e.u
+               END AS d
+      FROM edges e JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n),
+    tri AS (
+      SELECT e1.s AS a, e1.d AS b, e2.d AS c
+      FROM orient e1 JOIN orient e2 ON e1.d = e2.s
+      WHERE EXISTS (SELECT 1 FROM orient e3
+                    WHERE e3.s = e1.s AND e3.d = e2.d))
+    SELECT node, count(*) AS n_triangles
+    FROM (SELECT a AS node FROM tri UNION ALL
+          SELECT b FROM tri UNION ALL
+          SELECT c FROM tri)
+    GROUP BY node
+    ORDER BY node"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame,
     Option[String])] =
     Seq(("gr01_pagerank", pagerank _, Some(pagerankSql)),
-      ("gr02_components", components _, Some(componentsSql)))
+      ("gr02_components", components _, Some(componentsSql)),
+      ("gr03_triangles", triangles _, Some(trianglesSql)))
 }

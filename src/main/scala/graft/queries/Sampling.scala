@@ -385,6 +385,42 @@ object Sampling {
     FROM mins m JOIN cand c USING (a, j, h)
     ORDER BY anchor_id, j"""
 
+  // ------------------------------------ s14 importance resampling
+  /** s14 — quality-weighted importance resampling (the DSIR-style
+    * "sample proportional to a per-document score" primitive that
+    * upweights target-like data when assembling a training mix): each
+    * document's acceptance probability is quality/20, where quality is
+    * its distinct-token count capped at 20 — a per-ROW rate, unlike
+    * s03's fixed per-stratum fraction. The coin is the portable hash
+    * gate: accept iff the 32-bit md5 draw u satisfies
+    * u · 20 < quality · 2³², cross-multiplied so there is no division
+    * and no float anywhere.
+    *
+    * Scale shape: a pure map-pass filter — no sampling state, no
+    * shuffle, layout-independent and replayable on any cluster (the
+    * s03/s08 hash-gate argument); 100 TB costs one scan. */
+  def importanceResample(s: SparkSession, dir: String): DataFrame = {
+    val quality = least(
+      size(array_distinct(split(col("text"), " "))).cast("long"), lit(20L))
+    val u = conv(substring(md5(concat(lit("s14#"), col("doc_id"))), 1, 8),
+      16, 10).cast("long")
+    Relational.table(s, dir, "documents")
+      .select(col("doc_id"), quality.as("quality"), u.as("draw"))
+      .filter(col("draw") * 20 < col("quality") * 4294967296L)
+      .select("doc_id", "quality")
+      .orderBy("doc_id")
+  }
+
+  val importanceResampleSql: String = """
+    SELECT doc_id, quality FROM (
+      SELECT doc_id,
+        least(CAST(len(list_distinct(string_split(text, ' ')))
+          AS BIGINT), 20) AS quality,
+        ('0x' || substr(md5('s14#' || doc_id), 1, 8))::BIGINT AS draw
+      FROM documents)
+    WHERE draw * 20 < quality * 4294967296
+    ORDER BY doc_id"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("s03_stratified_sample", stratifiedDemo _, None),
@@ -395,5 +431,7 @@ object Sampling {
       ("s11_curriculum", curriculumOrder _, Some(curriculumOrderSql)),
       ("s12_negative_sampling", negativeSampling _,
         Some(negativeSamplingSql)),
+      ("s14_importance_resample", importanceResample _,
+        Some(importanceResampleSql)),
     )
 }

@@ -152,4 +152,29 @@ class Round5dSpec extends SparkSpec {
       if (id % 3 != 0) assert(c == 0, s"unexpected candidate in doc $id")
     }
   }
+
+  test("gr03: triangle algebra — per-node counts sum to 3x the " +
+    "triangle total, plan has the closing semi-join and no cartesian") {
+    val df = queries.Graph.triangles(spark, sfDir)
+    val counts = df.collect().map(_.getLong(1))
+    assert(counts.nonEmpty && counts.forall(_ >= 1))
+    assert(counts.sum % 3 == 0,
+      "each triangle must contribute to exactly 3 nodes")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("Cartesian"), p)
+  }
+
+  test("s14: importance resampling is a map-only gate — replayable " +
+    "and shuffle-free up to the output sort") {
+    val a = queries.Sampling.importanceResample(spark, sfDir)
+    val b = queries.Sampling.importanceResample(spark, sfDir)
+    assert(a.collect().toSeq == b.collect().toSeq)
+    // AdaptiveSparkPlan.toString prints final AND initial plans; count
+    // exchanges in the final section only
+    val p = a.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"resample gate must not shuffle:\n$p")
+  }
 }
