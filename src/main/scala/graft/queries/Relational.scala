@@ -757,6 +757,49 @@ object Relational {
       ON c.o_orderpriority = dl.o_orderpriority AND c.day = dl.day
     ORDER BY c.o_orderpriority, c.day"""
 
+  // --------------------------------------------------------------- Q32
+  /** q32 — rolling 30-day spend per customer via a RANGE window frame
+    * (`RANGE BETWEEN 30 PRECEDING AND CURRENT ROW` over epoch days) —
+    * the value-based frame q29's suite doesn't touch: the window spans
+    * a time INTERVAL, not a row count, so same-day peers enter the
+    * frame together and gaps in activity shrink it. Time routes
+    * through integer epoch days so the frame bound arithmetic is
+    * engine-exact.
+    *
+    * Scale shape: ONE shuffle on the customer key + an in-partition
+    * sort; the range frame is evaluated by a sliding two-pointer over
+    * the sorted run (Spark's WindowExec bounded-frame path), never a
+    * per-row rescan. */
+  def q32RollingRange(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long")
+    val df = table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long").as("day"),
+        cents.as("cents"))
+    val w = Window.partitionBy("o_custkey").orderBy("day")
+      .rangeBetween(-30, 0)
+    df.withColumn("rolling_cents", sum(col("cents")).over(w))
+      .withColumn("n_win", count(lit(1)).over(w))
+      .orderBy("o_orderkey")
+  }
+
+  val q32Sql: String = """
+    SELECT o_orderkey, o_custkey, day, cents,
+      CAST(sum(cents) OVER w AS BIGINT) AS rolling_cents,
+      CAST(count(*) OVER w AS BIGINT) AS n_win
+    FROM (
+      SELECT o_orderkey, o_custkey,
+        CAST(datediff('day', DATE '1970-01-01',
+          CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+          AS cents
+      FROM orders)
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+                 RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+    ORDER BY o_orderkey"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_segment_revenue", q02SegmentRevenue _, q02Sql),
@@ -781,5 +824,6 @@ object Relational {
     ("q28_grouping_sets", q28GroupingSets _, q28Sql),
     ("q29_window_suite", q29WindowSuite _, q29Sql),
     ("q30_gapfill", q30GapFill _, q30Sql),
+    ("q32_rolling_range", q32RollingRange _, q32Sql),
   )
 }

@@ -460,6 +460,31 @@ $counts
     GROUP BY 1, 2
     ORDER BY w_start, event_type"""
 
+  /** st17 — the foreachBatch transactional upsert sink, run FOR REAL
+    * in the correctness gate: events re-dumped to parquet, streamed
+    * back in 4 micro-batches (`maxFilesPerTrigger`), each batch
+    * merged into the versioned state table by
+    * [[EventStreams.upsertSink]]; the returned frame is the final
+    * committed state. The oracle is c04's one-shot latest-wins SQL —
+    * equality proves the incremental upsert path converges to the
+    * batch compaction regardless of batch slicing. */
+  def foreachUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_st17_${s.sparkContext.applicationId}").getAbsolutePath
+    val src = s"$base/src"
+    events(s, dir).repartition(8).write.mode("overwrite").parquet(src)
+    val stream = s.readStream.schema(EventStreams.EventsSchema)
+      .option("maxFilesPerTrigger", "2").parquet(src)
+    val q = EventStreams.upsertSink(stream, s"$base/state", s"$base/ckpt")
+    q.awaitTermination()
+    EventStreams.upsertStateRead(s, s"$base/state").get
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("latest.ts")).as("latest_us"),
+        col("latest.event_id").as("latest_event_id"),
+        col("latest.value").as("latest_value"))
+      .orderBy("user_id", "event_type")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("st01_tumbling_window", tumblingWindow _, Some(tumblingWindowSql)),
@@ -480,5 +505,7 @@ $counts
       ("st15_chained_rollup", chainedRollup _, Some(chainedRollupSql)),
       ("st16_session_window", sessionWindowNative _,
         Some(sessionWindowNativeSql)),
+      ("st17_foreach_upsert", foreachUpsert _,
+        Some(Curation.cdcCompactSql)),
     )
 }

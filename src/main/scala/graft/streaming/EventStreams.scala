@@ -571,4 +571,67 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Append())
   }
+
+  // -------------------------------------- st17 foreachBatch upsert
+  /** Latest-wins compaction of a (micro-)batch: one struct-max per
+    * (user_id, event_type) — c04's partial-aggregable shape. */
+  def compactLatest(df: DataFrame): DataFrame =
+    df.groupBy("user_id", "event_type")
+      .agg(max(struct(col("ts"), col("event_id"), col("value")))
+        .as("latest"))
+
+  private def versionDirs(stateDir: String): Seq[java.io.File] = {
+    val d = new java.io.File(stateDir)
+    Option(d.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .sortBy(_.getName)
+  }
+
+  /** The current upsert table: the highest committed state version. */
+  def upsertStateRead(s: SparkSession, stateDir: String): Option[DataFrame] =
+    versionDirs(stateDir).lastOption
+      .map(f => s.read.parquet(f.getAbsolutePath))
+
+  /** st17 — transactional upsert SINK via `foreachBatch`: each
+    * micro-batch's latest-wins delta merges into a versioned parquet
+    * state table. Exactly-once comes from idempotence, the standard
+    * foreachBatch discipline: the committed version is named by the
+    * batch id (write to a temp dir, atomic rename), so a REPLAYED
+    * batch — restart, checkpoint loss, speculative re-run — sees its
+    * version already committed and becomes a no-op. The merge itself
+    * (`max(struct)` over current ∪ delta) is also algebraically
+    * idempotent, a second safety net.
+    *
+    * Scale shape: per batch, O(|delta| + |state|) — one partial-agg
+    * shuffle for the delta compaction and one merge agg; at 100 TB
+    * the state table would be bucketed on (user_id, event_type), so
+    * the merge co-partitions without re-shuffling the state side. */
+  def upsertSink(stream: DataFrame, stateDir: String,
+                 checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val doBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, batchId) => {
+        val s = batch.sparkSession
+        val vdir = new java.io.File(stateDir, f"v$batchId%09d")
+        if (!vdir.exists()) { // replayed batch: already committed, skip
+          val delta = compactLatest(batch)
+          val merged = upsertStateRead(s, stateDir) match {
+            case Some(cur) => cur.unionByName(delta)
+              .groupBy("user_id", "event_type")
+              .agg(max(col("latest")).as("latest"))
+            case None => delta
+          }
+          val tmp = new java.io.File(stateDir, s".tmp_$batchId")
+          merged.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+          if (!tmp.renameTo(vdir)) { // lost a commit race: roll back
+            org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+          }
+        }
+      }
+    stream.writeStream
+      .foreachBatch(doBatch)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
 }
