@@ -571,6 +571,75 @@ object Similarity {
     WHERE rank = 1
     ORDER BY query_id"""
 
+  // ------------------------------------- e02 random projection
+  private val RpDim = 8
+  private val RpInDim = 64
+
+  /** Seeded ±1 sign planes for the Johnson–Lindenstrauss projection,
+    * derived from md5 so they are reproducible anywhere; materialized
+    * ONCE at plan time and shipped as literals into codegen (the
+    * trained-model-parameter pattern, same as PqEncode's codebooks)
+    * AND inlined into the oracle SQL from the same array — one source
+    * of truth for both engines. */
+  private[graft] lazy val rpPlanes: Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(RpDim, RpInDim) { (j, i) =>
+      val h = md.digest(s"e02#$j#$i".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1 else -1
+    }
+  }
+
+  /** e02 — random-projection dimensionality reduction (JL sketch):
+    * the int8-quantized vectors (e01) project from 64 to 8 dimensions
+    * through the ±1 sign planes — the classic cheap sketch that
+    * approximately preserves pairwise distances, another 8× on top of
+    * quantization's 4× before any index is built. All arithmetic is
+    * exact 64-bit integer (quantized components × ±1, summed), so the
+    * sketch replays bit-identically in DuckDB.
+    *
+    * Scale shape: pure per-row expression work (`zip_with` +
+    * `aggregate` per output dim), no shuffle, no UDF — 100 TB costs
+    * one scan, and downstream ANN then works on 1/32 of the bytes. */
+  def randomProjection(s: SparkSession, dir: String): DataFrame = {
+    val quant = quantizeEmbeddings(Relational.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), col("q"))
+    val ys = rpPlanes.zipWithIndex.map { case (p, j) =>
+      struct(lit(j.toLong).as("j"),
+        aggregate(
+          zip_with(col("q"), typedLit(p.toSeq),
+            (a, b) => a.cast("long") * b),
+          lit(0L), (acc, x) => acc + x).as("y"))
+    }
+    quant.select(col("vec_id"), explode(array(ys.toSeq: _*)).as("p"))
+      .select(col("vec_id"), col("p.j").as("j"), col("p.y").as("y"))
+      .orderBy("vec_id", "j")
+  }
+
+  val randomProjectionSql: String = {
+    val quantInner = """
+      SELECT vec_id,
+        list_transform(embedding, x -> CASE WHEN m = 0 THEN 0
+          ELSE CAST(floor((CAST(x AS DOUBLE) * 127.0) /
+            CAST(m AS DOUBLE) + 0.5) AS INT) END) AS q
+      FROM (
+        SELECT vec_id, embedding,
+          list_max(list_transform(embedding, x -> abs(x))) AS m
+        FROM embeddings)"""
+    val arms = rpPlanes.zipWithIndex.map { case (p, j) =>
+      val lits = p.mkString("[", ",", "]")
+      s"""SELECT vec_id, CAST($j AS BIGINT) AS j,
+        CAST(list_sum(list_transform(range(1, ${RpInDim + 1}),
+          i -> q[i] * ($lits)[i])) AS BIGINT) AS y
+      FROM quant"""
+    }.mkString("\n      UNION ALL\n      ")
+    s"""
+    WITH quant AS ($quantInner)
+    SELECT vec_id, j, y FROM (
+      $arms)
+    ORDER BY vec_id, j"""
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("s01_ann_brute_force", annBruteForce _, Some(annBruteForceSql)),
@@ -582,5 +651,7 @@ object Similarity {
       ("s06_cluster_inv", clusterInv _, Some(clusterInvSql)),
       ("s10_ann_pq", annPq _, None),
       ("e01_embed_quantize", quantizeDemo _, Some(quantizeSql)),
+      ("e02_random_projection", randomProjection _,
+        Some(randomProjectionSql)),
     )
 }
