@@ -1402,6 +1402,77 @@ object TextAnalysis {
     FROM validated
     ORDER BY doc_id"""
 
+  // ---------------------------------- t28 eval-set gram overlap
+  /** t28 — n-gram-level decontamination against an eval set (the
+    * GPT-3-style check): t09/t15 drop docs that REPRODUCE an eval
+    * document verbatim; this measures 8-gram overlap, which catches
+    * partial leakage — a benchmark question quoted inside an
+    * otherwise-novel page. The eval set is the `doc_id % 29 = 0`
+    * slice; a canary sentence is planted into BOTH the eval docs and
+    * the `% 31 = 1` corpus slice so cross-set overlap provably exists
+    * and the measured hits are non-vacuous (the t09 planting
+    * pattern). Output per corpus doc: total gram positions, positions
+    * matching any eval gram, and the contamination flag.
+    *
+    * Scale shape: gram construction is map-side (t21's transform over
+    * the token array); the overlap is ONE gram-keyed join of corpus
+    * grams against the DISTINCT eval grams — eval sets are tiny
+    * relative to the corpus, so at 100 TB that side broadcasts (or
+    * rides t15's bloom prefilter to cut the corpus stream before the
+    * exact join; both plans keep the corpus to a single pass). */
+  def evalGramOverlap(s: SparkSession, dir: String): DataFrame = {
+    val canary =
+      " eval canary alpha beta gamma delta epsilon zeta"
+    val docs = Relational.table(s, dir, "documents")
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(29)) === 0 ||
+             pmod(col("doc_id"), lit(31)) === 1,
+          concat(col("text"), lit(canary))).otherwise(col("text"))
+          .as("text"))
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= DupGramN)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - $DupGramN + 1), " +
+          s"i -> array_join(slice(toks, i, $DupGramN), ' '))")).as("gram"))
+    val evalGrams = grams(docs.filter(pmod(col("doc_id"), lit(29)) === 0))
+      .select("gram").distinct().withColumn("hit", lit(1L))
+    grams(docs.filter(pmod(col("doc_id"), lit(29)) =!= 0))
+      .join(evalGrams, Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_eval_hits"))
+      .withColumn("contaminated", (col("n_eval_hits") > 0).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  val evalGramOverlapSql: String = s"""
+    WITH docs AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 29 = 0 OR doc_id % 31 = 1
+          THEN text || ' eval canary alpha beta gamma delta epsilon zeta'
+          ELSE text END AS text
+      FROM documents),
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM docs),
+    grams AS (
+      SELECT doc_id, unnest(list_transform(
+          range(1, len(t) - $DupGramN + 2),
+          i -> array_to_string(t[i:i+$DupGramN-1], ' '))) AS gram
+      FROM toks WHERE len(t) >= $DupGramN),
+    eval_grams AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % 29 = 0)
+    SELECT g.doc_id,
+      count(*) AS n_grams,
+      CAST(sum(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_eval_hits,
+      CAST(CASE WHEN sum(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0
+        END) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+    FROM (SELECT doc_id, gram FROM grams WHERE doc_id % 29 <> 0) g
+    LEFT JOIN eval_grams e ON g.gram = e.gram
+    GROUP BY g.doc_id
+    ORDER BY g.doc_id"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("t01_token_count", tokenCount _, Some(tokenCountSql)),
@@ -1433,5 +1504,7 @@ object TextAnalysis {
       ("t25_surprisal", surprisal _, Some(surprisalSql)),
       ("t26_classifier_gate", classifierGate _, Some(classifierGateSql)),
       ("t27_luhn_redact", luhnRedact _, Some(luhnRedactSql)),
+      ("t28_eval_gram_overlap", evalGramOverlap _,
+        Some(evalGramOverlapSql)),
     )
 }

@@ -251,4 +251,34 @@ class Round5dSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 1,
       s"projection must be map-only before the output sort:\n$p")
   }
+
+  test("gr04: dense-core peeling strictly shrinks the graph and " +
+    "raises its density") {
+    val core = queries.Graph.denseCore(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(core.nonEmpty && core.forall(_._2 >= 1))
+    val fullNodes = queries.Graph.triangles(spark, sfDir).count()
+    assert(core.length < fullNodes, "peeling removed nothing")
+    // density of the surviving core (2E/V = mean degree) must beat
+    // the starting graph's — the point of the greedy extraction
+    val coreMeanDeg = core.map(_._2).sum.toDouble / core.length
+    assert(coreMeanDeg > 4.0, s"core suspiciously sparse: $coreMeanDeg")
+  }
+
+  test("t28: planted canary docs are flagged contaminated; eval docs " +
+    "never appear in the output") {
+    val rows = queries.TextAnalysis.evalGramOverlap(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nGrams, nHits, flag) =>
+      assert(id % 29 != 0, s"eval doc $id leaked into the corpus side")
+      assert(nHits <= nGrams)
+      assert((nHits > 0) == (flag == 1L))
+      if (id % 31 == 1) assert(flag == 1L,
+        s"planted canary doc $id not flagged")
+    }
+    // the gate must also be selective: clean docs exist
+    assert(rows.exists(_._4 == 0L))
+  }
 }
