@@ -79,40 +79,41 @@ object Bench {
     // line (printed just before) still carry every query.
     // pruned when the 2000-char budget tightens: m13/m20/t01/st01,
     // then g07/st06/st03/mm02 for the round-5 session-3 keys, then
-    // q24/t18/st12/mm06/mm07/st14/t16/s08 for the session-4 keys
+    // q24/t18/st12/mm06/mm07/st14/t16/s08 for the session-4 keys,
+    // then q29/q06/s07/t05/mm04/d12/q22/s12/st10/t17/mm05/t20 for the
+    // session-5 keys
     // (stable sub-0.2s rows for 4+ rounds; bench.json keeps them all)
     val headline = Seq(
       "a01_bench_generate_1m", "a02_bench_mutate_1m",
       "q01_pricing_summary",
-      "q03_top_revenue_orders", "q06_revenue_change", "q07_top_orders_per_customer",
+      "q03_top_revenue_orders", "q07_top_orders_per_customer",
       "q13_order_lineitem_smj", "q16_salted_join", "q17_asof_join",
       "d01_dedup_exact", "d02_dedup_minhash_lsh", "d06_dedup_clusters",
       "d08_paragraph_dedup", "d09_semantic_dedup", "q21_range_join",
       "s01_ann_brute_force", "s02_ann_lsh_bucketed",
-      "s04_ann_ivf", "s06_embedding_clusters", "s07_source_cap",
-      "t05_sequence_pack", "t09_decontaminate", "t11_tfidf",
+      "s04_ann_ivf", "s06_embedding_clusters", "t09_decontaminate", "t11_tfidf",
       "t14_quality_gate",
       "st07_attribution", "c01_curation_pipeline",
       "j01_jsonl_roundtrip",
-      "q22_zorder_layout", "q23_range_shards", "j02_partitioned_sink",
+      "q23_range_shards", "j02_partitioned_sink",
       "t15_bloom_decontaminate", "c03_snapshot_diff",
-      "st08_quota", "mm04_image_features",
-      "c04_cdc_compact", "t17_boilerplate_dedup",
-      "mm05_decode_quarantine",
-      "j03_orc_roundtrip", "s09_epoch_shuffle", "t19_bm25_topk",
-      "t20_length_batches", "st09_enrich",
+      "st08_quota", "c04_cdc_compact", "j03_orc_roundtrip", "s09_epoch_shuffle", "t19_bm25_topk",
+      "st09_enrich",
       "t21_dup_ngrams", "d10_incremental_dedup", "q25_corr_subquery",
       "s10_ann_pq", "l03_sorted_neighborhood",
-      "c05_scd2_history", "t22_heavy_hitters", "st10_attribution_outer",
-      "q26_exists_chain", "l04_fellegi_sunter", "s11_curriculum",
+      "c05_scd2_history", "t22_heavy_hitters", "q26_exists_chain", "l04_fellegi_sunter", "s11_curriculum",
       "st11_spend_alerts", "mm08_scene_changes",
       "st13_idle_users", "d11_golden_records",
-      "d12_substring_dedup", "q27_topk_agg", "q28_grouping_sets",
+      "q27_topk_agg", "q28_grouping_sets",
       "st15_chained_rollup", "st16_session_window", "j04_compaction",
-      "s12_negative_sampling", "t23_bpe_merges",
-      "t24_bpe_apply", "t25_surprisal", "q29_window_suite",
-      "c06_expectations", "j05_csv_roundtrip", "s13_mmr_diversify",
-      "c07_robust_outliers", "gr01_pagerank", "gr02_components")
+      "t23_bpe_merges",
+      "t24_bpe_apply", "t25_surprisal", "c06_expectations", "j05_csv_roundtrip", "s13_mmr_diversify",
+      "c07_robust_outliers", "gr01_pagerank", "gr02_components",
+      "q31_asof_native", "gr03_triangles", "gr04_dense_core",
+      "st17_foreach_upsert", "t28_eval_gram_overlap",
+      "c08_incremental_mv", "q30_gapfill", "q32_rolling_range",
+      "t26_classifier_gate", "t27_luhn_redact",
+      "s14_importance_resample", "e02_random_projection")
     val resultMap = results.toMap
     // a headline key that stops matching a query name would otherwise
     // silently vanish from the tail-parsed line — fail loudly instead

@@ -51,7 +51,9 @@ case class AsofJoinNode(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, rightKey: Attribute,
     leftTime: Attribute, rightTime: Attribute,
-    rightTie: Attribute, payload: Seq[Attribute]) extends BinaryNode {
+    rightTie: Attribute, payload: Seq[Attribute],
+    forward: Boolean = false,
+    toleranceMicros: Option[Long] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output ++ payload
 
@@ -63,9 +65,9 @@ case class AsofJoinNode(
 /** Plans [[AsofJoinNode]] to [[AsofJoinExec]]. */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinNode(l, r, lk, rk, lt, rt, tie, payload) =>
+    case AsofJoinNode(l, r, lk, rk, lt, rt, tie, payload, fwd, tol) =>
       AsofJoinExec(lk, rk, lt, rt, tie, payload,
-        planLater(l), planLater(r)) :: Nil
+        planLater(l), planLater(r), fwd, tol) :: Nil
     case _ => Nil
   }
 }
@@ -97,7 +99,9 @@ case class AsofJoinExec(
     leftKey: Attribute, rightKey: Attribute,
     leftTime: Attribute, rightTime: Attribute,
     rightTie: Attribute, payload: Seq[Attribute],
-    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+    left: SparkPlan, right: SparkPlan,
+    forward: Boolean = false,
+    toleranceMicros: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ payload
 
@@ -118,6 +122,11 @@ case class AsofJoinExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
     copy(left = newLeft, right = newRight)
+
+  // tolerance compares the time values as their underlying integral
+  // form (micros for timestamps, days for dates, the value for
+  // integral types) — enforced at the API layer
+  private def asLong(v: Any): Long = v.asInstanceOf[Number].longValue()
 
   override protected def doExecute(): RDD[InternalRow] = {
     val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
@@ -148,6 +157,7 @@ case class AsofJoinExec(
         // best-so-far payload and the (stable-copied) key it belongs to
         private var cur: UnsafeRow = _
         private var curKey: Any = _
+        private var curTime: Any = _
         private var out: InternalRow = _
 
         // sorted-iterator rows are reused; values held across next()
@@ -170,9 +180,9 @@ case class AsofJoinExec(
           rHead != null
         }
 
-        /** Consume right rows of key < lk (discard) or key == lk with
-          * time <= lt (each becomes the new best match — sort order
-          * makes the last one the greatest (ts, tie)). */
+        /** Backward: consume right rows of key < lk (discard) or
+          * key == lk with time <= lt (each becomes the new best match —
+          * sort order makes the last one the greatest (ts, tie)). */
         private def advance(lk: Any, lt: Any): Unit = {
           var more = true
           while (more && loadRHead()) {
@@ -181,10 +191,29 @@ case class AsofJoinExec(
             else if (c == 0 && timeOrd.compare(rHeadTime, lt) <= 0) {
               cur = rPay(rHead).copy()
               curKey = stable(rHeadKey)
+              curTime = stable(rHeadTime)
               rHead = null
             } else more = false
           }
         }
+
+        /** Forward: discard right rows strictly before (lk, lt); the
+          * lookahead head is then the earliest candidate at or after
+          * lt — NOT consumed, later left rows may match it too. Ties
+          * on (key, ts) break to the LOWEST tie (first in sort
+          * order). */
+        private def advanceForward(lk: Any, lt: Any): Unit = {
+          var more = true
+          while (more && loadRHead()) {
+            val c = keyOrd.compare(rHeadKey, lk)
+            if (c < 0 ||
+              (c == 0 && timeOrd.compare(rHeadTime, lt) < 0)) rHead = null
+            else more = false
+          }
+        }
+
+        private def withinTol(lt: Any, rt: Any): Boolean =
+          toleranceMicros.forall(t => math.abs(asLong(rt) - asLong(lt)) <= t)
 
         private def findNext(): Unit = {
           while (out == null && lIter.hasNext) {
@@ -193,13 +222,22 @@ case class AsofJoinExec(
             if (!kt.isNullAt(0) && !kt.isNullAt(1)) {
               val lk = kt.get(0, keyType)
               val lt = kt.get(1, timeType)
-              // best-so-far from an earlier (smaller) key is stale
-              if (cur != null && keyOrd.compare(curKey, lk) != 0) {
-                cur = null
-                curKey = null
+              if (forward) {
+                advanceForward(lk, lt)
+                if (rHead != null && keyOrd.compare(rHeadKey, lk) == 0 &&
+                    withinTol(lt, rHeadTime))
+                  out = result(joined(l, rPay(rHead)))
+              } else {
+                // best-so-far from an earlier (smaller) key is stale
+                if (cur != null && keyOrd.compare(curKey, lk) != 0) {
+                  cur = null
+                  curKey = null
+                  curTime = null
+                }
+                advance(lk, lt)
+                if (cur != null && withinTol(lt, curTime))
+                  out = result(joined(l, cur))
               }
-              advance(lk, lt)
-              if (cur != null) out = result(joined(l, cur))
             }
           }
         }
@@ -241,9 +279,30 @@ object AsofJoin {
     * carved from the same source) unambiguous. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                ts: String, payload: Seq[String],
-               rightTie: String): DataFrame = {
+               rightTie: String): DataFrame =
+    asofJoin(left, right, key, ts, payload, rightTie,
+      forward = false, toleranceMicros = None)
+
+  /** Full surface: `forward = true` matches each left row to the
+    * EARLIEST right row with `right.ts >= left.ts` (time-to-next-event
+    * — conversion lag, next-maintenance, retry attribution; ties on
+    * (key, ts) break to the LOWEST `rightTie`), and `toleranceMicros`
+    * bounds the match distance in the time column's integral unit
+    * (micros for timestamps) — pandas `merge_asof`'s direction and
+    * tolerance knobs. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               ts: String, payload: Seq[String], rightTie: String,
+               forward: Boolean,
+               toleranceMicros: Option[Long]): DataFrame = {
     val spark = left.sparkSession
     install(spark)
+    if (toleranceMicros.isDefined) {
+      import org.apache.spark.sql.types._
+      val dt = left.schema(ts).dataType
+      require(Seq(TimestampType, TimestampNTZType, LongType, IntegerType,
+        DateType, ShortType).contains(dt),
+        s"asofJoin tolerance needs an integral-backed time column, got $dt")
+    }
     val lPlan = DatasetBridge.analyzed(left)
     val rBase = DatasetBridge.analyzed(right)
     def attr(p: LogicalPlan, n: String): Attribute =
@@ -260,7 +319,8 @@ object AsofJoin {
     val node = AsofJoinNode(lPlan, rPlan,
       attr(lPlan, key), rAttr(key),
       attr(lPlan, ts), rAttr(ts),
-      rAttr(rightTie), payload.map(n => rAttr(s"asof_$n")))
+      rAttr(rightTie), payload.map(n => rAttr(s"asof_$n")),
+      forward, toleranceMicros)
     DatasetBridge.ofRows(spark, node)
   }
 }

@@ -128,7 +128,49 @@ object AsOf {
       .orderBy("event_id")
   }
 
+  /** q33 — FORWARD as-of through the native operator: each signup
+    * matched to the user's EARLIEST purchase at or after it — the
+    * time-to-conversion join (the forward direction of pandas
+    * `merge_asof`). Ties on (user, ts) break to the lowest event_id,
+    * mirrored in the oracle's pre-dedupe; DuckDB's ASOF JOIN with
+    * `l.ts <= r.ts` is the native cross-check. */
+  def q33AsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val e = Streaming.events(spark, dir)
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value"))
+    graft.plans.AsofJoin.asofJoin(signups, purchases, "user_id", "ts",
+      payload = Seq("value"), rightTie = "event_id",
+      forward = true, toleranceMicros = None)
+      .select(col("event_id"),
+        col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("signup_ts"),
+        col("asof_value").as("purchase_value"))
+      .orderBy("event_id")
+  }
+
+  val q33Sql: String = """
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, value,
+        date_trunc('microseconds', ts) AS ts FROM events)
+    SELECT l.event_id, l.user_id,
+      strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS signup_ts,
+      r.value AS purchase_value
+    FROM (SELECT user_id, ts, event_id FROM ev
+          WHERE event_type = 'signup') l
+    ASOF JOIN (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value, row_number() OVER (
+          PARTITION BY user_id, ts ORDER BY event_id ASC) AS rn
+        FROM ev WHERE event_type = 'purchase')
+      WHERE rn = 1) r
+      ON l.user_id = r.user_id AND l.ts <= r.ts
+    ORDER BY l.event_id"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(("q17_asof_join", q17AsofJoin _, Some(q17Sql)),
-      ("q31_asof_native", q31AsofNative _, Some(q17Sql)))
+      ("q31_asof_native", q31AsofNative _, Some(q17Sql)),
+      ("q33_asof_forward", q33AsofForward _, Some(q33Sql)))
 }

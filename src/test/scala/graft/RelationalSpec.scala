@@ -13,7 +13,8 @@ class RelationalSpec extends SparkSpec {
       assert(a.nonEmpty, s"$name returned 0 rows at sf0.001")
       val b = fn(spark, sfDir).collect()
       assert(a.sameElements(b), s"$name not deterministic across runs")
-      assert(sql.trim.toLowerCase.startsWith("select"))
+      val head = sql.trim.toLowerCase
+      assert(head.startsWith("select") || head.startsWith("with"))
     }
   }
 

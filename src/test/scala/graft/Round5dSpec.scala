@@ -46,6 +46,38 @@ class Round5dSpec extends SparkSpec {
       (3L, 31L, "l-e", "r3@30")))
   }
 
+  test("asof native forward: earliest at-or-after match, lowest tie " +
+    "wins, tolerance bounds the distance") {
+    val fwd = AsofJoin.asofJoin(lhs, rhs, "k", "t",
+      payload = Seq("pay"), rightTie = "tie",
+      forward = true, toleranceMicros = None)
+      .select("k", "t", "ltag", "asof_pay")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3))).toSet
+    assert(fwd == Set(
+      // ts=5 and ts=10 both see the ts=10 pair; LOWEST tie (#1) wins
+      (1L, 5L, "l-early", "r1@10#1"),
+      (1L, 10L, "l-a", "r1@10#1"),
+      // ts=20 has no right at-or-after -> dropped; key 2 no rights;
+      // key 3: both lefts (30, 31) — 30 matches r3@30, 31 has none
+      (3L, 30L, "l-d", "r3@30"),
+      // key 4: ts=7 matches the later r4@100
+      (4L, 7L, "l-before-any", "r4@100")))
+    // tolerance 50: key 4's 93-tick gap is now out of range
+    val tol = AsofJoin.asofJoin(lhs, rhs, "k", "t",
+      payload = Seq("pay"), rightTie = "tie",
+      forward = true, toleranceMicros = Some(50L))
+      .select("ltag").collect().map(_.getString(0)).toSet
+    assert(tol == Set("l-early", "l-a", "l-d"))
+    // backward tolerance: l-b (ts=20) is 5 ticks past r1@15 — in range
+    // at 5, out of range at 4
+    def bwd(t: Long) = AsofJoin.asofJoin(lhs, rhs, "k", "t",
+      payload = Seq("pay"), rightTie = "tie",
+      forward = false, toleranceMicros = Some(t))
+      .select("ltag").collect().map(_.getString(0)).toSet
+    assert(bwd(5L).contains("l-b") && !bwd(4L).contains("l-b"))
+  }
+
   test("asof native: empty right side yields empty inner result") {
     val got = AsofJoin.asofJoin(lhs, rhs.filter(col("k") === -1),
       "k", "t", payload = Seq("pay"), rightTie = "tie")
