@@ -592,6 +592,21 @@ object EventStreams {
     versionDirs(stateDir).lastOption
       .map(f => s.read.parquet(f.getAbsolutePath))
 
+  /** Retention GC for the versioned state: drop all but the newest
+    * `keep` committed versions. Old versions exist only to make
+    * replayed batches no-ops and for time travel; readers always take
+    * the newest, so vacuuming never races them — the deleted dirs are
+    * strictly older than anything [[upsertStateRead]] returns. The
+    * batch-id naming stays monotonic across vacuums, so idempotence
+    * is preserved for any batch id at or below the retained window.
+    * Returns the number of versions removed. */
+  def upsertVacuum(stateDir: String, keep: Int): Int = {
+    require(keep >= 1, s"must keep at least 1 version, got $keep")
+    val stale = versionDirs(stateDir).dropRight(keep)
+    stale.foreach(org.apache.commons.io.FileUtils.deleteDirectory)
+    stale.size
+  }
+
   /** st17 — transactional upsert SINK via `foreachBatch`: each
     * micro-batch's latest-wins delta merges into a versioned parquet
     * state table. Exactly-once comes from idempotence, the standard

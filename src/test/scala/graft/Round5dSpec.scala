@@ -259,6 +259,15 @@ class Round5dSpec extends SparkSpec {
       .upsertStateRead(spark, s"$base/state").get
       .orderBy("user_id", "event_type").collect().toSeq
     assert(current == oneShot)
+    // retention GC: drop all but the newest version — the readable
+    // table is unchanged
+    val removed = graft.streaming.EventStreams
+      .upsertVacuum(s"$base/state", keep = 1)
+    assert(removed >= 1, "vacuum found nothing to remove")
+    val afterVacuum = graft.streaming.EventStreams
+      .upsertStateRead(spark, s"$base/state").get
+      .orderBy("user_id", "event_type").collect().toSeq
+    assert(afterVacuum == oneShot, "vacuum changed the current table")
   }
 
   test("e02: sign projection is linear, non-degenerate, and map-only") {
