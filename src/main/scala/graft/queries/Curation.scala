@@ -426,6 +426,63 @@ object Curation {
     GROUP BY o_custkey, strftime(o_orderdate, '%Y-%m')
     ORDER BY o_custkey, month"""
 
+  /** c09 — incremental DISTINCT-count maintenance with stored HLL
+    * sketches: c08's pattern applied to the one aggregate that is NOT
+    * a trivial monoid on its outputs. Distinct counts cannot be
+    * merged from per-epoch counts (customers overlap epochs), but
+    * their SKETCHES can: the base epoch's per-priority HLL sketches
+    * persist as binary columns (the stored view state), the delta
+    * epoch's sketches union in via `hll_union_agg`, and the estimate
+    * reads off the merged sketch — refresh stays O(delta + view) with
+    * ~KB of state per group where the exact answer would need the
+    * full customer id set per group.
+    *
+    * At 100 TB this IS the count-distinct playbook: mergeable
+    * DataSketches state in the lakehouse, re-aggregable along any
+    * rollup. Estimates are engine-specific (rows-only row); the
+    * paired `c09_sketch_inv` pins |est − exact| within 5% per group
+    * against DuckDB's exact side — the q18 error-contract pattern. */
+  def sketchMv(s: SparkSession, dir: String): DataFrame = {
+    val orders = Relational.table(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_custkey"),
+        col("o_orderdate"))
+    val split = lit("1997-01-01").cast("timestamp")
+    def sketch(df: DataFrame): DataFrame =
+      df.groupBy("o_orderpriority")
+        .agg(expr("hll_sketch_agg(o_custkey, 12)").as("sk"))
+    val stateDir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_c09_sk_${s.sparkContext.applicationId}").getAbsolutePath
+    sketch(orders.filter(col("o_orderdate") < split))
+      .write.mode("overwrite").parquet(stateDir)
+    val base = s.read.parquet(stateDir) // stored sketches, read back
+    val delta = sketch(orders.filter(col("o_orderdate") >= split))
+    val merged = base.unionByName(delta)
+      .groupBy("o_orderpriority")
+      .agg(expr("hll_union_agg(sk)").as("sk"))
+      .select(col("o_orderpriority"),
+        expr("hll_sketch_estimate(sk)").as("est"))
+    val exact = orders.groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("exact"))
+    merged.join(exact, "o_orderpriority")
+      .select(col("o_orderpriority"), col("est"), col("exact"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Error contract of [[sketchMv]], DuckDB-checkable: every group's
+    * merged-sketch estimate lands within 5% of the exact count. */
+  def sketchMvInv(s: SparkSession, dir: String): DataFrame =
+    sketchMv(s, dir)
+      .select(col("o_orderpriority"),
+        (abs(col("est") - col("exact")) * 100 <= col("exact") * 5)
+          .cast("long").as("within_5pct"))
+      .orderBy("o_orderpriority")
+
+  val sketchMvInvSql: String = """
+    SELECT o_orderpriority, CAST(1 AS BIGINT) AS within_5pct
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("c01_curation_pipeline", curationPipeline _,
@@ -436,5 +493,7 @@ object Curation {
       ("c05_scd2_history", scd2History _, Some(scd2HistorySql)),
       ("c06_expectations", expectations _, Some(expectationsSql)),
       ("c07_robust_outliers", robustOutliers _, Some(robustOutliersSql)),
-      ("c08_incremental_mv", incrementalMv _, Some(incrementalMvSql)))
+      ("c08_incremental_mv", incrementalMv _, Some(incrementalMvSql)),
+      ("c09_sketch_mv", sketchMv _, None),
+      ("c09_sketch_inv", sketchMvInv _, Some(sketchMvInvSql)))
 }

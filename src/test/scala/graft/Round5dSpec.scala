@@ -270,6 +270,32 @@ class Round5dSpec extends SparkSpec {
     assert(afterVacuum == oneShot, "vacuum changed the current table")
   }
 
+  test("c09: merged HLL sketches track exact distincts where summed " +
+    "per-epoch counts cannot (customers overlap the epochs)") {
+    val rows = queries.Curation.sketchMv(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (p, est, exact) =>
+      assert(math.abs(est - exact) * 100 <= exact * 5,
+        s"$p: est $est vs exact $exact")
+    }
+    // the naive alternative — store per-epoch COUNTS and add them —
+    // must overcount (epoch overlap), or storing sketches is pointless
+    val orders = queries.Relational.table(spark, sfDir, "orders")
+      .select(col("o_orderpriority"), col("o_custkey"),
+        col("o_orderdate"))
+    val split = lit("1997-01-01").cast("timestamp")
+    val summed = orders
+      .withColumn("epoch", (col("o_orderdate") < split).cast("int"))
+      .groupBy("o_orderpriority", "epoch")
+      .agg(countDistinct(col("o_custkey")).as("d"))
+      .groupBy("o_orderpriority").agg(sum(col("d")).as("naive"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactM = rows.map(r => r._1 -> r._3).toMap
+    assert(exactM.keys.exists(p => summed(p) > exactM(p)),
+      "epochs don't overlap — the sketch-merge demo is vacuous")
+  }
+
   test("e02: sign projection is linear, non-degenerate, and map-only") {
     val df = queries.Similarity.randomProjection(spark, sfDir)
     val rows = df.collect()
