@@ -225,11 +225,59 @@ object Sources {
     GROUP BY lang
     ORDER BY lang"""
 
+  /** j06 — malformed-record quarantine at the JSON parsing boundary
+    * (mm05's decode-quarantine discipline applied to the
+    * semi-structured path): corrupt payloads become a counted,
+    * inspectable dataset instead of a job failure or a silent null.
+    * Corruption is planted deterministically (every 13th event's
+    * props prefixed into non-JSON), validity is `get_json_object(_,
+    * '$')` on the Spark side and `json_valid` in DuckDB — the same
+    * verdict on every planted string — and the long-format report
+    * carries per-(event_type, status) row counts plus the field
+    * aggregate over ONLY the rows that parsed.
+    *
+    * Scale shape: one map pass (validity + extraction are per-row
+    * expressions) into one small-keyspace partial agg — the quarantine
+    * costs nothing beyond the parse the pipeline already pays. */
+  def jsonQuarantine(s: SparkSession, dir: String): DataFrame = {
+    val ev = Streaming.events(s, dir)
+      .withColumn("pr",
+        when(col("event_id") % 13 === 0, concat(lit("#"), col("props")))
+          .otherwise(col("props")))
+    ev.withColumn("status",
+        when(get_json_object(col("pr"), "$").isNotNull, lit("ok"))
+          .otherwise(lit("quarantined")))
+      .withColumn("k",
+        when(col("status") === "ok",
+          get_json_object(col("pr"), "$.k").cast("long")))
+      .groupBy("event_type", "status")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"))
+      .orderBy("event_type", "status")
+  }
+
+  val jsonQuarantineSql: String = """
+    SELECT event_type,
+      CASE WHEN ok THEN 'ok' ELSE 'quarantined' END AS status,
+      count(*) AS n,
+      CAST(sum(CASE WHEN ok
+        THEN CAST(json_extract(pr, '$.k') AS BIGINT) END)
+        AS BIGINT) AS k_sum
+    FROM (
+      SELECT event_type,
+        CASE WHEN event_id % 13 = 0 THEN '#' || props ELSE props END
+          AS pr,
+        json_valid(CASE WHEN event_id % 13 = 0 THEN '#' || props
+          ELSE props END) AS ok
+      FROM events)
+    GROUP BY event_type, ok
+    ORDER BY event_type, status"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame,
     Option[String])] =
     Seq(("j01_jsonl_roundtrip", jsonlRoundtrip _, Some(jsonlRoundtripSql)),
       ("j02_partitioned_sink", partitionedSink _, Some(partitionedSinkSql)),
       ("j03_orc_roundtrip", orcRoundtrip _, Some(orcRoundtripSql)),
       ("j04_compaction", compaction _, Some(compactionSql)),
-      ("j05_csv_roundtrip", csvRoundtrip _, Some(csvRoundtripSql)))
+      ("j05_csv_roundtrip", csvRoundtrip _, Some(csvRoundtripSql)),
+      ("j06_json_quarantine", jsonQuarantine _, Some(jsonQuarantineSql)))
 }

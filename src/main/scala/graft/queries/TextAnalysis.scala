@@ -1473,6 +1473,78 @@ object TextAnalysis {
     GROUP BY g.doc_id
     ORDER BY g.doc_id"""
 
+  // --------------------------------- t29 bigram surprisal w/ backoff
+  /** t29 — bigram-LM surprisal with stupid backoff: t25's
+    * perplexity-proxy upgraded one order. A bigram observed ≥ 2×
+    * corpus-wide scores floor(log2(N_bg / cnt_bg)) bits (the t25
+    * exact-integer-log2 trick, `length(bin(x div y)) − 1`); a
+    * singleton bigram backs off to the unigram bits of its second
+    * word plus a flat 4-bit penalty — the integer rendition of
+    * stupid backoff (Brants et al.), chosen over interpolation
+    * because it keeps every quantity integral and thus
+    * oracle-replayable.
+    *
+    * Scale shape: bigram construction is map-side (transform over the
+    * token array, no self-join); the count tables are gram-keyed
+    * partial aggs; scoring joins the stream against the bigram and
+    * unigram tables — the "small model, big corpus" joins that
+    * broadcast at real vocab/corpus ratios — and the per-doc sum
+    * partial-aggregates map-side. */
+  def bigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.table(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val flat = docs.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> " +
+          "struct(element_at(toks, i) AS w1, " +
+          "element_at(toks, i + 1) AS w2))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+    val uni = docs.select(explode(col("toks")).as("w2"))
+      .groupBy("w2").agg(count(lit(1)).as("ucnt"))
+    val nTotal = docs.select(explode(col("toks")).as("w"))
+      .agg(count(lit(1)).as("n_total"))
+    val bgc = flat.groupBy("w1", "w2").agg(count(lit(1)).as("bcnt"))
+    val nBg = flat.agg(count(lit(1)).as("n_bg"))
+    flat.join(bgc, Seq("w1", "w2"))
+      .join(uni, Seq("w2"))
+      .crossJoin(broadcast(nBg)).crossJoin(broadcast(nTotal))
+      .withColumn("bits",
+        when(col("bcnt") >= 2,
+          (length(bin(expr("n_bg div bcnt"))) - 1).cast("long"))
+          .otherwise(lit(4L) +
+            (length(bin(expr("n_total div ucnt"))) - 1).cast("long")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("bits")).as("surprisal_bits"))
+      .orderBy("doc_id")
+  }
+
+  val bigramSurprisalSql: String = """
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    flat AS (
+      SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(t)),
+          i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS bg
+        FROM docs WHERE len(t) >= 2)),
+    uni AS (
+      SELECT w2, count(*) AS ucnt FROM (
+        SELECT unnest(t) AS w2 FROM docs) GROUP BY w2),
+    bgc AS (
+      SELECT w1, w2, count(*) AS bcnt FROM flat GROUP BY w1, w2),
+    totals AS (
+      SELECT (SELECT count(*) FROM (SELECT unnest(t) FROM docs))
+          AS n_total,
+        (SELECT count(*) FROM flat) AS n_bg)
+    SELECT doc_id, count(*) AS n_bigrams,
+      CAST(sum(CASE WHEN bcnt >= 2
+        THEN length(bin(n_bg // bcnt)) - 1
+        ELSE 4 + length(bin(n_total // ucnt)) - 1 END) AS BIGINT)
+        AS surprisal_bits
+    FROM flat JOIN bgc USING (w1, w2) JOIN uni USING (w2), totals
+    GROUP BY doc_id
+    ORDER BY doc_id"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("t01_token_count", tokenCount _, Some(tokenCountSql)),
@@ -1506,5 +1578,7 @@ object TextAnalysis {
       ("t27_luhn_redact", luhnRedact _, Some(luhnRedactSql)),
       ("t28_eval_gram_overlap", evalGramOverlap _,
         Some(evalGramOverlapSql)),
+      ("t29_bigram_surprisal", bigramSurprisal _,
+        Some(bigramSurprisalSql)),
     )
 }

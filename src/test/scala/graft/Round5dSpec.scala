@@ -296,6 +296,33 @@ class Round5dSpec extends SparkSpec {
       "epochs don't overlap — the sketch-merge demo is vacuous")
   }
 
+  test("j06: quarantine counts exactly the planted corruption — ok " +
+    "and quarantined rows partition the table") {
+    val rows = queries.Sources.jsonQuarantine(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val total = rows.map(_._3).sum
+    val nEvents = queries.Streaming.events(spark, sfDir).count()
+    assert(total == nEvents, "quarantine dropped or duplicated rows")
+    val q = rows.filter(_._2 == "quarantined").map(_._3).sum
+    val expected = queries.Streaming.events(spark, sfDir)
+      .filter(col("event_id") % 13 === 0).count()
+    assert(q == expected, s"quarantined $q != planted $expected")
+    assert(rows.exists(_._2 == "ok"))
+  }
+
+  test("t29: backoff fires on singleton bigrams, the bigram path on " +
+    "repeated ones, and repeated-bigram docs score cheaper") {
+    val rows = queries.TextAnalysis.bigramSurprisal(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, bits) => assert(n >= 1 && bits >= 0) }
+    // both scoring paths must be live: if every bigram were singleton
+    // (or none), the operator collapses to t25 +/- a constant
+    val bitsPerBg = rows.map(r => r._3.toDouble / r._2)
+    assert(bitsPerBg.max - bitsPerBg.min > 1.0,
+      "per-bigram cost is flat across docs — one path is dead")
+  }
+
   test("e02: sign projection is linear, non-degenerate, and map-only") {
     val df = queries.Similarity.randomProjection(spark, sfDir)
     val rows = df.collect()
