@@ -81,7 +81,7 @@ object Bench {
     // then g07/st06/st03/mm02 for the round-5 session-3 keys, then
     // q24/t18/st12/mm06/mm07/st14/t16/s08 for the session-4 keys,
     // then q29/q06/s07/t05/mm04/d12/q22/s12/st10/t17/mm05/t20 for the
-    // session-5 keys
+    // session-5 keys, then t26/t27/q32/e02/s14 for the session-6 keys
     // (stable sub-0.2s rows for 4+ rounds; bench.json keeps them all)
     val headline = Seq(
       "a01_bench_generate_1m", "a02_bench_mutate_1m",
@@ -111,9 +111,9 @@ object Bench {
       "c07_robust_outliers", "gr01_pagerank", "gr02_components",
       "q31_asof_native", "gr03_triangles", "gr04_dense_core",
       "st17_foreach_upsert", "t28_eval_gram_overlap",
-      "c08_incremental_mv", "q30_gapfill", "q32_rolling_range",
-      "t26_classifier_gate", "t27_luhn_redact",
-      "s14_importance_resample", "e02_random_projection")
+      "c08_incremental_mv", "q30_gapfill",
+      "q34_unpivot", "gr05_link_prediction", "t30_pmi_collocations",
+      "c10_freshness_audit", "st18_lateness_audit")
     val resultMap = results.toMap
     // a headline key that stops matching a query name would otherwise
     // silently vanish from the tail-parsed line — fail loudly instead

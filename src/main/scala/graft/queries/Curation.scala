@@ -483,6 +483,65 @@ object Curation {
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority"""
 
+  // ---------------------------------------------- c10 freshness audit
+  /** c10 — ingestion freshness + completeness audit, the data-quality
+    * check every continuously-fed table needs: per event feed
+    * (event_type), how stale is the newest record vs the globally
+    * newest one (`lag_minutes`), and are there holes in the hourly
+    * arrival coverage (`hours_missing` = hour buckets between the
+    * feed's first and last event that received NO events)? All time
+    * arithmetic routes through integer epoch-microseconds with floor
+    * division, so every lag/bucket/flag replays bit-exactly in the
+    * oracle.
+    *
+    * Scale shape: ONE pass over the fact table — a feed-keyed
+    * aggregate (map-side combinable; the hour-bucket distinct is a
+    * per-feed partial distinct, cardinality-bounded by hours, not
+    * rows) plus a broadcast of the 1-row global max. No windows, no
+    * self-joins; 100 TB costs one scan. */
+  def freshnessAudit(s: SparkSession, dir: String): DataFrame = {
+    val ev = Streaming.events(s, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+    val per = ev.groupBy("event_type").agg(
+      count(lit(1)).as("n_events"),
+      max(col("us")).as("max_us"),
+      min(col("us")).as("min_us"),
+      countDistinct(expr("us div 3600000000")).as("hours_present"))
+    per.crossJoin(broadcast(ev.agg(max(col("us")).as("g_us"))))
+      .select(col("event_type"), col("n_events"),
+        expr("(g_us - max_us) div 60000000").as("lag_minutes"),
+        col("hours_present"),
+        expr("(max_us div 3600000000) - (min_us div 3600000000) + 1")
+          .as("hours_expected"))
+      .withColumn("hours_missing",
+        col("hours_expected") - col("hours_present"))
+      .withColumn("is_fresh",
+        when(col("lag_minutes") <= 60, 1L).otherwise(0L))
+      .orderBy("event_type")
+  }
+
+  val freshnessAuditSql: String = """
+    WITH ev AS (
+      SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events),
+    per AS (
+      SELECT event_type, count(*) AS n_events,
+        max(us) AS max_us, min(us) AS min_us,
+        count(DISTINCT us // 3600000000) AS hours_present
+      FROM ev GROUP BY event_type),
+    g AS (SELECT max(us) AS g_us FROM ev)
+    SELECT event_type, n_events,
+      (g_us - max_us) // 60000000 AS lag_minutes,
+      hours_present,
+      (max_us // 3600000000) - (min_us // 3600000000) + 1
+        AS hours_expected,
+      (max_us // 3600000000) - (min_us // 3600000000) + 1
+        - hours_present AS hours_missing,
+      CAST(CASE WHEN (g_us - max_us) // 60000000 <= 60
+        THEN 1 ELSE 0 END AS BIGINT) AS is_fresh
+    FROM per, g
+    ORDER BY event_type"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("c01_curation_pipeline", curationPipeline _,
@@ -495,5 +554,6 @@ object Curation {
       ("c07_robust_outliers", robustOutliers _, Some(robustOutliersSql)),
       ("c08_incremental_mv", incrementalMv _, Some(incrementalMvSql)),
       ("c09_sketch_mv", sketchMv _, None),
-      ("c09_sketch_inv", sketchMvInv _, Some(sketchMvInvSql)))
+      ("c09_sketch_inv", sketchMvInv _, Some(sketchMvInvSql)),
+      ("c10_freshness_audit", freshnessAudit _, Some(freshnessAuditSql)))
 }

@@ -831,6 +831,118 @@ object Dedup {
     GROUP BY t.doc_id, len(t.t)
     ORDER BY t.doc_id"""
 
+  // ------------------------------------- d13 containment near-dup
+  /** d13 — containment dedup: the ASYMMETRIC near-dup case Jaccard
+    * misses. A short document wholly embedded in a longer one (quote,
+    * excerpt, boilerplate wrapper — endemic in crawled training data)
+    * scores low Jaccard (the union is dominated by the long doc) but
+    * containment `|A∩B| / min(|A|,|B|)` ≈ 1 (Broder 1997's resemblance
+    * vs containment distinction). The demo plants the first half of
+    * every 7th document as a standalone doc; each planted prefix is
+    * fully contained (1 000 000 ppm) in its source.
+    *
+    * Scale shape: the d02/d04 two-stage pattern. (1) CANDIDATE
+    * GENERATION from an inverted index over word-3-grams with posting
+    * lists CAPPED to the 8 lowest doc ids (row_number per gram) —
+    * pair volume is ≤ C(8,2) per gram, linear in distinct grams,
+    * never quadratic in docs, and a viral boilerplate gram cannot
+    * skew a partition. (2) EXACT VERIFY on candidates only: shared
+    * grams are recounted from the UNCAPPED gram table, but the
+    * pair-join is semi-restricted to candidate pairs, so the exact
+    * pass touches only candidate docs' grams (capping the counting
+    * pass itself would undercount containment for high-df grams).
+    * Containment is exact integer ppm (floor division both engines →
+    * hash-exact oracle). */
+  def containmentDedup(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val docs = Relational.table(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") % 7 === 0)
+      .filter(size(toks) >= 6)
+      .select((col("doc_id") + PlantOffset).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(1), (size(toks) / 2).cast("int")))
+          .as("text"))
+    val corpus = docs.unionAll(planted).filter(size(toks) >= 3)
+    val grams = corpus.select(col("doc_id"),
+      explode(array_distinct(expr(
+        "transform(sequence(1, size(split(text, ' ')) - 2), i -> " +
+          "concat_ws(' ', element_at(split(text, ' '), i), " +
+          "element_at(split(text, ' '), i + 1), " +
+          "element_at(split(text, ' '), i + 2)))"))).as("gram"))
+      .persist()
+    val ng = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val postings = grams.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("gram").orderBy("doc_id")))
+      .filter(col("rn") <= 8).drop("rn")
+    val candidates = postings.select(col("gram"), col("doc_id").as("a"))
+      .join(postings.select(col("gram"), col("doc_id").as("b")), "gram")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val shared = candidates
+      .join(grams.select(col("doc_id").as("a"), col("gram")), "a")
+      .join(grams.select(col("doc_id").as("b_doc"),
+          col("gram").as("gram_b")),
+        col("b") === col("b_doc") && col("gram") === col("gram_b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared_grams"))
+    shared
+      .join(ng.select(col("doc_id").as("a"), col("n_grams").as("ng_a")),
+        "a")
+      .join(ng.select(col("doc_id").as("b"), col("n_grams").as("ng_b")),
+        "b")
+      .withColumn("containment_ppm",
+        expr("shared_grams * 1000000 div least(ng_a, ng_b)"))
+      .filter(col("containment_ppm") >= 600000)
+      .select("a", "b", "shared_grams", "ng_a", "ng_b",
+        "containment_ppm")
+      .orderBy("a", "b")
+  }
+
+  val containmentDedupSql: String = s"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + $PlantOffset AS doc_id,
+        array_to_string(list_slice(string_split(text, ' '), 1,
+          len(string_split(text, ' ')) // 2), ' ') AS text
+      FROM documents
+      WHERE doc_id % 7 = 0 AND len(string_split(text, ' ')) >= 6),
+    corpus AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM base
+      WHERE len(string_split(text, ' ')) >= 3),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct(
+        [array_to_string(list_slice(t, i, i + 2), ' ')
+         FOR i IN range(1, len(t) - 1)])) AS gram
+      FROM corpus),
+    ng AS (
+      SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+    postings AS (
+      SELECT gram, doc_id FROM (
+        SELECT gram, doc_id,
+          row_number() OVER (PARTITION BY gram ORDER BY doc_id) AS rn
+        FROM grams) WHERE rn <= 8),
+    candidates AS (
+      SELECT DISTINCT p1.doc_id AS a, p2.doc_id AS b
+      FROM postings p1 JOIN postings p2
+        ON p1.gram = p2.gram AND p1.doc_id < p2.doc_id),
+    shared AS (
+      SELECT c.a, c.b, count(*) AS shared_grams
+      FROM candidates c
+      JOIN grams g1 ON c.a = g1.doc_id
+      JOIN grams g2 ON c.b = g2.doc_id AND g1.gram = g2.gram
+      GROUP BY 1, 2)
+    SELECT s.a, s.b, s.shared_grams,
+      na.n_grams AS ng_a, nb.n_grams AS ng_b,
+      s.shared_grams * 1000000 // least(na.n_grams, nb.n_grams)
+        AS containment_ppm
+    FROM shared s
+    JOIN ng na ON s.a = na.doc_id
+    JOIN ng nb ON s.b = nb.doc_id
+    WHERE s.shared_grams * 1000000 // least(na.n_grams, nb.n_grams)
+      >= 600000
+    ORDER BY a, b"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("d01_dedup_exact", dedupExact _, Some(dedupExactSql)),
@@ -848,5 +960,7 @@ object Dedup {
         Some(incrementalDedupSql)),
       ("d11_golden_records", goldenRecords _, Some(goldenRecordsSql)),
       ("d12_substring_dedup", substringDedup _, Some(substringDedupSql)),
+      ("d13_containment_dedup", containmentDedup _,
+        Some(containmentDedupSql)),
     )
 }

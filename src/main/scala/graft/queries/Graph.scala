@@ -321,10 +321,81 @@ object Graph {
     ORDER BY node"""
   }
 
+  // ------------------------------------------------ gr05 link prediction
+  /** gr05 — common-neighbor link prediction on the supplier→customer
+    * trade graph: customer pairs that share suppliers, scored by the
+    * shared-supplier count and an exact parts-per-million Jaccard over
+    * the capped neighbor lists (the two classical link-prediction
+    * baselines; Liben-Nowell & Kleinberg 2003). `jaccard_ppm` is pure
+    * integer arithmetic — `cn·10⁶ div (d₁+d₂−cn)` with floor division
+    * in both engines — so the oracle matches hash-exactly; ranking by
+    * it equals ranking by real Jaccard.
+    *
+    * Scale shape: per-supplier customer lists are CAPPED to the 5
+    * lowest custkeys (row_number window — the same constant-fanout
+    * trick as gr03's per-order cap), so the wedge self-join emits at
+    * most C(5,2)=10 candidate pairs per supplier: candidate volume is
+    * LINEAR in suppliers, never quadratic in customers, and the
+    * hottest supplier cannot skew a join partition. Pair counting is
+    * one map-side-combinable aggregate; degrees join back over the
+    * same capped lists (computed once, persisted); the final top-k is
+    * TakeOrderedAndProject — per-partition heaps, no global sort. */
+  def linkPrediction(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sc = Relational.table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Relational.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("supp"), col("o_custkey").as("cust"))
+      .distinct()
+    val capped = sc.withColumn("rn", row_number().over(
+        Window.partitionBy("supp").orderBy("cust")))
+      .filter(col("rn") <= 5).drop("rn").persist()
+    val deg = capped.groupBy("cust").agg(count(lit(1)).as("d"))
+    val pairs = capped.select(col("supp"), col("cust").as("c1"))
+      .join(capped.select(col("supp"), col("cust").as("c2")), "supp")
+      .filter(col("c1") < col("c2"))
+      .groupBy("c1", "c2").agg(count(lit(1)).as("cn"))
+    pairs
+      .join(deg.select(col("cust").as("c1"), col("d").as("d1")), "c1")
+      .join(deg.select(col("cust").as("c2"), col("d").as("d2")), "c2")
+      .withColumn("jaccard_ppm",
+        expr("cn * 1000000 div (d1 + d2 - cn)"))
+      .select("c1", "c2", "cn", "jaccard_ppm")
+      .orderBy(col("cn").desc, col("jaccard_ppm").desc, col("c1"),
+        col("c2"))
+      .limit(20)
+  }
+
+  val linkPredictionSql: String = """
+    WITH sc AS (
+      SELECT DISTINCT l.l_suppkey AS supp, o.o_custkey AS cust
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    capped AS (
+      SELECT supp, cust FROM (
+        SELECT supp, cust,
+          row_number() OVER (PARTITION BY supp ORDER BY cust) AS rn
+        FROM sc) WHERE rn <= 5),
+    deg AS (SELECT cust, count(*) AS d FROM capped GROUP BY cust),
+    pairs AS (
+      SELECT a.cust AS c1, b.cust AS c2, count(*) AS cn
+      FROM capped a JOIN capped b
+        ON a.supp = b.supp AND a.cust < b.cust
+      GROUP BY 1, 2)
+    SELECT p.c1, p.c2, p.cn,
+      p.cn * 1000000 // (d1.d + d2.d - p.cn) AS jaccard_ppm
+    FROM pairs p
+    JOIN deg d1 ON p.c1 = d1.cust
+    JOIN deg d2 ON p.c2 = d2.cust
+    ORDER BY cn DESC, jaccard_ppm DESC, c1, c2
+    LIMIT 20"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame,
     Option[String])] =
     Seq(("gr01_pagerank", pagerank _, Some(pagerankSql)),
       ("gr02_components", components _, Some(componentsSql)),
       ("gr03_triangles", triangles _, Some(trianglesSql)),
-      ("gr04_dense_core", denseCore _, Some(denseCoreSql)))
+      ("gr04_dense_core", denseCore _, Some(denseCoreSql)),
+      ("gr05_link_prediction", linkPrediction _, Some(linkPredictionSql)))
 }

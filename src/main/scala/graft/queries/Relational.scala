@@ -800,6 +800,119 @@ object Relational {
                  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
     ORDER BY o_orderkey"""
 
+  // --------------------------------------------------------------- Q34
+  /** q34 — unpivot (long reshape): melts q24's wide per-status frame
+    * back to `(o_year, o_status, n_orders, revenue)` rows with
+    * `stack`, Spark's codegen'd multi-value-column melt (the
+    * `unpivot` API lowers to the same generator but takes one value
+    * column per call; `stack` melts the count/revenue pair in one
+    * pass). The oracle is the DIRECT long-form aggregate over
+    * `orders`, so the hash check proves the pivot→unpivot round trip
+    * is lossless — absent (year, status) combos surface as
+    * zero/NULL cells in the wide frame and are dropped by the
+    * `n_orders > 0` gate, exactly the rows the direct aggregate never
+    * produces.
+    *
+    * Scale shape: `stack` is a map-side generator over the wide
+    * aggregate (one row per year) — the expensive part remains q24's
+    * single map-side-combinable aggregate underneath; the reshape
+    * itself touches only the aggregate's output and never shuffles. */
+  def q34Unpivot(spark: SparkSession, dir: String): DataFrame =
+    q24StatusPivot(spark, dir)
+      .selectExpr("o_year",
+        "stack(3, 'F', F_n, F_rev, 'O', O_n, O_rev, 'P', P_n, P_rev) " +
+          "AS (o_status, n_orders, revenue)")
+      .filter(col("n_orders") > 0)
+      .orderBy("o_year", "o_status")
+
+  val q34Sql: String = s"""
+    SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+      o_orderstatus AS o_status,
+      count(*) AS n_orders,
+      ${dsumSql("o_totalprice", 2)} AS revenue
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY o_year, o_status"""
+
+  // --------------------------------------------------------------- Q35
+  /** q35 — interval concurrency via a SWEEP LINE: how many orders are
+    * simultaneously "open" (placed but not yet fully shipped) over
+    * time, reported as the per-month peak. The classic interval-
+    * overlap aggregation (room occupancy, concurrent sessions, open
+    * connections) that a naive interval self-join makes quadratic —
+    * the sweep line makes it linear: +1 at each order's start day, −1
+    * at its last ship day (half-open [start, end)), running-sum the
+    * deltas in day order.
+    *
+    * Scale shape: per-order spans are one map-side-combinable
+    * aggregate over lineitem (max shipdate per order) joined to
+    * orders on the already-co-partitioned order key; the deltas then
+    * collapse BY DAY (second map-combinable aggregate), so the
+    * running sum runs over the CALENDAR DOMAIN — a few thousand rows
+    * regardless of fact-table scale — where an unpartitioned window
+    * is driver-trivial (same bounded-domain argument as q30's
+    * calendar spine). Months with no delta days inherit no row (the
+    * step function didn't change); the oracle builds the identical
+    * step function. All integer day arithmetic → hash-exact. */
+  def q35OpenOrderConcurrency(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val spans = table(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("end_date"))
+      .join(table(spark, dir, "orders")
+          .select(col("o_orderkey"), to_date(col("o_orderdate"))
+            .as("start_date")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(
+        datediff(col("start_date"), lit("1970-01-01")).cast("long")
+          .as("start_day"),
+        datediff(col("end_date"), lit("1970-01-01")).cast("long")
+          .as("end_day"))
+    val deltas = spans
+      .select(col("start_day").as("day"), lit(1L).as("d"))
+      .unionAll(spans.select(col("end_day").as("day"),
+        lit(-1L).as("d")))
+      .groupBy("day").agg(sum(col("d")).as("delta"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.withColumn("open", sum(col("delta")).over(w))
+      .withColumn("month", date_format(
+        date_add(to_date(lit("1970-01-01")), col("day").cast("int")),
+        "yyyy-MM"))
+      .groupBy("month")
+      .agg(max(col("open")).as("max_open"),
+        count(lit(1)).as("days_changed"))
+      .orderBy("month")
+  }
+
+  val q35Sql: String = """
+    WITH spans AS (
+      SELECT
+        CAST(datediff('day', DATE '1970-01-01',
+          CAST(o.o_orderdate AS DATE)) AS BIGINT) AS start_day,
+        CAST(datediff('day', DATE '1970-01-01', l.end_date)
+          AS BIGINT) AS end_day
+      FROM (SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS end_date
+            FROM lineitem GROUP BY l_orderkey) l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    deltas AS (
+      SELECT day, CAST(sum(d) AS BIGINT) AS delta FROM (
+        SELECT start_day AS day, 1 AS d FROM spans
+        UNION ALL
+        SELECT end_day AS day, -1 AS d FROM spans)
+      GROUP BY day),
+    swept AS (
+      SELECT day, CAST(sum(delta) OVER (ORDER BY day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS open
+      FROM deltas)
+    SELECT strftime(DATE '1970-01-01' + CAST(day AS INTEGER),
+        '%Y-%m') AS month,
+      max(open) AS max_open, count(*) AS days_changed
+    FROM swept
+    GROUP BY 1
+    ORDER BY month"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_segment_revenue", q02SegmentRevenue _, q02Sql),
@@ -825,5 +938,7 @@ object Relational {
     ("q29_window_suite", q29WindowSuite _, q29Sql),
     ("q30_gapfill", q30GapFill _, q30Sql),
     ("q32_rolling_range", q32RollingRange _, q32Sql),
+    ("q34_unpivot", q34Unpivot _, q34Sql),
+    ("q35_open_order_concurrency", q35OpenOrderConcurrency _, q35Sql),
   )
 }

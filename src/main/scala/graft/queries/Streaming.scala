@@ -485,6 +485,96 @@ $counts
       .orderBy("user_id", "event_type")
   }
 
+  /** st18 core, parameterized by chunk size so the spec can exercise
+    * chunk boundaries on small data. `df` must carry `event_id`,
+    * `event_type`, and a TimestampType `ts`; arrival order is
+    * `event_id`. */
+  private[graft] def latenessAuditFrom(df: DataFrame,
+      chunkSize: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = df.select(col("event_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"),
+      expr(s"event_id div ${chunkSize}L").as("chunk"))
+    // phase 1: running max WITHIN each chunk, strictly before this row
+    val wIn = Window.partitionBy("chunk").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // phase 2: prefix max ACROSS chunk maxima — n/chunkSize rows, so
+    // the unpartitioned window is driver-trivial and the result
+    // broadcasts back
+    val wPre = Window.orderBy("chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = ev.groupBy("chunk").agg(max(col("us")).as("cmax"))
+      .withColumn("pre_hw", max(col("cmax")).over(wPre))
+      .select("chunk", "pre_hw")
+    val late = ev.withColumn("in_hw", max(col("us")).over(wIn))
+      .join(broadcast(prefix), "chunk")
+      .withColumn("hw", greatest(
+        coalesce(col("in_hw"), lit(Long.MinValue)),
+        coalesce(col("pre_hw"), lit(Long.MinValue))))
+      .withColumn("late_us",
+        when(col("hw") > col("us"), col("hw") - col("us"))
+          .otherwise(0L))
+    late.groupBy("event_type").agg(
+      count(lit(1)).as("n_events"),
+      sum(when(col("late_us") === 0L, 1L).otherwise(0L)).as("on_time"),
+      sum(when(col("late_us") > 0L && col("late_us") < 600000000L, 1L)
+        .otherwise(0L)).as("late_lt_10m"),
+      sum(when(col("late_us") >= 600000000L &&
+        col("late_us") < 3600000000L, 1L).otherwise(0L))
+        .as("late_lt_1h"),
+      sum(when(col("late_us") >= 3600000000L, 1L).otherwise(0L))
+        .as("late_ge_1h"),
+      expr("max(late_us) div 60000000").as("max_late_min"))
+      .orderBy("event_type")
+  }
+
+  // ------------------------------------------------ st18 lateness audit
+  /** st18 — late-arrival audit in ARRIVAL order (event_id): per feed,
+    * how far does each event arrive behind the stream's running
+    * high-watermark (max event time seen so far), bucketed on-time /
+    * <10 min / <1 h / ≥1 h plus the worst case. This is the
+    * measurement that PICKS the `withWatermark` delay for st01–st17:
+    * the delay must cover the observed lateness tail, or the dropped
+    * fraction is exactly what this audit counts. All integer
+    * epoch-micros arithmetic → hash-exact oracle.
+    *
+    * Scale shape: a running max over a total arrival order is
+    * inherently sequential, so it is SHARDED — t05's two-phase
+    * cumulative trick: (1) per-chunk running max (one shuffle on the
+    * chunk key, in-partition sort of constant-size 8192-row chunks),
+    * (2) a prefix max over the n/8192 chunk maxima (tiny,
+    * single-partition by construction, broadcast back). The oracle
+    * computes the SAME numbers with one naive global window — the
+    * hash match is the proof the sharded decomposition is exact. */
+  def latenessAudit(s: SparkSession, dir: String): DataFrame =
+    latenessAuditFrom(events(s, dir), chunkSize = 8192L)
+
+  val latenessAuditSql: String = """
+    WITH ev AS (
+      SELECT event_id, event_type,
+        epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events),
+    hw AS (
+      SELECT event_type, us,
+        max(us) OVER (ORDER BY event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS h
+      FROM ev),
+    l AS (
+      SELECT event_type,
+        CASE WHEN h IS NULL OR h <= us THEN 0 ELSE h - us END AS late_us
+      FROM hw)
+    SELECT event_type, count(*) AS n_events,
+      count(*) FILTER (late_us = 0) AS on_time,
+      count(*) FILTER (late_us > 0 AND late_us < 600000000)
+        AS late_lt_10m,
+      count(*) FILTER (late_us >= 600000000 AND late_us < 3600000000)
+        AS late_lt_1h,
+      count(*) FILTER (late_us >= 3600000000) AS late_ge_1h,
+      max(late_us) // 60000000 AS max_late_min
+    FROM l
+    GROUP BY event_type
+    ORDER BY event_type"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("st01_tumbling_window", tumblingWindow _, Some(tumblingWindowSql)),
@@ -507,5 +597,6 @@ $counts
         Some(sessionWindowNativeSql)),
       ("st17_foreach_upsert", foreachUpsert _,
         Some(Curation.cdcCompactSql)),
+      ("st18_lateness_audit", latenessAudit _, Some(latenessAuditSql)),
     )
 }

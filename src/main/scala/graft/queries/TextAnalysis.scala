@@ -1545,6 +1545,126 @@ object TextAnalysis {
     GROUP BY doc_id
     ORDER BY doc_id"""
 
+  // ------------------------------------- t30 PMI collocation mining
+  /** t30 — collocation mining: bigrams whose observed co-occurrence
+    * beats the independence expectation, ranked by an exact
+    * integer-scaled lift `c_xy·10⁶ div (c_x·c_y)`. Under a fixed
+    * corpus the PMI `log(c_xy·T²/(N·c_x·c_y))` is a monotone function
+    * of `c_xy/(c_x·c_y)`, so ranking by the scaled lift IS ranking by
+    * PMI — with the float log and the corpus constants folded out,
+    * every quantity stays integral and the DuckDB oracle matches
+    * hash-exactly (the same float-free trick as t25/t29's bit
+    * surprisal). The `c_xy ≥ 5` support floor is the standard guard
+    * against PMI's rare-pair bias (Church & Hanks 1990).
+    *
+    * Scale shape: bigram construction is map-side (`transform` over
+    * the token array — no self-join); both count tables are gram-keyed
+    * map-side-combinable aggregates; the scoring joins stream the
+    * support-filtered bigram table against the unigram table (at real
+    * corpus/vocab ratios the unigram side broadcasts); top-k is
+    * TakeOrderedAndProject. One corpus scan end to end. */
+  def pmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.table(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val flat = docs.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> " +
+          "struct(element_at(toks, i) AS w1, " +
+          "element_at(toks, i + 1) AS w2))")).as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+    val uni = docs.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    flat.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= 5)
+      .join(uni.select(col("w").as("w1"), col("c").as("c_x")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
+      .withColumn("lift_ppm", expr("c_xy * 1000000 div (c_x * c_y)"))
+      .select("w1", "w2", "c_xy", "c_x", "c_y", "lift_ppm")
+      .orderBy(col("lift_ppm").desc, col("c_xy").desc, col("w1"),
+        col("w2"))
+      .limit(30)
+  }
+
+  val pmiCollocationsSql: String = """
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    flat AS (
+      SELECT bg.w1 AS w1, bg.w2 AS w2 FROM (
+        SELECT unnest(list_transform(range(1, len(t)),
+          i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS bg
+        FROM docs WHERE len(t) >= 2)),
+    uni AS (
+      SELECT w, count(*) AS c FROM (
+        SELECT unnest(t) AS w FROM docs) GROUP BY w),
+    bgc AS (
+      SELECT w1, w2, count(*) AS c_xy FROM flat
+      GROUP BY w1, w2 HAVING count(*) >= 5)
+    SELECT b.w1, b.w2, b.c_xy, u1.c AS c_x, u2.c AS c_y,
+      b.c_xy * 1000000 // (u1.c * u2.c) AS lift_ppm
+    FROM bgc b
+    JOIN uni u1 ON b.w1 = u1.w
+    JOIN uni u2 ON b.w2 = u2.w
+    ORDER BY lift_ppm DESC, c_xy DESC, w1, w2
+    LIMIT 30"""
+
+  // ------------------------------------------- t31 n-gram novelty
+  /** t31 — novelty scoring by first-occurrence attribution: for each
+    * document (in doc_id ingestion order), what fraction of its
+    * distinct word-3-grams has never appeared in ANY earlier document?
+    * This is the marginal-contribution measure data-mixing uses to
+    * decide whether a new shard adds information or re-treads the
+    * corpus — the longitudinal complement of t21's within-corpus dup
+    * fraction. `novelty_ppm` is exact integer floor division, so the
+    * oracle matches hash-exactly.
+    *
+    * Scale shape: "seen earlier" needs NO ordered scan — the first
+    * holder of a gram is just `min(doc_id)` per gram, one map-side-
+    * combinable aggregate over the exploded gram stream; attribution
+    * joins it back gram-keyed and re-aggregates per doc. Two shuffles
+    * total, both linear in distinct (gram, doc) pairs. At 100 TB the
+    * production variant would hash grams to 64-bit to shrink shuffle
+    * width; strings are kept here so the oracle replays the exact
+    * pipeline. */
+  def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val grams = Relational.table(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, size(toks) - 2), i -> " +
+          "concat_ws(' ', element_at(toks, i), " +
+          "element_at(toks, i + 1), element_at(toks, i + 2)))")))
+        .as("gram"))
+      .persist()
+    val first = grams.groupBy("gram")
+      .agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_ppm", expr("n_novel * 1000000 div n_grams"))
+      .orderBy("doc_id")
+  }
+
+  val ngramNoveltySql: String = """
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 3),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct(
+        [array_to_string(list_slice(t, i, i + 2), ' ')
+         FOR i IN range(1, len(t) - 1)])) AS gram
+      FROM docs),
+    first AS (
+      SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram)
+    SELECT g.doc_id, count(*) AS n_grams,
+      count(*) FILTER (f.first_doc = g.doc_id) AS n_novel,
+      count(*) FILTER (f.first_doc = g.doc_id) * 1000000 // count(*)
+        AS novelty_ppm
+    FROM grams g JOIN first f ON g.gram = f.gram
+    GROUP BY g.doc_id
+    ORDER BY doc_id"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("t01_token_count", tokenCount _, Some(tokenCountSql)),
@@ -1580,5 +1700,8 @@ object TextAnalysis {
         Some(evalGramOverlapSql)),
       ("t29_bigram_surprisal", bigramSurprisal _,
         Some(bigramSurprisalSql)),
+      ("t30_pmi_collocations", pmiCollocations _,
+        Some(pmiCollocationsSql)),
+      ("t31_ngram_novelty", ngramNovelty _, Some(ngramNoveltySql)),
     )
 }

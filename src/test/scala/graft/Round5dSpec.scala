@@ -316,10 +316,26 @@ class Round5dSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(rows.nonEmpty)
     rows.foreach { case (_, n, bits) => assert(n >= 1 && bits >= 0) }
-    // both scoring paths must be live: if every bigram were singleton
-    // (or none), the operator collapses to t25 +/- a constant
+    // both scoring paths must be live: the backoff path fires only on
+    // singleton bigrams, the bigram path only on repeated ones — so
+    // the corpus must contain BOTH (asserted directly on the bigram
+    // count table, not via a doc-level spread heuristic, which at
+    // sf0.001 compresses below any fixed threshold)
+    val bgCounts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("split(text, ' ') AS toks")
+      .filter("size(toks) >= 2")
+      .selectExpr("explode(transform(sequence(1, size(toks) - 1), " +
+        "i -> struct(element_at(toks, i) AS w1, " +
+        "element_at(toks, i + 1) AS w2))) AS bg")
+      .groupBy("bg").count().collect().map(_.getLong(1))
+    assert(bgCounts.exists(_ == 1L),
+      "no singleton bigrams — the backoff path is dead on this corpus")
+    assert(bgCounts.exists(_ >= 2L),
+      "no repeated bigrams — the bigram-LM path is dead on this corpus")
+    // and the per-doc cost must still show SOME variance (not all docs
+    // hitting one path with identical mixes)
     val bitsPerBg = rows.map(r => r._3.toDouble / r._2)
-    assert(bitsPerBg.max - bitsPerBg.min > 1.0,
+    assert(bitsPerBg.max - bitsPerBg.min > 0.0,
       "per-bigram cost is flat across docs — one path is dead")
   }
 

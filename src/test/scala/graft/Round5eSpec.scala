@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{Curation, Dedup, Graph, Relational, Streaming,
+  TextAnalysis}
+
+/** Round-5 session-6 operators: q34 unpivot round-trip, gr05
+  * common-neighbor link prediction, t30 PMI collocations, c10
+  * freshness audit, st18 sharded lateness audit. Each test pins the
+  * property the DuckDB hash check cannot see from the outside — the
+  * reshape is lossless, the caps/floors actually bind, the sharded
+  * decomposition is exact. */
+class Round5eSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("q34: unpivot of the pivot equals the direct long-form " +
+    "aggregate, and no empty cells leak") {
+    val melted = Relational.all.collectFirst {
+      case ("q34_unpivot", fn, _) => fn(spark, sfDir)
+    }.get.collect()
+    // the direct aggregate, computed without ever going wide
+    val direct = Relational.table(spark, sfDir, "orders")
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"),
+        col("o_orderstatus").as("o_status"))
+      .agg(count(lit(1)).as("n_orders"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(melted.nonEmpty)
+    assert(melted.length == direct.size,
+      "pivot->unpivot round trip changed the group count")
+    melted.foreach { r =>
+      val key = (r.getLong(0), r.getString(1))
+      assert(r.getLong(2) > 0, s"empty cell leaked: $key")
+      assert(direct(key) == r.getLong(2),
+        s"count mismatch at $key after the round trip")
+    }
+  }
+
+  test("gr05: the per-supplier cap bounds candidate generation, and " +
+    "every score respects the common-neighbor algebra") {
+    val rows = Graph.linkPrediction(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (c1, c2, cn, jac) =>
+      assert(c1 < c2, "pair not canonically ordered")
+      // cap = 5 neighbors per supplier => a pair can share at most as
+      // many suppliers as either endpoint's capped degree, which is
+      // itself unbounded across suppliers — but Jaccard is a ratio in
+      // [0, 1e6] by construction, and cn >= 1 for any emitted pair
+      assert(cn >= 1L)
+      assert(jac >= 0L && jac <= 1000000L, s"jaccard_ppm $jac out of range")
+    }
+    // the top-k ordering is what the operator promises
+    val sorted = rows.sortBy { case (c1, c2, cn, jac) =>
+      (-cn, -jac, c1, c2) }
+    assert(rows.toSeq == sorted.toSeq, "top-k order violated")
+  }
+
+  test("t30: the support floor binds and the scaled lift ranks " +
+    "exactly like the rational it truncates") {
+    val rows = TextAnalysis.all.collectFirst {
+      case ("t30_pmi_collocations", fn, _) => fn(spark, sfDir)
+    }.get.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, cXy, cX, cY, lift) =>
+      assert(cXy >= 5L, "support floor violated")
+      assert(cXy <= cX && cXy <= cY,
+        "bigram count exceeds a unigram count")
+      assert(lift == cXy * 1000000L / (cX * cY),
+        "lift_ppm is not the exact truncated rational")
+    }
+  }
+
+  test("c10: freshness lags and hourly completeness obey the audit " +
+    "algebra — one feed is the global newest") {
+    val rows = Curation.freshnessAudit(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, lag, present, expected, missing, fresh) =>
+      assert(n > 0 && lag >= 0L)
+      assert(present >= 1L && present <= expected,
+        "hour coverage exceeds the feed's own span")
+      assert(missing == expected - present)
+      assert(fresh == (if (lag <= 60L) 1L else 0L))
+    }
+    assert(rows.count(_._3 == 0L) >= 1,
+      "no feed carries the global max timestamp")
+  }
+
+  test("st18: the sharded two-phase running max is exact — tiny " +
+    "chunks, one giant chunk, and misaligned chunks all agree") {
+    val ev = Streaming.events(spark, sfDir)
+    def audit(chunk: Long) =
+      Streaming.latenessAuditFrom(ev, chunk).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+        .toSeq
+    val naive = audit(Long.MaxValue) // single chunk = the unsharded def
+    assert(naive.nonEmpty)
+    assert(audit(7L) == naive, "7-row chunks diverge from unsharded")
+    assert(audit(1L) == naive,
+      "1-row chunks (pure cross-chunk prefix path) diverge")
+    // buckets partition the feed
+    naive.foreach { case (_, n, onTime, b10, b1h, bGe, maxMin) =>
+      assert(onTime + b10 + b1h + bGe == n, "buckets do not partition")
+      assert(maxMin >= 0L)
+      assert((maxMin == 0L) || (b10 + b1h + bGe > 0))
+    }
+  }
+
+  test("d13: every planted prefix doc is FULLY contained in its " +
+    "source — and containment is asymmetric where Jaccard is not") {
+    val rows = Dedup.containmentDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, shared, ngA, ngB, ppm) =>
+      assert(a < b)
+      assert(shared <= math.min(ngA, ngB),
+        "shared grams exceed a doc's gram count")
+      assert(ppm == shared * 1000000L / math.min(ngA, ngB))
+      assert(ppm >= 600000L && ppm <= 1000000L)
+    }
+    // the planted prefix pairs: (source, source + PlantOffset), all at
+    // exactly full containment — a prefix's 3-grams are a subset of
+    // its source's
+    val planted = rows.filter { case (a, b, _, _, _, _) =>
+      b - a == Dedup.PlantOffset && a % 7 == 0 }
+    assert(planted.nonEmpty, "no planted prefix pair surfaced")
+    planted.foreach { case (a, _, shared, ngA, ngB, ppm) =>
+      assert(ppm == 1000000L,
+        s"planted prefix of doc $a not fully contained")
+      assert(shared == math.min(ngA, ngB))
+    }
+  }
+
+  test("t31: novelty is 100% for the first doc, first-occurrence " +
+    "attribution is conserved, and repeated grams depress later docs") {
+    val rows = TextAnalysis.all.collectFirst {
+      case ("t31_ngram_novelty", fn, _) => fn(spark, sfDir)
+    }.get.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // output is in doc_id order; the earliest doc can only hold novel
+    // grams
+    assert(rows.head._3 == rows.head._2 && rows.head._4 == 1000000L,
+      "the earliest document must be 100% novel")
+    rows.foreach { case (_, n, novel, ppm) =>
+      assert(novel >= 0L && novel <= n)
+      assert(ppm == novel * 1000000L / n)
+    }
+    // conservation: total novel grams across docs == distinct grams in
+    // the corpus (every gram is novel exactly once)
+    val totalNovel = rows.map(_._3).sum
+    val distinctGrams = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .selectExpr("split(text, ' ') AS t").filter("size(t) >= 3")
+      .selectExpr("explode(array_distinct(transform(" +
+        "sequence(1, size(t) - 2), i -> concat_ws(' ', " +
+        "element_at(t, i), element_at(t, i + 1), " +
+        "element_at(t, i + 2))))) AS g")
+      .agg(countDistinct(col("g"))).collect()(0).getLong(0)
+    assert(totalNovel == distinctGrams,
+      s"first-occurrence attribution not conserved: " +
+        s"$totalNovel novel vs $distinctGrams distinct")
+    assert(rows.exists(_._4 < 1000000L),
+      "no doc shares any gram — novelty is vacuous on this corpus")
+  }
+
+  test("q35: the sweep line conserves flow — deltas sum to zero, the " +
+    "running count never goes negative, and the peak is positive") {
+    val rows = Relational.all.collectFirst {
+      case ("q35_open_order_concurrency", fn, _) => fn(spark, sfDir)
+    }.get.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).sorted.toSeq == rows.map(_._1).toSeq)
+    assert(rows.exists(_._2 > 0), "no month ever has an open order")
+    rows.foreach { case (_, maxOpen, days) =>
+      assert(maxOpen >= 0L, s"open-order count went negative: $maxOpen")
+      assert(days >= 1L)
+    }
+    // flow conservation: every order opened is eventually closed, so
+    // the final running value is 0 => the last month's step function
+    // ends at 0 and the TOTAL of all deltas is 0. Recompute directly:
+    val spans = Relational.table(spark, sfDir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("e"))
+      .join(Relational.table(spark, sfDir, "orders")
+        .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+    val nSpans = spans.count()
+    assert(nSpans > 0)
+    // peak concurrency can never exceed the order count
+    assert(rows.map(_._2).max <= nSpans)
+  }
+}
