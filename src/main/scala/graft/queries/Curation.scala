@@ -542,6 +542,74 @@ object Curation {
     FROM per, g
     ORDER BY event_type"""
 
+  // --------------------------------- c11 referential-integrity audit
+  /** c11 — referential-integrity audit across the star schema's
+    * foreign keys, run against a SIMULATED partial parent load (every
+    * 97th order missing from the parent snapshot — the failure mode a
+    * mid-flight ingest actually produces): per relation, child rows
+    * checked, orphan rows, and distinct missing parent keys. The
+    * orders→customer and lineitem→part/supplier edges audit the real
+    * (clean) parents, so the report shows both a firing check and
+    * passing ones.
+    *
+    * Scale shape: each check is ONE left-anti join on the FK — child
+    * shuffles on its key once, small parents broadcast (customer/
+    * part/supplier at catalog scale), and the per-relation counts are
+    * map-side-combinable. No row data moves beyond the keys. */
+  def referentialIntegrity(s: SparkSession, dir: String): DataFrame = {
+    def audit(rel: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String): DataFrame = {
+      val orphans = child.join(parent,
+        child(key) === parent(pkey), "left_anti")
+      child.agg(count(lit(1)).as("n_rows")).crossJoin(
+        orphans.agg(count(lit(1)).as("n_orphans"),
+          countDistinct(col(key)).as("n_missing_keys")))
+        .select(lit(rel).as("relation"), col("n_rows"),
+          col("n_orphans"), col("n_missing_keys"))
+    }
+    val li = Relational.table(s, dir, "lineitem")
+    val orders = Relational.table(s, dir, "orders")
+    val partialOrders = orders.filter(col("o_orderkey") % 97 =!= 0)
+    audit("lineitem->orders(partial)", li, "l_orderkey",
+        partialOrders, "o_orderkey")
+      .unionAll(audit("orders->customer", orders, "o_custkey",
+        Relational.table(s, dir, "customer"), "c_custkey"))
+      .unionAll(audit("lineitem->part", li, "l_partkey",
+        Relational.table(s, dir, "part"), "p_partkey"))
+      .unionAll(audit("lineitem->supplier", li, "l_suppkey",
+        Relational.table(s, dir, "supplier"), "s_suppkey"))
+      .orderBy("relation")
+  }
+
+  val referentialIntegritySql: String = """
+    SELECT * FROM (
+      SELECT 'lineitem->orders(partial)' AS relation,
+        (SELECT count(*) FROM lineitem) AS n_rows,
+        count(*) AS n_orphans,
+        count(DISTINCT l_orderkey) AS n_missing_keys
+      FROM lineitem
+      WHERE l_orderkey NOT IN (
+        SELECT o_orderkey FROM orders WHERE o_orderkey % 97 <> 0)
+      UNION ALL
+      SELECT 'orders->customer',
+        (SELECT count(*) FROM orders), count(*),
+        count(DISTINCT o_custkey)
+      FROM orders
+      WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+      UNION ALL
+      SELECT 'lineitem->part',
+        (SELECT count(*) FROM lineitem), count(*),
+        count(DISTINCT l_partkey)
+      FROM lineitem
+      WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+      UNION ALL
+      SELECT 'lineitem->supplier',
+        (SELECT count(*) FROM lineitem), count(*),
+        count(DISTINCT l_suppkey)
+      FROM lineitem
+      WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+    ORDER BY relation"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("c01_curation_pipeline", curationPipeline _,
@@ -555,5 +623,7 @@ object Curation {
       ("c08_incremental_mv", incrementalMv _, Some(incrementalMvSql)),
       ("c09_sketch_mv", sketchMv _, None),
       ("c09_sketch_inv", sketchMvInv _, Some(sketchMvInvSql)),
-      ("c10_freshness_audit", freshnessAudit _, Some(freshnessAuditSql)))
+      ("c10_freshness_audit", freshnessAudit _, Some(freshnessAuditSql)),
+      ("c11_referential_integrity", referentialIntegrity _,
+        Some(referentialIntegritySql)))
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -640,6 +640,95 @@ object Similarity {
     ORDER BY vec_id, j"""
   }
 
+  // ------------------------------------- s15 k-center coreset
+  /** s15 — greedy k-center coreset selection (Gonzalez 1985): pick the
+    * data points that maximally SPREAD over the embedding space —
+    * seed with the lowest vec_id, then repeatedly take the point
+    * farthest from every already-chosen center. This is the diverse-
+    * subset primitive behind coreset-based training-data selection
+    * (cover the distribution with a tiny budget, 2-approximation of
+    * the optimal k-center radius). Distances are exact squared L2 over
+    * the e01 int8-quantized vectors — pure integer arithmetic, so all
+    * five rounds replay bit-exactly in DuckDB's unrolled CTEs (the
+    * gr01 round-builder trick). `radius` is the max-min distance at
+    * selection time: a certified covering radius of the chosen set.
+    *
+    * Scale shape: k passes over the corpus, each ONE broadcast of the
+    * (tiny) chosen set + a map-side min-distance update + a
+    * TakeOrdered(1) argmax — no shuffle of vectors, ever; the
+    * running `dmin` column makes each round O(corpus · 1) instead of
+    * O(corpus · r). The k collect(1)s are plan-time center lookups,
+    * the same pattern as the IVF centroid trainer. */
+  def kcenterCoreset(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 4 // centers picked after the seed
+    def distTo(center: Seq[Int]): Column = {
+      val c = array(center.map(v => lit(v)): _*)
+      aggregate(
+        zip_with(col("q"), c, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v.cast("long"))
+    }
+    val qv = quantizeEmbeddings(Relational.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), col("q")).persist()
+    val seed = qv.orderBy("vec_id").limit(1).collect()(0)
+    var picked = Vector((0L, seed.getLong(0), 0L))
+    var cur = qv.withColumn("dmin",
+      distTo(seed.getSeq[Int](1)))
+    for (r <- 1 to k) {
+      val top = cur.orderBy(col("dmin").desc, col("vec_id")).limit(1)
+        .collect()(0)
+      picked :+= ((r.toLong, top.getLong(0), top.getLong(2)))
+      cur = cur.withColumn("dmin",
+        least(col("dmin"), distTo(top.getSeq[Int](1))))
+        .localCheckpoint()
+    }
+    picked.toDF("round", "vec_id", "radius")
+  }
+
+  /** DuckDB replica: the same five greedy rounds as unrolled CTEs over
+    * the same quantization. */
+  val kcenterCoresetSql: String = {
+    def dist(a: String, b: String): String =
+      s"CAST(list_sum([($a[i] - $b[i]) * ($a[i] - $b[i]) " +
+        s"FOR i IN range(1, len($a) + 1)]) AS BIGINT)"
+    def round(mPrev: String, pPrev: String, m: String, p: String) = s"""
+    $m AS (
+      SELECT x.vec_id, x.q, least(x.dmin, ${dist("x.q", "c.q")}) AS dmin
+      FROM $mPrev x JOIN qv c ON c.vec_id = (SELECT id FROM $pPrev)),
+    $p AS (
+      SELECT vec_id AS id, q, dmin AS r FROM $m
+      ORDER BY dmin DESC, vec_id LIMIT 1)"""
+    s"""
+    WITH qv AS (
+      SELECT vec_id,
+        list_transform(embedding, x -> CASE WHEN m = 0 THEN 0
+          ELSE CAST(floor((CAST(x AS DOUBLE) * 127.0) /
+            CAST(m AS DOUBLE) + 0.5) AS INT) END) AS q
+      FROM (
+        SELECT vec_id, embedding,
+          list_max(list_transform(embedding, x -> abs(x))) AS m
+        FROM embeddings)),
+    c0 AS (SELECT min(vec_id) AS id FROM qv),
+    m1 AS (
+      SELECT x.vec_id, x.q, ${dist("x.q", "c.q")} AS dmin
+      FROM qv x JOIN qv c ON c.vec_id = (SELECT id FROM c0)),
+    p1 AS (
+      SELECT vec_id AS id, q, dmin AS r FROM m1
+      ORDER BY dmin DESC, vec_id LIMIT 1),
+    ${round("m1", "p1", "m2", "p2")},
+    ${round("m2", "p2", "m3", "p3")},
+    ${round("m3", "p3", "m4", "p4")}
+    SELECT * FROM (
+      SELECT CAST(0 AS BIGINT) AS round, id AS vec_id,
+        CAST(0 AS BIGINT) AS radius FROM c0
+      UNION ALL SELECT 1, id, r FROM p1
+      UNION ALL SELECT 2, id, r FROM p2
+      UNION ALL SELECT 3, id, r FROM p3
+      UNION ALL SELECT 4, id, r FROM p4)
+    ORDER BY round"""
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("s01_ann_brute_force", annBruteForce _, Some(annBruteForceSql)),
@@ -653,5 +742,7 @@ object Similarity {
       ("e01_embed_quantize", quantizeDemo _, Some(quantizeSql)),
       ("e02_random_projection", randomProjection _,
         Some(randomProjectionSql)),
+      ("s15_kcenter_coreset", kcenterCoreset _,
+        Some(kcenterCoresetSql)),
     )
 }

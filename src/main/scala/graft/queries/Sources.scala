@@ -272,6 +272,57 @@ object Sources {
     GROUP BY event_type, ok
     ORDER BY event_type, status"""
 
+  // ----------------------------------------- j07 schema evolution
+  /** j07 — schema-evolution read: two parquet epochs written with
+    * DIFFERENT schemas (epoch 0 carries `lang`, epoch 1 instead
+    * carries `source` and `n_chars` — the add-a-column / drop-a-column
+    * drift every long-lived dataset accumulates) are read back as ONE
+    * table via `mergeSchema`, which unions the schemas and null-fills
+    * the columns each epoch lacks. The audit aggregates per-epoch row
+    * and null counts; the DuckDB oracle derives the same numbers
+    * STRUCTURALLY from the source table (epoch 0 rows must null
+    * `source`/`n_chars`, epoch 1 rows must null `lang`), so a hash
+    * match proves the merged read fills exactly the right cells.
+    *
+    * Scale shape: `mergeSchema` costs one footer read per file at
+    * planning (not a data scan); production pins the unioned schema
+    * explicitly after the first merge — noted here, and the read
+    * itself stays a parallel per-file scan with the audit as one
+    * map-side-combinable aggregate. */
+  def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.table(s, dir, "documents")
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_j07_${s.sparkContext.applicationId}").getAbsolutePath
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .write.mode("overwrite").parquet(s"$base/epoch=0")
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"), col("source"),
+        col("n_chars"))
+      .write.mode("overwrite").parquet(s"$base/epoch=1")
+    s.read.option("mergeSchema", "true").parquet(base)
+      .groupBy(col("epoch").cast("long").as("epoch"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("lang").isNull, 1L).otherwise(0L))
+          .as("null_lang"),
+        sum(when(col("source").isNull, 1L).otherwise(0L))
+          .as("null_source"),
+        sum(when(col("n_chars").isNull, 1L).otherwise(0L))
+          .as("null_n_chars"),
+        sum(length(col("text"))).as("sum_text_len"))
+      .orderBy("epoch")
+  }
+
+  val schemaEvolutionSql: String = """
+    SELECT doc_id % 2 AS epoch, count(*) AS n_rows,
+      count(*) FILTER (doc_id % 2 = 1) AS null_lang,
+      count(*) FILTER (doc_id % 2 = 0) AS null_source,
+      count(*) FILTER (doc_id % 2 = 0) AS null_n_chars,
+      CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+    FROM documents
+    GROUP BY 1
+    ORDER BY epoch"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame,
     Option[String])] =
     Seq(("j01_jsonl_roundtrip", jsonlRoundtrip _, Some(jsonlRoundtripSql)),
@@ -279,5 +330,7 @@ object Sources {
       ("j03_orc_roundtrip", orcRoundtrip _, Some(orcRoundtripSql)),
       ("j04_compaction", compaction _, Some(compactionSql)),
       ("j05_csv_roundtrip", csvRoundtrip _, Some(csvRoundtripSql)),
-      ("j06_json_quarantine", jsonQuarantine _, Some(jsonQuarantineSql)))
+      ("j06_json_quarantine", jsonQuarantine _, Some(jsonQuarantineSql)),
+      ("j07_schema_evolution", schemaEvolution _,
+        Some(schemaEvolutionSql)))
 }

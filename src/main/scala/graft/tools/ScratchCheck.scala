@@ -18,7 +18,10 @@ object ScratchCheck {
       case (name, fn) =>
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
-        df.show(20, truncate = false)
+        if (sys.env.contains("GRAFT_EXPLAIN")) {
+          println(s"==== $name ====")
+          df.explain("formatted")
+        } else df.show(20, truncate = false)
         println(f"[$name] ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()

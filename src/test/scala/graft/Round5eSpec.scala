@@ -198,4 +198,77 @@ class Round5eSpec extends SparkSpec {
     // peak concurrency can never exceed the order count
     assert(rows.map(_._2).max <= nSpans)
   }
+
+  test("s15: greedy k-center radii are non-increasing, centers are " +
+    "distinct, and every center pair is at least the final radius " +
+    "apart") {
+    import graft.queries.Similarity
+    val rows = Similarity.kcenterCoreset(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 5)
+    assert(rows.map(_._1).toSeq == (0L to 4L))
+    assert(rows.map(_._2).distinct.length == 5, "a center repeats")
+    assert(rows.head._3 == 0L)
+    val radii = rows.tail.map(_._3)
+    assert(radii.forall(_ > 0L), "degenerate pick at distance 0")
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b },
+      s"greedy max-min radii must be non-increasing: ${radii.toSeq}")
+    // the separation guarantee: when center r was picked it was
+    // radius_r away from ALL earlier centers, so every pair of
+    // chosen centers is >= the LAST (smallest) radius apart
+    val ids = rows.map(_._2).toSet
+    val qs = Similarity.quantizeEmbeddings(
+        spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding")))
+      .filter(col("vec_id").isin(ids.toSeq: _*))
+      .select("vec_id", "q").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val minRadius = radii.min
+    for (a <- ids; b <- ids if a < b) {
+      val d = qs(a).zip(qs(b))
+        .map { case (x, y) => (x - y).toLong * (x - y) }.sum
+      assert(d >= minRadius,
+        s"centers $a,$b closer ($d) than the final radius $minRadius")
+    }
+  }
+
+  test("j07: the merged read null-fills exactly the columns each " +
+    "epoch never wrote") {
+    import graft.queries.Sources
+    val rows = Sources.schemaEvolution(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.length == 2)
+    val (e0, e1) = (rows(0), rows(1))
+    assert(e0._1 == 0L && e1._1 == 1L)
+    // epoch 0 wrote lang but never source/n_chars — and vice versa
+    assert(e0._3 == 0L, "epoch 0 lost lang values in the merge")
+    assert(e0._4 == e0._2 && e0._5 == e0._2,
+      "epoch 0 rows must null-fill source and n_chars")
+    assert(e1._3 == e1._2, "epoch 1 rows must null-fill lang")
+    assert(e1._4 == 0L && e1._5 == 0L,
+      "epoch 1 lost source/n_chars values in the merge")
+    assert(e0._6 > 0L && e1._6 > 0L, "text payload vanished")
+  }
+
+  test("c11: the partial parent snapshot fires the audit, the clean " +
+    "relations stay silent") {
+    val rows = Curation.referentialIntegrity(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.length == 4)
+    val byRel = rows.map(r => r._1 -> r).toMap
+    val partial = byRel("lineitem->orders(partial)")
+    assert(partial._3 > 0L, "planted partial load produced no orphans")
+    assert(partial._4 > 0L && partial._4 <= partial._3,
+      "missing-key count must be positive and <= orphan rows")
+    Seq("orders->customer", "lineitem->part", "lineitem->supplier")
+      .foreach { rel =>
+        assert(byRel(rel)._3 == 0L && byRel(rel)._4 == 0L,
+          s"clean relation $rel reported orphans")
+      }
+    rows.foreach { case (_, n, orphans, _) =>
+      assert(orphans <= n)
+    }
+  }
 }
