@@ -421,6 +421,92 @@ object Sampling {
     WHERE draw * 20 < quality * 4294967296
     ORDER BY doc_id"""
 
+  // -------------------------------- s16 largest-remainder apportionment
+  /** s16 — exact integer budget apportionment (Hamilton / largest-
+    * remainder): split a document budget of N=400 across sources in
+    * proportion to integer weights so the per-source quotas sum to
+    * EXACTLY N — `floor(N·wᵢ/W)` seats plus one bonus seat to the
+    * largest remainders (`(N·wᵢ) mod W`, ties to the lexicographically
+    * first source) — with N=50 and weights 5:3:2:1:1 the floors sum to
+    * 48 and src0/src1 win the two bonus seats, so the remainder path
+    * is live. This is the allocation layer a budgeted data-mix
+    * needs ABOVE s05's greedy token packing: s05 fills a continuous
+    * budget, s16 certifies a discrete one with zero rounding drift.
+    * Selection within a source is the deterministic lowest-doc_id
+    * prefix. Everything is integer arithmetic — quota math AND
+    * selection replay bit-exactly in the oracle.
+    *
+    * Scale shape: weights and quotas are a HANDFUL of rows computed
+    * from one map-combinable per-source count; the only per-row work
+    * is a source-partitioned row_number prefix gate (one shuffle on
+    * source, same shape as s07's cap). The apportionment itself is
+    * plan-side arithmetic — no iteration, no driver loop. */
+  def budgetApportionment(s: SparkSession, dir: String): DataFrame = {
+    val budget = 50L
+    val weights = Seq("src0" -> 5L, "src1" -> 3L, "src2" -> 2L,
+      "src3" -> 1L, "src4" -> 1L)
+    val wSum = weights.map(_._2).sum
+    val floors = weights.map { case (src, w) =>
+      src -> (budget * w / wSum) }
+    val bonus = (budget - floors.map(_._2).sum).toInt
+    val byRemainder = weights
+      .map { case (src, w) => (src, (budget * w) % wSum) }
+      .sortBy { case (src, rem) => (-rem, src) }
+      .take(bonus).map(_._1).toSet
+    val quota = floors.map { case (src, f) =>
+      src -> (f + (if (byRemainder(src)) 1L else 0L)) }.toMap
+    val quotaCol = quota.foldLeft(lit(0L)) { case (acc, (src, q)) =>
+      when(col("source") === lit(src), lit(q)).otherwise(acc) }
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    Relational.table(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= quotaCol)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_selected"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .withColumn("quota", quotaCol)
+      .select("source", "quota", "n_selected", "sum_doc_id",
+        "max_doc_id")
+      .orderBy("source")
+  }
+
+  /** The oracle recomputes the apportionment itself in SQL (floors,
+    * remainders, ranked bonus seats) rather than inlining the Scala-
+    * computed quotas — so a quota-math bug cannot cancel out. */
+  val budgetApportionmentSql: String = """
+    WITH w(source, wt) AS (VALUES ('src0', 5), ('src1', 3),
+      ('src2', 2), ('src3', 1), ('src4', 1)),
+    base AS (
+      SELECT source, wt,
+        50 * wt // (SELECT sum(wt) FROM w) AS fl,
+        (50 * wt) % (SELECT sum(wt) FROM w) AS rem
+      FROM w),
+    ranked AS (
+      SELECT source, fl, rem,
+        row_number() OVER (ORDER BY rem DESC, source) AS rk
+      FROM base),
+    quota AS (
+      SELECT source,
+        CAST(fl + CASE WHEN rk <= 50 - (SELECT sum(fl) FROM base)
+          THEN 1 ELSE 0 END AS BIGINT) AS quota
+      FROM ranked),
+    sel AS (
+      SELECT d.source, d.doc_id, q.quota FROM (
+        SELECT source, doc_id,
+          row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents) d
+      JOIN quota q ON d.source = q.source
+      WHERE d.rn <= q.quota)
+    SELECT source, quota, count(*) AS n_selected,
+      CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+      max(doc_id) AS max_doc_id
+    FROM sel
+    GROUP BY source, quota
+    ORDER BY source"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("s03_stratified_sample", stratifiedDemo _, None),
@@ -433,5 +519,7 @@ object Sampling {
         Some(negativeSamplingSql)),
       ("s14_importance_resample", importanceResample _,
         Some(importanceResampleSql)),
+      ("s16_budget_apportionment", budgetApportionment _,
+        Some(budgetApportionmentSql)),
     )
 }

@@ -271,4 +271,74 @@ class Round5eSpec extends SparkSpec {
       assert(orphans <= n)
     }
   }
+
+  test("s16: largest-remainder quotas sum exactly to the budget, the " +
+    "bonus seats go to the largest remainders, and selection honors " +
+    "every quota") {
+    import graft.queries.Sampling
+    val rows = Sampling.budgetApportionment(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.length == 5)
+    assert(rows.map(_._2).sum == 50L,
+      "quotas must sum exactly to the budget — no rounding drift")
+    // weights 5:3:2:1:1 over N=50, W=12: floors 20/12/8/4/4, the two
+    // bonus seats land on src0 (rem 10) and src1 (rem 6)
+    val quota = rows.map(r => r._1 -> r._2).toMap
+    assert(quota == Map("src0" -> 21L, "src1" -> 13L, "src2" -> 8L,
+      "src3" -> 4L, "src4" -> 4L), s"wrong apportionment: $quota")
+    rows.foreach { case (src, q, n, _, _) =>
+      assert(n == q, s"$src selected $n != quota $q (supply shortfall?)")
+    }
+    // lowest-doc_id prefix selection: max selected id grows with quota
+    // only within a source, and every selected count matches a direct
+    // per-source head count
+    rows.foreach { case (src, q, _, sumId, maxId) =>
+      val expect = Relational.table(spark, sfDir, "documents")
+        .filter(col("source") === src).orderBy("doc_id")
+        .limit(q.toInt).agg(sum("doc_id"), max("doc_id")).collect()(0)
+      assert(sumId == expect.getLong(0) && maxId == expect.getLong(1),
+        s"$src selection is not the lowest-doc_id prefix")
+    }
+  }
+
+  test("plan shapes: session-6 operators keep their scale contracts — " +
+    "top-k heaps, no cartesian products, day-collapsed sweep window, " +
+    "chunk-partitioned lateness window") {
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+    // gr05: per-partition top-k heap, no global sort of candidates,
+    // and the wedge join is an equi-join (no cartesian anywhere)
+    val gr05 = plan(Graph.linkPrediction(spark, sfDir))
+    assert(gr05.contains("TakeOrderedAndProject"), gr05)
+    assert(!gr05.contains("Cartesian"), gr05)
+    // d13: candidate generation + exact verify are all equi-joins
+    val d13 = plan(Dedup.containmentDedup(spark, sfDir))
+    assert(!d13.contains("Cartesian") && !d13.contains("BroadcastNestedLoop"),
+      d13)
+    // q35: exactly ONE unpartitioned window, and it consumes a
+    // day-level AGGREGATE (the sweep line rides the calendar domain,
+    // not the fact table)
+    val q35 = Relational.all.collectFirst {
+      case ("q35_open_order_concurrency", fn, _) => fn(spark, sfDir) }.get
+    val q35p = plan(q35)
+    assert("Window".r.findAllIn(q35p).size == 1, q35p)
+    // the window's input is the day-collapsed aggregate, so the plan
+    // has aggregates BOTH below the window (day deltas) and above it
+    // (per-month peaks)
+    assert("HashAggregate".r.findAllIn(q35p).size >= 4, q35p)
+    // st18: the per-row window is PARTITIONED by chunk — the only
+    // unpartitioned window in the plan runs over chunk maxima
+    // (aggregated input), never the raw events
+    val st18 = plan(Streaming.latenessAuditFrom(
+      Streaming.events(spark, sfDir), 8192L))
+    assert("\\[chunk#\\d+L?\\], \\[event_id#".r.findFirstIn(st18)
+      .isDefined, st18)
+    assert(!st18.contains("Cartesian"), st18)
+    // t31: no cartesian, and the first-occurrence join is gram-keyed
+    val t31 = plan(TextAnalysis.all.collectFirst {
+      case ("t31_ngram_novelty", fn, _) => fn(spark, sfDir) }.get)
+    assert(!t31.contains("Cartesian"), t31)
+  }
 }
