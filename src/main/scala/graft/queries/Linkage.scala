@@ -345,6 +345,92 @@ object Linkage {
     FROM scored
     ORDER BY cust_id, rec_id"""
 
+  /** Right-side node ids live above left-side ones. */
+  private val RecOffset = 10000000L
+
+  // ------------------------------------- l05 entity resolution
+  /** l05 — the COMPOSED entity-resolution pipeline, end to end in one
+    * declarative plan: blocking (l01's equi-join on name prefixes) →
+    * field comparison → Fellegi-Sunter decision (l04) → 'match' edges
+    * → min-label clustering → golden record per entity. This is the
+    * "a linkage user could switch" showcase, the c01 pattern applied
+    * to the linkage stack: every stage changes the surviving set, so
+    * one hash match proves the composition.
+    *
+    * Clustering runs exactly TWO min-label rounds. The match graph is
+    * stars around each identity (a corrupted record matches its
+    * original; blocking keeps spurious cross-matches rare), so label
+    * propagation converges in ≤2 hops — and because the oracle replays
+    * the SAME two rounds, parity holds by construction even where it
+    * hasn't; Round5eSpec asserts observed convergence (round 2 ==
+    * round 3) on the real corpus, the d07-style closed-form guard.
+    *
+    * Scale shape: the only non-blocking-join work is two edge⋈label
+    * joins + label aggregations (the d06/gr01 superstep shape, here
+    * with a CONSTANT round count); golden-record election is one
+    * struct-min per cluster (arg-min by node id), map-side combinable. */
+  def entityResolution(s: SparkSession, dir: String): DataFrame = {
+    val m = fellegiSunter(s, dir).filter(col("decision") === "match")
+      .select(col("cust_id").as("u"),
+        (col("rec_id") + RecOffset).as("v"))
+    val nodes = l04Identities(s, dir)
+      .select(col("cust_id").as("node"), col("name"))
+      .unionAll(l04Corrupted(s, dir)
+        .select((col("rec_id") + RecOffset).as("node"),
+          col("rec_name").as("name")))
+      .persist()
+    val edges = m.unionAll(m.select(col("v").as("u"), col("u").as("v")))
+      .persist()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    for (_ <- 1 to 2) {
+      val nbrMin = edges.join(labels, col("v") === col("node"))
+        .groupBy("u").agg(min(col("label")).as("nl"))
+      labels = labels
+        .join(nbrMin, labels("node") === nbrMin("u"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nl"), col("label")))
+            .as("label"))
+    }
+    labels.join(nodes, "node")
+      .groupBy(col("label").as("entity_id"))
+      .agg(count(lit(1)).as("n_records"),
+        min(struct(col("node"), col("name"))).as("m"))
+      .select(col("entity_id"), col("n_records"),
+        col("m").getField("name").as("golden_name"))
+      .orderBy("entity_id")
+  }
+
+  val entityResolutionSql: String = {
+    def round(prev: String, out: String): String = s"""
+    $out AS (
+      SELECT n.node, least(n.label, coalesce(m.nl, n.label)) AS label
+      FROM $prev n LEFT JOIN (
+        SELECT e.u, min(l.label) AS nl
+        FROM edges e JOIN $prev l ON e.v = l.node
+        GROUP BY e.u) m ON n.node = m.u)"""
+    s"""
+    WITH matches AS (
+      SELECT cust_id AS u, rec_id + $RecOffset AS v
+      FROM ($fellegiSunterSql) WHERE decision = 'match'),
+    ids AS ($l04IdentitiesSql),
+    corr AS ($l04CorruptedSql),
+    nodes AS (
+      SELECT cust_id AS node, name FROM ids
+      UNION ALL
+      SELECT rec_id + $RecOffset AS node, rec_name AS name FROM corr),
+    edges AS (
+      SELECT u, v FROM matches UNION ALL SELECT v AS u, u AS v
+      FROM matches),
+    l0 AS (SELECT node, node AS label FROM nodes),
+    ${round("l0", "l1")},
+    ${round("l1", "l2")}
+    SELECT l.label AS entity_id, count(*) AS n_records,
+      arg_min(n.name, n.node) AS golden_name
+    FROM l2 l JOIN nodes n ON l.node = n.node
+    GROUP BY 1
+    ORDER BY entity_id"""
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("l01_linkage_pairs", linkagePairs _, Some(linkagePairsSql)),
@@ -352,5 +438,7 @@ object Linkage {
       ("l03_sorted_neighborhood", sortedNeighborhood _,
         Some(sortedNeighborhoodSql)),
       ("l04_fellegi_sunter", fellegiSunter _, Some(fellegiSunterSql)),
+      ("l05_entity_resolution", entityResolution _,
+        Some(entityResolutionSql)),
     )
 }

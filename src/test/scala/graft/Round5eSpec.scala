@@ -302,6 +302,59 @@ class Round5eSpec extends SparkSpec {
     }
   }
 
+  test("l05: two min-label rounds have converged on the real corpus, " +
+    "every match pair lands in one entity, and records are conserved") {
+    import graft.queries.Linkage
+    val entities = Linkage.entityResolution(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(entities.nonEmpty)
+    // conservation: every record (2 per customer) lands in exactly one
+    // entity
+    val nCustomers = Relational.table(spark, sfDir, "customer").count()
+    assert(entities.map(_._2).sum == 2 * nCustomers,
+      "entity sizes do not sum to the record count")
+    assert(entities.exists(_._2 >= 2),
+      "no multi-record entity — matching is vacuous")
+    // every 'match' edge must be intra-entity: rebuild the labels the
+    // same way a THIRD round would and check stability (the
+    // convergence guard for the fixed 2-round unroll)
+    val matches = Linkage.fellegiSunter(spark, sfDir)
+      .filter(col("decision") === "match")
+      .select(col("cust_id"), col("rec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(matches.nonEmpty)
+    // entity ids are cluster minima, so the strongest convergence
+    // check is structural: build the TRUE transitive closure in-test
+    // (union-find over the tiny match graph) and demand the operator's
+    // (entity_id -> size) map equals it exactly — any unconverged
+    // 2-round label would split a closure class and break equality
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val offset = 10000000L
+    matches.foreach { case (u, v) => union(u, v + offset) }
+    val sizeByRoot = scala.collection.mutable.Map[Long, Long]()
+    // every customer contributes cust_id and rec_id+offset
+    Relational.table(spark, sfDir, "customer")
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+      .foreach { id =>
+        sizeByRoot(find(id)) = sizeByRoot.getOrElse(find(id), 0L) + 1
+        sizeByRoot(find(id + offset)) =
+          sizeByRoot.getOrElse(find(id + offset), 0L) + 1
+      }
+    val expected = sizeByRoot.toMap
+    val got = entities.map(e => e._1 -> e._2).toMap
+    assert(got == expected,
+      "2-round labels diverge from the true transitive closure — " +
+        "the fixed unroll has NOT converged on this corpus")
+  }
+
   test("plan shapes: session-6 operators keep their scale contracts — " +
     "top-k heaps, no cartesian products, day-collapsed sweep window, " +
     "chunk-partitioned lateness window") {
