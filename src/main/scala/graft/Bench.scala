@@ -81,24 +81,23 @@ object Bench {
     // then g07/st06/st03/mm02 for the round-5 session-3 keys, then
     // q24/t18/st12/mm06/mm07/st14/t16/s08 for the session-4 keys,
     // then q29/q06/s07/t05/mm04/d12/q22/s12/st10/t17/mm05/t20 for the
-    // session-5 keys, then t26/t27/q32/e02/s14 for the session-6 keys
+    // session-5 keys, then t26/t27/q32/e02/s14 and
+    // q01/s09/c04/st11/t09/st07/j01/q23/st08/j03/st09 for the
+    // session-6 keys
     // (stable sub-0.2s rows for 4+ rounds; bench.json keeps them all)
     val headline = Seq(
       "a01_bench_generate_1m", "a02_bench_mutate_1m",
-      "q01_pricing_summary",
       "q03_top_revenue_orders", "q07_top_orders_per_customer",
       "q13_order_lineitem_smj", "q16_salted_join", "q17_asof_join",
       "d01_dedup_exact", "d02_dedup_minhash_lsh", "d06_dedup_clusters",
       "d08_paragraph_dedup", "d09_semantic_dedup", "q21_range_join",
       "s01_ann_brute_force", "s02_ann_lsh_bucketed",
-      "s04_ann_ivf", "s06_embedding_clusters", "t09_decontaminate", "t11_tfidf",
+      "s04_ann_ivf", "s06_embedding_clusters", "t11_tfidf",
       "t14_quality_gate",
-      "st07_attribution", "c01_curation_pipeline",
-      "j01_jsonl_roundtrip",
-      "q23_range_shards", "j02_partitioned_sink",
+      "c01_curation_pipeline",
+      "j02_partitioned_sink",
       "t15_bloom_decontaminate", "c03_snapshot_diff",
-      "st08_quota", "c04_cdc_compact", "j03_orc_roundtrip", "s09_epoch_shuffle", "t19_bm25_topk",
-      "st09_enrich",
+      "t19_bm25_topk",
       "t21_dup_ngrams", "d10_incremental_dedup", "q25_corr_subquery",
       "s10_ann_pq", "l03_sorted_neighborhood",
       "c05_scd2_history", "t22_heavy_hitters", "q26_exists_chain", "l04_fellegi_sunter", "s11_curriculum",
@@ -113,7 +112,11 @@ object Bench {
       "st17_foreach_upsert", "t28_eval_gram_overlap",
       "c08_incremental_mv", "q30_gapfill",
       "q34_unpivot", "gr05_link_prediction", "t30_pmi_collocations",
-      "c10_freshness_audit", "st18_lateness_audit")
+      "c10_freshness_audit", "st18_lateness_audit",
+      "d13_containment_dedup", "t31_ngram_novelty",
+      "q35_open_order_concurrency", "c11_referential_integrity",
+      "j07_schema_evolution", "s15_kcenter_coreset",
+      "s16_budget_apportionment", "l05_entity_resolution")
     val resultMap = results.toMap
     // a headline key that stops matching a query name would otherwise
     // silently vanish from the tail-parsed line — fail loudly instead
