@@ -943,6 +943,85 @@ object Dedup {
       >= 600000
     ORDER BY a, b"""
 
+  // ------------------------------------------------ d14 URL dedup
+  /** d14 — URL canonicalization dedup, the web-crawl curation staple
+    * (Common-Crawl-scale pipelines dedup on canonical URL before any
+    * content pass, because it is free: no shingles, no signatures,
+    * just string normalization + one hash aggregation). Each document
+    * carries a synthesized crawl URL (four deterministic variants —
+    * tracking query params, http scheme, fragments, `www.`/`m.`
+    * subdomain — of a shared underlying page identity). Canonical
+    * form: strip fragment, strip query string, force https, lowercase
+    * the host, drop `www.`/`m.`, trim the trailing slash. Docs
+    * sharing a canonical URL collapse to the lowest doc_id.
+    *
+    * Scale shape: canonicalization is a pure codegen'd map pass
+    * (anchored regexp_replace/extract chains, no UDF); the dedup is
+    * ONE hash groupBy on the canonical key with map-side partial
+    * aggregation — the cheapest possible dedup at 100 TB, which is
+    * exactly why real pipelines run it first. */
+  def urlDedup(s: SparkSession, dir: String): DataFrame = {
+    val url = concat(
+      when(col("doc_id") % 4 === 0, concat(lit("https://WWW."),
+        col("source"), lit(".Example.com/page/"), col("doc_id") % 50,
+        lit("?utm_source=feed&ref="), col("doc_id")))
+        .when(col("doc_id") % 4 === 1, concat(lit("http://"),
+          col("source"), lit(".example.com/page/"), col("doc_id") % 50,
+          lit("/")))
+        .when(col("doc_id") % 4 === 2, concat(lit("https://"),
+          col("source"), lit(".example.com/page/"), col("doc_id") % 50,
+          lit("#section"), col("doc_id")))
+        .otherwise(concat(lit("https://m."), col("source"),
+          lit(".Example.com/page/"), col("doc_id") % 50)))
+    val noFragment = regexp_replace(url, "#.*$", "")
+    val noQuery = regexp_replace(noFragment, "\\?.*$", "")
+    val httpsOnly = regexp_replace(noQuery, "^http://", "https://")
+    val host = regexp_replace(
+      lower(regexp_extract(httpsOnly, "^https://([^/]+)", 1)),
+      "^(www|m)\\.", "")
+    val path = regexp_replace(
+      regexp_extract(httpsOnly, "^https://[^/]+(/.*)?$", 1), "/$", "")
+    val canonical = concat(lit("https://"), host, path)
+    Relational.table(s, dir, "documents")
+      .select(col("doc_id"), canonical.as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(min(col("doc_id")).as("keeper_id"),
+        count(lit(1)).as("n_dupes"))
+      .orderBy("canonical_url")
+  }
+
+  val urlDedupSql: String = """
+    WITH urls AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'https://WWW.' || source || '.Example.com/page/'
+            || (doc_id % 50) || '?utm_source=feed&ref=' || doc_id
+          WHEN 1 THEN 'http://' || source || '.example.com/page/'
+            || (doc_id % 50) || '/'
+          WHEN 2 THEN 'https://' || source || '.example.com/page/'
+            || (doc_id % 50) || '#section' || doc_id
+          ELSE 'https://m.' || source || '.Example.com/page/'
+            || (doc_id % 50)
+        END AS url
+      FROM documents),
+    canon AS (
+      SELECT doc_id,
+        'https://' ||
+        regexp_replace(lower(regexp_extract(step3,
+          '^https://([^/]+)', 1)), '^(www|m)\.', '') ||
+        regexp_replace(regexp_extract(step3,
+          '^https://[^/]+(/.*)?$', 1), '/$', '') AS canonical_url
+      FROM (
+        SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(url,
+            '#.*$', ''), '\?.*$', ''), '^http://', 'https://') AS step3
+        FROM urls))
+    SELECT canonical_url, min(doc_id) AS keeper_id,
+      count(*) AS n_dupes
+    FROM canon
+    GROUP BY canonical_url
+    ORDER BY canonical_url"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("d01_dedup_exact", dedupExact _, Some(dedupExactSql)),
@@ -962,5 +1041,6 @@ object Dedup {
       ("d12_substring_dedup", substringDedup _, Some(substringDedupSql)),
       ("d13_containment_dedup", containmentDedup _,
         Some(containmentDedupSql)),
+      ("d14_url_dedup", urlDedup _, Some(urlDedupSql)),
     )
 }

@@ -391,11 +391,92 @@ object Graph {
     ORDER BY cn DESC, jaccard_ppm DESC, c1, c2
     LIMIT 20"""
 
+  // -------------------------------------------------------------- gr06
+  private val BfsRounds = 3
+
+  /** gr06 — multi-source bounded BFS: exact hop distance (≤ 3) from
+    * the seed suppliers (every 50th key) over gr02's SPARSIFIED trade
+    * graph (the full graph is diameter-2 — every distance would be
+    * trivially 0/1/2, leaving the deeper rounds untested; the mod-11
+    * residue slice stretches real multi-hop paths).
+    *
+    * Scale shape: the classic FRONTIER optimization — each round joins
+    * the edge list against only the nodes DISCOVERED LAST ROUND (not
+    * the whole visited set), then anti-joins the candidates against
+    * visited, so round k's cost is O(edges incident to frontier k),
+    * and total work across rounds is O(edges reached) — the textbook
+    * Pregel BFS. A naive "join edges with all known distances and
+    * re-min" formulation re-touches every settled node every round,
+    * which at 100 TB turns a 3-round walk into 3 full-graph shuffles.
+    * localCheckpoint truncates per-round lineage exactly like gr01 /
+    * d06. The DuckDB oracle is the min-unrolled formulation (provably
+    * equivalent: r_k(v) = min hops within k), so the hash match
+    * certifies the frontier decomposition. */
+  def bfsHops(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Relational.table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Relational.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter((col("l_suppkey") * 31 + col("o_custkey")) % 11 === 0)
+      .select(col("l_suppkey").as("supp"),
+        (col("o_custkey") + CustOffset).as("cust"))
+      .distinct()
+    val e = pairs.select(col("supp").as("src"), col("cust").as("dst"))
+      .union(pairs.select(col("cust").as("src"), col("supp").as("dst")))
+      .persist()
+    val seeds = Relational.table(s, dir, "supplier")
+      .filter(col("s_suppkey") % 50 === 0)
+      .select(col("s_suppkey").cast("long").as("node"),
+        lit(0L).as("dist"))
+    var dist = seeds.localCheckpoint()
+    var frontier = seeds.select("node")
+    for (k <- 1 to BfsRounds) {
+      val cand = e.join(frontier, col("src") === col("node"))
+        .select(col("dst").as("node")).distinct()
+      val fresh = cand.join(dist, Seq("node"), "left_anti")
+        .select(col("node"), lit(k.toLong).as("dist"))
+        .localCheckpoint()
+      dist = dist.unionAll(fresh).localCheckpoint()
+      frontier = fresh.select("node")
+    }
+    dist.orderBy("node")
+  }
+
+  val bfsHopsSql: String = {
+    def round(prev: String, out: String): String = s"""
+    $out AS (
+      SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+        SELECT node, dist FROM $prev
+        UNION ALL
+        SELECT e.dst AS node, p.dist + 1 AS dist
+        FROM edges e JOIN $prev p ON e.src = p.node)
+      GROUP BY node)"""
+    s"""
+    WITH pairs AS (
+      SELECT DISTINCT l.l_suppkey AS supp,
+        o.o_custkey + $CustOffset AS cust
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE (l.l_suppkey * 31 + o.o_custkey) % 11 = 0),
+    edges AS (
+      SELECT supp AS src, cust AS dst FROM pairs
+      UNION ALL
+      SELECT cust AS src, supp AS dst FROM pairs),
+    d0 AS (
+      SELECT CAST(s_suppkey AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+      FROM supplier WHERE s_suppkey % 50 = 0),
+    ${round("d0", "r1")},
+    ${round("r1", "r2")},
+    ${round("r2", "r3")}
+    SELECT node, dist FROM r3 ORDER BY node"""
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame,
     Option[String])] =
     Seq(("gr01_pagerank", pagerank _, Some(pagerankSql)),
       ("gr02_components", components _, Some(componentsSql)),
       ("gr03_triangles", triangles _, Some(trianglesSql)),
       ("gr04_dense_core", denseCore _, Some(denseCoreSql)),
-      ("gr05_link_prediction", linkPrediction _, Some(linkPredictionSql)))
+      ("gr05_link_prediction", linkPrediction _, Some(linkPredictionSql)),
+      ("gr06_bfs_hops", bfsHops _, Some(bfsHopsSql)))
 }

@@ -913,6 +913,83 @@ object Relational {
     GROUP BY 1
     ORDER BY month"""
 
+  // --------------------------------------------------------------- Q36
+  /** q36 — NOT IN over a subquery with a NULLABLE probe key: the
+    * null-aware anti-join. Three-valued logic makes `x NOT IN (set)`
+    * NULL (row dropped) whenever x is NULL — so customers whose probe
+    * key is nulled out (every 97th) vanish from the result even when
+    * they have no failed order, which a plain anti-join gets wrong.
+    * Absent in reference (no relational layer).
+    *
+    * Scale shape: Catalyst rewrites the predicate to a LeftAnti join
+    * with an `OR isnull(=)` condition; the null-aware-anti-join
+    * optimization (single key, broadcastable build side) plans it as
+    * a BroadcastHashJoin instead of the quadratic
+    * BroadcastNestedLoopJoin — Round5fSpec asserts the NLJ never
+    * appears, because at 100 TB that is the difference between a map
+    * pass and a cross product. */
+  def q36NullAwareAnti(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "customer")
+      .createOrReplaceTempView("graft_q36_customer")
+    table(spark, dir, "orders").createOrReplaceTempView("graft_q36_orders")
+    spark.sql("""
+      SELECT c_custkey, c_name
+      FROM graft_q36_customer c
+      WHERE (CASE WHEN c_custkey % 97 = 0 THEN CAST(NULL AS BIGINT)
+                  ELSE c_custkey END)
+        NOT IN (SELECT o_custkey FROM graft_q36_orders
+                WHERE o_orderstatus = 'F')
+      ORDER BY c_custkey""")
+  }
+
+  val q36Sql: String = """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE (CASE WHEN c_custkey % 97 = 0 THEN CAST(NULL AS BIGINT)
+                ELSE c_custkey END)
+      NOT IN (SELECT o_custkey FROM orders
+              WHERE o_orderstatus = 'F')
+    ORDER BY c_custkey"""
+
+  // --------------------------------------------------------------- Q37
+  /** q37 — bag-semantics set operations (INTERSECT ALL / EXCEPT ALL):
+    * per-value multiplicities min(m1,m2) and max(0, m1−m2), which the
+    * DISTINCT set ops of q10 erase. The multiset view is what audit
+    * jobs actually need ("how many customer rows per nation survive
+    * after removing one per supplier row"), and Spark implements both
+    * via a replicated-count generate — no sort, no distinct.
+    * Absent in reference (set ops limited to tiny value arrays).
+    *
+    * Scale shape: each ALL-op is one hash aggregation per side on the
+    * value key + a join on that key — map-side partial counts compress
+    * every duplicate before the shuffle, so network cost is
+    * O(distinct values), not O(rows). */
+  def q37BagSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val sn = table(spark, dir, "supplier").select(col("s_nationkey").as("n"))
+    val cn = table(spark, dir, "customer").select(col("c_nationkey").as("n"))
+    val inter = sn.intersectAll(cn)
+      .groupBy("n").agg(count(lit(1)).as("cnt"))
+      .select(lit("intersect_all").as("op"), col("n"), col("cnt"))
+    val exc = cn.exceptAll(sn)
+      .groupBy("n").agg(count(lit(1)).as("cnt"))
+      .select(lit("except_all").as("op"), col("n"), col("cnt"))
+    inter.unionAll(exc).orderBy("op", "n")
+  }
+
+  val q37Sql: String = """
+    SELECT 'intersect_all' AS op, n, count(*) AS cnt FROM (
+      SELECT s_nationkey AS n FROM supplier
+      INTERSECT ALL
+      SELECT c_nationkey AS n FROM customer)
+    GROUP BY n
+    UNION ALL
+    SELECT 'except_all' AS op, n, count(*) AS cnt FROM (
+      SELECT c_nationkey AS n FROM customer
+      EXCEPT ALL
+      SELECT s_nationkey AS n FROM supplier)
+    GROUP BY n
+    ORDER BY op, n"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_segment_revenue", q02SegmentRevenue _, q02Sql),
@@ -940,5 +1017,7 @@ object Relational {
     ("q32_rolling_range", q32RollingRange _, q32Sql),
     ("q34_unpivot", q34Unpivot _, q34Sql),
     ("q35_open_order_concurrency", q35OpenOrderConcurrency _, q35Sql),
+    ("q36_null_aware_anti", q36NullAwareAnti _, q36Sql),
+    ("q37_bag_set_ops", q37BagSetOps _, q37Sql),
   )
 }

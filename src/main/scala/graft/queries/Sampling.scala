@@ -507,6 +507,97 @@ object Sampling {
     GROUP BY source, quota
     ORDER BY source"""
 
+  // -------------------------------- s17 temperature-scaled mixture
+  /** s17 — temperature-scaled source sampling (the multilingual /
+    * multi-source rebalancing trick: draw source i with probability
+    * ∝ nᵢ^α, α = 0.5, so token-poor sources are upweighted relative
+    * to proportional sampling while token-rich ones still dominate —
+    * the standard α-temperature mix from multilingual pretraining).
+    * Per-source mass nᵢ = total whitespace tokens; the weight is the
+    * EXACT integer square root (floor(√n) from the double sqrt, then
+    * a ±1 correction so kᵢ² ≤ nᵢ < (kᵢ+1)² exactly — replayed
+    * identically in the oracle, so a last-ulp sqrt disagreement
+    * cannot leak into the hash). A token budget of T=4000 turns the
+    * weights into per-source acceptance rates
+    * rateᵢ = min(1, T·wᵢ/(W·nᵢ)) in ppm, and each document flips the
+    * portable coin: accept iff u₃₂·10⁶ < rate_ppm·2³² (s14's
+    * cross-multiplied md5 gate — no division, no floats).
+    *
+    * Scale shape: per-source masses are ONE map-combinable agg over
+    * (source) — a handful of rows; rates broadcast back onto the
+    * corpus for a pure map-pass gate. No sampling state, layout-
+    * independent, one scan at 100 TB. */
+  def temperatureMixture(s: SparkSession, dir: String): DataFrame = {
+    val budgetTokens = 4000L
+    val docs = Relational.table(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val mass = docs.groupBy("source")
+      .agg(sum(col("n_tokens")).as("n_tok"))
+    val k0 = floor(sqrt(col("n_tok").cast("double"))).cast("long")
+    val k1 = k0 - when(k0 * k0 > col("n_tok"), 1L).otherwise(0L)
+    val isqrt = k1 +
+      when((k1 + 1) * (k1 + 1) <= col("n_tok"), 1L).otherwise(0L)
+    val weighted = mass.withColumn("w", isqrt)
+    val totalW = weighted.agg(sum(col("w")).as("w_sum"))
+    val rates = weighted.crossJoin(broadcast(totalW))
+      // integral `div` — double division would drift in the last ulp
+      .withColumn("rate_ppm",
+        least(lit(1000000L),
+          expr(s"$budgetTokens * w * 1000000 div (w_sum * n_tok)")))
+      .select("source", "n_tok", "w", "rate_ppm")
+    val u = conv(substring(md5(concat(lit("s17#"), col("doc_id"))), 1, 8),
+      16, 10).cast("long")
+    docs.join(broadcast(rates), "source")
+      .withColumn("draw", u)
+      .filter(col("draw") * 1000000L < col("rate_ppm") * 4294967296L)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_accepted"),
+        sum(col("n_tokens")).as("tok_accepted"),
+        min(col("rate_ppm")).as("rate_ppm"),
+        min(col("n_tok")).as("n_tok"),
+        min(col("w")).as("w"))
+      .select("source", "n_tok", "w", "rate_ppm", "n_accepted",
+        "tok_accepted")
+      .orderBy("source")
+  }
+
+  val temperatureMixtureSql: String = """
+    WITH docs AS (
+      SELECT doc_id, source,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    mass AS (
+      SELECT source, CAST(sum(n_tokens) AS BIGINT) AS n_tok
+      FROM docs GROUP BY source),
+    iroot AS (
+      SELECT source, n_tok,
+        k1 + CASE WHEN (k1+1)*(k1+1) <= n_tok THEN 1 ELSE 0 END AS w
+      FROM (
+        SELECT source, n_tok,
+          k0 - CASE WHEN k0*k0 > n_tok THEN 1 ELSE 0 END AS k1
+        FROM (
+          SELECT source, n_tok,
+            CAST(floor(sqrt(CAST(n_tok AS DOUBLE))) AS BIGINT) AS k0
+          FROM mass))),
+    rates AS (
+      SELECT source, n_tok, w,
+        CAST(least(1000000, 4000 * w * 1000000 //
+          ((SELECT sum(w) FROM iroot) * n_tok)) AS BIGINT) AS rate_ppm
+      FROM iroot),
+    accepted AS (
+      SELECT d.source, d.n_tokens, r.rate_ppm, r.n_tok, r.w
+      FROM docs d JOIN rates r ON d.source = r.source
+      WHERE ('0x' || substr(md5('s17#' || d.doc_id), 1, 8))::BIGINT
+        * 1000000 < r.rate_ppm * 4294967296)
+    SELECT source, min(n_tok) AS n_tok, min(w) AS w,
+      min(rate_ppm) AS rate_ppm,
+      count(*) AS n_accepted,
+      CAST(sum(n_tokens) AS BIGINT) AS tok_accepted
+    FROM accepted
+    GROUP BY source
+    ORDER BY source"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("s03_stratified_sample", stratifiedDemo _, None),

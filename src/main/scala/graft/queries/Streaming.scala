@@ -9,15 +9,27 @@ import graft.streaming.EventStreams
   * StreamingSpec proves batch/stream equivalence). */
 object Streaming {
 
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps,
-    * which Spark's reader rejects outright — read them as raw nanos
-    * and convert to a micros TimestampType column. */
+  /** The events table's `ts` physical type has varied across driver
+    * testdata generations — TIMESTAMP(NANOS) (rejected by Spark's
+    * reader unless read as raw nanos via the legacy flag), plain
+    * micros TIMESTAMP, and unadjusted-to-UTC timestamps that surface
+    * as TIMESTAMP_NTZ. Adapt on the OBSERVED read schema so every
+    * generation lands on a micros TimestampType column with identical
+    * instants (session timezone is pinned to UTC everywhere). */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // integral `div`: double division would lose precision above 2^53
-    // nanos (~Sep 2001 epoch) and shift boundary events by ±1us
-    Relational.table(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = Relational.table(s, dir, "events")
+    raw.schema("ts").dataType match {
+      // legacy nanos-as-long: integral `div` — double division would
+      // lose precision above 2^53 nanos (~Sep 2001 epoch) and shift
+      // boundary events by ±1us
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      // TIMESTAMP_NTZ: reinterpret as a UTC instant (no-op wall shift
+      // under the pinned UTC session timezone)
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Tumbling 1-hour windows per event type. */
