@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** The composed curation pipeline — the "a user could switch" showcase:
   * the stages every training-data pipeline chains (exact dedup → PII
@@ -610,6 +611,82 @@ object Curation {
       WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
     ORDER BY relation"""
 
+  // -------------------------------------- c12 distribution drift
+  /** c12 — epoch-over-epoch distribution-drift audit (the "did this
+    * ingest batch change the data's shape" gate that decides whether
+    * a model refresh is safe): order totals are bucketed into 8 fixed
+    * 625-dollar-wide cents bands, epochs split at 1998-01-01, and a
+    * REAL shift is planted — the later epoch drops every 3rd order in
+    * the upper half of the price range, simulating a source that
+    * stopped sending large transactions. The per-bucket divergence is
+    * an integer chi-square-style score over ppm proportions,
+    * (pA−pB)² div (pA+pB+1): division-free enough to replay exactly,
+    * monotone in the shift size, and zero when the epochs agree.
+    * Proportions (not raw counts) keep the arithmetic in range at ANY
+    * scale — cross-multiplying raw counts would overflow 64 bits at
+    * sf1 (cA·NB ~ 10¹², squared ~10²⁴).
+    *
+    * Scale shape: ONE map-combinable (epoch, bucket) count agg over
+    * the facts — 16 rows out — then driver-free plan-side arithmetic
+    * on the tiny pivot; the audit costs a single scan at 100 TB. */
+  def driftAudit(s: SparkSession, dir: String): DataFrame = {
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long")
+    // integral `div` (a `/` on longs is double division in Spark)
+    val bucket = expr("least(7, cents div 6250000)").cast("long")
+    val base = Relational.table(s, dir, "orders")
+      .select(col("o_orderkey"), cents.as("cents"),
+        (to_date(col("o_orderdate")) < lit("1998-01-01")).as("is_a"))
+      .withColumn("bucket", bucket)
+      // planted shift: epoch B loses every 3rd order in buckets >= 4
+      .filter(col("is_a") ||
+        !(col("o_orderkey") % 3 === 0 && col("bucket") >= 4))
+    val counts = base.groupBy("bucket")
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("c_a"),
+        sum(when(col("is_a"), 0L).otherwise(1L)).as("c_b"))
+    val totals = counts.agg(sum(col("c_a")).as("n_a"),
+      sum(col("c_b")).as("n_b"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("pa_ppm", expr("c_a * 1000000 div n_a"))
+      .withColumn("pb_ppm", expr("c_b * 1000000 div n_b"))
+      .withColumn("drift",
+        expr("(pa_ppm - pb_ppm) * (pa_ppm - pb_ppm) " +
+          "div (pa_ppm + pb_ppm + 1)"))
+      .select("bucket", "c_a", "c_b", "pa_ppm", "pb_ppm", "drift")
+      .orderBy("bucket")
+  }
+
+  val driftAuditSql: String = """
+    WITH base AS (
+      SELECT o_orderkey,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+          AS cents,
+        CAST(o_orderdate AS DATE) < DATE '1998-01-01' AS is_a
+      FROM orders),
+    bucketed AS (
+      SELECT o_orderkey, is_a,
+        least(7, cents // 6250000) AS bucket
+      FROM base),
+    survived AS (
+      SELECT * FROM bucketed
+      WHERE is_a OR NOT (o_orderkey % 3 = 0 AND bucket >= 4)),
+    counts AS (
+      SELECT bucket,
+        CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+        CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+      FROM survived GROUP BY bucket),
+    totals AS (
+      SELECT sum(c_a) AS n_a, sum(c_b) AS n_b FROM counts)
+    SELECT bucket, c_a, c_b,
+      CAST(c_a * 1000000 // n_a AS BIGINT) AS pa_ppm,
+      CAST(c_b * 1000000 // n_b AS BIGINT) AS pb_ppm,
+      CAST((c_a * 1000000 // n_a - c_b * 1000000 // n_b)
+        * (c_a * 1000000 // n_a - c_b * 1000000 // n_b)
+        // (c_a * 1000000 // n_a + c_b * 1000000 // n_b + 1)
+        AS BIGINT) AS drift
+    FROM counts CROSS JOIN totals
+    ORDER BY bucket"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("c01_curation_pipeline", curationPipeline _,
@@ -625,5 +702,6 @@ object Curation {
       ("c09_sketch_inv", sketchMvInv _, Some(sketchMvInvSql)),
       ("c10_freshness_audit", freshnessAudit _, Some(freshnessAuditSql)),
       ("c11_referential_integrity", referentialIntegrity _,
-        Some(referentialIntegritySql)))
+        Some(referentialIntegritySql)),
+      ("c12_drift_audit", driftAudit _, Some(driftAuditSql)))
 }

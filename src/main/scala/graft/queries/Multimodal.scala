@@ -598,6 +598,86 @@ object Multimodal {
     WINDOW w AS (PARTITION BY doc_id ORDER BY frame_no)
     ORDER BY doc_id, frame_no"""
 
+  // ------------------------------------------- mm09 VAD segments
+  private val VadFrame = 16
+  private val VadThreshold = 140000L
+
+  case class FrameEnergy(doc_id: Long, frame_no: Long, energy: Long)
+
+  /** mm09 — energy-threshold voice-activity detection over the real
+    * WAV payloads: decode (per-partition batched), cut the PCM into
+    * [[VadFrame]]-sample frames, reduce each to an exact integer
+    * energy Σ|sample| (partial frames dropped — both engines use
+    * ⌊n/16⌋ frames), then merge consecutive ACTIVE frames
+    * (energy > [[VadThreshold]], which splits the corpus's frame-
+    * energy distribution near its median, so real segment boundaries
+    * exist) into speech segments via the gaps-and-islands pattern —
+    * frame_no − row_number() over active frames is constant exactly
+    * within a run. The audio analog of mm08's scene cut: mm08 finds
+    * CHANGE points, VAD finds ACTIVITY extents — the segmentation
+    * that decides which audio spans are worth transcribing at all.
+    *
+    * Scale shape: raster bytes never leave the decode task — only
+    * (doc_id, frame_no, energy) triples shuffle, once, on doc_id for
+    * the island window; segments then come from one partial-agg
+    * groupBy. The oracle replays frame energies closed-form from the
+    * synth formula, so the hash match certifies decoder + framing +
+    * island merge end to end. */
+  def vadSegments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_no"))
+    val frames = wavTable(s, dir)
+      .filter(col("n_bytes") >= lit(44L + 2L * VadFrame)) // ≥1 frame
+      .select(col("doc_id"), col("media"), col("fmt"), col("n_bytes"))
+      .as[MediaRow].mapPartitions { it =>
+        it.flatMap { r =>
+          val wav = decodeWav(r.media)
+          val nf = wav.samples.length / VadFrame
+          (0 until nf).iterator.map { f =>
+            var e = 0L
+            var i = f * VadFrame
+            val end = i + VadFrame
+            while (i < end) { e += math.abs(wav.samples(i).toLong); i += 1 }
+            FrameEnergy(r.doc_id, f.toLong, e)
+          }
+        }
+      }.toDF()
+    frames.filter(col("energy") > VadThreshold)
+      .withColumn("island", col("frame_no") - row_number().over(w))
+      .groupBy("doc_id", "island")
+      .agg(min(col("frame_no")).as("seg_start"),
+        max(col("frame_no")).as("seg_end"),
+        count(lit(1)).as("n_frames"),
+        sum(col("energy")).as("seg_energy"))
+      .select("doc_id", "seg_start", "seg_end", "n_frames", "seg_energy")
+      .orderBy("doc_id", "seg_start")
+  }
+
+  /** Closed-form synth replica: frame f's energy is the sum of
+    * (128 − ord(c))·256 over text chars [16f+1, 16f+16] (ASCII < 128
+    * ⇒ every sample is negative ⇒ |s| = (128−ord)·256). */
+  val vadSegmentsSql: String = s"""
+    WITH fr AS (
+      SELECT doc_id, CAST(f AS BIGINT) AS frame_no,
+        CAST(list_sum([abs((ord(x) - 128) * 256) FOR x IN
+          string_split(substr(text, CAST(f * $VadFrame + 1 AS INT),
+            $VadFrame), '')]) AS BIGINT) AS energy
+      FROM documents,
+        LATERAL (SELECT unnest(range(length(text) // $VadFrame)) AS f)
+      WHERE length(text) >= $VadFrame),
+    active AS (
+      SELECT doc_id, frame_no, energy,
+        frame_no - row_number() OVER (
+          PARTITION BY doc_id ORDER BY frame_no) AS island
+      FROM fr WHERE energy > $VadThreshold)
+    SELECT doc_id, min(frame_no) AS seg_start,
+      max(frame_no) AS seg_end, count(*) AS n_frames,
+      CAST(sum(energy) AS BIGINT) AS seg_energy
+    FROM active
+    GROUP BY doc_id, island
+    ORDER BY doc_id, seg_start"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("mm01_media_meta", mediaMeta _, Some(mediaMetaSql)),
@@ -609,5 +689,6 @@ object Multimodal {
       ("mm06_image_resize", imageResize _, Some(imageResizeSql)),
       ("mm07_audio_resample", audioResample _, Some(audioResampleSql)),
       ("mm08_scene_changes", sceneChanges _, Some(sceneChangesSql)),
+      ("mm09_vad_segments", vadSegments _, Some(vadSegmentsSql)),
     )
 }

@@ -612,5 +612,7 @@ object Sampling {
         Some(importanceResampleSql)),
       ("s16_budget_apportionment", budgetApportionment _,
         Some(budgetApportionmentSql)),
+      ("s17_temperature_mixture", temperatureMixture _,
+        Some(temperatureMixtureSql)),
     )
 }

@@ -1665,6 +1665,80 @@ object TextAnalysis {
     GROUP BY g.doc_id
     ORDER BY doc_id"""
 
+  // ------------------------------------------ t32 mojibake audit
+  /** t32 — encoding-damage audit (the ftfy-style pass every web-scale
+    * corpus runs before training: U+FFFD replacement characters mean
+    * an upstream transcode already destroyed bytes, zero-width spaces
+    * poison tokenization silently, and stray C0 controls break
+    * downstream parsers). Corruption is PLANTED deterministically so
+    * the gate is non-vacuous on the clean synthetic corpus: every
+    * 37th doc gains a U+FFFD, every 41st a leading zero-width space,
+    * every 43rd a trailing BEL control — doc 0 (divisible by all
+    * three) carries every class at once. Counting is the portable
+    * length-difference trick: chars = len(s) − len(regexp_replace(s,
+    * class, '', g)), identical in both engines, no UDF.
+    *
+    * Scale shape: a pure codegen'd map pass + ONE map-combinable agg
+    * on (source) — the audit costs a single scan at 100 TB, which is
+    * why it runs unconditionally in real ingest paths. */
+  def mojibakeAudit(s: SparkSession, dir: String): DataFrame = {
+    val planted = when(col("doc_id") % 37 === 0,
+      concat(col("text"), lit("\uFFFD"))).otherwise(col("text"))
+    val planted2 = when(col("doc_id") % 41 === 0,
+      concat(lit("\u200B"), planted)).otherwise(planted)
+    val planted3 = when(col("doc_id") % 43 === 0,
+      concat(planted2, lit("\u0007"))).otherwise(planted2)
+    def countOf(c: org.apache.spark.sql.Column, pat: String) =
+      (length(c) - length(regexp_replace(c, pat, ""))).cast("long")
+    Relational.table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), planted3.as("t"))
+      .select(col("doc_id"), col("source"),
+        countOf(col("t"), "\uFFFD").as("repl_chars"),
+        countOf(col("t"), "\u200B").as("zw_chars"),
+        countOf(col("t"), "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")
+          .as("ctl_chars"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("repl_chars") + col("zw_chars") + col("ctl_chars")
+          > 0, 1L).otherwise(0L)).as("n_flagged"),
+        sum(col("repl_chars")).as("repl_chars"),
+        sum(col("zw_chars")).as("zw_chars"),
+        sum(col("ctl_chars")).as("ctl_chars"))
+      .orderBy("source")
+  }
+
+  val mojibakeAuditSql: String = """
+    WITH planted AS (
+      SELECT doc_id, source,
+        CASE WHEN doc_id % 43 = 0 THEN p2 || chr(7) ELSE p2 END AS t
+      FROM (
+        SELECT doc_id, source,
+          CASE WHEN doc_id % 41 = 0 THEN chr(8203) || p1 ELSE p1 END
+            AS p2
+        FROM (
+          SELECT doc_id, source,
+            CASE WHEN doc_id % 37 = 0 THEN text || chr(65533)
+                 ELSE text END AS p1
+          FROM documents))),
+    counted AS (
+      SELECT doc_id, source,
+        len(t) - len(regexp_replace(t, chr(65533), '', 'g'))
+          AS repl_chars,
+        len(t) - len(regexp_replace(t, chr(8203), '', 'g'))
+          AS zw_chars,
+        len(t) - len(regexp_replace(t,
+          '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS ctl_chars
+      FROM planted)
+    SELECT source, count(*) AS n_docs,
+      CAST(sum(CASE WHEN repl_chars + zw_chars + ctl_chars > 0
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+      CAST(sum(repl_chars) AS BIGINT) AS repl_chars,
+      CAST(sum(zw_chars) AS BIGINT) AS zw_chars,
+      CAST(sum(ctl_chars) AS BIGINT) AS ctl_chars
+    FROM counted
+    GROUP BY source
+    ORDER BY source"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("t01_token_count", tokenCount _, Some(tokenCountSql)),
@@ -1703,5 +1777,6 @@ object TextAnalysis {
       ("t30_pmi_collocations", pmiCollocations _,
         Some(pmiCollocationsSql)),
       ("t31_ngram_novelty", ngramNovelty _, Some(ngramNoveltySql)),
+      ("t32_mojibake_audit", mojibakeAudit _, Some(mojibakeAuditSql)),
     )
 }

@@ -1,0 +1,251 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{Curation, Dedup, Graph, Multimodal, Relational,
+  Sampling, TextAnalysis}
+
+/** Round-5 session-7 operators: q36 null-aware anti join, q37 bag
+  * set ops, gr06 frontier BFS, d14 URL dedup, s17 temperature
+  * mixture, t32 mojibake audit, c12 drift audit, mm09 VAD. Each test
+  * pins the property the DuckDB hash check cannot see from the
+  * outside — the three-valued-logic drops are live, the frontier
+  * decomposition equals the naive min-unroll, the plants actually
+  * fire, the islands are well-formed. */
+class Round5fSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("q36: null-probe customers are dropped by three-valued logic " +
+    "even when a plain anti join would keep them, and no nested-loop " +
+    "join appears") {
+    val df = Relational.q36NullAwareAnti(spark, sfDir)
+    val kept = df.collect().map(_.getLong(0)).toSet
+    // every kept key survived the NOT IN — none is ≡ 0 (mod 97)
+    assert(kept.nonEmpty)
+    kept.foreach(k => assert(k % 97 != 0,
+      s"customer $k has a NULL probe key and must be dropped"))
+    // a plain anti join (null-oblivious) keeps at least one ≡ 0
+    // (mod 97) customer that q36 drops — the semantic difference is
+    // live on this corpus
+    val failCust = Relational.table(spark, sfDir, "orders")
+      .filter(col("o_orderstatus") === "F").select("o_custkey")
+    val plain = Relational.table(spark, sfDir, "customer")
+      .join(failCust, col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    // EXACT semantic relation: NOT IN == anti join minus the nulled
+    // probes — three-valued logic drops those rows, nothing else
+    // differs
+    assert(kept == plain.filter(_ % 97 != 0),
+      s"NOT IN != (anti join minus nulled probes): " +
+        s"extra=${(kept -- plain).take(3)} " +
+        s"missing=${(plain.filter(_ % 97 != 0) -- kept).take(3)}")
+    // nulled probes exist in the corpus, so the subtraction is a real
+    // constraint (whether each also has an F order is data-dependent)
+    val nulledProbes = Relational.table(spark, sfDir, "customer")
+      .filter(col("c_custkey") % 97 === 0).count()
+    assert(nulledProbes > 0, "no customer has a nulled probe key")
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("BroadcastNestedLoopJoin"),
+      "NOT IN degenerated to a nested-loop join — the null-aware " +
+        "anti-join optimization did not apply")
+  }
+
+  test("q37: INTERSECT ALL / EXCEPT ALL multiplicities follow the " +
+    "min / truncated-difference algebra") {
+    val sup = Relational.table(spark, sfDir, "supplier")
+      .groupBy(col("s_nationkey").as("n")).count()
+      .collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+    val cus = Relational.table(spark, sfDir, "customer")
+      .groupBy(col("c_nationkey").as("n")).count()
+      .collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+    val rows = Relational.q37BagSetOps(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).longValue) ->
+        r.getLong(2)).toMap
+    assert(rows.nonEmpty)
+    val nations = (sup.keySet ++ cus.keySet)
+    nations.foreach { n =>
+      val mi = math.min(sup.getOrElse(n, 0L), cus.getOrElse(n, 0L))
+      val di = math.max(0L, cus.getOrElse(n, 0L) - sup.getOrElse(n, 0L))
+      assert(rows.getOrElse(("intersect_all", n), 0L) == mi,
+        s"intersect-all multiplicity wrong for nation $n")
+      assert(rows.getOrElse(("except_all", n), 0L) == di,
+        s"except-all multiplicity wrong for nation $n")
+    }
+  }
+
+  test("gr06: frontier BFS equals the naive full-relaxation unroll, " +
+    "seeds sit at distance zero") {
+    val got = Graph.bfsHops(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    // naive reference: relax ALL known distances through the edge
+    // list three times (no frontier, no anti-join) — must agree
+    val pairs = Relational.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Relational.table(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter((col("l_suppkey") * 31 + col("o_custkey")) % 11 === 0)
+      .select(col("l_suppkey").as("supp"),
+        (col("o_custkey") + 1000000L).as("cust"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (pairs.map { case (a, b) => (a, b) } ++
+      pairs.map { case (a, b) => (b, a) })
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val seeds = Relational.table(spark, sfDir, "supplier")
+      .filter(col("s_suppkey") % 50 === 0)
+      .collect().map(_.getLong(0)).toSet
+    var dist = seeds.map(_ -> 0L).toMap
+    for (k <- 1 to 3) {
+      val reached = dist.keySet.flatMap(n => adj.getOrElse(n, Set.empty))
+      val fresh = reached -- dist.keySet
+      dist = dist ++ fresh.map(_ -> k.toLong)
+    }
+    assert(got == dist,
+      s"frontier BFS diverges from naive relaxation: " +
+        s"only-got=${(got.toSet -- dist.toSet).take(3)} " +
+        s"only-ref=${(dist.toSet -- got.toSet).take(3)}")
+    seeds.foreach(sd => assert(got(sd) == 0L))
+  }
+
+  test("d14: canonical URLs are fully normalized and the collapse " +
+    "is live") {
+    val rows = Dedup.urlDedup(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val u = r.getString(0)
+      assert(u.startsWith("https://"), s"non-https survived: $u")
+      assert(!u.contains("?") && !u.contains("#"),
+        s"query/fragment survived: $u")
+      assert(!u.endsWith("/"), s"trailing slash survived: $u")
+      val host = u.stripPrefix("https://").takeWhile(_ != '/')
+      assert(host == host.toLowerCase, s"host not lowercased: $u")
+      assert(!host.startsWith("www.") && !host.startsWith("m."),
+        s"subdomain alias survived: $u")
+    }
+    // the four URL variants of a shared (source, page) identity must
+    // actually collapse somewhere
+    assert(rows.exists(_.getLong(2) > 1),
+      "no canonical URL had duplicates — the dedup is vacuous")
+    // conservation: group sizes sum to the corpus size
+    val total = rows.map(_.getLong(2)).sum
+    val nDocs = Relational.table(spark, sfDir, "documents").count()
+    assert(total == nDocs, s"dedup lost rows: $total != $nDocs")
+  }
+
+  test("s17: rates follow the temperature algebra and the gate " +
+    "replays deterministically") {
+    val rows = Sampling.temperatureMixture(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // recompute the rate from (n_tok, w) and the global weight sum
+    val wSum = rows.map(_.getLong(2)).sum
+    rows.foreach { r =>
+      val (nTok, w, ratePpm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      // w is the exact integer square root of n_tok
+      assert(w * w <= nTok && (w + 1) * (w + 1) > nTok,
+        s"w=$w is not isqrt($nTok)")
+      val expect = math.min(1000000L, 4000L * w * 1000000L / (wSum * nTok))
+      assert(ratePpm == expect, s"rate mismatch for ${r.getString(0)}")
+      assert(r.getLong(4) >= 0 && ratePpm >= 0 && ratePpm <= 1000000)
+    }
+    // replay: the md5 gate is stateless — a second run is identical
+    val again = Sampling.temperatureMixture(spark, sfDir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("t32: exactly the planted docs are flagged, clean docs carry " +
+    "zero damage") {
+    val perSource = TextAnalysis.mojibakeAudit(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(perSource.nonEmpty)
+    // expected flags derived straight from the plant rule
+    val docs = Relational.table(spark, sfDir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = docs.groupBy(_._2).map { case (src, ds) =>
+      val flagged = ds.count { case (id, _) =>
+        id % 37 == 0 || id % 41 == 0 || id % 43 == 0 }
+      val repl = ds.count(_._1 % 37 == 0)
+      val zw = ds.count(_._1 % 41 == 0)
+      val ctl = ds.count(_._1 % 43 == 0)
+      src -> (ds.length.toLong, flagged.toLong, repl.toLong, zw.toLong,
+        ctl.toLong)
+    }
+    assert(perSource == expect)
+    // the corpus itself is clean: all damage is the plants'
+    val (_, fl, rp, zw, ct) = perSource.values
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3,
+        a._4 + b._4, a._5 + b._5))
+    assert(fl > 0 && rp > 0 && zw > 0 && ct > 0,
+      "plants did not fire — the audit is vacuous")
+  }
+
+  test("c12: the planted shift dominates — maximum drift sits in the " +
+    "planted buckets and every bucket is internally consistent") {
+    val rows = Curation.driftAudit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length == 8, s"expected 8 buckets, got ${rows.length}")
+    val nA = rows.map(_._2).sum
+    val nB = rows.map(_._3).sum
+    rows.foreach { case (_, cA, cB, paPpm, pbPpm, drift) =>
+      assert(paPpm == cA * 1000000L / nA)
+      assert(pbPpm == cB * 1000000L / nB)
+      val d = paPpm - pbPpm
+      assert(drift == d * d / (paPpm + pbPpm + 1))
+    }
+    val maxBucket = rows.maxBy(_._6)._1
+    assert(maxBucket >= 4,
+      s"max drift in unplanted bucket $maxBucket — the planted shift " +
+        "should dominate")
+    assert(rows.map(_._6).sum > 0, "drift audit is vacuous")
+  }
+
+  test("mm09: segments are disjoint maximal runs of above-threshold " +
+    "frames and conserve the active-frame count") {
+    val segs = Multimodal.vadSegments(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(segs.nonEmpty)
+    segs.foreach { case (_, s0, s1, n, _) =>
+      assert(s1 >= s0 && n == s1 - s0 + 1,
+        s"segment [$s0,$s1] frame count $n inconsistent")
+    }
+    // disjoint + maximal per doc: consecutive segments leave a gap
+    segs.groupBy(_._1).foreach { case (doc, ss) =>
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._2 > a._3 + 1,
+            s"doc $doc segments [${a._2},${a._3}] and [${b._2},${b._3}] " +
+              "touch or overlap — islands not maximal")
+        case _ =>
+      }
+    }
+    // conservation vs an independent frame-energy recomputation from
+    // the synth formula (text chars -> sample energies)
+    val active = Relational.table(spark, sfDir, "documents")
+      .filter(length(col("text")) >= 16)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), (length(col("text")) / 16).cast("int") - 1),
+        f => {
+          val window = substring(col("text"), (f * 16 + 1).cast("int"),
+            lit(16))
+          aggregate(split(window, ""),
+            lit(0L),
+            (acc, ch) => acc +
+              when(length(ch) > 0,
+                (lit(128L) - ascii(ch)) * 256L).otherwise(0L))
+        })).as(Seq("frame_no", "energy")))
+      .filter(col("energy") > 140000L)
+      .count()
+    assert(segs.map(_._4).sum == active,
+      "segment frame totals diverge from the closed-form energies")
+  }
+}
