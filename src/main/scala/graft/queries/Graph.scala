@@ -471,6 +471,88 @@ object Graph {
     SELECT node, dist FROM r3 ORDER BY node"""
   }
 
+  // -------------------------------------------------------------- gr07
+  /** gr07 — personalized PageRank (random walk with restart): gr01's
+    * superstep loop with the teleport mass CONCENTRATED on a seed set
+    * (every 25th supplier) instead of spread uniformly — the
+    * graph-proximity measure behind "related items" recommendation
+    * and seed-expansion labeling (scores decay with distance from the
+    * seeds, so high-rank non-seed nodes are the seeds' graph
+    * neighborhood). Same exact micro-point integer arithmetic, same
+    * one-join-one-agg superstep; only the base term is conditional,
+    * so the DuckDB unroll replays bit-exactly.
+    *
+    * Scale shape: identical to gr01 — per-round network cost is
+    * O(edges) with map-side combine, rounds constant. Restart mass on
+    * a HANDFUL of seeds also means rank concentrates sparsely; at
+    * 100 TB the rank table a PPR iteration moves is far smaller than
+    * uniform PageRank's (zero-rank nodes drop out of the join). */
+  def personalizedPagerank(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir).persist()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val withDeg = e.join(outdeg, "src").persist()
+    val nodes = e.select(col("src").as("node")).distinct().persist()
+    val isSeed = col("node") % 25 === 0 && col("node") < CustOffset
+    var ranks = nodes
+      .select(col("node"),
+        when(isSeed, lit(1000000L)).otherwise(lit(0L)).as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to PrRounds) {
+      val contrib = withDeg
+        .join(ranks, col("src") === col("node"))
+        .filter(col("r") > 0)
+        .select(col("dst"),
+          expr("85 * (r div outdeg) div 100").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("in_rank"))
+      ranks = nodes
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (when(isSeed, lit(PrBase)).otherwise(lit(0L)) +
+            coalesce(col("in_rank"), lit(0L))).as("r"))
+        .localCheckpoint()
+    }
+    ranks.filter(col("r") > 0)
+      .orderBy("node").select(col("node"), col("r").as("rank_micro"))
+  }
+
+  val personalizedPagerankSql: String = {
+    def round(prev: String, out: String): String = s"""
+    $out AS (
+      SELECT n.node,
+        CASE WHEN n.node % 25 = 0 AND n.node < $CustOffset
+          THEN $PrBase ELSE 0 END + COALESCE(c.in_rank, 0) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst, CAST(sum(85 * (p.r // e.outdeg) // 100)
+          AS BIGINT) AS in_rank
+        FROM degedges e JOIN $prev p ON e.src = p.node AND p.r > 0
+        GROUP BY e.dst) c ON n.node = c.dst)"""
+    s"""
+    WITH pairs AS (
+      SELECT DISTINCT l.l_suppkey AS supp,
+        o.o_custkey + $CustOffset AS cust
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    edges AS (
+      SELECT supp AS src, cust AS dst FROM pairs
+      UNION ALL
+      SELECT cust AS src, supp AS dst FROM pairs),
+    degedges AS (
+      SELECT src, dst,
+        count(*) OVER (PARTITION BY src) AS outdeg
+      FROM edges),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    r0 AS (
+      SELECT node,
+        CAST(CASE WHEN node % 25 = 0 AND node < $CustOffset
+          THEN 1000000 ELSE 0 END AS BIGINT) AS r
+      FROM nodes),
+    ${round("r0", "r1")},
+    ${round("r1", "r2")},
+    ${round("r2", "r3")}
+    SELECT node, r AS rank_micro FROM r3
+    WHERE r > 0
+    ORDER BY node"""
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame,
     Option[String])] =
     Seq(("gr01_pagerank", pagerank _, Some(pagerankSql)),
@@ -478,5 +560,7 @@ object Graph {
       ("gr03_triangles", triangles _, Some(trianglesSql)),
       ("gr04_dense_core", denseCore _, Some(denseCoreSql)),
       ("gr05_link_prediction", linkPrediction _, Some(linkPredictionSql)),
-      ("gr06_bfs_hops", bfsHops _, Some(bfsHopsSql)))
+      ("gr06_bfs_hops", bfsHops _, Some(bfsHopsSql)),
+      ("gr07_personalized_pagerank", personalizedPagerank _,
+        Some(personalizedPagerankSql)))
 }

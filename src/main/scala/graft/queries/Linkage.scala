@@ -431,6 +431,78 @@ object Linkage {
     ORDER BY entity_id"""
   }
 
+  // ------------------------------------ l06 edit-distance linkage
+  /** l06 — bounded edit-distance fuzzy matching, the classic
+    * approximate-string verify of the linkage stack (l01/l03 BLOCK,
+    * l04 SCORES agreement patterns — this is the primitive that
+    * decides whether two strings agree approximately in the first
+    * place). Every part name spawns a dirty probe with ONE planted
+    * edit — substitution / deletion / insertion by p_partkey mod 3,
+    * at a deterministic position ≥ 2 so the first character (the
+    * block key) survives — and probes match catalog names within
+    * Levenshtein distance 1 inside their block. Each probe must
+    * recover its own origin (the plant is ≤ 1 edit by construction);
+    * additional distance-1 neighbors ('red bolt' ~ 'red bolts') are
+    * legitimate matches both engines must agree on exactly.
+    *
+    * Scale shape: the verify runs only on BLOCKED candidate pairs
+    * (never all-pairs), and Spark's three-arg `levenshtein` carries
+    * the threshold INTO the DP kernel — rows whose distance exceeds 1
+    * abandon the O(L²) table early, the banded-DP trick every
+    * large-scale fuzzy joiner uses. Blocks here are first-character
+    * (26-way, demo-sized); in production the same verify rides l01's
+    * prefix blocks or l03's sorted neighborhood. */
+  def editDistanceLinkage(s: SparkSession, dir: String): DataFrame = {
+    val parts = Relational.table(s, dir, "part")
+      .select(col("p_partkey"), col("p_name"))
+    val pos = (lit(2) + col("p_partkey") % (length(col("p_name")) - 1))
+      .cast("int")
+    val head = col("p_name").substr(lit(1), pos - 1)
+    val tailFrom = col("p_name").substr(pos + 1, lit(1000))
+    val tailAt = col("p_name").substr(pos, lit(1000))
+    val dirty = when(col("p_partkey") % 3 === 0,
+      concat(head, lit("#"), tailFrom))                 // substitute
+      .when(col("p_partkey") % 3 === 1, concat(head, tailFrom)) // delete
+      .otherwise(concat(head, lit("#"), tailAt))        // insert
+    val probes = parts
+      .select(col("p_partkey").as("probe_id"), dirty.as("dirty_name"))
+    val catalog = parts.select(col("p_name")).distinct()
+      .select(col("p_name").as("clean_name"))
+    probes.join(broadcast(catalog),
+        substring(col("dirty_name"), 1, 1) ===
+          substring(col("clean_name"), 1, 1))
+      .withColumn("dist",
+        levenshtein(col("dirty_name"), col("clean_name"), 1))
+      .filter(col("dist") >= 0 && col("dist") <= 1)
+      .select(col("probe_id"), col("dirty_name"), col("clean_name"),
+        col("dist").cast("long").as("dist"))
+      .orderBy("probe_id", "clean_name")
+  }
+
+  val editDistanceLinkageSql: String = """
+    WITH parts AS (
+      SELECT p_partkey, p_name,
+        CAST(2 + p_partkey % (len(p_name) - 1) AS INT) AS pos
+      FROM part),
+    probes AS (
+      SELECT p_partkey AS probe_id,
+        CASE p_partkey % 3
+          WHEN 0 THEN substr(p_name, 1, pos - 1) || '#'
+            || substr(p_name, pos + 1)
+          WHEN 1 THEN substr(p_name, 1, pos - 1)
+            || substr(p_name, pos + 1)
+          ELSE substr(p_name, 1, pos - 1) || '#'
+            || substr(p_name, pos)
+        END AS dirty_name
+      FROM parts),
+    catalog AS (SELECT DISTINCT p_name AS clean_name FROM part)
+    SELECT probe_id, dirty_name, clean_name,
+      CAST(levenshtein(dirty_name, clean_name) AS BIGINT) AS dist
+    FROM probes JOIN catalog
+      ON substr(dirty_name, 1, 1) = substr(clean_name, 1, 1)
+    WHERE levenshtein(dirty_name, clean_name) <= 1
+    ORDER BY probe_id, clean_name"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("l01_linkage_pairs", linkagePairs _, Some(linkagePairsSql)),
@@ -440,5 +512,7 @@ object Linkage {
       ("l04_fellegi_sunter", fellegiSunter _, Some(fellegiSunterSql)),
       ("l05_entity_resolution", entityResolution _,
         Some(entityResolutionSql)),
+      ("l06_edit_distance", editDistanceLinkage _,
+        Some(editDistanceLinkageSql)),
     )
 }

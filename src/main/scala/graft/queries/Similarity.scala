@@ -729,9 +729,46 @@ object Similarity {
     ORDER BY round"""
   }
 
+  // ------------------------------------------- s18 top-k via agg
+  /** s18 — s01's brute-force top-k re-expressed on the bounded-heap
+    * [[graft.expr.TopKPairs]] aggregate (q27's machinery applied to
+    * the similarity family): per query, the k best (cosine, vec_id)
+    * pairs combine MAP-SIDE — ≤ k pairs per (partition, query) cross
+    * the shuffle and no per-query candidate list is ever sorted,
+    * where s01's window formulation shuffles EVERY scored candidate
+    * and sorts each query's full list just to keep 5. Same oracle as
+    * s01, column for column — the hash match proves the heap path
+    * returns the identical ranking (ties broken by ascending vec_id
+    * in both formulations).
+    *
+    * Scale shape: at 100 TB the scored-candidate stream per query is
+    * corpus-sized; the window rank moves all of it, the heap moves
+    * k·partitions rows. This is the aggregation shape an ANN-serving
+    * batch job needs once candidates stop fitting in one partition. */
+  def annTopkAgg(s: SparkSession, dir: String): DataFrame = {
+    val emb = Relational.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.expr.CosineSimilarity.cosineSimilarity(
+          col("embedding"), col("qe")).as("cos"))
+      .groupBy("query_id")
+      .agg(graft.expr.TopKPairs.topkPairs(
+        col("cos"), col("vec_id"), TopK).as("top"))
+      .select(col("query_id"),
+        posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("query_id"), col("p.tag").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("s01_ann_brute_force", annBruteForce _, Some(annBruteForceSql)),
+      ("s18_ann_topk_agg", annTopkAgg _, Some(annBruteForceSql)),
       ("s13_mmr_diversify", mmrDiversify _, None),
       ("s13_mmr_inv", mmrFirstPickInv _, Some(mmrFirstPickSql)),
       ("s02_ann_lsh_bucketed", annLshBucketed _, None),

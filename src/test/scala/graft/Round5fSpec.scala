@@ -207,6 +207,86 @@ class Round5fSpec extends SparkSpec {
     assert(rows.map(_._6).sum > 0, "drift audit is vacuous")
   }
 
+  test("s18: the bounded-heap top-k equals s01's window rank row for " +
+    "row, partial-aggregates map-side, and never sorts a group") {
+    val viaAgg = graft.queries.Similarity.annTopkAgg(spark, sfDir)
+    val viaWindow = graft.queries.Similarity.annBruteForce(spark, sfDir)
+    assert(viaAgg.collect().map(_.toString).toSeq ==
+      viaWindow.collect().map(_.toString).toSeq,
+      "heap aggregate ranking diverges from the window rank")
+    val plan = viaAgg.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topk_pairs") ||
+      plan.toLowerCase.contains("partial"),
+      "no map-side partial aggregation in the s18 plan")
+    assert(!plan.contains("Window"),
+      "a window sneaked into the heap-aggregate formulation")
+  }
+
+  test("l06: every dirty probe recovers its own origin name within " +
+    "distance 1, and all three edit classes are live") {
+    val parts = Relational.table(spark, sfDir, "part")
+      .select("p_partkey", "p_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val matches = graft.queries.Linkage
+      .editDistanceLinkage(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(matches.nonEmpty)
+    val byProbe = matches.groupBy(_._1)
+    parts.foreach { case (id, name) =>
+      val hits = byProbe.getOrElse(id, Array.empty)
+      assert(hits.exists(_._3 == name),
+        s"probe $id failed to recover its origin '$name'")
+    }
+    // all three corruption classes produced probes
+    Seq(0L, 1L, 2L).foreach { cls =>
+      assert(byProbe.keys.exists(_ % 3 == cls),
+        s"edit class $cls never fired")
+    }
+    // deletion probes are shorter, insertion probes longer
+    byProbe.foreach { case (id, hits) =>
+      val dirty = hits.head._2
+      val origin = parts(id)
+      (id % 3: @unchecked) match {
+        case 0 => assert(dirty.length == origin.length &&
+          dirty.contains("#"))
+        case 1 => assert(dirty.length == origin.length - 1)
+        case 2 => assert(dirty.length == origin.length + 1 &&
+          dirty.contains("#"))
+      }
+    }
+  }
+
+  test("gr07: restart mass stays in the seeds' 3-hop neighborhood " +
+    "and seeds dominate their own scores") {
+    val ranks = Graph.personalizedPagerank(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks.nonEmpty)
+    // full-graph 3-hop reachable set from the seed suppliers
+    val pairs = Relational.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Relational.table(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("supp"),
+        (col("o_custkey") + 1000000L).as("cust"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val seeds = adj.keySet.filter(n => n % 25 == 0 && n < 1000000L)
+    assert(seeds.nonEmpty, "no seed supplier in the trade graph")
+    var reach = seeds.toSet
+    for (_ <- 1 to 3)
+      reach = reach ++ reach.flatMap(n => adj.getOrElse(n, Set.empty))
+    assert(ranks.keySet.subsetOf(reach),
+      "rank mass escaped the 3-hop neighborhood of the seeds")
+    // every seed keeps at least its final-round restart mass
+    seeds.foreach { sd =>
+      assert(ranks.getOrElse(sd, 0L) >= 150000L,
+        s"seed $sd lost its restart mass")
+    }
+  }
+
   test("mm09: segments are disjoint maximal runs of above-threshold " +
     "frames and conserve the active-frame count") {
     val segs = Multimodal.vadSegments(spark, sfDir).collect()
