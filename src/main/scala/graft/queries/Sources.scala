@@ -323,6 +323,52 @@ object Sources {
     GROUP BY 1
     ORDER BY epoch"""
 
+  /** j08 — dynamic partition overwrite: the "re-run one day" repair
+    * discipline. A partitioned table is written whole (three hash
+    * buckets), then a CORRECTION batch containing only bucket b1's
+    * rows (with n_chars shifted +1000) is written in
+    * `partitionOverwriteMode=dynamic` — Spark replaces exactly the
+    * partitions present in the incoming data and leaves b0/b2
+    * untouched, where static overwrite mode would have dropped them.
+    * The read-back aggregate therefore sees originals in b0/b2 and
+    * corrected rows in b1; the oracle derives the same merged state
+    * structurally from the source table, so the hash match proves the
+    * selective replacement semantics (and that the untouched
+    * partitions really are untouched).
+    *
+    * Scale shape: a day-partitioned 100 TB corpus repairs one day by
+    * writing one day — no full-table rewrite, no read-modify-write of
+    * the other partitions; the writer fanout is per-task per-
+    * partition exactly as j02. */
+  def dynamicOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.table(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        concat(lit("b"), col("doc_id") % 3).as("bucket"))
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_j08_dyn_${s.sparkContext.applicationId}").getAbsolutePath
+    docs.write.mode("overwrite").partitionBy("bucket").parquet(out)
+    docs.filter(col("bucket") === "b1")
+      .withColumn("n_chars", col("n_chars") + 1000L)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(out)
+    s.read.parquet(out)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        sum(col("n_chars").cast("long")).as("sum_chars"))
+      .orderBy("bucket")
+  }
+
+  val dynamicOverwriteSql: String = """
+    SELECT 'b' || (doc_id % 3) AS bucket, count(*) AS n_docs,
+      CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+      CAST(sum(n_chars + CASE WHEN doc_id % 3 = 1 THEN 1000 ELSE 0 END)
+        AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY 1
+    ORDER BY bucket"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame,
     Option[String])] =
     Seq(("j01_jsonl_roundtrip", jsonlRoundtrip _, Some(jsonlRoundtripSql)),
@@ -332,5 +378,7 @@ object Sources {
       ("j05_csv_roundtrip", csvRoundtrip _, Some(csvRoundtripSql)),
       ("j06_json_quarantine", jsonQuarantine _, Some(jsonQuarantineSql)),
       ("j07_schema_evolution", schemaEvolution _,
-        Some(schemaEvolutionSql)))
+        Some(schemaEvolutionSql)),
+      ("j08_dynamic_overwrite", dynamicOverwrite _,
+        Some(dynamicOverwriteSql)))
 }

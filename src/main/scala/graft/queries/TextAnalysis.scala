@@ -1665,6 +1665,69 @@ object TextAnalysis {
     GROUP BY g.doc_id
     ORDER BY doc_id"""
 
+  // ------------------------------------- t33 training sequences
+  /** t33 — GPT-style training-sequence assembly, the terminal step of
+    * the whole curation stack: documents are epoch-shuffled (s09's
+    * seeded md5 permutation), concatenated with one EOS token after
+    * each doc, and the resulting token stream is cut every 512 tokens
+    * REGARDLESS of document boundaries — the zero-padding-waste
+    * packing used for LLM pretraining (t05's bin packing is the
+    * respect-boundaries alternative; t20's length-binned batches the
+    * padded one). Each document's global token offset places it in
+    * its sequence: seq_id = offset div 512.
+    *
+    * The global cumulative sum over the shuffled order is computed
+    * EXACTLY but without a global sort: the shard key is a PREFIX
+    * (first 2 md5 hex chars) of the full sort key, so global order ==
+    * (shard, key) order, and the global running sum decomposes into
+    * per-shard window cumsums + a 256-row prefix-total offset (the
+    * st18/s09 two-phase trick). The oracle computes the SAME stream
+    * with one naive global window — the hash match certifies the
+    * shard decomposition exact, token for token.
+    *
+    * Scale shape: one shuffle on the 256-way shard key + in-shard
+    * sort; the only global object is the 256-row shard-total table
+    * (broadcast). No single-partition window anywhere; at 100 TB the
+    * stream cut is embarrassingly parallel after the one shuffle. */
+  def trainingSequences(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val SeqLen = 512L
+    val key = md5(concat(lit("t33#"), col("doc_id")))
+    val docs = Relational.table(s, dir, "documents")
+      .select(col("doc_id"), key.as("k"),
+        (size(split(col("text"), " ")) + 1).cast("long").as("n_tok_eos"))
+      .withColumn("shard", substring(col("k"), 1, 2))
+    val wIn = Window.partitionBy(col("shard")).orderBy(col("k"))
+    val inShard = docs
+      .withColumn("cum_in", sum(col("n_tok_eos")).over(wIn))
+    val wPrefix = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = docs.groupBy("shard")
+      .agg(sum(col("n_tok_eos")).as("shard_tok"))
+      .withColumn("offset",
+        coalesce(sum(col("shard_tok")).over(wPrefix), lit(0L)))
+      .select("shard", "offset")
+    inShard.join(broadcast(offsets), "shard")
+      .select(col("doc_id"), col("n_tok_eos"),
+        (col("offset") + col("cum_in") - col("n_tok_eos"))
+          .as("tok_start"))
+      .withColumn("seq_id", expr(s"tok_start div $SeqLen"))
+      .select("doc_id", "n_tok_eos", "tok_start", "seq_id")
+      .orderBy("doc_id")
+  }
+
+  val trainingSequencesSql: String = """
+    SELECT doc_id, n_tok_eos,
+      CAST(cum - n_tok_eos AS BIGINT) AS tok_start,
+      CAST((cum - n_tok_eos) // 512 AS BIGINT) AS seq_id
+    FROM (
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS n_tok_eos,
+        sum(len(string_split(text, ' ')) + 1) OVER (
+          ORDER BY md5('t33#' || doc_id)) AS cum
+      FROM documents)
+    ORDER BY doc_id"""
+
   // ------------------------------------------ t32 mojibake audit
   /** t32 — encoding-damage audit (the ftfy-style pass every web-scale
     * corpus runs before training: U+FFFD replacement characters mean
@@ -1778,5 +1841,7 @@ object TextAnalysis {
         Some(pmiCollocationsSql)),
       ("t31_ngram_novelty", ngramNovelty _, Some(ngramNoveltySql)),
       ("t32_mojibake_audit", mojibakeAudit _, Some(mojibakeAuditSql)),
+      ("t33_training_sequences", trainingSequences _,
+        Some(trainingSequencesSql)),
     )
 }

@@ -287,6 +287,64 @@ class Round5fSpec extends SparkSpec {
     }
   }
 
+  test("t33: the sharded two-phase cumsum equals the naive global " +
+    "window, offsets tile the token stream exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val got = TextAnalysis.trainingSequences(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // naive reference: ONE global window over the full md5 order —
+    // the formulation that does NOT scale, used here as the oracle of
+    // the decomposition
+    val naive = Relational.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        md5(concat(lit("t33#"), col("doc_id"))).as("k"),
+        (size(split(col("text"), " ")) + 1).cast("long").as("n"))
+      .withColumn("cum", sum(col("n")).over(Window.orderBy(col("k"))))
+      .select(col("doc_id"), col("n"), (col("cum") - col("n")).as("st"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    got.foreach { case (id, n, st, seq) =>
+      val (nN, nSt) = naive(id)
+      assert(n == nN && st == nSt,
+        s"doc $id two-phase offset $st != naive ${nSt}")
+      assert(seq == st / 512, s"doc $id seq_id inconsistent")
+    }
+    // offsets tile: sorted starts are the prefix sums — no gap, no
+    // overlap, total conserved
+    val sorted = got.sortBy(_._3)
+    var expect = 0L
+    sorted.foreach { case (id, n, st, _) =>
+      assert(st == expect, s"stream gap at doc $id: $st != $expect")
+      expect += n
+    }
+  }
+
+  test("j08: dynamic overwrite replaces exactly the partitions in " +
+    "the correction batch") {
+    val rows = graft.queries.Sources.dynamicOverwrite(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(rows.keySet == Set("b0", "b1", "b2"),
+      "static-style overwrite dropped untouched partitions")
+    // originals per bucket
+    val base = Relational.table(spark, sfDir, "documents")
+      .groupBy(concat(lit("b"), col("doc_id") % 3).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("sd"),
+        sum(col("n_chars").cast("long")).as("sc"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    // untouched partitions identical, corrected partition shifted by
+    // exactly +1000 per row
+    Seq("b0", "b2").foreach(b => assert(rows(b) == base(b),
+      s"untouched partition $b changed"))
+    val (n1, sd1, sc1) = base("b1")
+    assert(rows("b1") == ((n1, sd1, sc1 + 1000L * n1)),
+      "correction batch did not replace b1's content")
+  }
+
   test("mm09: segments are disjoint maximal runs of above-threshold " +
     "frames and conserve the active-frame count") {
     val segs = Multimodal.vadSegments(spark, sfDir).collect()
