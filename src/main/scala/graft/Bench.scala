@@ -83,7 +83,8 @@ object Bench {
     // then q29/q06/s07/t05/mm04/d12/q22/s12/st10/t17/mm05/t20 for the
     // session-5 keys, then t26/t27/q32/e02/s14 and
     // q01/s09/c04/st11/t09/st07/j01/q23/st08/j03/st09 for the
-    // session-6 keys
+    // session-6 keys, then s16/q30/st18/q31/t22/st15/c10/s13/q26/t25/
+    // q27/t31 for the session-7 keys
     // (stable sub-0.2s rows for 4+ rounds; bench.json keeps them all)
     val headline = Seq(
       "a01_bench_generate_1m", "a02_bench_mutate_1m",
@@ -100,23 +101,30 @@ object Bench {
       "t19_bm25_topk",
       "t21_dup_ngrams", "d10_incremental_dedup", "q25_corr_subquery",
       "s10_ann_pq", "l03_sorted_neighborhood",
-      "c05_scd2_history", "t22_heavy_hitters", "q26_exists_chain", "l04_fellegi_sunter", "s11_curriculum",
-      "st11_spend_alerts", "mm08_scene_changes",
+      "c05_scd2_history", "l04_fellegi_sunter", "s11_curriculum",
+      "mm08_scene_changes",
       "st13_idle_users", "d11_golden_records",
-      "q27_topk_agg", "q28_grouping_sets",
-      "st15_chained_rollup", "st16_session_window", "j04_compaction",
+      "q28_grouping_sets",
+      "st16_session_window", "j04_compaction",
       "t23_bpe_merges",
-      "t24_bpe_apply", "t25_surprisal", "c06_expectations", "j05_csv_roundtrip", "s13_mmr_diversify",
+      "t24_bpe_apply", "c06_expectations", "j05_csv_roundtrip",
       "c07_robust_outliers", "gr01_pagerank", "gr02_components",
-      "q31_asof_native", "gr03_triangles", "gr04_dense_core",
+      "gr03_triangles", "gr04_dense_core",
       "st17_foreach_upsert", "t28_eval_gram_overlap",
-      "c08_incremental_mv", "q30_gapfill",
+      "c08_incremental_mv",
       "q34_unpivot", "gr05_link_prediction", "t30_pmi_collocations",
-      "c10_freshness_audit", "st18_lateness_audit",
-      "d13_containment_dedup", "t31_ngram_novelty",
+      "d13_containment_dedup",
       "q35_open_order_concurrency", "c11_referential_integrity",
       "j07_schema_evolution", "s15_kcenter_coreset",
-      "s16_budget_apportionment", "l05_entity_resolution")
+      "l05_entity_resolution",
+      "q36_null_aware_anti", "q37_bag_set_ops", "gr06_bfs_hops",
+      "gr07_personalized_pagerank", "d14_url_dedup",
+      "s17_temperature_mixture", "t32_mojibake_audit",
+      "c12_drift_audit", "mm09_vad_segments", "s18_ann_topk_agg",
+      "l06_edit_distance", "t33_training_sequences",
+      "j08_dynamic_overwrite", "st19_watermark_tuning",
+      "c13_retention_purge", "t34_decontaminated_split",
+      "mm10_phash_dedup")
     val resultMap = results.toMap
     // a headline key that stops matching a query name would otherwise
     // silently vanish from the tail-parsed line — fail loudly instead

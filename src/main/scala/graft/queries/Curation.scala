@@ -687,6 +687,72 @@ object Curation {
     FROM counts CROSS JOIN totals
     ORDER BY bucket"""
 
+  // ------------------------------------- c13 retention purge audit
+  /** c13 — right-to-erasure / retention purge with a cascade ledger
+    * (the GDPR-delete discipline): an erasure list (every 89th
+    * customer) cascades through the star schema — the customer's
+    * orders go, and the orders' lineitems go with them. The audit
+    * emits one ledger row per relation: rows purged, rows retained,
+    * and the distinct erased entities that actually had data there
+    * (tombstones) — the numbers a compliance report needs and the
+    * invariant purged + retained == original the spec replays.
+    *
+    * Scale shape: the purge is anti-join-shaped — each fact table is
+    * filtered by a broadcast of the (tiny) erasure list, O(facts) one
+    * pass with no shuffle of the facts at all for the customer-keyed
+    * relations; lineitem cascades through a semi-join on the purged
+    * orderkeys (one key shuffle). Nothing is rewritten twice: at
+    * 100 TB this is the partition-rewrite pattern of j08 applied with
+    * a delete predicate. */
+  def retentionPurge(s: SparkSession, dir: String): DataFrame = {
+    val erased = Relational.table(s, dir, "customer")
+      .filter(col("c_custkey") % 89 === 0)
+      .select(col("c_custkey").as("gone"))
+    val orders = Relational.table(s, dir, "orders")
+    val purgedOrders = orders
+      .join(broadcast(erased), col("o_custkey") === col("gone"))
+      .persist()
+    val li = Relational.table(s, dir, "lineitem")
+    val purgedLi = li.join(
+      purgedOrders.select(col("o_orderkey").as("pk")),
+      col("l_orderkey") === col("pk"), "left_semi")
+    val oLedger = purgedOrders
+      .agg(count(lit(1)).as("n_purged"),
+        count_distinct(col("gone")).as("tombstones"))
+      .crossJoin(orders.agg(count(lit(1)).as("n_total")))
+      .select(lit("orders").as("relation"), col("n_purged"),
+        (col("n_total") - col("n_purged")).as("n_retained"),
+        col("tombstones"))
+    val liLedger = purgedLi
+      .agg(count(lit(1)).as("n_purged"),
+        count_distinct(col("l_orderkey")).as("tombstones"))
+      .crossJoin(li.agg(count(lit(1)).as("n_total")))
+      .select(lit("lineitem").as("relation"), col("n_purged"),
+        (col("n_total") - col("n_purged")).as("n_retained"),
+        col("tombstones"))
+    oLedger.unionAll(liLedger).orderBy("relation")
+  }
+
+  val retentionPurgeSql: String = """
+    WITH erased AS (
+      SELECT c_custkey AS gone FROM customer WHERE c_custkey % 89 = 0),
+    po AS (
+      SELECT o.o_orderkey, o.o_custkey FROM orders o
+      JOIN erased e ON o.o_custkey = e.gone),
+    pl AS (
+      SELECT l.l_orderkey FROM lineitem l
+      WHERE l.l_orderkey IN (SELECT o_orderkey FROM po))
+    SELECT 'lineitem' AS relation, count(*) AS n_purged,
+      (SELECT count(*) FROM lineitem) - count(*) AS n_retained,
+      CAST(count(DISTINCT l_orderkey) AS BIGINT) AS tombstones
+    FROM pl
+    UNION ALL
+    SELECT 'orders' AS relation, count(*) AS n_purged,
+      (SELECT count(*) FROM orders) - count(*) AS n_retained,
+      CAST(count(DISTINCT o_custkey) AS BIGINT) AS tombstones
+    FROM po
+    ORDER BY relation"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("c01_curation_pipeline", curationPipeline _,
@@ -703,5 +769,7 @@ object Curation {
       ("c10_freshness_audit", freshnessAudit _, Some(freshnessAuditSql)),
       ("c11_referential_integrity", referentialIntegrity _,
         Some(referentialIntegritySql)),
-      ("c12_drift_audit", driftAudit _, Some(driftAuditSql)))
+      ("c12_drift_audit", driftAudit _, Some(driftAuditSql)),
+      ("c13_retention_purge", retentionPurge _,
+        Some(retentionPurgeSql)))
 }

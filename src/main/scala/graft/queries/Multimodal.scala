@@ -678,6 +678,112 @@ object Multimodal {
     GROUP BY doc_id, island
     ORDER BY doc_id, seg_start"""
 
+  // -------------------------------------- mm10 perceptual hash
+  private val PhashBuckets = 16
+
+  case class PhashRow(doc_id: Long, width: Long, phash: Long)
+
+  /** mm10 — perceptual image hashing (aHash family) + hash-equality
+    * dedup: each decoded image's red channel is split into
+    * [[PhashBuckets]] equal-width bands; bit j is set when band j's
+    * mean exceeds the whole-image mean — compared CROSS-MULTIPLIED
+    * (band_sum · total_count > total_sum · band_count), so the hash
+    * is exact integer arithmetic end to end, no division, replayable
+    * in SQL. Images sharing a (width, phash) pair are perceptual
+    * duplicates (near-identical tonal profile at band granularity) —
+    * the image-side analog of d01's exact text hash, and the cheap
+    * prefilter that runs before any pixel-level diff in real image
+    * dedup stacks.
+    *
+    * Every 11th document plants a REPLICA image with +5 on every
+    * channel byte — a uniform brightness shift. The band-vs-mean test
+    * is provably invariant under it ((bs+5·bc)·w > (ts+5·w)·bc ⟺
+    * bs·w > ts·bc), so each replica must collapse into its origin's
+    * group — exactly the robustness that separates a PERCEPTUAL hash
+    * from d01's byte hash (which the shift defeats).
+    *
+    * Scale shape: hashing happens inside the per-partition decode
+    * batch (raster bytes never move); the dedup is ONE hash groupBy
+    * on the 8-byte (width, phash) key with map-side combine — d01's
+    * cost model on binary media. */
+  def phashDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Relational.table(s, dir, "documents")
+      .filter(length(col("text")) >= PhashBuckets)
+    val base = docs.select(col("doc_id"), col("text"),
+      lit(0).as("shift"))
+    val replicas = docs.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 10000L).as("doc_id"), col("text"),
+        lit(5).as("shift"))
+    val synthShifted = udf((b: Array[Byte], sh: Int) =>
+      synthPpm(b.map(x => (x + sh).toByte)))
+    val imgs = base.unionAll(replicas)
+      .select(col("doc_id"),
+        synthShifted(encode(col("text"), "UTF-8"), col("shift"))
+          .as("media"),
+        lit("image/x-ppm").as("fmt"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long")
+          .as("n_bytes"))
+    val hashed = imgs.select(col("doc_id"), col("media"), col("fmt"),
+      col("n_bytes")).as[MediaRow].mapPartitions { it =>
+      it.map { r =>
+        val img = decodePpm(r.media)
+        val w = img.width
+        var total = 0L
+        var i = 0
+        while (i < w) { total += img.pixels(3 * i) & 0xff; i += 1 }
+        var phash = 0L
+        var j = 0
+        while (j < PhashBuckets) {
+          val from = j * w / PhashBuckets
+          val until = (j + 1) * w / PhashBuckets
+          var bandSum = 0L
+          var k = from
+          while (k < until) { bandSum += img.pixels(3 * k) & 0xff; k += 1 }
+          // band mean > image mean, cross-multiplied (exact integers)
+          if (bandSum * w > total * (until - from))
+            phash |= 1L << j
+          j += 1
+        }
+        PhashRow(r.doc_id, w.toLong, phash)
+      }
+    }.toDF()
+    hashed.groupBy("width", "phash")
+      .agg(count(lit(1)).as("n_images"),
+        min(col("doc_id")).as("keeper_id"))
+      .orderBy("width", "phash")
+  }
+
+  /** Closed-form replica: the red channel is the document's byte
+    * sequence (+5 for the planted brightness-shifted replicas), so
+    * band sums are ord() sums over char ranges. */
+  val phashDedupSql: String = s"""
+    WITH px AS (
+      SELECT doc_id, length(text) AS w,
+        [ord(x) FOR x IN string_split(text, '')] AS reds
+      FROM documents WHERE length(text) >= $PhashBuckets
+      UNION ALL
+      SELECT doc_id + 10000 AS doc_id, length(text) AS w,
+        [ord(x) + 5 FOR x IN string_split(text, '')] AS reds
+      FROM documents
+      WHERE length(text) >= $PhashBuckets AND doc_id % 11 = 0),
+    hashed AS (
+      SELECT doc_id, CAST(w AS BIGINT) AS width,
+        CAST(list_sum([
+          CASE WHEN
+            list_sum(reds[(j * w // $PhashBuckets + 1):
+                          ((j + 1) * w // $PhashBuckets)]) * w >
+            list_sum(reds) *
+              ((j + 1) * w // $PhashBuckets - j * w // $PhashBuckets)
+          THEN 1 << j ELSE 0 END
+          FOR j IN range($PhashBuckets)]) AS BIGINT) AS phash
+      FROM px)
+    SELECT width, phash, count(*) AS n_images,
+      min(doc_id) AS keeper_id
+    FROM hashed
+    GROUP BY width, phash
+    ORDER BY width, phash"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("mm01_media_meta", mediaMeta _, Some(mediaMetaSql)),
@@ -690,5 +796,6 @@ object Multimodal {
       ("mm07_audio_resample", audioResample _, Some(audioResampleSql)),
       ("mm08_scene_changes", sceneChanges _, Some(sceneChangesSql)),
       ("mm09_vad_segments", vadSegments _, Some(vadSegmentsSql)),
+      ("mm10_phash_dedup", phashDedup _, Some(phashDedupSql)),
     )
 }

@@ -501,7 +501,10 @@ $counts
     * chunk boundaries on small data. `df` must carry `event_id`,
     * `event_type`, and a TimestampType `ts`; arrival order is
     * `event_id`. */
-  private[graft] def latenessAuditFrom(df: DataFrame,
+  /** Per-event lateness vs the arrival-order running high-watermark,
+    * via the exact two-phase (chunked) running max — shared by st18's
+    * audit and st19's watermark tuner. */
+  private[graft] def latenessFrame(df: DataFrame,
       chunkSize: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = df.select(col("event_id"), col("event_type"),
@@ -518,7 +521,7 @@ $counts
     val prefix = ev.groupBy("chunk").agg(max(col("us")).as("cmax"))
       .withColumn("pre_hw", max(col("cmax")).over(wPre))
       .select("chunk", "pre_hw")
-    val late = ev.withColumn("in_hw", max(col("us")).over(wIn))
+    ev.withColumn("in_hw", max(col("us")).over(wIn))
       .join(broadcast(prefix), "chunk")
       .withColumn("hw", greatest(
         coalesce(col("in_hw"), lit(Long.MinValue)),
@@ -526,6 +529,11 @@ $counts
       .withColumn("late_us",
         when(col("hw") > col("us"), col("hw") - col("us"))
           .otherwise(0L))
+  }
+
+  private[graft] def latenessAuditFrom(df: DataFrame,
+      chunkSize: Long): DataFrame = {
+    val late = latenessFrame(df, chunkSize)
     late.groupBy("event_type").agg(
       count(lit(1)).as("n_events"),
       sum(when(col("late_us") === 0L, 1L).otherwise(0L)).as("on_time"),
@@ -587,6 +595,83 @@ $counts
     GROUP BY event_type
     ORDER BY event_type"""
 
+  // ------------------------------------------- st19 watermark tuning
+  /** st19 — watermark-delay selection, closing the loop st18 opened:
+    * st18 MEASURES the lateness distribution; this op PICKS the
+    * `withWatermark` delay from it (the exact p99 of per-event
+    * lateness — the smallest observed lateness L with
+    * count(late ≤ L)·100 ≥ 99·N) and reports what that choice COSTS:
+    * per feed, the events that would still be dropped (late > L) and
+    * the drop rate in ppm. This is the actual decision procedure for
+    * every `withWatermark` in st01–st17 — run on yesterday's arrival
+    * log, apply to tomorrow's stream.
+    *
+    * Scale shape: lateness rides the exact two-phase running max
+    * (st18's shard decomposition — no global window over events);
+    * the quantile then runs over DISTINCT lateness values (count-
+    * compressed: one row per value, overwhelmingly 0 — the ties
+    * collapse), so the cumulative window is tiny. The final per-feed
+    * drop count is one broadcast of the 1-row delay + a
+    * map-combinable agg. */
+  def watermarkTuning(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val late = latenessFrame(events(s, dir), chunkSize = 8192L)
+      .select(col("event_type"), col("late_us")).persist()
+    val total = late.count()
+    // distinct-value compression, then the cumulative count window
+    // runs over a handful of rows
+    val wCum = Window.orderBy("late_us")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val delay = late.groupBy("late_us")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .filter(col("cum") * 100 >= lit(total) * 99)
+      .agg(min(col("late_us")).as("delay_us"))
+    late.crossJoin(broadcast(delay))
+      .groupBy("event_type", "delay_us")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > col("delay_us"), 1L).otherwise(0L))
+          .as("n_dropped"))
+      .withColumn("drop_ppm",
+        expr("n_dropped * 1000000 div n_events"))
+      .select("event_type", "delay_us", "n_events", "n_dropped",
+        "drop_ppm")
+      .orderBy("event_type")
+  }
+
+  /** Oracle: the NAIVE global-window lateness (certifying the shard
+    * decomposition) + the same rank-based exact quantile. */
+  val watermarkTuningSql: String = """
+    WITH ev AS (
+      SELECT event_id, event_type,
+        epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events),
+    late AS (
+      SELECT event_type,
+        CASE WHEN max(us) OVER (ORDER BY event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) > us
+          THEN max(us) OVER (ORDER BY event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - us
+          ELSE 0 END AS late_us
+      FROM ev),
+    n AS (SELECT count(*) AS total FROM late),
+    cum AS (
+      SELECT late_us,
+        sum(count(*)) OVER (ORDER BY late_us
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM late GROUP BY late_us),
+    delay AS (
+      SELECT min(late_us) AS delay_us FROM cum, n
+      WHERE c * 100 >= total * 99)
+    SELECT event_type, d.delay_us, count(*) AS n_events,
+      CAST(sum(CASE WHEN late_us > d.delay_us THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_dropped,
+      CAST(sum(CASE WHEN late_us > d.delay_us THEN 1 ELSE 0 END)
+        * 1000000 // count(*) AS BIGINT) AS drop_ppm
+    FROM late CROSS JOIN delay d
+    GROUP BY event_type, d.delay_us
+    ORDER BY event_type"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("st01_tumbling_window", tumblingWindow _, Some(tumblingWindowSql)),
@@ -610,5 +695,7 @@ $counts
       ("st17_foreach_upsert", foreachUpsert _,
         Some(Curation.cdcCompactSql)),
       ("st18_lateness_audit", latenessAudit _, Some(latenessAuditSql)),
+      ("st19_watermark_tuning", watermarkTuning _,
+        Some(watermarkTuningSql)),
     )
 }

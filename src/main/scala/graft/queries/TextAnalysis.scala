@@ -1728,6 +1728,94 @@ object TextAnalysis {
       FROM documents)
     ORDER BY doc_id"""
 
+  // ------------------------------------ t34 decontaminated split
+  /** t34 — the decontaminated train/eval split, composing s08's hash
+    * split with t28's gram-overlap check into the MANIFEST every
+    * training run needs: documents split 80/20 by the portable md5
+    * gate, then every train doc sharing ANY 8-gram with ANY eval doc
+    * is moved to `train_purged` (eval is never touched — purging eval
+    * would bias the benchmark toward whatever survived). A canary
+    * phrase planted on every 97th doc guarantees cross-split overlap
+    * exists, so the purge path is provably live. Output: per final
+    * bucket, document and token counts — the numbers that go in the
+    * model card.
+    *
+    * Scale shape: the gram join is t28's — train grams vs DISTINCT
+    * eval grams (eval is the small side by construction: broadcast),
+    * one semi-join, contaminated doc_ids deduped before the
+    * manifest agg. No all-pairs anything. */
+  def decontaminatedSplit(s: SparkSession, dir: String): DataFrame = {
+    val canary = " leak canary omega psi chi phi upsilon tau"
+    val docs = Relational.table(s, dir, "documents")
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(97)) === 0,
+          concat(col("text"), lit(canary))).otherwise(col("text"))
+          .as("text"))
+    val u = conv(substring(md5(concat(lit("t34#"), col("doc_id"))),
+      1, 8), 16, 10).cast("long")
+    val tagged = docs
+      .withColumn("bucket",
+        when(u * 10 < 8L * 4294967296L, "train").otherwise("eval"))
+      .persist()
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= DupGramN)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - $DupGramN + 1), " +
+          s"i -> array_join(slice(toks, i, $DupGramN), ' '))")).as("gram"))
+    val evalGrams = grams(tagged.filter(col("bucket") === "eval"))
+      .select("gram").distinct()
+    val contaminated = grams(tagged.filter(col("bucket") === "train"))
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("hit", lit(1L))
+    tagged.join(contaminated, Seq("doc_id"), "left")
+      .withColumn("final_bucket",
+        when(col("bucket") === "eval", "eval")
+          .when(col("hit").isNotNull, "train_purged")
+          .otherwise("train"))
+      .groupBy("final_bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+      .orderBy("final_bucket")
+  }
+
+  val decontaminatedSplitSql: String = s"""
+    WITH docs AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 97 = 0
+          THEN text || ' leak canary omega psi chi phi upsilon tau'
+          ELSE text END AS text
+      FROM documents),
+    tagged AS (
+      SELECT doc_id, text,
+        CASE WHEN ('0x' || substr(md5('t34#' || doc_id), 1, 8))::BIGINT
+            * 10 < 8 * 4294967296
+          THEN 'train' ELSE 'eval' END AS bucket
+      FROM docs),
+    toks AS (
+      SELECT doc_id, bucket, string_split(text, ' ') AS t FROM tagged),
+    grams AS (
+      SELECT doc_id, bucket, unnest(list_transform(
+          range(1, len(t) - $DupGramN + 2),
+          i -> array_to_string(t[i:i+${DupGramN - 1}], ' '))) AS gram
+      FROM toks WHERE len(t) >= $DupGramN),
+    eval_grams AS (
+      SELECT DISTINCT gram FROM grams WHERE bucket = 'eval'),
+    contaminated AS (
+      SELECT DISTINCT g.doc_id
+      FROM grams g JOIN eval_grams e ON g.gram = e.gram
+      WHERE g.bucket = 'train')
+    SELECT
+      CASE WHEN tk.bucket = 'eval' THEN 'eval'
+           WHEN c.doc_id IS NOT NULL THEN 'train_purged'
+           ELSE 'train' END AS final_bucket,
+      count(*) AS n_docs,
+      CAST(sum(len(tk.t)) AS BIGINT) AS n_tokens
+    FROM toks tk LEFT JOIN contaminated c ON tk.doc_id = c.doc_id
+    GROUP BY 1
+    ORDER BY final_bucket"""
+
   // ------------------------------------------ t32 mojibake audit
   /** t32 — encoding-damage audit (the ftfy-style pass every web-scale
     * corpus runs before training: U+FFFD replacement characters mean
@@ -1843,5 +1931,7 @@ object TextAnalysis {
       ("t32_mojibake_audit", mojibakeAudit _, Some(mojibakeAuditSql)),
       ("t33_training_sequences", trainingSequences _,
         Some(trainingSequencesSql)),
+      ("t34_decontaminated_split", decontaminatedSplit _,
+        Some(decontaminatedSplitSql)),
     )
 }

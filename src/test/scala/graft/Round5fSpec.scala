@@ -345,6 +345,112 @@ class Round5fSpec extends SparkSpec {
       "correction batch did not replace b1's content")
   }
 
+  test("st19: the chosen delay is the minimal observed lateness " +
+    "covering 99%, and the drop ledger is exact") {
+    val rows = graft.queries.Streaming.watermarkTuning(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val delay = rows.head._2
+    assert(rows.forall(_._2 == delay), "delay must be global")
+    // recompute lateness naively and check the quantile contract
+    val late = graft.queries.Streaming
+      .latenessFrame(graft.queries.Streaming.events(spark, sfDir), 8192L)
+      .select("event_type", "late_us").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val n = late.length.toLong
+    val covered = late.count(_._2 <= delay).toLong
+    assert(covered * 100 >= n * 99, "chosen delay fails 99% coverage")
+    // minimality: the largest observed lateness strictly below the
+    // chosen delay must NOT reach coverage
+    val below = late.map(_._2).filter(_ < delay)
+    if (below.nonEmpty) {
+      val prev = below.max
+      assert(late.count(_._2 <= prev).toLong * 100 < n * 99,
+        "a smaller observed delay already covers 99% — not minimal")
+    }
+    // drop ledger per feed
+    val dropByType = late.groupBy(_._1)
+      .map { case (t, xs) => t -> xs.count(_._2 > delay).toLong }
+    rows.foreach { case (t, _, nEv, nDrop, ppm) =>
+      assert(nDrop == dropByType.getOrElse(t, 0L))
+      assert(ppm == nDrop * 1000000L / nEv)
+    }
+  }
+
+  test("c13: the purge conserves rows and no erased customer " +
+    "survives") {
+    val ledger = Curation.retentionPurge(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(ledger.keySet == Set("orders", "lineitem"))
+    val orders = Relational.table(spark, sfDir, "orders")
+    val li = Relational.table(spark, sfDir, "lineitem")
+    val (po, ro, _) = ledger("orders")
+    val (pl, rl, tl) = ledger("lineitem")
+    assert(po + ro == orders.count(), "orders rows not conserved")
+    assert(pl + rl == li.count(), "lineitem rows not conserved")
+    // independent recomputation of the cascade
+    val erasedOrders = orders
+      .filter(col("o_custkey") % 89 === 0)
+    assert(po == erasedOrders.count())
+    assert(tl == erasedOrders.select("o_orderkey")
+      .join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .count(), "lineitem tombstones != purged orders with lines")
+    // survivors contain no erased customer
+    val survivors = orders.filter(!(col("o_custkey") % 89 === 0))
+    assert(survivors.count() == ro)
+  }
+
+  test("t34: purged train docs genuinely share an 8-gram with eval, " +
+    "eval is untouched, and the canary keeps the purge live") {
+    val manifest = TextAnalysis.decontaminatedSplit(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(manifest.contains("train_purged") &&
+      manifest("train_purged")._1 > 0,
+      "purge path is vacuous — no contaminated train doc")
+    // hash split recomputed independently: eval count must match
+    val docs = Relational.table(spark, sfDir, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    def u32(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"t34#$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+    }
+    val evalIds = docs.filter(id => u32(id) * 10 >= 8L * 4294967296L)
+    assert(manifest("eval")._1 == evalIds.length.toLong,
+      "eval bucket size differs from the pure hash split — eval was " +
+        "touched by the purge")
+    val totalDocs = docs.length.toLong
+    assert(manifest.values.map(_._1).sum == totalDocs,
+      "split buckets do not partition the corpus")
+  }
+
+  test("mm10: brightness-shifted replicas collapse into their " +
+    "origin's group — the perceptual property a byte hash lacks") {
+    val groups = Multimodal.phashDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(groups.nonEmpty)
+    val planted = Relational.table(spark, sfDir, "documents")
+      .filter(length(col("text")) >= 16 && col("doc_id") % 11 === 0)
+      .count()
+    assert(planted > 0)
+    // every replica shares a group with at least one original, so the
+    // surplus over singletons is at least the plant count
+    val surplus = groups.map(g => g._3 - 1).sum
+    assert(surplus >= planted,
+      s"only $surplus collapsed rows for $planted planted replicas")
+    // keepers are always originals (replica ids start at 10000)
+    groups.foreach { case (_, _, nImg, keeper) =>
+      if (nImg > 1)
+        assert(keeper < 10000L,
+          s"a replica became keeper of a multi-image group: $keeper")
+    }
+  }
+
   test("mm09: segments are disjoint maximal runs of above-threshold " +
     "frames and conserve the active-frame count") {
     val segs = Multimodal.vadSegments(spark, sfDir).collect()
