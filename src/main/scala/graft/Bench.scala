@@ -124,7 +124,8 @@ object Bench {
       "l06_edit_distance", "t33_training_sequences",
       "j08_dynamic_overwrite", "st19_watermark_tuning",
       "c13_retention_purge", "t34_decontaminated_split",
-      "mm10_phash_dedup")
+      "mm10_phash_dedup", "e03_hamming_ann", "s19_grouped_kfold",
+      "gr08_weighted_paths")
     val resultMap = results.toMap
     // a headline key that stops matching a query name would otherwise
     // silently vanish from the tail-parsed line — fail loudly instead

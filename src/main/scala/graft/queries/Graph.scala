@@ -553,6 +553,81 @@ object Graph {
     ORDER BY node"""
   }
 
+  // -------------------------------------------------------------- gr08
+  /** gr08 — weighted shortest paths by bounded min-plus relaxation
+    * (distributed Bellman-Ford, 3 rounds): edge cost is inverse trade
+    * strength — 10⁶ div (#distinct orders linking the pair) — so the
+    * "distance" is a relationship-weakness metric and short paths
+    * follow strong commercial ties. Unlike gr06's unweighted BFS, a
+    * weighted round can IMPROVE an already-settled node (a longer
+    * hop-path may be cheaper), so every round relaxes the FULL
+    * distance table through the edge list — min-plus semiring
+    * matrix-vector product, the thing frontier BFS cannot do. The
+    * oracle unrolls the same three relaxations.
+    *
+    * Scale shape: each round is one edges⋈dist join + one dst-keyed
+    * min agg — map-side partial min compresses before the shuffle;
+    * cost O(edges)/round. Bounded rounds = bounded cost, the
+    * standard k-hop tradeoff for trillion-edge graphs (exact
+    * distances within k hops, not global convergence). */
+  def weightedPaths(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Relational.table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Relational.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_suppkey").as("supp"),
+        (col("o_custkey") + CustOffset).as("cust"))
+      .agg(count_distinct(col("o_orderkey")).as("n_ord"))
+      .withColumn("w", expr("1000000 div n_ord"))
+    val e = pairs.select(col("supp").as("src"), col("cust").as("dst"),
+        col("w"))
+      .union(pairs.select(col("cust").as("src"), col("supp").as("dst"),
+        col("w")))
+      .persist()
+    val seeds = Relational.table(s, dir, "supplier")
+      .filter(col("s_suppkey") % 50 === 0)
+      .select(col("s_suppkey").cast("long").as("node"),
+        lit(0L).as("dist"))
+    var dist = seeds.localCheckpoint()
+    for (_ <- 1 to BfsRounds) {
+      val relaxed = e.join(dist, col("src") === col("node"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist.orderBy("node")
+  }
+
+  val weightedPathsSql: String = {
+    def round(prev: String, out: String): String = s"""
+    $out AS (
+      SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+        SELECT node, dist FROM $prev
+        UNION ALL
+        SELECT e.dst AS node, p.dist + e.w AS dist
+        FROM edges e JOIN $prev p ON e.src = p.node)
+      GROUP BY node)"""
+    s"""
+    WITH pairs AS (
+      SELECT l.l_suppkey AS supp, o.o_custkey + $CustOffset AS cust,
+        1000000 // count(DISTINCT o.o_orderkey) AS w
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2),
+    edges AS (
+      SELECT supp AS src, cust AS dst, w FROM pairs
+      UNION ALL
+      SELECT cust AS src, supp AS dst, w FROM pairs),
+    d0 AS (
+      SELECT CAST(s_suppkey AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+      FROM supplier WHERE s_suppkey % 50 = 0),
+    ${round("d0", "r1")},
+    ${round("r1", "r2")},
+    ${round("r2", "r3")}
+    SELECT node, dist FROM r3 ORDER BY node"""
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame,
     Option[String])] =
     Seq(("gr01_pagerank", pagerank _, Some(pagerankSql)),
@@ -562,5 +637,7 @@ object Graph {
       ("gr05_link_prediction", linkPrediction _, Some(linkPredictionSql)),
       ("gr06_bfs_hops", bfsHops _, Some(bfsHopsSql)),
       ("gr07_personalized_pagerank", personalizedPagerank _,
-        Some(personalizedPagerankSql)))
+        Some(personalizedPagerankSql)),
+      ("gr08_weighted_paths", weightedPaths _,
+        Some(weightedPathsSql)))
 }

@@ -598,6 +598,42 @@ object Sampling {
     GROUP BY source
     ORDER BY source"""
 
+  // ------------------------------------- s19 grouped k-fold split
+  /** s19 — grouped k-fold cross-validation assignment: the fold is a
+    * function of the SOURCE (md5 mod 5), not the document — so all
+    * documents from one source land in one fold and near-duplicates
+    * within a source can never straddle a train/test boundary (the
+    * group-leakage failure mode that inflates CV scores; the
+    * fold-level analog of t34's gram purge). The portable md5 gate
+    * makes assignment engine-replayable and stable under corpus
+    * growth: adding documents never moves an existing source's fold.
+    *
+    * Scale shape: fold assignment is a pure map expression; the
+    * manifest is ONE map-combinable (fold, source) agg. Nothing
+    * global anywhere — the same two lines run at 100 TB. */
+  def groupedKfold(s: SparkSession, dir: String): DataFrame = {
+    val fold = pmod(
+      conv(substring(md5(concat(lit("s19#"), col("source"))), 1, 8),
+        16, 10).cast("long"), lit(5L))
+    Relational.table(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("fold", fold)
+      .groupBy("fold", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .orderBy("fold", "source")
+  }
+
+  val groupedKfoldSql: String = """
+    SELECT ('0x' || substr(md5('s19#' || source), 1, 8))::BIGINT % 5
+        AS fold,
+      source, count(*) AS n_docs,
+      CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY fold, source"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("s03_stratified_sample", stratifiedDemo _, None),
@@ -614,5 +650,6 @@ object Sampling {
         Some(budgetApportionmentSql)),
       ("s17_temperature_mixture", temperatureMixture _,
         Some(temperatureMixtureSql)),
+      ("s19_grouped_kfold", groupedKfold _, Some(groupedKfoldSql)),
     )
 }

@@ -640,6 +640,83 @@ object Similarity {
     ORDER BY vec_id, j"""
   }
 
+  // --------------------------------- e03 binary codes, hamming ANN
+  /** e03 — 1-bit sign quantization + Hamming ANN, the last rung of
+    * the compression ladder (float32 → e01's int8 → e02's 8×
+    * projection → 64 BITS per vector, 256× smaller than the input):
+    * bit d is set iff the int8-quantized coordinate is positive, the
+    * code packs as two 32-bit halves (so no shift ever touches the
+    * sign bit in either engine), and distance is
+    * bit_count(xor(lo)) + bit_count(xor(hi)) — pure codegen'd integer
+    * ops, the SIMD-friendly kernel binary-embedding search engines
+    * run. Top-5 per query by (hamming asc, vec_id asc).
+    *
+    * Scale shape: the code table is 16 bytes/vector — a 100 TB float
+    * corpus becomes ~400 GB of codes, the difference between an
+    * out-of-core index and a broadcastable one; the scan is one map
+    * pass + s01's broadcast-query rank. */
+  def hammingAnn(s: SparkSession, dir: String): DataFrame = {
+    val powers = (0 until 32).map(1L << _).toArray
+    def half(from: Int): Column = aggregate(
+      zip_with(slice(col("q"), from, 32), typedLit(powers.toSeq),
+        (a, b) => when(a > 0, b).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+    val codes = quantizeEmbeddings(Relational.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), half(1).as("lo"), half(33).as("hi"))
+    val queries = codes.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("lo").as("qlo"),
+        col("hi").as("qhi"))
+    val ham = bit_count(col("lo").bitwiseXOR(col("qlo"))).cast("long") +
+      bit_count(col("hi").bitwiseXOR(col("qhi"))).cast("long")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("vec_id"))
+    codes.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("hamming", ham)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("hamming"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  val hammingAnnSql: String = {
+    val quantInner = """
+      SELECT vec_id,
+        list_transform(embedding, x -> CASE WHEN m = 0 THEN 0
+          ELSE CAST(floor((CAST(x AS DOUBLE) * 127.0) /
+            CAST(m AS DOUBLE) + 0.5) AS INT) END) AS q
+      FROM (
+        SELECT vec_id, embedding,
+          list_max(list_transform(embedding, x -> abs(x))) AS m
+        FROM embeddings)"""
+    s"""
+    WITH quant AS ($quantInner),
+    codes AS (
+      SELECT vec_id,
+        CAST(list_sum(list_transform(range(1, 33),
+          i -> CASE WHEN q[i] > 0
+            THEN CAST(1 AS BIGINT) << (i - 1) ELSE 0 END)) AS BIGINT)
+          AS lo,
+        CAST(list_sum(list_transform(range(33, 65),
+          i -> CASE WHEN q[i] > 0
+            THEN CAST(1 AS BIGINT) << (i - 33) ELSE 0 END)) AS BIGINT)
+          AS hi
+      FROM quant)
+    SELECT query_id, neighbor_id, hamming, rank FROM (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        CAST(bit_count(xor(e.lo, q.lo)) + bit_count(xor(e.hi, q.hi))
+          AS BIGINT) AS hamming,
+        row_number() OVER (PARTITION BY q.vec_id
+          ORDER BY bit_count(xor(e.lo, q.lo)) +
+            bit_count(xor(e.hi, q.hi)), e.vec_id) AS rank
+      FROM codes e, codes q
+      WHERE q.vec_id < $NumQueries AND e.vec_id <> q.vec_id)
+    WHERE rank <= $TopK
+    ORDER BY query_id, rank"""
+  }
+
   // ------------------------------------- s15 k-center coreset
   /** s15 — greedy k-center coreset selection (Gonzalez 1985): pick the
     * data points that maximally SPREAD over the embedding space —
@@ -781,5 +858,6 @@ object Similarity {
         Some(randomProjectionSql)),
       ("s15_kcenter_coreset", kcenterCoreset _,
         Some(kcenterCoresetSql)),
+      ("e03_hamming_ann", hammingAnn _, Some(hammingAnnSql)),
     )
 }

@@ -451,6 +451,102 @@ class Round5fSpec extends SparkSpec {
     }
   }
 
+  test("e03: hamming ANN equals a from-scratch brute force over the " +
+    "sign codes, and codes stay inside their 32-bit halves") {
+    val got = graft.queries.Similarity.hammingAnn(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // reference: quantize + sign-pack + brute force in plain Scala
+    val emb = Relational.table(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val codes = emb.map { case (id, v) =>
+      val m = v.map(math.abs).max
+      val q = v.map(x => if (m == 0f) 0
+        else math.floor(x.toDouble * 127.0 / m + 0.5).toInt)
+      var lo = 0L; var hi = 0L
+      for (d <- 0 until 32) if (q(d) > 0) lo |= 1L << d
+      for (d <- 32 until 64) if (q(d) > 0) hi |= 1L << (d - 32)
+      (id, lo, hi)
+    }
+    codes.foreach { case (id, lo, hi) =>
+      assert(lo >= 0 && lo < (1L << 32) && hi >= 0 && hi < (1L << 32),
+        s"code of $id escaped its 32-bit half")
+    }
+    val byId = codes.map(c => c._1 -> c).toMap
+    val expect = codes.filter(_._1 < 8).flatMap { case (qid, qlo, qhi) =>
+      codes.filter(_._1 != qid).map { case (id, lo, hi) =>
+        val h = java.lang.Long.bitCount(lo ^ qlo) +
+          java.lang.Long.bitCount(hi ^ qhi)
+        (qid, id, h.toLong)
+      }.sortBy(t => (t._3, t._2)).take(5).zipWithIndex
+        .map { case ((q, n, h), i) => (q, n, h, i + 1L) }
+    }.toSet
+    assert(got.toSet == expect,
+      "hamming ranking diverges from the scalar reference")
+    assert(byId.nonEmpty)
+  }
+
+  test("s19: folds are a function of source alone, every source " +
+    "lands in exactly one fold, and the manifest conserves the " +
+    "corpus") {
+    val rows = Sampling.groupedKfold(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty)
+    val foldsPerSource = rows.groupBy(_._2).map(_._2.map(_._1).distinct)
+    assert(foldsPerSource.forall(_.size == 1),
+      "a source straddles folds — group leakage")
+    // replay the md5 assignment in plain Scala
+    rows.foreach { case (fold, src, _, _) =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"s19#$src".getBytes("UTF-8"))
+      val u = java.lang.Long.parseLong(
+        d.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+      assert(fold == u % 5, s"fold of $src diverges from md5 replay")
+    }
+    val total = rows.map(_._3).sum
+    assert(total ==
+      Relational.table(spark, sfDir, "documents").count(),
+      "manifest does not conserve the corpus")
+  }
+
+  test("gr08: three min-plus rounds equal a scalar Bellman-Ford " +
+    "bounded at three edges") {
+    val got = Graph.weightedPaths(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    val edges = Relational.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Relational.table(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_suppkey").as("supp"),
+        (col("o_custkey") + 1000000L).as("cust"))
+      .agg(count_distinct(col("o_orderkey")).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), 1000000L / r.getLong(2)))
+    val adj = (edges.map { case (a, b, w) => (a, (b, w)) } ++
+      edges.map { case (a, b, w) => (b, (a, w)) })
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val seeds = Relational.table(spark, sfDir, "supplier")
+      .filter(col("s_suppkey") % 50 === 0)
+      .collect().map(_.getLong(0))
+    var dist = seeds.map(_ -> 0L).toMap
+    for (_ <- 1 to 3) {
+      val relaxed = dist.toSeq.flatMap { case (u, du) =>
+        adj.getOrElse(u, Array.empty[(Long, Long)])
+          .map { case (v, w) => v -> (du + w) }
+      }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2).min }
+    }
+    assert(got == dist,
+      s"min-plus relaxation diverges from scalar Bellman-Ford: " +
+        s"got=${got.size} ref=${dist.size}")
+  }
+
   test("mm09: segments are disjoint maximal runs of above-threshold " +
     "frames and conserve the active-frame count") {
     val segs = Multimodal.vadSegments(spark, sfDir).collect()
