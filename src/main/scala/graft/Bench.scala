@@ -125,7 +125,8 @@ object Bench {
       "j08_dynamic_overwrite", "st19_watermark_tuning",
       "c13_retention_purge", "t34_decontaminated_split",
       "mm10_phash_dedup", "e03_hamming_ann", "s19_grouped_kfold",
-      "gr08_weighted_paths")
+      "gr08_weighted_paths", "q39_cohort_retention",
+      "d15_cross_source_mirrors")
     val resultMap = results.toMap
     // a headline key that stops matching a query name would otherwise
     // silently vanish from the tail-parsed line — fail loudly instead

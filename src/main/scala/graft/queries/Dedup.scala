@@ -1022,6 +1022,57 @@ object Dedup {
     GROUP BY canonical_url
     ORDER BY canonical_url"""
 
+  // ----------------------------------- d15 cross-source mirrors
+  /** d15 — mirror-site detection: which PAIRS of sources carry
+    * byte-identical documents (the web-crawl reality that whole
+    * sites are mirrored under different domains, so per-source dedup
+    * misses systematic cross-source duplication — this measures it
+    * pairwise, the input to "drop the mirror, keep the origin"
+    * decisions). Every 13th document plants a replica into a rotated
+    * source, so real cross-source mirrors exist. Fingerprint = md5
+    * of the text; pairs counted on DISTINCT (source, fingerprint),
+    * canonically ordered source_a < source_b.
+    *
+    * Scale shape: one distinct projection (map-side combine), one
+    * self-equi-join on the fingerprint — join fanout is bounded by
+    * per-fingerprint source counts (≤ #sources), never corpus-
+    * quadratic — and one pair-keyed count agg. */
+  def crossSourceMirrors(s: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val mirrored = docs.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 20000L).as("doc_id"),
+        concat(lit("src"), pmod(col("doc_id") + 7, lit(20L)))
+          .as("source"),
+        col("text"))
+    val keys = docs.unionAll(mirrored)
+      .select(col("source"), md5(col("text")).as("h"))
+      .distinct()
+    val a = keys.select(col("source").as("source_a"), col("h"))
+    val b = keys.select(col("source").as("source_b"), col("h"))
+    a.join(b, "h")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val crossSourceMirrorsSql: String = """
+    WITH base AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 20000 AS doc_id,
+        'src' || ((doc_id + 7) % 20) AS source, text
+      FROM documents WHERE doc_id % 13 = 0),
+    keys AS (
+      SELECT DISTINCT source, md5(text) AS h FROM base)
+    SELECT a.source AS source_a, b.source AS source_b,
+      count(*) AS n_shared
+    FROM keys a JOIN keys b
+      ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2
+    ORDER BY source_a, source_b"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("d01_dedup_exact", dedupExact _, Some(dedupExactSql)),
@@ -1042,5 +1093,7 @@ object Dedup {
       ("d13_containment_dedup", containmentDedup _,
         Some(containmentDedupSql)),
       ("d14_url_dedup", urlDedup _, Some(urlDedupSql)),
+      ("d15_cross_source_mirrors", crossSourceMirrors _,
+        Some(crossSourceMirrorsSql)),
     )
 }

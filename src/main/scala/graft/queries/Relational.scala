@@ -990,6 +990,61 @@ object Relational {
     GROUP BY n
     ORDER BY op, n"""
 
+  // --------------------------------------------------------------- Q39
+  /** q39 — cohort retention triangle, the canonical product-analytics
+    * query: customers are grouped by their FIRST order's month (the
+    * cohort), and each later active month counts toward
+    * (cohort, month-offset) — "of the January-1995 cohort, how many
+    * ordered again 3 months later". Months ride an integer index
+    * (year·12 + month − 1), so offsets are exact subtraction, and the
+    * cohort label is reconstructed from the index — no date
+    * arithmetic ambiguity for the oracle to trip on.
+    * Absent in reference (no relational layer).
+    *
+    * Scale shape: one (customer, month) distinct projection (map-side
+    * combine collapses a customer's orders within a month before the
+    * shuffle), a min-agg for cohorts on the same key, a key-local
+    * join back, and one final (cohort, offset) agg — every stage
+    * shuffles on a key whose cardinality shrinks monotonically. */
+  def q39CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val mIdx = (year(to_date(col("o_orderdate"))) * 12 +
+      month(to_date(col("o_orderdate"))) - 1).cast("long")
+    val activity = table(spark, dir, "orders")
+      .select(col("o_custkey"), mIdx.as("m"))
+      .distinct()
+    val cohorts = activity.groupBy("o_custkey")
+      .agg(min(col("m")).as("cohort_m"))
+    val label = concat(
+      (col("cohort_m") / 12).cast("int"), lit("-"),
+      lpad((pmod(col("cohort_m"), lit(12L)) + 1).cast("string"),
+        2, "0"))
+    activity.join(cohorts, "o_custkey")
+      .groupBy(col("cohort_m"),
+        (col("m") - col("cohort_m")).as("month_offset"))
+      .agg(count(lit(1)).as("n_customers"))
+      .select(label.as("cohort"), col("month_offset"),
+        col("n_customers"))
+      .orderBy("cohort", "month_offset")
+  }
+
+  val q39Sql: String = """
+    WITH activity AS (
+      SELECT DISTINCT o_custkey,
+        CAST(year(CAST(o_orderdate AS DATE)) * 12 +
+          month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m
+      FROM orders),
+    cohorts AS (
+      SELECT o_custkey, min(m) AS cohort_m FROM activity
+      GROUP BY o_custkey)
+    SELECT
+      CAST(cohort_m // 12 AS INT) || '-' ||
+        lpad(CAST(cohort_m % 12 + 1 AS VARCHAR), 2, '0') AS cohort,
+      a.m - c.cohort_m AS month_offset,
+      count(*) AS n_customers
+    FROM activity a JOIN cohorts c ON a.o_custkey = c.o_custkey
+    GROUP BY c.cohort_m, a.m - c.cohort_m
+    ORDER BY cohort, month_offset"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_segment_revenue", q02SegmentRevenue _, q02Sql),
@@ -1019,5 +1074,6 @@ object Relational {
     ("q35_open_order_concurrency", q35OpenOrderConcurrency _, q35Sql),
     ("q36_null_aware_anti", q36NullAwareAnti _, q36Sql),
     ("q37_bag_set_ops", q37BagSetOps _, q37Sql),
+    ("q39_cohort_retention", q39CohortRetention _, q39Sql),
   )
 }

@@ -547,6 +547,59 @@ class Round5fSpec extends SparkSpec {
         s"got=${got.size} ref=${dist.size}")
   }
 
+  test("q39: every cohort's offset-0 row equals its size and the " +
+    "triangle conserves (customer, month) activity") {
+    val rows = Relational.q39CohortRetention(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val activity = Relational.table(spark, sfDir, "orders")
+      .select(col("o_custkey"),
+        (year(to_date(col("o_orderdate"))) * 12 +
+          month(to_date(col("o_orderdate"))) - 1).cast("long").as("m"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(_._3).sum == activity.length.toLong,
+      "triangle does not conserve the activity matrix")
+    val cohortOf = activity.groupBy(_._1).map { case (c, xs) =>
+      c -> xs.map(_._2).min }
+    val cohortSizes = cohortOf.groupBy(_._2).map { case (m, xs) =>
+      m -> xs.size.toLong }
+    rows.filter(_._2 == 0L).foreach { case (label, _, n) =>
+      val Array(y, mo) = label.split("-").map(_.toInt)
+      val mIdx = (y * 12 + mo - 1).toLong
+      assert(cohortSizes(mIdx) == n,
+        s"cohort $label offset-0 count $n != cohort size")
+    }
+    // every cohort present at offset 0 (its members are active in
+    // their own first month by definition)
+    assert(rows.count(_._2 == 0L) == cohortSizes.size)
+  }
+
+  test("d15: planted mirrors surface as cross-source pairs and the " +
+    "pair list is canonical") {
+    val pairs = Dedup.crossSourceMirrors(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case ((a, b), n) =>
+      assert(a < b, s"non-canonical pair ($a,$b)")
+      assert(n > 0)
+    }
+    val pairSet = pairs.map(_._1).toSet
+    // replay the plant: every mirrored doc whose target source
+    // differs from its origin must produce its (origin, target) pair
+    val docs = Relational.table(spark, sfDir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.filter(_._1 % 13 == 0).flatMap { case (id, src) =>
+      val tgt = s"src${(id + 7) % 20}"
+      if (tgt != src)
+        Some((Seq(src, tgt).min, Seq(src, tgt).max))
+      else None
+    }.toSet
+    assert(expected.nonEmpty, "plant produced no cross-source mirror")
+    assert(expected.subsetOf(pairSet),
+      s"missing planted pairs: ${(expected -- pairSet).take(5)}")
+  }
+
   test("mm09: segments are disjoint maximal runs of above-threshold " +
     "frames and conserve the active-frame count") {
     val segs = Multimodal.vadSegments(spark, sfDir).collect()
