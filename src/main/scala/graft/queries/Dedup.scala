@@ -678,6 +678,124 @@ object Dedup {
     GROUP BY b_id
     ORDER BY vec_id"""
 
+  // ----------------------------- d16 threshold calibration sweep
+  private val CalibTaus = Seq(64L, 81L, 90L, 95L)
+
+  /** d16 — semantic-dedup threshold calibration: d09 RUNS at a fixed
+    * cosine threshold; this measures what every threshold would do —
+    * the dup-rate curve over τ² ∈ {0.64, 0.81, 0.90, 0.95} that an
+    * operator actually looks at before picking one (st19's
+    * measure-then-choose discipline applied to the dedup family).
+    * Candidates are d09's in-cluster pairs, computed ONCE; each pair
+    * is then judged against every τ by the same cross-multiplied
+    * integer test (100·dot² > τ²·‖a‖²·‖b‖², dot > 0), so the curve
+    * costs one extra 4-way explode over the pair stream, not four
+    * dedup runs.
+    *
+    * Scale shape: identical to d09 (cluster-bounded pair generation,
+    * native int_dot kernel); the sweep adds a constant factor on the
+    * pair stream and a 4-row aggregate. */
+  def semanticCalibration(s: SparkSession, dir: String): DataFrame = {
+    val emb = Relational.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // graded near-dup plants: class c (vec_id ≡ c mod 10, c = 0..3)
+    // contributes a replica with the first c dims NEGATED — cosine to
+    // its origin ≈ 1 − 2c/64 (1.0, ~0.97, ~0.94, ~0.91), straddling
+    // the τ ladder so the calibration curve actually discriminates
+    val planted = (0 to 3).map { c =>
+      emb.filter(col("vec_id") % 10 === c)
+        .select((col("vec_id") + PlantOffset * (c + 1)).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i < c, -x).otherwise(x).cast("float"))
+            .as("embedding"))
+    }.reduce(_ unionAll _)
+    val corpus = emb.unionAll(planted)
+    val idot = graft.expr.IntDotProduct.intDot _
+    val quant = Similarity.quantizeEmbeddings(corpus)
+      .select(col("vec_id"), col("q"))
+      .withColumn("n2", idot(col("q"), col("q")))
+    val cents: Array[(Long, Seq[Int])] = quant.filter(col("vec_id") < SemK)
+      .orderBy("vec_id").select(col("vec_id"), col("q")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1)))
+    val dots = array(cents.map { case (_, c) =>
+      idot(col("q"), typedLit(c)) }: _*)
+    val centIds = typedLit(cents.map(_._1).toSeq)
+    val cid = element_at(centIds,
+      array_position(dots, array_max(dots)).cast("int"))
+    val assigned = quant.withColumn("cluster_id", cid).persist()
+    val a = assigned.select(col("cluster_id"), col("vec_id").as("a_id"),
+      col("q").as("qa"), col("n2").as("na2"))
+    val b = assigned.select(col("cluster_id"), col("vec_id").as("b_id"),
+      col("q").as("qb"), col("n2").as("nb2"))
+    a.join(b, Seq("cluster_id")).filter(col("a_id") < col("b_id"))
+      .withColumn("dot", idot(col("qa"), col("qb")))
+      .select(col("dot"), col("na2"), col("nb2"),
+        explode(typedLit(CalibTaus)).as("tau_num"))
+      .groupBy("tau_num")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("dot") > 0 &&
+          col("dot") * col("dot") * 100 >
+            col("na2") * col("nb2") * col("tau_num"), 1L)
+          .otherwise(0L)).as("n_dups"))
+      .withColumn("dup_ppm",
+        expr("n_dups * 1000000 div n_candidates"))
+      .orderBy("tau_num")
+  }
+
+  val semanticCalibrationSql: String = {
+    val plantArms = (0 to 3).map { c =>
+      s"""SELECT vec_id + ${PlantOffset * (c + 1)} AS vec_id,
+        list_transform(range(1, 65), i -> CASE WHEN i <= $c
+          THEN CAST(-embedding[i] AS REAL)
+          ELSE embedding[i] END) AS embedding
+      FROM embeddings WHERE vec_id % 10 = $c"""
+    }.mkString("\n      UNION ALL\n      ")
+    s"""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      $plantArms),
+    qe AS (
+      SELECT vec_id,
+        list_transform(embedding, x -> CASE WHEN m = 0 THEN 0
+          ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 /
+            CAST(m AS DOUBLE) + 0.5) AS BIGINT) END) AS q
+      FROM (SELECT vec_id, embedding,
+            list_max(list_transform(embedding, x -> abs(x))) AS m
+            FROM corpus)),
+    qn AS (
+      SELECT vec_id, q,
+        list_sum(list_transform(q, x -> x * x)) AS n2 FROM qe),
+    cents AS (SELECT vec_id AS cid, q AS cq FROM qe WHERE vec_id < $SemK),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT qe.vec_id, c.cid,
+          row_number() OVER (PARTITION BY qe.vec_id ORDER BY
+            list_sum(list_transform(list_zip(qe.q, c.cq),
+              p -> p[1] * p[2])) DESC, c.cid) AS rn
+        FROM qe CROSS JOIN cents c) WHERE rn = 1),
+    av AS (
+      SELECT qn.vec_id, assign.cid, qn.q, qn.n2
+      FROM qn JOIN assign ON qn.vec_id = assign.vec_id),
+    cand AS (
+      SELECT
+        list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2]))
+          AS dot,
+        a.n2 AS na2, b.n2 AS nb2
+      FROM av a JOIN av b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+    SELECT t.tau_num, count(*) AS n_candidates,
+      CAST(sum(CASE WHEN dot > 0
+          AND 100 * dot * dot > t.tau_num * na2 * nb2
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+      CAST(sum(CASE WHEN dot > 0
+          AND 100 * dot * dot > t.tau_num * na2 * nb2
+        THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS dup_ppm
+    FROM cand CROSS JOIN
+      (SELECT unnest([${CalibTaus.mkString(", ")}]) AS tau_num) t
+    GROUP BY t.tau_num
+    ORDER BY tau_num"""
+  }
+
   // ------------------------------------------- d10 incremental dedup
   /** d10 — incremental ingestion dedup: admit only the rows of a NEW
     * batch whose content fingerprint is absent from the existing
@@ -1095,5 +1213,7 @@ object Dedup {
       ("d14_url_dedup", urlDedup _, Some(urlDedupSql)),
       ("d15_cross_source_mirrors", crossSourceMirrors _,
         Some(crossSourceMirrorsSql)),
+      ("d16_semantic_calibration", semanticCalibration _,
+        Some(semanticCalibrationSql)),
     )
 }

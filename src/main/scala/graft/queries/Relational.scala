@@ -1045,6 +1045,55 @@ object Relational {
     GROUP BY c.cohort_m, a.m - c.cohort_m
     ORDER BY cohort, month_offset"""
 
+  // --------------------------------------------------------------- Q40
+  /** q40 — ORDER-SENSITIVE string aggregation (LISTAGG / string_agg
+    * with ORDER BY): per nation, the 3 richest customers' keys joined
+    * in rank order. Spark has no ordered aggregate — `collect_list`
+    * is explicitly partition-order-nondeterministic — so the ordered
+    * concat is built the deterministic way: rank first, COLLECT
+    * (rank, key) structs, `array_sort` the tiny per-group array (≤ 3
+    * elements, struct order = rank order), then project and join.
+    * The oracle is DuckDB's native `string_agg(... ORDER BY ...)`, so
+    * the hash match proves the collect-sort-project pipeline
+    * reproduces true ordered aggregation semantics.
+    * Absent in reference (no relational layer).
+    *
+    * Scale shape: one window rank on the nation key (the top-k gate
+    * bounds every group to 3 rows BEFORE the collect), then a
+    * 3-element-array agg per group — the collected array is bounded
+    * by construction, never group-sized. */
+  def q40OrderedStringAgg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    table(spark, dir, "customer")
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy("c_nationkey")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("rn"), col("c_custkey")))),
+            x => x.getField("c_custkey").cast("string")), ",")
+          .as("top3_custkeys"),
+        count(lit(1)).as("n_top"))
+      .orderBy("c_nationkey")
+  }
+
+  val q40Sql: String = """
+    SELECT c_nationkey,
+      string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY rn)
+        AS top3_custkeys,
+      count(*) AS n_top
+    FROM (
+      SELECT c_nationkey, c_custkey,
+        row_number() OVER (PARTITION BY c_nationkey
+          ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer)
+    WHERE rn <= 3
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_segment_revenue", q02SegmentRevenue _, q02Sql),
@@ -1075,5 +1124,6 @@ object Relational {
     ("q36_null_aware_anti", q36NullAwareAnti _, q36Sql),
     ("q37_bag_set_ops", q37BagSetOps _, q37Sql),
     ("q39_cohort_retention", q39CohortRetention _, q39Sql),
+    ("q40_ordered_string_agg", q40OrderedStringAgg _, q40Sql),
   )
 }

@@ -600,6 +600,51 @@ class Round5fSpec extends SparkSpec {
       s"missing planted pairs: ${(expected -- pairSet).take(5)}")
   }
 
+  test("d16: the calibration curve discriminates — candidates " +
+    "constant, dup counts monotone in the threshold, strict drop " +
+    "across the ladder") {
+    val rows = Dedup.semanticCalibration(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(64L, 81L, 90L, 95L))
+    assert(rows.map(_._2).distinct.size == 1,
+      "candidate count must not depend on the threshold")
+    rows.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo._3 >= hi._3,
+          s"dup count rose with the threshold: tau ${lo._1}->${hi._1}")
+      case _ =>
+    }
+    assert(rows.last._3 > 0, "strictest threshold catches nothing")
+    assert(rows.head._3 > rows.last._3,
+      "flat curve — the graded plants do not straddle the ladder")
+    rows.foreach { case (_, cand, dups, ppm) =>
+      assert(ppm == dups * 1000000L / cand)
+    }
+  }
+
+  test("q40: ordered string agg lists each nation's top-3 keys in " +
+    "exact descending-balance order") {
+    val rows = Relational.q40OrderedStringAgg(spark, sfDir).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getString(1),
+        r.getLong(2)))
+    assert(rows.nonEmpty)
+    val ref = Relational.table(spark, sfDir, "customer")
+      .select("c_nationkey", "c_custkey", "c_acctbal").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1),
+        r.getDouble(2)))
+      .groupBy(_._1).map { case (n, xs) =>
+        n -> xs.sortBy(x => (-x._3, x._2)).take(3).map(_._2)
+          .mkString(",")
+      }
+    rows.foreach { case (nation, csv, nTop) =>
+      assert(nTop <= 3 && nTop == csv.split(",").length)
+      assert(csv == ref(nation),
+        s"nation $nation ordered agg '$csv' != '${ref(nation)}'")
+    }
+    assert(rows.map(_._1).toSet == ref.keySet)
+  }
+
   test("mm09: segments are disjoint maximal runs of above-threshold " +
     "frames and conserve the active-frame count") {
     val segs = Multimodal.vadSegments(spark, sfDir).collect()
