@@ -127,7 +127,8 @@ object Bench {
       "mm10_phash_dedup", "e03_hamming_ann", "s19_grouped_kfold",
       "gr08_weighted_paths", "q39_cohort_retention",
       "d15_cross_source_mirrors", "d16_semantic_calibration",
-      "q40_ordered_string_agg")
+      "q40_ordered_string_agg", "st20_backfill_seam",
+      "l07_blocking_audit")
     val resultMap = results.toMap
     // a headline key that stops matching a query name would otherwise
     // silently vanish from the tail-parsed line — fail loudly instead

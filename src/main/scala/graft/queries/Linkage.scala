@@ -503,6 +503,123 @@ object Linkage {
     WHERE levenshtein(dirty_name, clean_name) <= 1
     ORDER BY probe_id, clean_name"""
 
+  // ----------------------------------- l07 blocking-quality audit
+  /** l07 — blocking-quality audit: the two numbers every blocking
+    * scheme is judged by — REDUCTION RATIO (what fraction of the
+    * all-pairs space the blocks prune) and PAIR COMPLETENESS (what
+    * fraction of TRUE matches survive blocking) — measured for two
+    * competing blockers over l06's planted-typo corpus. First-char
+    * blocking keeps every true pair (l06's plants never touch
+    * position 1) at a modest reduction; LENGTH blocking prunes
+    * harder but loses exactly the deletion and insertion classes
+    * (they change the length, so the true pair crosses blocks) —
+    * the audit that SHOWS why blocker choice is a recall decision,
+    * st19's measure-then-choose discipline on the linkage stack.
+    * Ground truth: probe i's true match is its own origin name.
+    *
+    * Scale shape: candidate counts come from per-block size products
+    * (one tiny agg per blocker — |probes_b|·|catalog_b| summed, no
+    * pair materialization at all); completeness joins the true-pair
+    * list (corpus-sized, not quadratic) against block keys. */
+  def blockingAudit(s: SparkSession, dir: String): DataFrame = {
+    val parts = Relational.table(s, dir, "part")
+      .select(col("p_partkey"), col("p_name"))
+    val pos = (lit(2) + col("p_partkey") % (length(col("p_name")) - 1))
+      .cast("int")
+    val head = col("p_name").substr(lit(1), pos - 1)
+    val tailFrom = col("p_name").substr(pos + 1, lit(1000))
+    val tailAt = col("p_name").substr(pos, lit(1000))
+    val dirty = when(col("p_partkey") % 3 === 0,
+      concat(head, lit("#"), tailFrom))
+      .when(col("p_partkey") % 3 === 1, concat(head, tailFrom))
+      .otherwise(concat(head, lit("#"), tailAt))
+    val probes = parts
+      .select(col("p_partkey").as("probe_id"), col("p_name").as("origin"),
+        dirty.as("dirty_name")).persist()
+    val catalog = parts.select(col("p_name").as("clean_name")).distinct()
+      .persist()
+    // blocker key expressions over an arbitrary name column
+    def firstChar(c: org.apache.spark.sql.Column) = substring(c, 1, 1)
+    def lenKey(c: org.apache.spark.sql.Column) = length(c)
+    def auditRow(blocker: String,
+                 key: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+        : DataFrame = {
+      val pb = probes.groupBy(key(col("dirty_name")).as("blk"))
+        .agg(count(lit(1)).as("np"))
+      val cb = catalog.groupBy(key(col("clean_name")).as("blk"))
+        .agg(count(lit(1)).as("nc"))
+      val candidates = pb.join(cb, "blk")
+        .agg(coalesce(sum(col("np") * col("nc")), lit(0L))
+          .as("candidates"))
+      val kept = probes
+        .filter(key(col("dirty_name")) === key(col("origin")))
+        .agg(count(lit(1)).as("found_pairs"))
+      probes.agg(count(lit(1)).as("true_pairs"))
+        .crossJoin(catalog.agg(count(lit(1)).as("n_catalog")))
+        .crossJoin(candidates)
+        .crossJoin(kept)
+        .select(lit(blocker).as("blocker"),
+          col("candidates"),
+          expr("1000000 - candidates * 1000000 div " +
+            "(true_pairs * n_catalog)").as("reduction_ppm"),
+          col("true_pairs"), col("found_pairs"),
+          expr("found_pairs * 1000000 div true_pairs")
+            .as("completeness_ppm"))
+    }
+    auditRow("first_char", firstChar)
+      .unionAll(auditRow("length", lenKey))
+      .orderBy("blocker")
+  }
+
+  val blockingAuditSql: String = """
+    WITH parts AS (
+      SELECT p_partkey, p_name,
+        CAST(2 + p_partkey % (len(p_name) - 1) AS INT) AS pos
+      FROM part),
+    probes AS (
+      SELECT p_partkey AS probe_id, p_name AS origin,
+        CASE p_partkey % 3
+          WHEN 0 THEN substr(p_name, 1, pos - 1) || '#'
+            || substr(p_name, pos + 1)
+          WHEN 1 THEN substr(p_name, 1, pos - 1)
+            || substr(p_name, pos + 1)
+          ELSE substr(p_name, 1, pos - 1) || '#'
+            || substr(p_name, pos)
+        END AS dirty_name
+      FROM parts),
+    catalog AS (SELECT DISTINCT p_name AS clean_name FROM part),
+    audits AS (
+      SELECT 'first_char' AS blocker,
+        (SELECT CAST(COALESCE(sum(np * nc), 0) AS BIGINT) FROM
+          (SELECT substr(dirty_name, 1, 1) AS blk, count(*) AS np
+           FROM probes GROUP BY 1) p
+          JOIN
+          (SELECT substr(clean_name, 1, 1) AS blk, count(*) AS nc
+           FROM catalog GROUP BY 1) c USING (blk)) AS candidates,
+        (SELECT count(*) FROM probes
+         WHERE substr(dirty_name, 1, 1) = substr(origin, 1, 1))
+          AS found_pairs
+      UNION ALL
+      SELECT 'length' AS blocker,
+        (SELECT CAST(COALESCE(sum(np * nc), 0) AS BIGINT) FROM
+          (SELECT len(dirty_name) AS blk, count(*) AS np
+           FROM probes GROUP BY 1) p
+          JOIN
+          (SELECT len(clean_name) AS blk, count(*) AS nc
+           FROM catalog GROUP BY 1) c USING (blk)) AS candidates,
+        (SELECT count(*) FROM probes
+         WHERE len(dirty_name) = len(origin)) AS found_pairs)
+    SELECT a.blocker, a.candidates,
+      CAST(1000000 - a.candidates * 1000000 //
+        ((SELECT count(*) FROM probes) *
+         (SELECT count(*) FROM catalog)) AS BIGINT) AS reduction_ppm,
+      (SELECT count(*) FROM probes) AS true_pairs,
+      a.found_pairs,
+      CAST(a.found_pairs * 1000000 //
+        (SELECT count(*) FROM probes) AS BIGINT) AS completeness_ppm
+    FROM audits a
+    ORDER BY blocker"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("l01_linkage_pairs", linkagePairs _, Some(linkagePairsSql)),
@@ -514,5 +631,6 @@ object Linkage {
         Some(entityResolutionSql)),
       ("l06_edit_distance", editDistanceLinkage _,
         Some(editDistanceLinkageSql)),
+      ("l07_blocking_audit", blockingAudit _, Some(blockingAuditSql)),
     )
 }

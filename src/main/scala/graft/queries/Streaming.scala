@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.streaming.EventStreams
 
 /** Driver-facing demos of the streaming transformations, run in batch
@@ -672,6 +673,71 @@ $counts
     GROUP BY event_type, d.delay_us
     ORDER BY event_type"""
 
+  // --------------------------------------- st20 backfill seam
+  /** st20 — the batch-backfill + streaming-tail SEAM, the migration
+    * pattern every pipeline crosses when history moves to streaming:
+    * the first 80% of the event log is served by a BATCH aggregate,
+    * the tail arrives through a REAL file stream — and the tail
+    * source overlaps the batch range by 5% (at-least-once delivery
+    * replays the seam), so the stream must DEDUPLICATE against
+    * history before its rows count. Seam dedup is a stream-static
+    * left-outer join against only the OVERLAP WINDOW's historical ids
+    * (never all history — the static side is bounded by the overlap,
+    * which is what makes the pattern viable at 100 TB), then the
+    * deduped tail lands in parquet and merges with the batch half.
+    * The oracle is the one-shot aggregate over the WHOLE table: the
+    * hash match proves backfill + overlap-dedup + tail == truth, with
+    * no double count at the seam.
+    *
+    * Scale shape: history aggregates once (map-combinable); the
+    * stream is incremental per micro-batch with a broadcast-sized
+    * static join side; the final merge aggregates two partial
+    * frames. */
+  def backfillSeam(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_st20_${s.sparkContext.applicationId}").getAbsolutePath
+    val ev = events(s, dir)
+    val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+    val split = maxId * 8 / 10
+    val overlapStart = maxId * 3 / 4 // tail replays [3/4, 8/10) of hist
+    val hist = ev.filter(col("event_id") < split)
+    val tailSrc = s"$base/tail"
+    ev.filter(col("event_id") >= overlapStart)
+      .repartition(4).write.mode("overwrite").parquet(tailSrc)
+    // static dedup side: only the overlap window's historical ids
+    val seamIds = hist.filter(col("event_id") >= overlapStart)
+      .select(col("event_id").as("seen_id"))
+    val stream = s.readStream.schema(EventStreams.EventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(tailSrc)
+    val dedupedOut = s"$base/tail_clean"
+    val q = stream
+      .join(seamIds, col("event_id") === col("seen_id"), "left_outer")
+      .filter(col("seen_id").isNull).drop("seen_id")
+      .writeStream.format("parquet")
+      .option("path", dedupedOut)
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val micro = (col("value").cast(DecimalType(18, 6)) * 1000000)
+      .cast("long")
+    val tailClean = s.read.schema(EventStreams.EventsSchema)
+      .parquet(dedupedOut)
+    hist.unionByName(tailClean)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(micro).as("sum_value_micros"))
+      .orderBy("event_type")
+  }
+
+  val backfillSeamSql: String = """
+    SELECT event_type, count(*) AS n_events,
+      CAST(sum(CAST(value AS DECIMAL(18,6)) * 1000000) AS BIGINT)
+        AS sum_value_micros
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("st01_tumbling_window", tumblingWindow _, Some(tumblingWindowSql)),
@@ -697,5 +763,6 @@ $counts
       ("st18_lateness_audit", latenessAudit _, Some(latenessAuditSql)),
       ("st19_watermark_tuning", watermarkTuning _,
         Some(watermarkTuningSql)),
+      ("st20_backfill_seam", backfillSeam _, Some(backfillSeamSql)),
     )
 }

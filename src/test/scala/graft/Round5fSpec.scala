@@ -645,6 +645,56 @@ class Round5fSpec extends SparkSpec {
     assert(rows.map(_._1).toSet == ref.keySet)
   }
 
+  test("st20: the seam is live (overlap replays history) and the " +
+    "merged result equals the one-shot batch truth") {
+    val got = graft.queries.Streaming.backfillSeam(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val truth = graft.queries.Streaming.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum((col("value").cast(
+          org.apache.spark.sql.types.DataTypes.createDecimalType(18, 6))
+          * 1000000).cast("long")).as("sv"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.sortBy(_._1).toSeq == truth.sortBy(_._1).toSeq,
+      "backfill + deduped tail diverges from the one-shot truth")
+    // the overlap window is non-empty, so WITHOUT the seam dedup the
+    // counts would double — the dedup is a real constraint
+    val maxId = graft.queries.Streaming.events(spark, sfDir)
+      .agg(max("event_id")).head().getLong(0)
+    assert(maxId * 3 / 4 < maxId * 8 / 10,
+      "overlap window empty — seam dedup vacuous")
+  }
+
+  test("l07: the blocking audit separates the blockers — first-char " +
+    "keeps every true pair, length loses exactly the length-changing " +
+    "edit classes") {
+    val rows = graft.queries.Linkage.blockingAudit(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(rows.keySet == Set("first_char", "length"))
+    val (_, _, nTrue, fcFound, fcComp) = rows("first_char")
+    assert(fcFound == nTrue && fcComp == 1000000L,
+      "first-char blocking should keep every true pair (plants never " +
+        "touch position 1)")
+    val (_, _, _, lenFound, lenComp) = rows("length")
+    // only the substitution class (p_partkey % 3 == 0) preserves
+    // length
+    val nSub = Relational.table(spark, sfDir, "part")
+      .filter(col("p_partkey") % 3 === 0).count()
+    assert(lenFound == nSub,
+      s"length blocking kept $lenFound pairs, expected the $nSub " +
+        "substitution probes")
+    assert(lenComp == nSub * 1000000L / nTrue)
+    assert(lenComp < 1000000L, "length blocker lost nothing — the " +
+      "audit does not discriminate")
+    rows.values.foreach { case (cand, red, _, _, _) =>
+      assert(cand > 0 && red >= 0 && red <= 1000000L)
+    }
+  }
+
   test("mm09: segments are disjoint maximal runs of above-threshold " +
     "frames and conserve the active-frame count") {
     val segs = Multimodal.vadSegments(spark, sfDir).collect()
