@@ -128,7 +128,8 @@ object Bench {
       "gr08_weighted_paths", "q39_cohort_retention",
       "d15_cross_source_mirrors", "d16_semantic_calibration",
       "q40_ordered_string_agg", "st20_backfill_seam",
-      "l07_blocking_audit")
+      "l07_blocking_audit", "s21_exact_holdout",
+      "j09_nested_projection")
     val resultMap = results.toMap
     // a headline key that stops matching a query name would otherwise
     // silently vanish from the tail-parsed line — fail loudly instead

@@ -634,6 +634,45 @@ object Sampling {
     GROUP BY 1, 2
     ORDER BY fold, source"""
 
+  // ------------------------------------ s21 exact-k stratified holdout
+  /** s21 — EXACT-size stratified holdout: "exactly 8 documents per
+    * language, chosen reproducibly" — the eval-set construction where
+    * rate-based gates (s03/s14/s17, whose output sizes are binomial)
+    * don't cut it: a benchmark needs exact counts. Selection is the
+    * md5-rank prefix within each stratum (rank by the portable hash,
+    * keep rank ≤ k), so membership is engine-replayable, and — unlike
+    * a `LIMIT` per group — layout-independent. Short strata
+    * contribute everything they have (min(k, |stratum|) — the
+    * truncation every real holdout spec has to define). Output: the
+    * chosen doc ids with their in-stratum rank.
+    *
+    * Scale shape: one window rank per stratum key (the only shuffle)
+    * with the rank gate applied before anything else reads the rows;
+    * at 100 TB this is one key-partitioned sort bounded per stratum,
+    * and the result is holdout-sized, not corpus-sized. */
+  def exactHoldout(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("draw"), col("doc_id"))
+    Relational.table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        md5(concat(lit("s21#"), col("doc_id"))).as("draw"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("rank"), col("doc_id"))
+      .orderBy("lang", "rank")
+  }
+
+  val exactHoldoutSql: String = """
+    SELECT lang, rank, doc_id FROM (
+      SELECT lang, doc_id,
+        CAST(row_number() OVER (PARTITION BY lang
+          ORDER BY md5('s21#' || doc_id), doc_id) AS BIGINT) AS rank
+      FROM documents)
+    WHERE rank <= 8
+    ORDER BY lang, rank"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("s03_stratified_sample", stratifiedDemo _, None),
@@ -651,5 +690,6 @@ object Sampling {
       ("s17_temperature_mixture", temperatureMixture _,
         Some(temperatureMixtureSql)),
       ("s19_grouped_kfold", groupedKfold _, Some(groupedKfoldSql)),
+      ("s21_exact_holdout", exactHoldout _, Some(exactHoldoutSql)),
     )
 }

@@ -369,6 +369,76 @@ object Sources {
     GROUP BY 1
     ORDER BY bucket"""
 
+  /** j09 — nested-type roundtrip + NESTED schema pruning: orders are
+    * written as a nested document (customer struct + an array of
+    * line structs — the shape every document-store export and every
+    * API log lands in), read back, and aggregated touching only
+    * `customer.acctbal` and the line arrays' `qty` leaves. Catalyst's
+    * nested-schema pruning must narrow the parquet ReadSchema to just
+    * those LEAVES — reading `customer.name` or `lines.price` bytes
+    * for this query would be the nested version of the unpruned-scan
+    * mistake (Round5fSpec asserts the pruned ReadSchema). The oracle
+    * computes the same aggregate from the FLAT tables, so the hash
+    * match proves the nest→write→read→unnest cycle is lossless.
+    *
+    * Scale shape: the nested write is one join + one groupBy
+    * (struct/array assembly is free, map-side); the read-back scan
+    * touches 2 leaf columns of a wide nested schema — at 100 TB
+    * nested pruning is the difference between scanning 2 columns and
+    * scanning the whole document. */
+  def nestedProjection(s: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_j09_nested_${s.sparkContext.applicationId}").getAbsolutePath
+    val o = Relational.table(s, dir, "orders")
+    val c = Relational.table(s, dir, "customer")
+    val li = Relational.table(s, dir, "lineitem")
+    val lines = li.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(struct(
+        col("l_linenumber").as("ln"),
+        col("l_quantity").as("qty"),
+        col("l_extendedprice").as("price")))).as("lines"))
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(lines, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderkey"),
+        struct(col("c_name").as("name"), col("c_acctbal").as("acctbal"))
+          .as("customer"),
+        coalesce(col("lines"), typedLit(Seq.empty[(Int, Double, Double)])
+          .cast("array<struct<ln:int,qty:double,price:double>>"))
+          .as("lines"))
+      .write.mode("overwrite").parquet(out)
+    // field extraction FIRST (`lines.qty` is an ExtractValue the
+    // nested pruner narrows to the qty leaf) — summing through an
+    // `aggregate` lambda over the raw struct array defeats pruning
+    // and drags the unused price/ln bytes through the scan
+    s.read.parquet(out)
+      .select(col("customer.acctbal").as("acctbal"),
+        col("lines.qty").as("qtys"))
+      .select(col("acctbal"),
+        expr("aggregate(qtys, CAST(0 AS DOUBLE), (a, x) -> a + x)")
+          .as("qty_sum"),
+        size(col("qtys")).as("n_lines"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("acctbal").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_acctbal"),
+        sum(col("qty_sum").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_qty"),
+        sum(col("n_lines").cast("long")).as("n_lines"))
+  }
+
+  val nestedProjectionSql: String = """
+    SELECT count(*) AS n_orders,
+      CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        AS sum_acctbal,
+      CAST(sum(CAST(COALESCE(l.qty, 0) AS DECIMAL(18,2))) AS DOUBLE)
+        AS sum_qty,
+      CAST(sum(COALESCE(l.n, 0)) AS BIGINT) AS n_lines
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN (
+      SELECT l_orderkey, sum(l_quantity) AS qty, count(*) AS n
+      FROM lineitem GROUP BY l_orderkey) l
+      ON o.o_orderkey = l.l_orderkey"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame,
     Option[String])] =
     Seq(("j01_jsonl_roundtrip", jsonlRoundtrip _, Some(jsonlRoundtripSql)),
@@ -380,5 +450,7 @@ object Sources {
       ("j07_schema_evolution", schemaEvolution _,
         Some(schemaEvolutionSql)),
       ("j08_dynamic_overwrite", dynamicOverwrite _,
-        Some(dynamicOverwriteSql)))
+        Some(dynamicOverwriteSql)),
+      ("j09_nested_projection", nestedProjection _,
+        Some(nestedProjectionSql)))
 }

@@ -695,6 +695,61 @@ class Round5fSpec extends SparkSpec {
     }
   }
 
+  test("s21: the holdout has exactly min(k, |stratum|) rows per " +
+    "stratum and replays the md5 ranking") {
+    val rows = Sampling.exactHoldout(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val byLang = Relational.table(spark, sfDir, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2)
+    val got = rows.groupBy(_._1)
+    assert(got.keySet == byLang.keySet)
+    byLang.foreach { case (lang, docs) =>
+      val expectK = math.min(8, docs.size)
+      val sel = got(lang).sortBy(_._2)
+      assert(sel.length == expectK,
+        s"lang $lang holdout size ${sel.length} != $expectK")
+      // replay: md5 prefix ranking in plain Scala
+      def key(id: Long): String = java.security.MessageDigest
+        .getInstance("MD5").digest(s"s21#$id".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      val expectIds = docs.map(_._1).sortBy(id => (key(id), id))
+        .take(expectK)
+      assert(sel.map(_._3).toSeq == expectIds.toSeq,
+        s"lang $lang holdout membership/order diverges from the " +
+          "md5 replay")
+    }
+  }
+
+  test("j09: the nested read prunes to the touched leaves — " +
+    "customer.acctbal and lines.qty — and never reads the unused " +
+    "name/price bytes") {
+    val df = graft.queries.Sources.nestedProjection(spark, sfDir)
+    assert(df.collect().length == 1)
+    // re-run the read side alone to inspect the scan's ReadSchema
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_j09_nested_${spark.sparkContext.applicationId}")
+      .getAbsolutePath
+    val plan = spark.read.parquet(out)
+      .select(col("customer.acctbal").as("acctbal"),
+        col("lines.qty").as("qtys"))
+      .select(col("acctbal"),
+        expr("aggregate(qtys, CAST(0 AS DOUBLE), (a, x) -> a + x)")
+          .as("qty_sum"),
+        size(col("qtys")).as("n_lines"))
+      .queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("acctbal"),
+      s"acctbal leaf missing from ReadSchema: $readSchema")
+    assert(!readSchema.contains("name"),
+      s"unused customer.name leaf read from parquet: $readSchema")
+    assert(!readSchema.contains("price"),
+      s"unused lines.price leaf read from parquet: $readSchema")
+  }
+
   test("mm09: segments are disjoint maximal runs of above-threshold " +
     "frames and conserve the active-frame count") {
     val segs = Multimodal.vadSegments(spark, sfDir).collect()
