@@ -129,7 +129,8 @@ object Bench {
       "d15_cross_source_mirrors", "d16_semantic_calibration",
       "q40_ordered_string_agg", "st20_backfill_seam",
       "l07_blocking_audit", "s21_exact_holdout",
-      "j09_nested_projection")
+      "j09_nested_projection", "q41_map_profile",
+      "c14_reconciliation")
     val resultMap = results.toMap
     // a headline key that stops matching a query name would otherwise
     // silently vanish from the tail-parsed line — fail loudly instead

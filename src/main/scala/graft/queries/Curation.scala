@@ -753,6 +753,85 @@ object Curation {
     FROM po
     ORDER BY relation"""
 
+  // ----------------------------- c14 header/detail reconciliation
+  /** c14 — header/detail reconciliation audit: does each order
+    * header's total agree with the sum of its lines' charges
+    * (Σ extendedprice·(1−disc)·(1+tax))? The classic financial-data
+    * integrity check — run in exact integer micro-cents (per-row
+    * DECIMAL casts BEFORE multiplication, so both engines compute the
+    * identical product), with each order's relative gap bucketed into
+    * a mismatch-band histogram per order status: exact / <1% / <10% /
+    * ≥10% / headers with no lines. The synthetic corpus draws totals
+    * and prices independently, so the bands are genuinely populated —
+    * and the audit is exactly what would PROVE that about a real feed.
+    *
+    * Scale shape: one lineitem pre-agg on orderkey (map-combinable),
+    * one key join to headers, one tiny banded agg — the fact tables
+    * are each scanned once. Cross-multiplied integer band tests, no
+    * division. */
+  def reconciliation(s: SparkSession, dir: String): DataFrame = {
+    val headerMicro = (col("o_totalprice").cast(DecimalType(18, 2))
+      * 1000000).cast("long")
+    // exact per-line charge in micro-units: price has 2 decimals,
+    // disc/tax 2 → the product has ≤6 decimals, DECIMAL(28,6) exact
+    val lineMicro = (col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(BigDecimal(1)).cast(DecimalType(4, 2)) -
+        col("l_discount").cast(DecimalType(4, 2))) *
+      (lit(BigDecimal(1)).cast(DecimalType(4, 2)) +
+        col("l_tax").cast(DecimalType(4, 2))))
+      .cast(DecimalType(28, 6))
+    val lines = Relational.table(s, dir, "lineitem")
+      .select(col("l_orderkey"), lineMicro.as("charge"))
+      .groupBy("l_orderkey")
+      .agg((sum(col("charge")) * 1000000).cast("long")
+        .as("detail_micro"))
+    val gapBand = when(col("detail_micro").isNull, "no_lines")
+      .when(col("gap") === 0, "exact")
+      .when(col("gap") * 100 < col("header_micro"), "lt_1pct")
+      .when(col("gap") * 10 < col("header_micro"), "lt_10pct")
+      .otherwise("ge_10pct")
+    Relational.table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        headerMicro.as("header_micro"))
+      .join(lines, col("o_orderkey") === col("l_orderkey"), "left")
+      .withColumn("gap",
+        abs(col("header_micro") - col("detail_micro")))
+      .withColumn("band", gapBand)
+      .groupBy("o_orderstatus", "band")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(coalesce(col("gap"), lit(0L))).as("total_gap_micro"))
+      .orderBy("o_orderstatus", "band")
+  }
+
+  val reconciliationSql: String = """
+    WITH lines AS (
+      SELECT l_orderkey,
+        CAST(sum(CAST(
+          CAST(l_extendedprice AS DECIMAL(18,2)) *
+          (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) *
+          (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))
+          AS DECIMAL(28,6))) * 1000000 AS BIGINT) AS detail_micro
+      FROM lineitem GROUP BY l_orderkey),
+    joined AS (
+      SELECT o.o_orderstatus,
+        CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 1000000 AS BIGINT)
+          AS header_micro,
+        l.detail_micro,
+        abs(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 1000000
+          AS BIGINT) - l.detail_micro) AS gap
+      FROM orders o LEFT JOIN lines l ON o.o_orderkey = l.l_orderkey)
+    SELECT o_orderstatus,
+      CASE WHEN detail_micro IS NULL THEN 'no_lines'
+           WHEN gap = 0 THEN 'exact'
+           WHEN gap * 100 < header_micro THEN 'lt_1pct'
+           WHEN gap * 10 < header_micro THEN 'lt_10pct'
+           ELSE 'ge_10pct' END AS band,
+      count(*) AS n_orders,
+      CAST(sum(COALESCE(gap, 0)) AS BIGINT) AS total_gap_micro
+    FROM joined
+    GROUP BY 1, 2
+    ORDER BY o_orderstatus, band"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("c01_curation_pipeline", curationPipeline _,
@@ -771,5 +850,7 @@ object Curation {
         Some(referentialIntegritySql)),
       ("c12_drift_audit", driftAudit _, Some(driftAuditSql)),
       ("c13_retention_purge", retentionPurge _,
-        Some(retentionPurgeSql)))
+        Some(retentionPurgeSql)),
+      ("c14_reconciliation", reconciliation _,
+        Some(reconciliationSql)))
 }

@@ -1094,6 +1094,48 @@ object Relational {
     GROUP BY c_nationkey
     ORDER BY c_nationkey"""
 
+  // --------------------------------------------------------------- Q41
+  /** q41 — MapType surface (the third complex type after j09's
+    * struct/array): each customer's order history pivots into a
+    * map<priority, count> via `map_from_entries(collect_list(struct))`
+    * — the "profile document" shape feature stores serve — then the
+    * map is CONSUMED with element_at lookups, map_keys cardinality,
+    * and an aggregate over map_values. Output is all scalars (maps
+    * never reach the hash compare, whose cross-engine encoding is
+    * undefined), and the oracle computes the same scalars relationally
+    * — proving the build→lookup cycle is lossless.
+    *
+    * Scale shape: one (customer, priority) pre-agg (map-side
+    * combinable) before the per-customer map assembly, so the
+    * collect_list is bounded by the PRIORITY DOMAIN (5), never the
+    * order count — the cap that keeps map assembly safe at 100 TB. */
+  def q41MapProfile(spark: SparkSession, dir: String): DataFrame = {
+    val perPrio = table(spark, dir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    val profiles = perPrio.groupBy("o_custkey")
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("o_orderpriority"), col("n"))))).as("profile"))
+    profiles.select(col("o_custkey"),
+        coalesce(element_at(col("profile"), "1-URGENT"), lit(0L))
+          .as("n_urgent"),
+        size(map_keys(col("profile"))).cast("long")
+          .as("n_priorities"),
+        aggregate(map_values(col("profile")), lit(0L), _ + _)
+          .as("n_orders"))
+      .orderBy("o_custkey")
+  }
+
+  val q41Sql: String = """
+    SELECT o_custkey,
+      CAST(COALESCE(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_urgent,
+      CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+      count(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY o_custkey"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_segment_revenue", q02SegmentRevenue _, q02Sql),
@@ -1125,5 +1167,6 @@ object Relational {
     ("q37_bag_set_ops", q37BagSetOps _, q37Sql),
     ("q39_cohort_retention", q39CohortRetention _, q39Sql),
     ("q40_ordered_string_agg", q40OrderedStringAgg _, q40Sql),
+    ("q41_map_profile", q41MapProfile _, q41Sql),
   )
 }

@@ -750,6 +750,51 @@ class Round5fSpec extends SparkSpec {
       s"unused lines.price leaf read from parquet: $readSchema")
   }
 
+  test("q41: the map profile round-trips — element_at / map_keys / " +
+    "map_values agree with the relational recomputation") {
+    val rows = Relational.q41MapProfile(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(rows.nonEmpty)
+    val direct = Relational.table(spark, sfDir, "orders")
+      .select("o_custkey", "o_orderpriority").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (c, xs) =>
+        c -> ((xs.count(_._2 == "1-URGENT").toLong,
+          xs.map(_._2).distinct.size.toLong, xs.size.toLong))
+      }
+    assert(rows == direct,
+      "map-profile lookups diverge from the relational recomputation")
+  }
+
+  test("c14: the reconciliation bands partition the order headers " +
+    "and the no-lines band is exactly the lineitem-less orders") {
+    val rows = Curation.reconciliation(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2),
+        r.getLong(3))))
+    assert(rows.nonEmpty)
+    val labels = Set("exact", "lt_1pct", "lt_10pct", "ge_10pct",
+      "no_lines")
+    rows.foreach { case ((_, band), _) =>
+      assert(labels.contains(band), s"unknown band $band")
+    }
+    val totalBanded = rows.map(_._2._1).sum
+    val orders = Relational.table(spark, sfDir, "orders")
+    assert(totalBanded == orders.count(),
+      "bands do not partition the headers")
+    val noLines = orders.join(
+      Relational.table(spark, sfDir, "lineitem")
+        .select(col("l_orderkey")).distinct(),
+      col("o_orderkey") === col("l_orderkey"), "left_anti").count()
+    assert(rows.filter(_._1._2 == "no_lines").map(_._2._1).sum ==
+      noLines, "no_lines band != headers without lineitems")
+    // mismatch bands carry positive gap mass; no_lines carries none
+    rows.foreach { case ((_, band), (_, gap)) =>
+      if (band == "no_lines" || band == "exact") assert(gap == 0L)
+      else assert(gap > 0L, s"band $band has zero total gap")
+    }
+  }
+
   test("mm09: segments are disjoint maximal runs of above-threshold " +
     "frames and conserve the active-frame count") {
     val segs = Multimodal.vadSegments(spark, sfDir).collect()
