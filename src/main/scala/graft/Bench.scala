@@ -130,7 +130,8 @@ object Bench {
       "q40_ordered_string_agg", "st20_backfill_seam",
       "l07_blocking_audit", "s21_exact_holdout",
       "j09_nested_projection", "q41_map_profile",
-      "c14_reconciliation")
+      "c14_reconciliation", "t35_domain_quality",
+      "gr09_khop_features")
     val resultMap = results.toMap
     // a headline key that stops matching a query name would otherwise
     // silently vanish from the tail-parsed line — fail loudly instead

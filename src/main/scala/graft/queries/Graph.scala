@@ -628,6 +628,61 @@ object Graph {
     SELECT node, dist FROM r3 ORDER BY node"""
   }
 
+  // -------------------------------------------------------------- gr09
+  /** gr09 — k-hop neighborhood features (the graph-feature
+    * extraction step of entity-ML pipelines: per supplier, distinct
+    * trading partners at 1 hop and distinct PEER SUPPLIERS at 2 hops
+    * — "how connected is this entity, and how crowded is its
+    * neighborhood"). Uses gr02's sparsified graph so 2-hop
+    * neighborhoods are genuinely varied (the full trade graph is
+    * near-complete at 2 hops — every feature would saturate).
+    *
+    * Scale shape: hop 1 is one (supp → distinct cust) agg; hop 2 is
+    * one cust-keyed self-join of the SAME edge slice + a distinct-agg
+    * — never an adjacency-matrix power; both shuffles ride the edge
+    * keys with map-side combine. Features are exact counts, so the
+    * relational oracle replays them directly. */
+  def khopFeatures(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Relational.table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Relational.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter((col("l_suppkey") * 31 + col("o_custkey")) % 11 === 0)
+      .select(col("l_suppkey").as("supp"), col("o_custkey").as("cust"))
+      .distinct().persist()
+    val hop1 = pairs.groupBy("supp")
+      .agg(count_distinct(col("cust")).as("n_partners"))
+    val peers = pairs.select(col("supp").as("a"), col("cust"))
+      .join(pairs.select(col("supp").as("b"), col("cust")), "cust")
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a").as("supp"))
+      .agg(count_distinct(col("b")).as("n_peers"))
+    hop1.join(peers, Seq("supp"), "left")
+      .select(col("supp"), col("n_partners"),
+        coalesce(col("n_peers"), lit(0L)).as("n_peers"))
+      .orderBy("supp")
+  }
+
+  val khopFeaturesSql: String = """
+    WITH pairs AS (
+      SELECT DISTINCT l.l_suppkey AS supp, o.o_custkey AS cust
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE (l.l_suppkey * 31 + o.o_custkey) % 11 = 0),
+    hop1 AS (
+      SELECT supp, CAST(count(DISTINCT cust) AS BIGINT) AS n_partners
+      FROM pairs GROUP BY supp),
+    peers AS (
+      SELECT a.supp AS supp, CAST(count(DISTINCT b.supp) AS BIGINT)
+        AS n_peers
+      FROM pairs a JOIN pairs b
+        ON a.cust = b.cust AND a.supp <> b.supp
+      GROUP BY a.supp)
+    SELECT h.supp, h.n_partners,
+      COALESCE(p.n_peers, 0) AS n_peers
+    FROM hop1 h LEFT JOIN peers p ON h.supp = p.supp
+    ORDER BY h.supp"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame,
     Option[String])] =
     Seq(("gr01_pagerank", pagerank _, Some(pagerankSql)),
@@ -639,5 +694,7 @@ object Graph {
       ("gr07_personalized_pagerank", personalizedPagerank _,
         Some(personalizedPagerankSql)),
       ("gr08_weighted_paths", weightedPaths _,
-        Some(weightedPathsSql)))
+        Some(weightedPathsSql)),
+      ("gr09_khop_features", khopFeatures _,
+        Some(khopFeaturesSql)))
 }

@@ -1728,6 +1728,67 @@ object TextAnalysis {
       FROM documents)
     ORDER BY doc_id"""
 
+  // -------------------------------------- t35 domain quality rollup
+  /** t35 — domain-level quality aggregation, the FineWeb-style
+    * "filter by DOMAIN, not by document" discipline: documents roll
+    * up to their canonical crawl host (d14's URL synthesis +
+    * canonicalization), each host gets integer-milli quality stats
+    * (stopword-free length-and-punctuation proxy — t02's signals,
+    * whole-host aggregated), and hosts are gated into keep /
+    * review / drop bands on their MEAN milli-quality — cross-
+    * multiplied, no division. Low-quality domains poison every doc
+    * they host; this is the audit that finds them before any per-doc
+    * filter runs.
+    *
+    * Scale shape: canonicalization is d14's pure map pass; the
+    * rollup is ONE map-combinable (host) agg; the gate is plan-side
+    * arithmetic on host-cardinality rows. */
+  def domainQuality(s: SparkSession, dir: String): DataFrame = {
+    val host = regexp_replace(
+      lower(concat(col("source"), lit(".example.com"))),
+      "^(www|m)\\.", "")
+    val words = size(split(col("text"), " ")).cast("long")
+    val qualityMilli =
+      least(lit(1000L), words * 10L) -
+        least(lit(500L),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[^a-z ]", ""))) * 5L)
+    Relational.table(s, dir, "documents")
+      .select(host.as("host"), qualityMilli.as("q"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("q")).as("q_sum"),
+        min(col("q")).as("q_min"),
+        max(col("q")).as("q_max"))
+      .withColumn("band",
+        when(col("q_sum") >= col("n_docs") * 560L, "keep")
+          .when(col("q_sum") >= col("n_docs") * 500L, "review")
+          .otherwise("drop"))
+      .select("host", "n_docs", "q_sum", "q_min", "q_max", "band")
+      .orderBy("host")
+  }
+
+  val domainQualitySql: String = """
+    WITH scored AS (
+      SELECT
+        regexp_replace(lower(source || '.example.com'),
+          '^(www|m)\.', '') AS host,
+        least(1000, CAST(len(string_split(text, ' ')) AS BIGINT) * 10)
+          - least(500, (len(text) -
+              len(regexp_replace(text, '[^a-z ]', '', 'g'))) * 5)
+          AS q
+      FROM documents)
+    SELECT host, count(*) AS n_docs,
+      CAST(sum(q) AS BIGINT) AS q_sum,
+      CAST(min(q) AS BIGINT) AS q_min,
+      CAST(max(q) AS BIGINT) AS q_max,
+      CASE WHEN sum(q) >= count(*) * 560 THEN 'keep'
+           WHEN sum(q) >= count(*) * 500 THEN 'review'
+           ELSE 'drop' END AS band
+    FROM scored
+    GROUP BY host
+    ORDER BY host"""
+
   // ------------------------------------ t34 decontaminated split
   /** t34 — the decontaminated train/eval split, composing s08's hash
     * split with t28's gram-overlap check into the MANIFEST every
@@ -1933,5 +1994,6 @@ object TextAnalysis {
         Some(trainingSequencesSql)),
       ("t34_decontaminated_split", decontaminatedSplit _,
         Some(decontaminatedSplitSql)),
+      ("t35_domain_quality", domainQuality _, Some(domainQualitySql)),
     )
 }

@@ -795,6 +795,54 @@ class Round5fSpec extends SparkSpec {
     }
   }
 
+  test("t35: the domain rollup conserves the corpus and the band " +
+    "gate genuinely discriminates") {
+    val rows = TextAnalysis.domainQuality(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).sum ==
+      Relational.table(spark, sfDir, "documents").count(),
+      "host rollup does not conserve the corpus")
+    rows.foreach { case (host, n, qSum, qMin, qMax, band) =>
+      assert(!host.startsWith("www.") && !host.startsWith("m.") &&
+        host == host.toLowerCase)
+      assert(qMin <= qMax && qSum >= n * qMin && qSum <= n * qMax)
+      val expected =
+        if (qSum >= n * 560L) "keep"
+        else if (qSum >= n * 500L) "review" else "drop"
+      assert(band == expected, s"band of $host diverges from the gate")
+    }
+    assert(rows.map(_._6).distinct.length >= 2,
+      "every host landed in one band — the gate is vacuous on this " +
+        "corpus")
+  }
+
+  test("gr09: k-hop features match a scalar recomputation over the " +
+    "sparsified edge slice") {
+    val got = Graph.khopFeatures(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.nonEmpty)
+    val pairs = Relational.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Relational.table(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter((col("l_suppkey") * 31 + col("o_custkey")) % 11 === 0)
+      .select(col("l_suppkey"), col("o_custkey"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bySupp = pairs.groupBy(_._1).map { case (k, v) =>
+      k -> v.map(_._2).toSet }
+    val byCust = pairs.groupBy(_._2).map { case (k, v) =>
+      k -> v.map(_._1).toSet }
+    val expect = bySupp.map { case (s0, custs) =>
+      val peers = custs.flatMap(c => byCust(c)) - s0
+      s0 -> ((custs.size.toLong, peers.size.toLong))
+    }
+    assert(got == expect,
+      "k-hop features diverge from the scalar recomputation")
+  }
+
   test("mm09: segments are disjoint maximal runs of above-threshold " +
     "frames and conserve the active-frame count") {
     val segs = Multimodal.vadSegments(spark, sfDir).collect()
