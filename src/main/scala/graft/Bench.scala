@@ -17,12 +17,12 @@ object Bench {
       Runtime.getRuntime.availableProcessors.toString)
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
       .max(1)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Measure under the PRODUCTION session (GraftSession: AQE +
+    // runtime coalescing + skew-join + Kryo + extensions), not a
+    // bare default session — the bench should time the plans users
+    // actually get, and AQE coalescing tames the cold-start sweep
+    // variance the r5 verdict flagged on q07/st06/st07.
+    val spark = GraftSession.local(cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
 
     // session warmup so the first measured query doesn't pay codegen +

@@ -730,7 +730,8 @@ object Curation {
       .select(lit("lineitem").as("relation"), col("n_purged"),
         (col("n_total") - col("n_purged")).as("n_retained"),
         col("tombstones"))
-    oLedger.unionAll(liLedger).orderBy("relation")
+    CacheScope.materializeAndRelease(
+      oLedger.unionAll(liLedger).orderBy("relation"), purgedOrders)
   }
 
   val retentionPurgeSql: String = """

@@ -129,6 +129,15 @@ object Dedup {
     * (graft.expr.MinHashSignature) — stays inside whole-stage codegen,
     * no per-row UDF boxing. */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val (out, caches) = dedupMinhashLshPlan(s, dir)
+    CacheScope.materializeAndRelease(out, caches: _*)
+  }
+
+  /** Un-materialized plan + persisted inputs — the spec hook: plan
+    * assertions must read the REAL plan (materializeAndRelease
+    * replaces the returned lineage with a checkpoint scan). */
+  private[graft] def dedupMinhashLshPlan(s: SparkSession, dir: String)
+      : (DataFrame, Seq[DataFrame]) = {
     val sigs = exactReps(corpusWithNearDups(s, dir))
       .select(col("doc_id"),
         graft.expr.MinHashSignature.minhashSignature(col("text"), MinhashK)
@@ -160,9 +169,11 @@ object Dedup {
           (x, y) => when(x === y, 1).otherwise(0)), _ === 0)))
       .cast("double") / lit(MinhashK)
 
-    pairs.select(col("a"), col("b"), estJaccard.as("est_jaccard"))
+    val out = pairs.select(col("a"), col("b"),
+        estJaccard.as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
       .orderBy("a", "b")
+    (out, Seq(buckets))
   }
 
   // -------------------------------------------------------- simhash
@@ -213,12 +224,13 @@ object Dedup {
       col("sh").as("sh_a"))
     val b = buckets.select(col("bb"), col("doc_id").as("b"),
       col("sh").as("sh_b"))
-    a.join(b, Seq("bb")).filter(col("a") < col("b"))
+    val out = a.join(b, Seq("bb")).filter(col("a") < col("b"))
       .dropDuplicates("a", "b")
       .select(col("a"), col("b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .filter(col("hamming") <= 16)
       .orderBy("a", "b")
+    CacheScope.materializeAndRelease(out, buckets)
   }
 
   // -------------------------------------- n-gram Jaccard verifier
@@ -307,13 +319,14 @@ object Dedup {
       col("embedding").as("ea"))
     val b = bucketed.select(col("bucket"), col("vec_id").as("b"),
       col("embedding").as("eb"))
-    a.join(b, Seq("bucket")).filter(col("a") < col("b"))
+    val out = a.join(b, Seq("bucket")).filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         round(graft.expr.CosineSimilarity.cosineSimilarity(
           col("ea"), col("eb")), 4).as("cos"))
       .filter(col("cos") >= 0.99)
       .dropDuplicates("a", "b")
       .orderBy("a", "b")
+    CacheScope.materializeAndRelease(out, bucketed)
   }
 
   /** DuckDB oracle for [[dedupEmbeddingCosine]]: at the driver's scale
@@ -621,7 +634,8 @@ object Dedup {
     val b = assigned.select(col("cluster_id"), col("vec_id").as("b_id"),
       col("q").as("qb"), col("n2").as("nb2"))
     val pairDot = idot(col("qa"), col("qb"))
-    a.join(b, Seq("cluster_id")).filter(col("a_id") < col("b_id"))
+    val out = a.join(b, Seq("cluster_id"))
+      .filter(col("a_id") < col("b_id"))
       .withColumn("dot", pairDot)
       .filter(col("dot") > 0 &&
         col("dot") * col("dot") * 100 > col("na2") * col("nb2") * SemTauNum)
@@ -630,6 +644,7 @@ object Dedup {
         min(col("a_id")).as("keeper_id"))
       .select(col("b_id").as("vec_id"), col("cluster_id"), col("keeper_id"))
       .orderBy("vec_id")
+    CacheScope.materializeAndRelease(out, assigned)
   }
 
   /** Full-pipeline DuckDB replica of [[semanticDedup]] — quantization,
@@ -727,7 +742,8 @@ object Dedup {
       col("q").as("qa"), col("n2").as("na2"))
     val b = assigned.select(col("cluster_id"), col("vec_id").as("b_id"),
       col("q").as("qb"), col("n2").as("nb2"))
-    a.join(b, Seq("cluster_id")).filter(col("a_id") < col("b_id"))
+    val out = a.join(b, Seq("cluster_id"))
+      .filter(col("a_id") < col("b_id"))
       .withColumn("dot", idot(col("qa"), col("qb")))
       .select(col("dot"), col("na2"), col("nb2"),
         explode(typedLit(CalibTaus)).as("tau_num"))
@@ -740,6 +756,7 @@ object Dedup {
       .withColumn("dup_ppm",
         expr("n_dups * 1000000 div n_candidates"))
       .orderBy("tau_num")
+    CacheScope.materializeAndRelease(out, assigned)
   }
 
   val semanticCalibrationSql: String = {
@@ -961,10 +978,15 @@ object Dedup {
     *
     * Scale shape: the d02/d04 two-stage pattern. (1) CANDIDATE
     * GENERATION from an inverted index over word-3-grams with posting
-    * lists CAPPED to the 8 lowest doc ids (row_number per gram) —
-    * pair volume is ≤ C(8,2) per gram, linear in distinct grams,
-    * never quadratic in docs, and a viral boilerplate gram cannot
-    * skew a partition. (2) EXACT VERIFY on candidates only: shared
+    * lists CAPPED to the 8 lowest doc ids via the [[graft.expr.TopKPairs]]
+    * bounded-heap aggregate — O(k) state per gram, map-side combined,
+    * so the gram shuffle carries at most 8 survivors per (partition,
+    * gram) and nothing is sorted; df==1 grams (the majority of
+    * distinct 3-grams) are dropped in the same pass, since a
+    * single-doc posting can never form a pair. Pair volume is
+    * ≤ C(8,2) per gram, linear in distinct grams, never quadratic in
+    * docs, and a viral boilerplate gram cannot skew a partition.
+    * (2) EXACT VERIFY on candidates only: shared
     * grams are recounted from the UNCAPPED gram table, but the
     * pair-join is semi-restricted to candidate pairs, so the exact
     * pass touches only candidate docs' grams (capping the counting
@@ -972,6 +994,13 @@ object Dedup {
     * Containment is exact integer ppm (floor division both engines →
     * hash-exact oracle). */
   def containmentDedup(s: SparkSession, dir: String): DataFrame = {
+    val (out, caches) = containmentDedupPlan(s, dir)
+    CacheScope.materializeAndRelease(out, caches: _*)
+  }
+
+  /** Spec hook — see [[dedupMinhashLshPlan]]. */
+  private[graft] def containmentDedupPlan(s: SparkSession, dir: String)
+      : (DataFrame, Seq[DataFrame]) = {
     val toks = split(col("text"), " ")
     val docs = Relational.table(s, dir, "documents")
       .select(col("doc_id"), col("text"))
@@ -989,10 +1018,18 @@ object Dedup {
           "element_at(split(text, ' '), i + 2)))"))).as("gram"))
       .persist()
     val ng = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val postings = grams.withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("gram").orderBy("doc_id")))
-      .filter(col("rn") <= 8).drop("rn")
+    // Posting cap as a bounded AGGREGATION, not a window: TopKPairs
+    // keeps the 8 lowest doc ids per gram (score = -doc_id) in an
+    // O(k) map-side-combinable heap, so the dominant gram shuffle is
+    // partial-agg-compressed instead of a full sort — and df==1 grams
+    // (the long tail: most distinct 3-grams are unique) are dropped
+    // right here, since a single-doc posting can never form a pair.
+    val postings = grams.groupBy("gram")
+      .agg(count(lit(1)).as("df"),
+        graft.expr.TopKPairs.topkPairs(
+          -col("doc_id").cast("double"), col("doc_id"), 8).as("ps"))
+      .filter(col("df") >= 2)
+      .select(col("gram"), explode(col("ps.tag")).as("doc_id"))
     val candidates = postings.select(col("gram"), col("doc_id").as("a"))
       .join(postings.select(col("gram"), col("doc_id").as("b")), "gram")
       .filter(col("a") < col("b"))
@@ -1003,7 +1040,7 @@ object Dedup {
           col("gram").as("gram_b")),
         col("b") === col("b_doc") && col("gram") === col("gram_b"))
       .groupBy("a", "b").agg(count(lit(1)).as("shared_grams"))
-    shared
+    val out = shared
       .join(ng.select(col("doc_id").as("a"), col("n_grams").as("ng_a")),
         "a")
       .join(ng.select(col("doc_id").as("b"), col("n_grams").as("ng_b")),
@@ -1014,6 +1051,7 @@ object Dedup {
       .select("a", "b", "shared_grams", "ng_a", "ng_b",
         "containment_ppm")
       .orderBy("a", "b")
+    (out, Seq(grams))
   }
 
   val containmentDedupSql: String = s"""
@@ -1156,6 +1194,10 @@ object Dedup {
     * per-fingerprint source counts (≤ #sources), never corpus-
     * quadratic — and one pair-keyed count agg. */
   def crossSourceMirrors(s: SparkSession, dir: String): DataFrame = {
+    // No ASCII guard needed here (unlike the Multimodal synth
+    // oracles): both engines hash the string's UTF-8 BYTES — Spark
+    // md5 casts string→binary as UTF-8, DuckDB strings are UTF-8 —
+    // so the fingerprints agree for any code point.
     val docs = Relational.table(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("text"))
     val mirrored = docs.filter(col("doc_id") % 13 === 0)

@@ -69,6 +69,9 @@ object Graph {
           (lit(PrBase) + coalesce(col("in_rank"), lit(0L))).as("r"))
         .localCheckpoint()
     }
+    // ranks is checkpointed: the returned frame no longer references
+    // the cached graph — release it so a long suite doesn't accumulate
+    Seq(e, withDeg, nodes).foreach(_.unpersist(false))
     ranks.orderBy("node").select(col("node"), col("r").as("rank_micro"))
   }
 
@@ -167,13 +170,32 @@ object Graph {
     * per-node count), all on edge keys, no broadcast requirement.
     * Every count is an exact integer, so the DuckDB replica matches
     * hash-exactly. */
-  def triangles(s: SparkSession, dir: String): DataFrame = {
+  def triangles(s: SparkSession, dir: String): DataFrame =
+    trianglesWithCap(s, dir, TriOrderCap)
+
+  /** The per-order fanout cap is the gr03 cost knob: candidate wedge
+    * volume grows ~cap² per order. `trianglesWithCap` exposes it for
+    * the BASELINE.md cap-sensitivity sweep (tools/CapSweep). */
+  private[graft] val TriOrderCap = 4
+
+  private[graft] def trianglesWithCap(s: SparkSession, dir: String,
+      cap: Int): DataFrame = {
+    val (out, caches) = trianglesPlan(s, dir, cap)
+    CacheScope.materializeAndRelease(out, caches: _*)
+  }
+
+  /** Un-materialized plan + its persisted inputs — the spec hook:
+    * plan assertions must read the REAL plan, and
+    * materializeAndRelease replaces the returned lineage with a
+    * checkpoint scan. Callers own the returned caches. */
+  private[graft] def trianglesPlan(s: SparkSession, dir: String,
+      cap: Int): (DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.sql.expressions.Window
     val pairs = Relational.table(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     val capped = pairs.withColumn("rn", row_number().over(
         Window.partitionBy("l_orderkey").orderBy("l_partkey")))
-      .filter(col("rn") <= 4).drop("rn")
+      .filter(col("rn") <= cap).drop("rn")
     val a = capped.select(col("l_orderkey"), col("l_partkey").as("u"))
     val b = capped.select(col("l_orderkey"), col("l_partkey").as("v"))
     val edges = a.join(b, "l_orderkey").filter(col("u") < col("v"))
@@ -195,11 +217,12 @@ object Graph {
     val tris = wedges.join(
       orient.select(col("s").as("a"), col("d").as("c")), Seq("a", "c"),
       "left_semi")
-    tris.select(col("a").as("node"))
+    val out = tris.select(col("a").as("node"))
       .unionAll(tris.select(col("b").as("node")))
       .unionAll(tris.select(col("c").as("node")))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
       .orderBy("node")
+    (out, Seq(edges, orient))
   }
 
   val trianglesSql: String = """
@@ -341,6 +364,13 @@ object Graph {
     * same capped lists (computed once, persisted); the final top-k is
     * TakeOrderedAndProject — per-partition heaps, no global sort. */
   def linkPrediction(s: SparkSession, dir: String): DataFrame = {
+    val (out, caches) = linkPredictionPlan(s, dir)
+    CacheScope.materializeAndRelease(out, caches: _*)
+  }
+
+  /** Spec hook — see [[trianglesPlan]]. */
+  private[graft] def linkPredictionPlan(s: SparkSession, dir: String)
+      : (DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.sql.expressions.Window
     val sc = Relational.table(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))
@@ -357,7 +387,7 @@ object Graph {
       .join(capped.select(col("supp"), col("cust").as("c2")), "supp")
       .filter(col("c1") < col("c2"))
       .groupBy("c1", "c2").agg(count(lit(1)).as("cn"))
-    pairs
+    val out = pairs
       .join(deg.select(col("cust").as("c1"), col("d").as("d1")), "c1")
       .join(deg.select(col("cust").as("c2"), col("d").as("d2")), "c2")
       .withColumn("jaccard_ppm",
@@ -366,6 +396,7 @@ object Graph {
       .orderBy(col("cn").desc, col("jaccard_ppm").desc, col("c1"),
         col("c2"))
       .limit(20)
+    (out, Seq(capped))
   }
 
   val linkPredictionSql: String = """
@@ -440,6 +471,7 @@ object Graph {
       dist = dist.unionAll(fresh).localCheckpoint()
       frontier = fresh.select("node")
     }
+    e.unpersist(false) // dist is checkpointed; edge cache no longer needed
     dist.orderBy("node")
   }
 
@@ -511,6 +543,7 @@ object Graph {
             coalesce(col("in_rank"), lit(0L))).as("r"))
         .localCheckpoint()
     }
+    Seq(e, withDeg, nodes).foreach(_.unpersist(false))
     ranks.filter(col("r") > 0)
       .orderBy("node").select(col("node"), col("r").as("rank_micro"))
   }
@@ -597,6 +630,7 @@ object Graph {
         .groupBy("node").agg(min(col("dist")).as("dist"))
         .localCheckpoint()
     }
+    e.unpersist(false) // dist is checkpointed; edge cache no longer needed
     dist.orderBy("node")
   }
 
@@ -658,10 +692,11 @@ object Graph {
       .filter(col("a") =!= col("b"))
       .groupBy(col("a").as("supp"))
       .agg(count_distinct(col("b")).as("n_peers"))
-    hop1.join(peers, Seq("supp"), "left")
+    val out = hop1.join(peers, Seq("supp"), "left")
       .select(col("supp"), col("n_partners"),
         coalesce(col("n_peers"), lit(0L)).as("n_peers"))
       .orderBy("supp")
+    CacheScope.materializeAndRelease(out, pairs)
   }
 
   val khopFeaturesSql: String = """

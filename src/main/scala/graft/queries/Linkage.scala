@@ -391,13 +391,14 @@ object Linkage {
           least(col("label"), coalesce(col("nl"), col("label")))
             .as("label"))
     }
-    labels.join(nodes, "node")
+    val out = labels.join(nodes, "node")
       .groupBy(col("label").as("entity_id"))
       .agg(count(lit(1)).as("n_records"),
         min(struct(col("node"), col("name"))).as("m"))
       .select(col("entity_id"), col("n_records"),
         col("m").getField("name").as("golden_name"))
       .orderBy("entity_id")
+    CacheScope.materializeAndRelease(out, nodes, edges)
   }
 
   val entityResolutionSql: String = {
@@ -566,9 +567,10 @@ object Linkage {
           expr("found_pairs * 1000000 div true_pairs")
             .as("completeness_ppm"))
     }
-    auditRow("first_char", firstChar)
+    val out = auditRow("first_char", firstChar)
       .unionAll(auditRow("length", lenKey))
       .orderBy("blocker")
+    CacheScope.materializeAndRelease(out, probes, catalog)
   }
 
   val blockingAuditSql: String = """

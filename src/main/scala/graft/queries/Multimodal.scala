@@ -94,11 +94,25 @@ object Multimodal {
     WavPcm(rate, channels, bits, samples)
   }
 
+  /** ASCII-only document scan (char length == UTF-8 byte length).
+    * Every synth media oracle in this module maps CHARACTERS to
+    * payload BYTES via `ord()`, which is only byte-faithful for
+    * ASCII; guarding the scan in BOTH engines makes a testdata
+    * redraw that introduces non-ASCII text shrink the corpus instead
+    * of silently diverging the hash compare (the mm10 +5 byte shift
+    * would also wrap at 256 where `ord(x)+5` does not). */
+  private[graft] def asciiDocs(s: SparkSession, dir: String): DataFrame =
+    Relational.table(s, dir, "documents")
+      .filter(length(col("text")) === octet_length(col("text")))
+
+  /** The matching DuckDB predicate for [[asciiDocs]]. */
+  private val AsciiPred = "length(text) = strlen(text)"
+
   /** documents → media table: text bytes as the opaque payload. In a
     * real pipeline this is `spark.read.format("binaryFile")` or a
     * parquet table with a binary column. */
   def mediaTable(s: SparkSession, dir: String): DataFrame =
-    Relational.table(s, dir, "documents")
+    asciiDocs(s, dir)
       .select(col("doc_id"),
         encode(col("text"), "UTF-8").as("media"),
         lit("text/plain").as("fmt"),
@@ -114,13 +128,14 @@ object Multimodal {
     SELECT doc_id, 'text/plain' AS fmt,
       octet_length(encode(text)) AS n_bytes
     FROM documents
+    WHERE length(text) = strlen(text)
     ORDER BY doc_id"""
 
   /** documents → audio table: a real PCM16 WAV file per document
     * (samples synthesized from the text bytes). */
   def wavTable(s: SparkSession, dir: String): DataFrame = {
     val synth = udf((b: Array[Byte]) => synthWav(b))
-    Relational.table(s, dir, "documents")
+    asciiDocs(s, dir)
       .select(col("doc_id"),
         synth(encode(col("text"), "UTF-8")).as("media"),
         lit("audio/wav").as("fmt"))
@@ -167,6 +182,7 @@ object Multimodal {
       CAST(coalesce(list_max([(128 - ord(x)) * 256
         FOR x IN string_split(text, '')]), 0) AS BIGINT) AS max_abs
     FROM documents
+    WHERE length(text) = strlen(text)
     ORDER BY doc_id"""
 
   // ------------------------------------------------- frame sampling
@@ -212,7 +228,8 @@ object Multimodal {
         unnest(range(0,
           CAST(ceil(octet_length(encode(text)) / $FrameBytes.0) AS BIGINT),
           $FrameStride)) AS frame_no
-      FROM documents)
+      FROM documents
+      WHERE length(text) = strlen(text))
     ORDER BY doc_id, frame_no"""
 
   // ------------------------------------------------- PPM image codec
@@ -274,7 +291,7 @@ object Multimodal {
   /** documents → image table: a real P6 file per non-empty document. */
   def ppmTable(s: SparkSession, dir: String): DataFrame = {
     val synth = udf((b: Array[Byte]) => synthPpm(b))
-    Relational.table(s, dir, "documents")
+    asciiDocs(s, dir)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .filter(octet_length(col("payload")) > 0)
       .select(col("doc_id"), synth(col("payload")).as("media"))
@@ -318,6 +335,7 @@ object Multimodal {
         AS BIGINT) AS sum_b
     FROM documents
     WHERE octet_length(encode(text)) > 0
+      AND length(text) = strlen(text)
     ORDER BY doc_id"""
 
   // ----------------------------------------------------- image resize
@@ -378,7 +396,8 @@ object Multimodal {
         list_transform(range(1, octet_length(encode(text)) + 1, 2),
           i -> ord(text[i])) AS keep
       FROM documents
-      WHERE octet_length(encode(text)) > 0)
+      WHERE octet_length(encode(text)) > 0
+        AND length(text) = strlen(text))
     SELECT doc_id, 'image/x-portable-pixmap' AS fmt,
       CAST((w + 1) // 2 AS BIGINT) AS width,
       CAST(1 AS BIGINT) AS height,
@@ -415,7 +434,7 @@ object Multimodal {
       if (id % 13 == 0) java.util.Arrays.copyOf(full, full.length - 2)
       else full
     }
-    val rows = Relational.table(s, dir, "documents")
+    val rows = asciiDocs(s, dir)
       .select(col("doc_id"), col("source"),
         encode(col("text"), "UTF-8").as("payload"))
       .filter(octet_length(col("payload")) > 0)
@@ -454,6 +473,7 @@ object Multimodal {
         END) AS BIGINT) AS decoded_sum_r
     FROM documents
     WHERE octet_length(encode(text)) > 0
+      AND length(text) = strlen(text)
     GROUP BY source
     ORDER BY source"""
 
@@ -511,7 +531,8 @@ object Multimodal {
         list_transform(range(1, octet_length(encode(text)) + 1, 2),
           i -> abs((ord(text[i]) - 128) * 256)) AS v
       FROM documents
-      WHERE octet_length(encode(text)) > 0)
+      WHERE octet_length(encode(text)) > 0
+        AND length(text) = strlen(text))
     SELECT doc_id, CAST(${WavRate / 2} AS BIGINT) AS sample_rate,
       CAST(len(v) AS BIGINT) AS n_samples,
       CAST(list_sum(v) AS BIGINT) AS sum_abs,
@@ -532,7 +553,7 @@ object Multimodal {
     * per-frame codec runs imperatively. */
   def videoFrames(s: SparkSession, dir: String): DataFrame = {
     val synth = udf((b: Array[Byte]) => synthPpm(b))
-    Relational.table(s, dir, "documents")
+    asciiDocs(s, dir)
       // sequence(0, n-1) flips to a DESCENDING range when n = 0:
       // empty documents must not reach it
       .filter(length(col("text")) > 0)
@@ -589,7 +610,7 @@ object Multimodal {
       FROM documents,
         LATERAL (SELECT unnest(range(
           (length(text) + ${FrameChars - 1}) // $FrameChars)) AS f)
-      WHERE length(text) > 0)
+      WHERE length(text) > 0 AND length(text) = strlen(text))
     SELECT doc_id, frame_no, sum_r,
       CAST(CASE WHEN lag(sum_r) OVER w IS NOT NULL
             AND abs(sum_r - lag(sum_r) OVER w) > $SceneThreshold
@@ -665,7 +686,8 @@ object Multimodal {
             $VadFrame), '')]) AS BIGINT) AS energy
       FROM documents,
         LATERAL (SELECT unnest(range(length(text) // $VadFrame)) AS f)
-      WHERE length(text) >= $VadFrame),
+      WHERE length(text) >= $VadFrame
+        AND length(text) = strlen(text)),
     active AS (
       SELECT doc_id, frame_no, energy,
         frame_no - row_number() OVER (
@@ -708,7 +730,11 @@ object Multimodal {
     * cost model on binary media. */
   def phashDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Relational.table(s, dir, "documents")
+    // asciiDocs: the +5 brightness shift operates on raw bytes and
+    // WRAPS at 256, while the closed-form oracle shifts code points
+    // unwrapped — they agree only when every byte is < 251, which
+    // ASCII guarantees.
+    val docs = asciiDocs(s, dir)
       .filter(length(col("text")) >= PhashBuckets)
     val base = docs.select(col("doc_id"), col("text"),
       lit(0).as("shift"))
@@ -762,11 +788,13 @@ object Multimodal {
       SELECT doc_id, length(text) AS w,
         [ord(x) FOR x IN string_split(text, '')] AS reds
       FROM documents WHERE length(text) >= $PhashBuckets
+        AND $AsciiPred
       UNION ALL
       SELECT doc_id + 10000 AS doc_id, length(text) AS w,
         [ord(x) + 5 FOR x IN string_split(text, '')] AS reds
       FROM documents
-      WHERE length(text) >= $PhashBuckets AND doc_id % 11 = 0),
+      WHERE length(text) >= $PhashBuckets AND doc_id % 11 = 0
+        AND $AsciiPred),
     hashed AS (
       SELECT doc_id, CAST(w AS BIGINT) AS width,
         CAST(list_sum([

@@ -101,6 +101,15 @@ object Similarity {
     * [[signBucket]] over [[hyperplanes]] — spec-checked) — no ScalaUDF
     * touches the full scan. */
   def annLshBucketed(s: SparkSession, dir: String): DataFrame = {
+    val (out, caches) = annLshBucketedPlan(s, dir)
+    graft.queries.CacheScope.materializeAndRelease(out, caches: _*)
+  }
+
+  /** Un-materialized plan + persisted inputs — the spec hook: plan
+    * assertions must read the REAL plan (materializeAndRelease
+    * replaces the returned lineage with a checkpoint scan). */
+  private[graft] def annLshBucketedPlan(s: SparkSession, dir: String)
+      : (DataFrame, Seq[DataFrame]) = {
     val emb = Relational.table(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
     val bucketed = emb.select(col("vec_id"), col("embedding"),
@@ -113,7 +122,7 @@ object Similarity {
         col("embedding").as("qe"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    bucketed.join(queries, Seq("bucket"))
+    val out = bucketed.join(queries, Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .dropDuplicates("query_id", "vec_id")
       .select(col("query_id"), col("vec_id"),
@@ -123,6 +132,7 @@ object Similarity {
       .filter(col("rank") <= TopK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
       .orderBy("query_id", "rank")
+    (out, Seq(bucketed))
   }
 
   // ------------------------------------------------------------ IVF
@@ -760,6 +770,7 @@ object Similarity {
         least(col("dmin"), distTo(top.getSeq[Int](1))))
         .localCheckpoint()
     }
+    qv.unpersist(false) // picked is driver-local; cache no longer needed
     picked.toDF("round", "vec_id", "radius")
   }
 

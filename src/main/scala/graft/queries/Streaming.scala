@@ -367,11 +367,11 @@ object Streaming {
       WHERE event_type = 'purchase' AND value >= 0),
     cums AS (
       SELECT user_id, event_id, micros,
-        sum(micros) OVER (PARTITION BY user_id ORDER BY ts, event_id
-          ROWS UNBOUNDED PRECEDING) AS cum_micros
+        CAST(sum(micros) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_micros
       FROM purchases)
     SELECT user_id, event_id, cum_micros,
-      cum_micros // $SpendThresholdMicros AS level
+      CAST(cum_micros // $SpendThresholdMicros AS BIGINT) AS level
     FROM cums
     WHERE cum_micros // $SpendThresholdMicros
         > (cum_micros - micros) // $SpendThresholdMicros
@@ -391,7 +391,7 @@ object Streaming {
   val recentBasketsSql: String = s"""
     SELECT user_id, event_id,
       array_to_string(list(micros) OVER w, '-') AS basket,
-      sum(micros) OVER w AS basket_sum
+      CAST(sum(micros) OVER w AS BIGINT) AS basket_sum
     FROM (
       SELECT user_id, event_id, ts,
         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS micros
@@ -442,8 +442,8 @@ object Streaming {
 
   val userProfilesSql: String = {
     val counts = EventStreams.ProfileTypes.map(t =>
-      s"""      sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END)
-        OVER w AS n_$t""").mkString(",\n")
+      s"""      CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END)
+        OVER w AS BIGINT) AS n_$t""").mkString(",\n")
     s"""
     SELECT user_id, event_id,
 $counts
@@ -628,7 +628,7 @@ $counts
       .withColumn("cum", sum(col("cnt")).over(wCum))
       .filter(col("cum") * 100 >= lit(total) * 99)
       .agg(min(col("late_us")).as("delay_us"))
-    late.crossJoin(broadcast(delay))
+    val out = late.crossJoin(broadcast(delay))
       .groupBy("event_type", "delay_us")
       .agg(count(lit(1)).as("n_events"),
         sum(when(col("late_us") > col("delay_us"), 1L).otherwise(0L))
@@ -638,6 +638,7 @@ $counts
       .select("event_type", "delay_us", "n_events", "n_dropped",
         "drop_ppm")
       .orderBy("event_type")
+    CacheScope.materializeAndRelease(out, late)
   }
 
   /** Oracle: the NAIVE global-window lateness (certifying the shard
@@ -694,8 +695,15 @@ $counts
     * static join side; the final merge aggregates two partial
     * frames. */
   def backfillSeam(s: SparkSession, dir: String): DataFrame = {
-    val base = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_st20_${s.sparkContext.applicationId}").getAbsolutePath
+    // Re-runs in the same JVM (Bench's min-of-3) must start from a
+    // clean seam: a stale checkpoint + sink _spark_metadata would
+    // treat the re-written tail files as NEW batches and append a
+    // duplicated tail. Wipe the whole working dir up front.
+    val baseDir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_st20_${s.sparkContext.applicationId}")
+    if (baseDir.exists())
+      org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
+    val base = baseDir.getAbsolutePath
     val ev = events(s, dir)
     val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
     val split = maxId * 8 / 10
@@ -738,6 +746,105 @@ $counts
     GROUP BY event_type
     ORDER BY event_type"""
 
+  // ------------- st21-23: the v2 state processors, run FOR REAL
+  /** Replay harness for the `transformWithState` gate rows: the event
+    * log re-dumped as ONE parquet file per calendar week, written
+    * chronologically with strictly increasing (and explicitly set)
+    * modification times, so a `maxFilesPerTrigger=1` AvailableNow
+    * stream consumes arrival in EVENT-TIME order — the slicing under
+    * which StreamingSpec proves stream == batch. Slicing by a
+    * FUNCTION of ts (not a row split) means same-timestamp events can
+    * never straddle a batch boundary, so the per-batch (ts, event_id)
+    * sort inside each processor fully determines replay order.
+    * Returns (srcDir, workDir); the caller checkpoints under workDir.
+    * The workDir is wiped up front (st20's lesson: stale checkpoints
+    * + sink metadata double-count on same-JVM re-runs). */
+  private def weeklyEventFiles(s: SparkSession, dir: String,
+      tag: String): (String, String) = {
+    val baseDir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_${tag}_${s.sparkContext.applicationId}")
+    if (baseDir.exists())
+      org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
+    val src = new java.io.File(baseDir, "src")
+    src.mkdirs()
+    val ev = events(s, dir)
+      .withColumn("wk", date_trunc("week", col("ts")))
+    val weeks = ev.select("wk").distinct().orderBy("wk")
+      .collect().map(_.getTimestamp(0))
+    weeks.zipWithIndex.foreach { case (wk, i) =>
+      val stage = new java.io.File(baseDir, s"stage_$i")
+      ev.filter(col("wk") === lit(wk)).drop("wk")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(stage.getAbsolutePath)
+      val part = stage.listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(src, f"week-$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      // mtime drives FileStreamSource's processing order — set it
+      // explicitly (sub-second write bursts could otherwise tie)
+      dst.setLastModified(1700000000000L + i * 60000L)
+      org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    }
+    (src.getAbsolutePath, baseDir.getAbsolutePath)
+  }
+
+  /** Run a typed event-stream transform through checkpointed
+    * micro-batches (AvailableNow, one week-file per batch) into a
+    * parquet sink, and read the committed result back. */
+  private def runEventStream(s: SparkSession, dir: String, tag: String)(
+      f: org.apache.spark.sql.Dataset[EventStreams.Event] => DataFrame)
+      : DataFrame = {
+    import s.implicits._
+    val (src, base) = weeklyEventFiles(s, dir, tag)
+    val stream = s.readStream.schema(EventStreams.EventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val outDir = s"$base/out"
+    // transformWithState requires the RocksDB provider; set it for
+    // the stream's lifetime and restore whatever the session had
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      val q = f(stream.as[EventStreams.Event]).writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+    s.read.parquet(outDir)
+  }
+
+  /** st21 — st11's ValueState spend monitor executed AS A STREAM:
+    * the actual `transformWithState` + RocksDB path, 5 checkpointed
+    * micro-batches, hashed against the SAME cumulative-sum oracle as
+    * the batch twin — the gate-level proof that the incremental state
+    * path converges to the batch truth. */
+  def spendAlertsStreamed(s: SparkSession, dir: String): DataFrame =
+    runEventStream(s, dir, "st21")(ev =>
+      EventStreams.spendAlertsStream(ev, SpendThresholdMicros).toDF())
+      .orderBy("user_id", "event_id")
+
+  /** st22 — st12's ListState basket features executed as a stream. */
+  def recentBasketsStreamed(s: SparkSession, dir: String): DataFrame =
+    runEventStream(s, dir, "st22")(ev =>
+      EventStreams.recentBasketStream(ev, BasketN).toDF())
+      .orderBy("user_id", "event_id")
+
+  /** st23 — st14's MapState point-in-time profiles executed as a
+    * stream. */
+  def userProfilesStreamed(s: SparkSession, dir: String): DataFrame =
+    runEventStream(s, dir, "st23")(ev =>
+      EventStreams.profileStream(ev).toDF())
+      .orderBy("user_id", "event_id")
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("st01_tumbling_window", tumblingWindow _, Some(tumblingWindowSql)),
@@ -764,5 +871,11 @@ $counts
       ("st19_watermark_tuning", watermarkTuning _,
         Some(watermarkTuningSql)),
       ("st20_backfill_seam", backfillSeam _, Some(backfillSeamSql)),
+      ("st21_spend_alerts_streamed", spendAlertsStreamed _,
+        Some(spendAlertsSql)),
+      ("st22_recent_baskets_streamed", recentBasketsStreamed _,
+        Some(recentBasketsSql)),
+      ("st23_user_profiles_streamed", userProfilesStreamed _,
+        Some(userProfilesSql)),
     )
 }

@@ -1637,13 +1637,14 @@ object TextAnalysis {
       .persist()
     val first = grams.groupBy("gram")
       .agg(min(col("doc_id")).as("first_doc"))
-    grams.join(first, "gram")
+    val out = grams.join(first, "gram")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
           .as("n_novel"))
       .withColumn("novelty_ppm", expr("n_novel * 1000000 div n_grams"))
       .orderBy("doc_id")
+    graft.queries.CacheScope.materializeAndRelease(out, grams)
   }
 
   val ngramNoveltySql: String = """
@@ -1830,7 +1831,7 @@ object TextAnalysis {
       .join(broadcast(evalGrams), Seq("gram"), "left_semi")
       .select("doc_id").distinct()
       .withColumn("hit", lit(1L))
-    tagged.join(contaminated, Seq("doc_id"), "left")
+    val out = tagged.join(contaminated, Seq("doc_id"), "left")
       .withColumn("final_bucket",
         when(col("bucket") === "eval", "eval")
           .when(col("hit").isNotNull, "train_purged")
@@ -1839,6 +1840,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"),
         sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
       .orderBy("final_bucket")
+    graft.queries.CacheScope.materializeAndRelease(out, tagged)
   }
 
   val decontaminatedSplitSql: String = s"""

@@ -289,8 +289,11 @@ class PlanSpec extends SparkSpec {
     assert(brute.contains("BroadcastNestedLoopJoin"), brute)
     // s02/s04 scale paths: candidate generation must be a hash/merge
     // equi-join — a cartesian or nested loop here would be corpus²
+    // (s02 via the plan variant: the shipped query materializes
+    // through localCheckpoint, which hides the real plan)
+    val (s02Df, s02Caches) = Similarity.annLshBucketedPlan(spark, sfDir)
     for ((name, df) <- Seq(
-        ("s02", Similarity.annLshBucketed(spark, sfDir)),
+        ("s02", s02Df),
         ("s04", Similarity.annIvf(spark, sfDir)))) {
       val p = finalPlan(df)
       assert(!p.contains("CartesianProduct"),
@@ -300,9 +303,10 @@ class PlanSpec extends SparkSpec {
     }
     // s02's corpus-wide bucket assignment is the native codegen'd
     // expression — no ScalaUDF anywhere in the scan
-    val s02 = finalPlan(Similarity.annLshBucketed(spark, sfDir))
+    val s02 = finalPlan(s02Df)
     assert(s02.contains("hyperplane_buckets"), s02)
     assert(!s02.contains("ScalaUDF"), s"UDF left in the s02 scan:\n$s02")
+    s02Caches.foreach(_.unpersist(false))
     // s10's encode (native PqEncode w/ reference-object codebooks) and
     // ADC scoring (builtin element_at lookups) are both UDF-free too
     val s10 = finalPlan(Similarity.annPq(spark, sfDir))
@@ -333,9 +337,11 @@ class PlanSpec extends SparkSpec {
   test("d02 MinHash-LSH: banded candidate join is an equi-join, " +
     "never an all-pairs product") {
     import graft.queries.Dedup
-    val p = finalPlan(Dedup.dedupMinhashLsh(spark, sfDir))
+    val (d02Df, d02Caches) = Dedup.dedupMinhashLshPlan(spark, sfDir)
+    val p = finalPlan(d02Df)
     assert(!p.contains("CartesianProduct"), s"all-pairs join in:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"all-pairs join in:\n$p")
+    d02Caches.foreach(_.unpersist(false))
   }
 
   test("t19 BM25: top-k via TakeOrderedAndProject, no cartesian in the " +

@@ -187,7 +187,10 @@ class Round5dSpec extends SparkSpec {
 
   test("gr03: triangle algebra — per-node counts sum to 3x the " +
     "triangle total, plan has the closing semi-join and no cartesian") {
-    val df = queries.Graph.triangles(spark, sfDir)
+    // plan variant: the shipped query materializes via localCheckpoint
+    // (cache release), which would hide the real plan behind a scan
+    val (df, caches) =
+      queries.Graph.trianglesPlan(spark, sfDir, queries.Graph.TriOrderCap)
     val counts = df.collect().map(_.getLong(1))
     assert(counts.nonEmpty && counts.forall(_ >= 1))
     assert(counts.sum % 3 == 0,
@@ -195,6 +198,7 @@ class Round5dSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("LeftSemi"), p)
     assert(!p.contains("Cartesian"), p)
+    caches.foreach(_.unpersist(false))
   }
 
   test("s14: importance resampling is a map-only gate — replayable " +
