@@ -45,11 +45,15 @@ object Bench {
       ()
     }
 
+    // dev-only subset filter (unset for the driver = run everything)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     // n iterations per query, report the per-query MIN: single-shot
     // numbers at sub-second scale are dominated by JIT/janino warmup
     // and run-order noise (the r2 m15/m05 "regressions" were exactly
     // that), and min-of-n is the standard steady-state estimator
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }.map {
       case (name, fn) =>
         val times = (1 to iters).map { _ =>
           val t0 = System.nanoTime()
@@ -135,8 +139,10 @@ object Bench {
     val resultMap = results.toMap
     // a headline key that stops matching a query name would otherwise
     // silently vanish from the tail-parsed line — fail loudly instead
-    headline.filterNot(resultMap.contains).foreach(k =>
-      System.err.println(s"[bench] headline key missing from results: $k"))
+    // (not meaningful under a dev-only subset run)
+    if (only.isEmpty)
+      headline.filterNot(resultMap.contains).foreach(k =>
+        System.err.println(s"[bench] headline key missing from results: $k"))
     // 2 decimals: centisecond resolution is enough for the driver's
     // trend reading and buys the 2000-char stdout-tail budget ~1 char
     // per key — the list is at 1973 chars with 3 decimals and 67 keys

@@ -1010,41 +1010,58 @@ object Dedup {
         concat_ws(" ", slice(toks, lit(1), (size(toks) / 2).cast("int")))
           .as("text"))
     val corpus = docs.unionAll(planted).filter(size(toks) >= 3)
-    val grams = corpus.select(col("doc_id"),
-      explode(array_distinct(expr(
-        "transform(sequence(1, size(split(text, ' ')) - 2), i -> " +
-          "concat_ws(' ', element_at(split(text, ' '), i), " +
-          "element_at(split(text, ' '), i + 1), " +
-          "element_at(split(text, ' '), i + 2)))"))).as("gram"))
+    // tokenize ONCE into a column, then index it — inlining
+    // `element_at(split(text), i)` into the transform lambda re-splits
+    // the whole text per gram element, an O(len²)-per-doc trap that
+    // alone cost ~6 s at sf0.1 (measured; this shape is <1 s)
+    val grams = corpus
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(expr(
+          "transform(sequence(1, size(toks) - 2), i -> " +
+            "concat_ws(' ', element_at(toks, i), " +
+            "element_at(toks, i + 1), element_at(toks, i + 2)))")))
+          .as("gram"))
       .persist()
-    val ng = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    // Posting cap as a bounded AGGREGATION, not a window: TopKPairs
-    // keeps the 8 lowest doc ids per gram (score = -doc_id) in an
-    // O(k) map-side-combinable heap, so the dominant gram shuffle is
-    // partial-agg-compressed instead of a full sort — and df==1 grams
-    // (the long tail: most distinct 3-grams are unique) are dropped
-    // right here, since a single-doc posting can never form a pair.
-    val postings = grams.groupBy("gram")
-      .agg(count(lit(1)).as("df"),
-        graft.expr.TopKPairs.topkPairs(
-          -col("doc_id").cast("double"), col("doc_id"), 8).as("ps"))
-      .filter(col("df") >= 2)
-      .select(col("gram"), explode(col("ps.tag")).as("doc_id"))
+    // df==1 grams — the overwhelming long tail of distinct 3-grams —
+    // can never form a candidate pair; drop them BEFORE the per-gram
+    // posting window so the row_number sort runs over the shared-gram
+    // sliver only. The df count is a codegen'd hash aggregate with
+    // map-side combine (longs, no object buffers — a TypedImperative
+    // top-k heap was measured 2× SLOWER here: ObjectHashAggregate
+    // falls back to sort-based past 128 groups/partition, paying the
+    // sort AND per-gram heap serde).
+    val df2 = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("gram")
+    val postings = grams.join(df2, Seq("gram"), "left_semi")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("gram").orderBy("doc_id")))
+      .filter(col("rn") <= 8).drop("rn")
     val candidates = postings.select(col("gram"), col("doc_id").as("a"))
       .join(postings.select(col("gram"), col("doc_id").as("b")), "gram")
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    val shared = candidates
-      .join(grams.select(col("doc_id").as("a"), col("gram")), "a")
-      .join(grams.select(col("doc_id").as("b_doc"),
-          col("gram").as("gram_b")),
-        col("b") === col("b_doc") && col("gram") === col("gram_b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("shared_grams"))
-    val out = shared
-      .join(ng.select(col("doc_id").as("a"), col("n_grams").as("ng_a")),
-        "a")
-      .join(ng.select(col("doc_id").as("b"), col("n_grams").as("ng_b")),
-        "b")
+    // EXACT VERIFY via per-doc gram SETS + array_intersect: one row
+    // per doc (gram list bounded by doc length) instead of one row
+    // per (pair × gram). The old two-sided gram re-join expanded the
+    // candidate stream by each doc's gram count (~6M rows at sf0.1,
+    // the measured 5 s hot spot); this shape joins each candidate to
+    // exactly two doc rows — and the doc-keyed gram-set table is
+    // orders of magnitude smaller than the gram table, so AQE
+    // broadcasts it outright at bench scale. Same exact shared-gram
+    // counts: grams are per-doc distinct, so |intersect| == the
+    // old join-count.
+    val gramSets = grams.groupBy("doc_id")
+      .agg(collect_list(col("gram")).as("gs"),
+        count(lit(1)).as("n_grams"))
+    val out = candidates
+      .join(gramSets.select(col("doc_id").as("a"), col("gs").as("gs_a"),
+        col("n_grams").as("ng_a")), "a")
+      .join(gramSets.select(col("doc_id").as("b"), col("gs").as("gs_b"),
+        col("n_grams").as("ng_b")), "b")
+      .withColumn("shared_grams",
+        size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"))
       .withColumn("containment_ppm",
         expr("shared_grams * 1000000 div least(ng_a, ng_b)"))
       .filter(col("containment_ppm") >= 600000)

@@ -174,8 +174,15 @@ object Graph {
     trianglesWithCap(s, dir, TriOrderCap)
 
   /** The per-order fanout cap is the gr03 cost knob: candidate wedge
-    * volume grows ~cap² per order. `trianglesWithCap` exposes it for
-    * the BASELINE.md cap-sensitivity sweep (tools/CapSweep). */
+    * volume grows ~cap² per order. Measured sensitivity on the
+    * round-6 draw (tools/PerfAudit gr03, cold single runs):
+    * sf0.1 — cap 2: 11.4 s / 3,273 triangle-bearing nodes;
+    * cap 4: 14.4 s / 20,000 (every part); cap 8: 31.9 s / 20,000.
+    * sf1 — cap 2: 22.2 s / 32,730; cap 4: 50.9 s / 200,000;
+    * cap 8: 118.2 s / 200,000. Cap 4 is the knee: full node
+    * coverage at ~45% of cap-8's cost; cap 2 halves the time again
+    * but drops 5/6 of the triangle-bearing nodes. Doubling the cap
+    * roughly doubles wall time while adding no coverage — hence 4. */
   private[graft] val TriOrderCap = 4
 
   private[graft] def trianglesWithCap(s: SparkSession, dir: String,
