@@ -1,0 +1,172 @@
+package graft.python
+
+import java.util.{List => JList}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.gen.{Generator, Generators, ToDataFrame}
+import graft.mut.{MutateDataFrame, Mutator, Mutators, RuleMutators}
+
+/** py4j-friendly facade over the Layer A API (generators G1–G8,
+  * mutators M1–M20) for the PySpark wrapper in `python/graft.py`.
+  *
+  * The reference library's whole audience calls it from Python
+  * (gecko/generator.py:6-15, docs/index.md:57-61); this object is the
+  * JVM side of that bridge. Every method takes only py4j-native types
+  * (primitives, String, java.util.List) and returns opaque
+  * [[graft.gen.Generator]] / [[graft.mut.Mutator]] handles the Python
+  * side threads back into [[toDataFrame]] / [[mutate]] — the same
+  * fused one-scan / one-stats-job plans as the Scala API, because it
+  * IS the Scala API.
+  *
+  * Determinism contract: a Python pipeline and the equivalent Scala
+  * pipeline produce byte-identical rows (same seeds, any partition
+  * count) — asserted by scripts/py_roundtrip_test.py.
+  */
+object PyGraft {
+
+  // ------------------------------------------------------ generators
+
+  def fromUniform(low: Double, high: Double, precision: Int,
+                  seed: Long): Generator =
+    Generators.FromUniformDistribution(low, high, precision, seed)
+
+  def fromNormal(mean: Double, sd: Double, precision: Int,
+                 seed: Long): Generator =
+    Generators.FromNormalDistribution(mean, sd, precision, seed)
+
+  def fromDatetimeRange(startDt: String, endDt: String, dtFormat: String,
+                        unit: String, seed: Long): Generator =
+    Generators.FromDatetimeRange(startDt, endDt, dtFormat, unit, seed)
+
+  /** G4 from a DataFrame (single value column). */
+  def fromFrequencyTable(df: DataFrame, valueColumn: String,
+                         freqColumn: String, seed: Long): Generator =
+    Generators.fromFrequencyTable(df.sparkSession, df, valueColumn,
+      freqColumn, seed)
+
+  /** G4 from a CSV path; column refs by NAME (header row expected). */
+  def fromFrequencyTableCsv(spark: SparkSession, path: String,
+                            valueColumn: String, freqColumn: String,
+                            delimiter: String, encoding: String,
+                            seed: Long): Generator =
+    Generators.fromFrequencyTable(spark, path, Right(valueColumn),
+      Right(freqColumn), delimiter, seed, encoding)
+
+  /** G5 joint multicolumn table from a DataFrame. */
+  def fromMulticolumnFrequencyTable(df: DataFrame,
+                                    valueColumns: JList[String],
+                                    freqColumn: String,
+                                    seed: Long): Generator =
+    Generators.fromMulticolumnFrequencyTable(df.sparkSession, df,
+      valueColumns.asScala.toSeq, freqColumn, seed)
+
+  /** G7 weighted mixture; `weights` and `gens` are parallel lists. */
+  def fromGroup(weights: JList[java.lang.Double], gens: JList[Generator],
+                maxRoundingAdjustment: Int, seed: Long): Generator =
+    Generators.FromGroup(
+      weights.asScala.map(_.doubleValue()).toSeq
+        .zip(gens.asScala.toSeq),
+      maxRoundingAdjustment, seed)
+
+  /** G8 — `names` and `gens` are parallel lists; names.get(i) holds
+    * the column names generator i fills (arity-checked downstream). */
+  def toDataFrame(spark: SparkSession, names: JList[JList[String]],
+                  gens: JList[Generator], n: Long): DataFrame =
+    ToDataFrame(spark,
+      names.asScala.toSeq.map(_.asScala.toSeq)
+        .zip(gens.asScala.toSeq), n)
+
+  // -------------------------------------------------------- mutators
+
+  def withMissingValue(value: String, seed: Long): Mutator =
+    Mutators.WithMissingValue(value, seed)
+
+  def withInsert(charset: String, seed: Long): Mutator =
+    Mutators.WithInsert(charset, seed)
+
+  /** [[withInsert]] with the default ASCII charset. */
+  def withInsertAscii(seed: Long): Mutator = Mutators.WithInsert(seed = seed)
+
+  def withDelete(seed: Long): Mutator = Mutators.WithDelete(seed)
+
+  def withTranspose(seed: Long): Mutator = Mutators.WithTranspose(seed)
+
+  def withSubstitute(charset: String, seed: Long): Mutator =
+    Mutators.WithSubstitute(charset, seed)
+
+  def withSubstituteAscii(seed: Long): Mutator =
+    Mutators.WithSubstitute(seed = seed)
+
+  def withNoop(): Mutator = Mutators.WithNoop()
+
+  def withCategoricalValues(values: JList[String], seed: Long): Mutator =
+    Mutators.WithCategoricalValues(values.asScala.toSeq, seed)
+
+  def withPermute(seed: Long): Mutator = Mutators.WithPermute(seed)
+
+  def withLowercase(seed: Long): Mutator = Mutators.WithLowercase(seed)
+
+  def withUppercase(seed: Long): Mutator = Mutators.WithUppercase(seed)
+
+  def withDatetimeOffset(maxDelta: Int, unit: String, dtFormat: String,
+                         preventWraparound: Boolean, seed: Long): Mutator =
+    Mutators.WithDatetimeOffset(maxDelta, unit, dtFormat,
+      preventWraparound, seed)
+
+  def withRepeat(joinWith: String, seed: Long): Mutator =
+    Mutators.WithRepeat(joinWith, seed)
+
+  def withGenerator(gen: Generator, mode: String, joinWith: String,
+                    seed: Long): Mutator =
+    Mutators.WithGenerator(gen, mode, joinWith, seed)
+
+  /** M4 — `sources`/`targets` are parallel lists of rule pairs. */
+  def withReplacementTable(sources: JList[String], targets: JList[String],
+                           inline: Boolean, reverse: Boolean,
+                           seed: Long): Mutator =
+    RuleMutators.WithReplacementTable(
+      sources.asScala.toSeq.zip(targets.asScala.toSeq),
+      inline, reverse, seed)
+
+  /** M3 — parallel (source, target, flags) lists; flags ∈ {^,$,_} or
+    * empty for all three. */
+  def withPhoneticReplacementTable(sources: JList[String],
+                                   targets: JList[String],
+                                   flags: JList[String],
+                                   seed: Long): Mutator =
+    RuleMutators.WithPhoneticReplacementTable(
+      sources.asScala.toSeq.lazyZip(targets.asScala.toSeq)
+        .lazyZip(flags.asScala.toSeq).toSeq,
+      seed)
+
+  def withCldrKeymapFile(path: String, charset: String,
+                         seed: Long): Mutator =
+    RuleMutators.WithCldrKeymap(path,
+      if (charset == null || charset.isEmpty) None else Some(charset),
+      seed)
+
+  /** M19 — mutually-exclusive weighted group. */
+  def withGroup(probs: JList[java.lang.Double], muts: JList[Mutator],
+                seed: Long): Mutator =
+    Mutators.WithGroup(
+      probs.asScala.map(_.doubleValue()).toSeq
+        .zip(muts.asScala.toSeq),
+      seed)
+
+  /** M20 — the spec is flattened for py4j: entry i mutates column
+    * group `colGroups.get(i)` with the parallel (probs, muts) lists. */
+  def mutate(df: DataFrame,
+             colGroups: JList[JList[String]],
+             probs: JList[JList[java.lang.Double]],
+             muts: JList[JList[Mutator]]): DataFrame = {
+    val spec = colGroups.asScala.toSeq.zipWithIndex.map { case (cols, i) =>
+      cols.asScala.toSeq ->
+        probs.get(i).asScala.map(_.doubleValue()).toSeq
+          .zip(muts.get(i).asScala.toSeq)
+    }
+    MutateDataFrame(df, spec)
+  }
+}
