@@ -20,7 +20,7 @@ object SparkEntry {
       Multimodal.all ++ Streaming.all ++ graft.queries.Skew.all ++
       graft.queries.AsOf.all ++ graft.queries.RangeJoin.all ++
       graft.queries.Sources.all ++ graft.queries.Layout.all ++
-      graft.queries.Graph.all ++ Seq(
+      graft.queries.Graph.all ++ graft.queries.Privacy.all ++ Seq(
         ("q18_approx_distinct", Relational.q18ApproxDistinct _, None),
         ("q18_exact_distinct", Relational.q18ExactDistinct _,
           Some(Relational.q18ExactSql)),

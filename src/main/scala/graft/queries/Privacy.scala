@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Privacy-risk audits over a "published" projection of the customer
+  * table — the defensive counterpart of the [[Linkage]] stack: l04's
+  * Fellegi-Sunter scoring measures how LINKABLE records are, these
+  * operators measure how protected a release is before it ships.
+  * The reference engine exists to generate personal data for record-
+  * linkage research (README.md:1-7 of ul-mds/gecko), so the privacy
+  * side of that loop is first-class here.
+  *
+  * All three audits are exact integer arithmetic over equivalence
+  * classes, so each carries a bit-exact DuckDB oracle. Scale shape:
+  * every audit is one or two hash aggregations keyed by the
+  * quasi-identifier — map-side combinable, no windows, no joins
+  * against the fact table; the per-level ladder in pv02 is a CONSTANT
+  * number of such aggregations (5), not a data-dependent loop.
+  */
+object Privacy {
+
+  private val K = 5 // k-anonymity threshold
+  private val L = 3 // l-diversity threshold
+
+  /** The published projection: quasi-identifiers at full precision.
+    * Balance is banded to 100-unit steps via IEEE floor(x/100.0) —
+    * identical in Spark and DuckDB, including negatives (integer
+    * `div`/`//` would disagree on negative values across engines). */
+  private def release(s: SparkSession, dir: String): DataFrame =
+    Relational.table(s, dir, "customer")
+      .select(col("c_custkey"),
+        col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") / 100.0).cast("long").as("bal100"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal1000"))
+
+  // ------------------------------------------- pv01 k-anonymity audit
+  /** pv01 — k-anonymity audit of the full-precision release: group by
+    * the quasi-identifier (nation, segment, bal100), then histogram
+    * the equivalence-class sizes. A class of size < K means each of
+    * its members is re-identifiable among fewer than K candidates —
+    * the rows_at_risk column is the number every privacy review asks
+    * for first. Two chained aggregations, both partial-agg
+    * combinable; the fact table shuffles once on the QI key. */
+  def kAnonymityAudit(s: SparkSession, dir: String): DataFrame =
+    release(s, dir)
+      .groupBy("nation", "segment", "bal100")
+      .agg(count(lit(1)).as("class_size"))
+      .groupBy("class_size")
+      .agg(count(lit(1)).as("n_classes"),
+        (count(lit(1)) * col("class_size")).as("n_rows"),
+        max(when(col("class_size") < K, 1L).otherwise(0L) === 1L)
+          .as("at_risk"))
+      .orderBy("class_size")
+
+  val kAnonymityAuditSql: String = s"""
+    WITH classes AS (
+      SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        c_mktsegment AS segment,
+        CAST(floor(c_acctbal / 100.0) AS BIGINT) AS bal100,
+        count(*) AS class_size
+      FROM customer
+      GROUP BY 1, 2, 3)
+    SELECT class_size, count(*) AS n_classes,
+      count(*) * class_size AS n_rows,
+      class_size < $K AS at_risk
+    FROM classes
+    GROUP BY class_size
+    ORDER BY class_size"""
+
+  // --------------------------------------- pv02 generalization ladder
+  /** pv02 — generalization-to-k ladder: the fixed coarsening sequence
+    * a release would walk until every class reaches size ≥ K —
+    *   level 0: (nation, segment, bal100)
+    *   level 1: (nation, segment, bal1000)
+    *   level 2: (nation, segment)
+    *   level 3: (segment)
+    *   level 4: () — full suppression
+    * Per level: class count, smallest class, rows in classes < K, the
+    * at-risk ppm, and whether the level meets k-anonymity. The first
+    * `meets_k` row is the minimal generalization to publish at — the
+    * measure-then-choose discipline (st19's) applied to privacy. The
+    * ladder is 5 CONSTANT aggregations (one scan each, combinable),
+    * never an iterative search. */
+  def generalizationLadder(s: SparkSession, dir: String): DataFrame = {
+    val rel = release(s, dir)
+    val levels: Seq[(Int, Seq[String])] = Seq(
+      0 -> Seq("nation", "segment", "bal100"),
+      1 -> Seq("nation", "segment", "bal1000"),
+      2 -> Seq("nation", "segment"),
+      3 -> Seq("segment"),
+      4 -> Seq.empty)
+    levels.map { case (lvl, qi) =>
+      val classes =
+        if (qi.isEmpty) rel.agg(count(lit(1)).as("class_size"))
+        else rel.groupBy(qi.map(col): _*)
+          .agg(count(lit(1)).as("class_size"))
+      classes.agg(
+        lit(lvl.toLong).as("level"),
+        count(lit(1)).as("n_classes"),
+        min(col("class_size")).as("min_class_size"),
+        coalesce(sum(when(col("class_size") < K, col("class_size"))
+          .otherwise(0L)), lit(0L)).as("rows_at_risk"))
+    }.reduce(_ unionAll _)
+      .crossJoin(broadcast(rel.agg(count(lit(1)).as("n_total"))))
+      .withColumn("risk_ppm", expr("rows_at_risk * 1000000 div n_total"))
+      .withColumn("meets_k", col("min_class_size") >= K)
+      .select("level", "n_classes", "min_class_size", "rows_at_risk",
+        "risk_ppm", "meets_k")
+      .orderBy("level")
+  }
+
+  val generalizationLadderSql: String = {
+    def level(lvl: Int, qi: Seq[String]): String = {
+      val grouped =
+        if (qi.isEmpty) "SELECT count(*) AS class_size FROM rel"
+        else s"SELECT count(*) AS class_size FROM rel " +
+          s"GROUP BY ${qi.mkString(", ")}"
+      s"""
+      SELECT $lvl AS level, count(*) AS n_classes,
+        CAST(min(class_size) AS BIGINT) AS min_class_size,
+        CAST(coalesce(sum(CASE WHEN class_size < $K THEN class_size
+          ELSE 0 END), 0) AS BIGINT) AS rows_at_risk
+      FROM ($grouped)"""
+    }
+    val arms = Seq(
+      level(0, Seq("nation", "segment", "bal100")),
+      level(1, Seq("nation", "segment", "bal1000")),
+      level(2, Seq("nation", "segment")),
+      level(3, Seq("segment")),
+      level(4, Seq.empty)).mkString("\n      UNION ALL\n")
+    s"""
+    WITH rel AS (
+      SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        c_mktsegment AS segment,
+        CAST(floor(c_acctbal / 100.0) AS BIGINT) AS bal100,
+        CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal1000
+      FROM customer),
+    n AS (SELECT count(*) AS n_total FROM rel),
+    lv AS ($arms)
+    SELECT level, n_classes, min_class_size, rows_at_risk,
+      CAST(rows_at_risk * 1000000 // n_total AS BIGINT) AS risk_ppm,
+      min_class_size >= $K AS meets_k
+    FROM lv, n
+    ORDER BY level"""
+  }
+
+  // ----------------------------------------- pv03 l-diversity audit
+  /** pv03 — l-diversity audit at the (nation, segment) level: even a
+    * k-anonymous class leaks its members' sensitive attribute when
+    * every member SHARES it (the homogeneity attack k-anonymity does
+    * not see). Sensitive attribute: the 1000-unit balance band.
+    * Histogram of per-class distinct-sensitive counts; classes with
+    * fewer than L distinct values fail. One QI-keyed aggregation with
+    * a distinct-count (Spark plans it as two partial-agg exchanges),
+    * then the tiny histogram agg. */
+  def lDiversityAudit(s: SparkSession, dir: String): DataFrame =
+    release(s, dir)
+      .groupBy("nation", "segment")
+      .agg(count(lit(1)).as("class_size"),
+        count_distinct(col("bal1000")).as("n_sensitive"))
+      .groupBy("n_sensitive")
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("class_size")).as("n_rows"),
+        max(when(col("n_sensitive") < L, 1L).otherwise(0L) === 1L)
+          .as("fails_l"))
+      .orderBy("n_sensitive")
+
+  val lDiversityAuditSql: String = s"""
+    WITH classes AS (
+      SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        c_mktsegment AS segment, count(*) AS class_size,
+        count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+          AS n_sensitive
+      FROM customer
+      GROUP BY 1, 2)
+    SELECT n_sensitive, count(*) AS n_classes,
+      CAST(sum(class_size) AS BIGINT) AS n_rows,
+      n_sensitive < $L AS fails_l
+    FROM classes
+    GROUP BY n_sensitive
+    ORDER BY n_sensitive"""
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
+    Seq(
+      ("pv01_k_anonymity", kAnonymityAudit _, Some(kAnonymityAuditSql)),
+      ("pv02_generalization_ladder", generalizationLadder _,
+        Some(generalizationLadderSql)),
+      ("pv03_l_diversity", lDiversityAudit _, Some(lDiversityAuditSql)),
+    )
+}
