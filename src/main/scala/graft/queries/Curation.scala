@@ -833,6 +833,84 @@ object Curation {
     GROUP BY 1, 2
     ORDER BY o_orderstatus, band"""
 
+  // ------------------------------- c15 label-agreement audit (kappa)
+  /** c15 — inter-annotator agreement for label quality control: the
+    * Cohen's-kappa gate every labeled-training-data pipeline runs
+    * before trusting its annotations (raw percent agreement is
+    * inflated by class imbalance; kappa subtracts the agreement two
+    * annotators would reach by chance). Two deterministic
+    * "annotators" label each order urgent/routine: annotator 1 reads
+    * the priority field; annotator 2 reads the same signal with a
+    * ~10% md5-gated flip (the simulated labeling noise, replayable in
+    * both engines). Per order status: the 2×2 confusion counts,
+    * observed and chance agreement, and kappa — all in exact ppm
+    * integer arithmetic (proportions, not raw cross-products, so the
+    * math stays in 64-bit range at any corpus size — c12's trick;
+    * the simulated noise keeps kappa positive, so `div`-vs-`//`
+    * truncation semantics never diverge on a negative numerator).
+    *
+    * Scale shape: one map pass to label, ONE combinable groupBy for
+    * the confusion counts, scalar ppm math on the tiny result. */
+  def labelAgreement(s: SparkSession, dir: String): DataFrame = {
+    val urgent1 = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    val u = conv(substring(md5(concat(lit("c15#"), col("o_orderkey"))),
+      1, 8), 16, 10).cast("long")
+    val flip = u * 10 < 4294967296L
+    val urgent2 = urgent1 =!= flip // XOR: flip inverts the signal
+    Relational.table(s, dir, "orders")
+      .select(col("o_orderstatus").as("status"),
+        urgent1.cast("long").as("a1"), urgent2.cast("long").as("a2"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"),
+        sum(col("a1") * col("a2")).as("n11"),
+        sum(col("a1") * (lit(1L) - col("a2"))).as("n10"),
+        sum((lit(1L) - col("a1")) * col("a2")).as("n01"),
+        sum((lit(1L) - col("a1")) * (lit(1L) - col("a2"))).as("n00"))
+      .withColumn("po_ppm", expr("(n11 + n00) * 1000000 div n"))
+      .withColumn("y1_ppm", expr("(n11 + n10) * 1000000 div n"))
+      .withColumn("y2_ppm", expr("(n11 + n01) * 1000000 div n"))
+      .withColumn("pe_ppm", expr(
+        "(y1_ppm * y2_ppm + (1000000 - y1_ppm) * (1000000 - y2_ppm)) " +
+          "div 1000000"))
+      .withColumn("kappa_ppm", expr(
+        "(po_ppm - pe_ppm) * 1000000 div (1000000 - pe_ppm)"))
+      .select("status", "n", "n11", "n10", "n01", "n00", "po_ppm",
+        "pe_ppm", "kappa_ppm")
+      .orderBy("status")
+  }
+
+  val labelAgreementSql: String = """
+    WITH labeled AS (
+      SELECT o_orderstatus AS status,
+        CAST(o_orderpriority IN ('1-URGENT', '2-HIGH') AS BIGINT) AS a1,
+        CAST(o_orderpriority IN ('1-URGENT', '2-HIGH') <>
+          (('0x' || substr(md5('c15#' || o_orderkey), 1, 8))::BIGINT
+            * 10 < 4294967296) AS BIGINT) AS a2
+      FROM orders),
+    conf AS (
+      SELECT status, count(*) AS n,
+        CAST(sum(a1 * a2) AS BIGINT) AS n11,
+        CAST(sum(a1 * (1 - a2)) AS BIGINT) AS n10,
+        CAST(sum((1 - a1) * a2) AS BIGINT) AS n01,
+        CAST(sum((1 - a1) * (1 - a2)) AS BIGINT) AS n00
+      FROM labeled GROUP BY status),
+    ppm AS (
+      SELECT *,
+        (n11 + n00) * 1000000 // n AS po_ppm,
+        (n11 + n10) * 1000000 // n AS y1_ppm,
+        (n11 + n01) * 1000000 // n AS y2_ppm
+      FROM conf),
+    pe AS (
+      SELECT *,
+        (y1_ppm * y2_ppm + (1000000 - y1_ppm) * (1000000 - y2_ppm))
+          // 1000000 AS pe_ppm
+      FROM ppm)
+    SELECT status, n, n11, n10, n01, n00, po_ppm, pe_ppm,
+      CAST((po_ppm - pe_ppm) * 1000000 // (1000000 - pe_ppm) AS BIGINT)
+        AS kappa_ppm
+    FROM pe
+    ORDER BY status"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("c01_curation_pipeline", curationPipeline _,
@@ -853,5 +931,7 @@ object Curation {
       ("c13_retention_purge", retentionPurge _,
         Some(retentionPurgeSql)),
       ("c14_reconciliation", reconciliation _,
-        Some(reconciliationSql)))
+        Some(reconciliationSql)),
+      ("c15_label_agreement", labelAgreement _,
+        Some(labelAgreementSql)))
 }

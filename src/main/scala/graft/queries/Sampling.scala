@@ -673,6 +673,79 @@ object Sampling {
     WHERE rank <= 8
     ORDER BY lang, rank"""
 
+  // --------------------------------- s22 leakage-safe cluster split
+  /** s22 — near-dup-aware train/val/test split: the fate is a
+    * function of the NEAR-DUP CLUSTER, not the document, so two
+    * near-duplicates can never straddle a boundary — the
+    * document-level leakage failure s08's per-doc gate (and most
+    * real pipelines) silently allow: a test doc whose near-copy sits
+    * in train inflates every metric it touches. s19 closes the same
+    * hole at SOURCE granularity; this closes it at the granularity
+    * dedup actually measures. Clusters come from the multi-hop
+    * closed-form chains (d07's harness: cluster_id = doc_id −
+    * doc_id % 10 over the planted chain members), so the WHOLE stack
+    * — clustering + cluster-keyed md5 gate (80/10/10) — replays
+    * bit-exactly in the oracle. Non-chain docs are their own
+    * singleton cluster, as in a real pipeline.
+    *
+    * Scale shape: cluster labels ride the d06/d07 star machinery
+    * (O(log n) rounds); the gate is a pure map on the cluster key; the
+    * manifest is one combinable agg. Nothing about the split itself
+    * shuffles. */
+  def leakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val members = clusterChain(s, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val docs = Relational.table(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val labeled = docs.join(members, Seq("doc_id"), "left")
+      .withColumn("cluster_id",
+        coalesce(col("cluster_id"), col("doc_id")))
+    val u = conv(substring(md5(concat(lit("s22#"), col("cluster_id"))),
+      1, 8), 16, 10).cast("long")
+    labeled
+      .withColumn("bucket",
+        when(u * 10 < 8L * 4294967296L, "train")
+          .when(u * 10 < 9L * 4294967296L, "val")
+          .otherwise("test"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("cluster_id")).as("n_clusters"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .orderBy("bucket")
+  }
+
+  private def clusterChain(s: SparkSession, dir: String): DataFrame =
+    Dedup.clusterChain(s, dir)
+
+  val leakageSafeSplitSql: String = """
+    WITH members AS (
+      SELECT DISTINCT doc_id, doc_id - (doc_id % 10) AS cluster_id
+      FROM (
+        SELECT doc_id FROM documents WHERE doc_id % 10 <= 2
+        UNION ALL
+        SELECT doc_id + 1 AS doc_id FROM documents
+        WHERE doc_id % 10 <= 2)),
+    labeled AS (
+      SELECT d.doc_id, coalesce(m.cluster_id, d.doc_id) AS cluster_id,
+        len(string_split(d.text, ' ')) AS n_tokens
+      FROM documents d LEFT JOIN members m ON d.doc_id = m.doc_id),
+    gated AS (
+      SELECT *,
+        CASE
+          WHEN ('0x' || substr(md5('s22#' || cluster_id), 1, 8))::BIGINT
+              * 10 < 8 * 4294967296 THEN 'train'
+          WHEN ('0x' || substr(md5('s22#' || cluster_id), 1, 8))::BIGINT
+              * 10 < 9 * 4294967296 THEN 'val'
+          ELSE 'test' END AS bucket
+      FROM labeled)
+    SELECT bucket, count(*) AS n_docs,
+      CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+      CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM gated
+    GROUP BY bucket
+    ORDER BY bucket"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("s03_stratified_sample", stratifiedDemo _, None),
@@ -691,5 +764,7 @@ object Sampling {
         Some(temperatureMixtureSql)),
       ("s19_grouped_kfold", groupedKfold _, Some(groupedKfoldSql)),
       ("s21_exact_holdout", exactHoldout _, Some(exactHoldoutSql)),
+      ("s22_leakage_safe_split", leakageSafeSplit _,
+        Some(leakageSafeSplitSql)),
     )
 }

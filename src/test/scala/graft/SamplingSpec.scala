@@ -92,4 +92,33 @@ class SamplingSpec extends SparkSpec {
       Sampling.mixtureSample(full, Map("no_such_source" -> 1.0))
     }
   }
+
+  test("s22: leakage safety — no near-dup cluster ever straddles a " +
+    "split boundary, and the manifest conserves the corpus") {
+    // recompute the per-doc assignment the manifest aggregates, then
+    // assert the defining property: one bucket per cluster
+    val members = queries.Dedup.clusterChain(spark, sfDir)
+      .select(col("doc_id"), col("cluster_id"))
+    val perDoc = docs.select(col("doc_id"))
+      .join(members, Seq("doc_id"), "left")
+      .withColumn("cluster_id",
+        org.apache.spark.sql.functions.coalesce(col("cluster_id"),
+          col("doc_id")))
+      .withColumn("u", conv(substring(
+        md5(concat(lit("s22#"), col("cluster_id"))), 1, 8), 16, 10)
+        .cast("long"))
+      .withColumn("bucket",
+        when(col("u") * 10 < 8L * 4294967296L, "train")
+          .when(col("u") * 10 < 9L * 4294967296L, "val")
+          .otherwise("test"))
+    val straddlers = perDoc.groupBy("cluster_id")
+      .agg(countDistinct(col("bucket")).as("nb"))
+      .filter(col("nb") > 1).count()
+    assert(straddlers == 0, "a cluster crossed a split boundary")
+    val manifest = Sampling.leakageSafeSplit(spark, sfDir).collect()
+    assert(manifest.map(_.getLong(1)).sum == docs.count(),
+      "manifest must conserve the corpus")
+    assert(manifest.map(_.getString(0)).sorted.toSeq ==
+      Seq("test", "train", "val"))
+  }
 }
