@@ -14,6 +14,7 @@ object Strftime {
     'H' -> "HH", 'I' -> "hh",
     'M' -> "mm", 'S' -> "ss",
     'j' -> "DDD",
+    'f' -> "SSSSSS", // microseconds, 6-digit zero-padded like Python's
     'p' -> "a",
     'a' -> "EEE", 'A' -> "EEEE",
     'b' -> "MMM", 'B' -> "MMMM")

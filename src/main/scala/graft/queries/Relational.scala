@@ -1136,6 +1136,63 @@ object Relational {
     GROUP BY o_custkey
     ORDER BY o_custkey"""
 
+  /** q42 — recursive CTE month spine + gap detection: generate every
+    * month between the table's min and max order date with
+    * `WITH RECURSIVE` (Spark 4's UnionLoopExec), left-join a SPARSE
+    * series (big urgent orders), and report the zero months a plain
+    * GROUP BY can never show — absent groups produce no row, so "no
+    * orders this month" is invisible without a generated spine. The
+    * classic alternative is a driver-side `spark.range` over epoch
+    * months; the recursive form keeps the bounds INSIDE the query
+    * (min/max read from the table, no collect) and is the portable
+    * SQL every warehouse user writes. Recursion depth = number of
+    * months (~80 here, bounded by the date span, NOT the row count)
+    * — each step is a constant-size row batch, so the loop costs
+    * nothing at any table scale; the scan feeding min/max and the
+    * sparse aggregate are the only data-sized jobs.
+    * DuckDB runs the same recursive SQL, month strings compared
+    * exactly. */
+  def q42RecursiveSpine(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "orders")
+      .createOrReplaceTempView("graft_q42_orders")
+    spark.sql("""
+      WITH RECURSIVE spine(month_start) AS (
+        SELECT date_trunc('MONTH', min(o_orderdate))
+        FROM graft_q42_orders
+        UNION ALL
+        SELECT month_start + INTERVAL 1 MONTH FROM spine
+        WHERE month_start < (SELECT date_trunc('MONTH', max(o_orderdate))
+          FROM graft_q42_orders)
+      ),
+      sparse AS (
+        SELECT date_trunc('MONTH', o_orderdate) AS m, count(*) AS n
+        FROM graft_q42_orders
+        WHERE o_totalprice > 450000 AND o_orderpriority = '1-URGENT'
+        GROUP BY 1)
+      SELECT date_format(month_start, 'yyyy-MM') AS month,
+        CAST(coalesce(n, 0) AS BIGINT) AS n_big_urgent
+      FROM spine LEFT JOIN sparse ON spine.month_start = sparse.m
+      ORDER BY month""")
+  }
+
+  val q42Sql: String = """
+    WITH RECURSIVE spine(month_start) AS (
+        SELECT date_trunc('month', min(o_orderdate)) FROM orders
+        UNION ALL
+        SELECT month_start + INTERVAL 1 MONTH FROM spine
+        WHERE month_start < (SELECT date_trunc('month', max(o_orderdate))
+          FROM orders)
+      ),
+      sparse AS (
+        SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n
+        FROM orders
+        WHERE o_totalprice > 450000 AND o_orderpriority = '1-URGENT'
+        GROUP BY 1)
+    SELECT strftime(month_start, '%Y-%m') AS month,
+      CAST(coalesce(n, 0) AS BIGINT) AS n_big_urgent
+    FROM spine LEFT JOIN sparse ON spine.month_start = sparse.m
+    ORDER BY month"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_segment_revenue", q02SegmentRevenue _, q02Sql),
@@ -1168,5 +1225,6 @@ object Relational {
     ("q39_cohort_retention", q39CohortRetention _, q39Sql),
     ("q40_ordered_string_agg", q40OrderedStringAgg _, q40Sql),
     ("q41_map_profile", q41MapProfile _, q41Sql),
+    ("q42_recursive_spine", q42RecursiveSpine _, q42Sql),
   )
 }

@@ -746,6 +746,114 @@ object Sampling {
     GROUP BY bucket
     ORDER BY bucket"""
 
+  /** s23 — contrastive training-triplet mining: (anchor, positive,
+    * hard negative) triples for embedding-model training, the data
+    * product a dedup pipeline's by-products feed. Positives are the
+    * planted near-dup chain pairs (a, a+1 — the same closed-form
+    * harness s22 splits on, so pairing replays bit-exactly in the
+    * oracle); hard negatives come from the anchor's (lang, length
+    * band) block — surface-similar but NOT a near-dup — selected by
+    * a deterministic md5-rank shift (+7 mod block size) WITHIN the
+    * block. Rank-shift is the scale move: every anchor gets exactly
+    * one candidate negative from one window pass + one equi-join on
+    * (block, rank) — never an all-pairs product, never an RNG whose
+    * draw depends on partition layout. Candidates that collapse
+    * (negative == anchor/positive in tiny blocks) or land in the
+    * anchor's own near-dup cluster are DROPPED, not silently kept —
+    * the per-status ledger makes the mining loss visible, and the
+    * cluster exclusion is the correctness property that separates
+    * hard negatives from false negatives. In a production pipeline
+    * the block key is an LSH bucket or ANN shortlist; the shape
+    * (blocked rank-shift + cluster exclusion + drop ledger) is
+    * unchanged. Checksum sums over the kept triples pin per-triple
+    * identity through the hash gate. */
+  def contrastiveTriplets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Relational.table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        floor(size(split(col("text"), " ")) / 16).as("len_band"))
+    val members = Dedup.clusterChain(s, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val labeled = docs.join(members, Seq("doc_id"), "left")
+      .withColumn("cluster_id",
+        coalesce(col("cluster_id"), col("doc_id")))
+    val block = Window.partitionBy("lang", "len_band")
+    val ranked = labeled
+      .withColumn("r", row_number().over(
+        block.orderBy(md5(concat(lit("s23#"), col("doc_id"))),
+          col("doc_id"))))
+      .withColumn("block_n", count(lit(1)).over(block))
+    // anchors: chain a-sides whose positive (a+1) exists in the corpus
+    val positives = Relational.table(s, dir, "documents")
+      .select(col("doc_id").as("pos_id"))
+    val anchors = ranked
+      .filter(col("doc_id") % 10 <= 2)
+      .join(positives, col("doc_id") + 1 === col("pos_id"))
+    val negatives = ranked.select(
+      col("lang").as("n_lang"), col("len_band").as("n_band"),
+      col("r").as("n_r"), col("doc_id").as("neg_id"),
+      col("cluster_id").as("neg_cluster"))
+    anchors
+      .withColumn("neg_r", (col("r") - 1 + 7) % col("block_n") + 1)
+      .join(negatives, col("lang") === col("n_lang") &&
+        col("len_band") === col("n_band") && col("neg_r") === col("n_r"))
+      .withColumn("status",
+        when(col("neg_id") === col("doc_id") ||
+          col("neg_id") === col("pos_id"), "dropped_identity")
+          .when(col("neg_cluster") === col("cluster_id"),
+            "dropped_same_cluster")
+          .otherwise("kept"))
+      .groupBy("lang", "status")
+      .agg(count(lit(1)).as("n_triples"),
+        sum(col("doc_id")).as("sum_anchor"),
+        sum(col("pos_id")).as("sum_pos"),
+        sum(col("neg_id")).as("sum_neg"))
+      .orderBy("lang", "status")
+  }
+
+  val contrastiveTripletsSql: String = """
+    WITH members AS (
+      SELECT DISTINCT doc_id, doc_id - (doc_id % 10) AS cluster_id
+      FROM (
+        SELECT doc_id FROM documents WHERE doc_id % 10 <= 2
+        UNION ALL
+        SELECT doc_id + 1 AS doc_id FROM documents
+        WHERE doc_id % 10 <= 2)),
+    labeled AS (
+      SELECT d.doc_id, d.lang,
+        len(string_split(d.text, ' ')) // 16 AS len_band,
+        coalesce(m.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN members m ON d.doc_id = m.doc_id),
+    ranked AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY lang, len_band
+          ORDER BY md5('s23#' || doc_id), doc_id) AS r,
+        count(*) OVER (PARTITION BY lang, len_band) AS block_n
+      FROM labeled),
+    anchors AS (
+      SELECT a.*, p.doc_id AS pos_id,
+        (a.r - 1 + 7) % a.block_n + 1 AS neg_r
+      FROM ranked a
+      JOIN documents p ON a.doc_id + 1 = p.doc_id
+      WHERE a.doc_id % 10 <= 2),
+    triples AS (
+      SELECT a.lang, a.doc_id, a.pos_id, n.doc_id AS neg_id,
+        CASE
+          WHEN n.doc_id = a.doc_id OR n.doc_id = a.pos_id
+            THEN 'dropped_identity'
+          WHEN n.cluster_id = a.cluster_id THEN 'dropped_same_cluster'
+          ELSE 'kept' END AS status
+      FROM anchors a
+      JOIN ranked n ON a.lang = n.lang AND a.len_band = n.len_band
+        AND a.neg_r = n.r)
+    SELECT lang, status, count(*) AS n_triples,
+      CAST(sum(doc_id) AS BIGINT) AS sum_anchor,
+      CAST(sum(pos_id) AS BIGINT) AS sum_pos,
+      CAST(sum(neg_id) AS BIGINT) AS sum_neg
+    FROM triples
+    GROUP BY lang, status
+    ORDER BY lang, status"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("s03_stratified_sample", stratifiedDemo _, None),
@@ -766,5 +874,7 @@ object Sampling {
       ("s21_exact_holdout", exactHoldout _, Some(exactHoldoutSql)),
       ("s22_leakage_safe_split", leakageSafeSplit _,
         Some(leakageSafeSplitSql)),
+      ("s23_contrastive_triplets", contrastiveTriplets _,
+        Some(contrastiveTripletsSql)),
     )
 }

@@ -439,6 +439,139 @@ object Sources {
       FROM lineitem GROUP BY l_orderkey) l
       ON o.o_orderkey = l.l_orderkey"""
 
+  /** j10 — bucketed tables → shuffle-free co-located join. Orders
+    * and customer are written `bucketBy(16, custkey)` +
+    * `sortBy(custkey)` as catalog tables; the read-back join on
+    * custkey then needs NO Exchange on either side — the bucket
+    * layout IS the join partitioning, persisted on disk. At 100 TB
+    * this is the difference between re-shuffling the fact table on
+    * every join and shuffling it exactly once at write time: every
+    * downstream custkey-join (and custkey-groupBy) rides the same
+    * layout for free. The `merge` hint pins a SortMergeJoin so the
+    * query exercises the co-located path rather than broadcasting
+    * the (locally small) dimension — on a real cluster both sides
+    * are too big to broadcast, which is exactly when bucketing pays.
+    * Round6Spec asserts the executed plan: `Bucketed: true` on both
+    * scans, a SortMergeJoin, and zero shuffle exchanges before it.
+    *
+    * The DuckDB oracle computes the same join-aggregate straight
+    * from the raw parquet, so a hash match proves the
+    * bucket-write/bucket-read cycle is lossless AND the bucket-join
+    * returns the exact join result (no row lost to bucket routing).
+    *
+    * Bucket count trade-off: scan parallelism of the bucketed read
+    * equals the bucket count, so 16 is a test-scale stand-in — a
+    * production table picks buckets ≈ cluster cores × small factor
+    * (and AQE cannot coalesce a bucketed scan; the count is a real
+    * layout decision, made once per table). */
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val (oTab, cTab) = writeBucketed(s, dir)
+    bucketedJoinRead(s, oTab, cTab)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+          .as("total_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Write orders + customer as 16-bucket catalog tables keyed on
+    * custkey; returns the (orders, customer) table names. Idempotent
+    * per session (overwrite mode, app-scoped names). */
+  private[graft] def writeBucketed(s: SparkSession,
+      dir: String): (String, String) = {
+    val app = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_j10_bucketed_$app").getAbsolutePath
+    val oTab = s"graft_j10_orders_$app"
+    val cTab = s"graft_j10_customer_$app"
+    Relational.table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.mode("overwrite").option("path", s"$base/orders")
+      .bucketBy(16, "o_custkey").sortBy("o_custkey")
+      .saveAsTable(oTab)
+    Relational.table(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .write.mode("overwrite").option("path", s"$base/customer")
+      .bucketBy(16, "c_custkey").sortBy("c_custkey")
+      .saveAsTable(cTab)
+    (oTab, cTab)
+  }
+
+  /** The read-back co-located join alone (pre-aggregate), so the
+    * plan spec can assert zero exchanges on the join itself. */
+  private[graft] def bucketedJoinRead(s: SparkSession, oTab: String,
+      cTab: String): DataFrame =
+    s.table(oTab).hint("merge")
+      .join(s.table(cTab), col("o_custkey") === col("c_custkey"))
+
+  val bucketedJoinSql: String = """
+    SELECT c_mktsegment, count(*) AS n_orders,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment"""
+
+  /** j11 — dynamic partition pruning: the TPC-DS fact⋈dim shape that
+    * j02's STATIC pruning cannot cover. Lineitem is laid out
+    * partitioned by ship month (83 directories on this draw); the
+    * months worth scanning are only known from the DIM side — orders
+    * restricted to one year — so no literal predicate on the fact
+    * exists at plan time. Catalyst's DPP turns the broadcast dim
+    * into a runtime partition filter
+    * (`dynamicpruningexpression(ship_month IN broadcastResult)`), so
+    * the fact scan opens ~12 of 83 directories instead of all of
+    * them. At 100 TB this is THE difference between scanning the
+    * whole fact table and scanning the joined slice — the layout
+    * (partition by the join/filter time key) is a design decision
+    * this engine bakes in; Round6Spec asserts the executed plan
+    * carries the dynamic pruning expression on the scan.
+    *
+    * The DuckDB oracle computes the identical join-aggregate from
+    * the raw parquet, so the hash match proves pruning dropped no
+    * row it shouldn't have. */
+  def dppJoin(s: SparkSession, dir: String): DataFrame =
+    dppJoinRead(s, dir)
+      .groupBy("ship_month")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_qty"))
+      .orderBy("ship_month")
+
+  /** The pruned join alone (pre-aggregate) for the plan assert. */
+  private[graft] def dppJoinRead(s: SparkSession,
+      dir: String): DataFrame = {
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_j11_dpp_${tag}_${s.sparkContext.applicationId}")
+      .getAbsolutePath
+    val marker = new java.io.File(out, "_SUCCESS")
+    if (!marker.exists()) // layout is immutable per (session, dir)
+      Relational.table(s, dir, "lineitem")
+        .withColumn("ship_month",
+          date_format(col("l_shipdate"), "yyyy-MM"))
+        .select(col("l_orderkey"), col("l_quantity"), col("ship_month"))
+        .write.mode("overwrite").partitionBy("ship_month").parquet(out)
+    val fact = s.read.parquet(out)
+    val dim = Relational.table(s, dir, "orders")
+      .filter(year(col("o_orderdate")) === 1996)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .distinct()
+    fact.join(broadcast(dim), col("ship_month") === col("month"))
+  }
+
+  val dppJoinSql: String = """
+    SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+      count(*) AS n_lines,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    JOIN (
+      SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS month
+      FROM orders WHERE year(o_orderdate) = 1996) d
+      ON strftime(l_shipdate, '%Y-%m') = d.month
+    GROUP BY 1
+    ORDER BY 1"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame,
     Option[String])] =
     Seq(("j01_jsonl_roundtrip", jsonlRoundtrip _, Some(jsonlRoundtripSql)),
@@ -452,5 +585,7 @@ object Sources {
       ("j08_dynamic_overwrite", dynamicOverwrite _,
         Some(dynamicOverwriteSql)),
       ("j09_nested_projection", nestedProjection _,
-        Some(nestedProjectionSql)))
+        Some(nestedProjectionSql)),
+      ("j10_bucketed_join", bucketedJoin _, Some(bucketedJoinSql)),
+      ("j11_dpp_join", dppJoin _, Some(dppJoinSql)))
 }

@@ -1997,5 +1997,61 @@ object TextAnalysis {
       ("t34_decontaminated_split", decontaminatedSplit _,
         Some(decontaminatedSplitSql)),
       ("t35_domain_quality", domainQuality _, Some(domainQualitySql)),
+      ("t36_tokenizer_fertility", tokenizerFertility _,
+        Some(tokenizerFertilitySql)),
     )
+
+  // --------------------------------------------- tokenizer fertility
+  /** t36 — tokenizer fertility audit: bytes-per-token (and
+    * chars-per-token) per language, the number a tokenizer review
+    * asks first — scripts the tokenizer segments poorly cost
+    * multiples of the compute per unit of text, and the gap shows up
+    * as per-language fertility. Tokens are the BPE-ish pre-tokenizer
+    * classes t18 counts (alpha runs, digit runs, other runs);
+    * fertility is reported in exact MILLI-units via integer `div` on
+    * the per-language sums — cross-multiplied, never a float ratio,
+    * and ×1000 keeps the numerator in 64-bit range up to ~9 PB of
+    * text per language (ppm would cap at ~9 TB — the precision/range
+    * trade-off is deliberate and documented). One combinable
+    * aggregate over one corpus scan; the byte/char split makes the
+    * multi-byte-script penalty visible (equal on an all-ASCII draw,
+    * diverging the moment a non-Latin language lands). */
+  def tokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    def n(re: String) =
+      size(expr(s"regexp_extract_all(text, '$re', 0)")).cast("long")
+    Relational.table(s, dir, "documents")
+      .select(col("lang"), octet_length(col("text")).cast("long")
+        .as("bytes"), length(col("text")).cast("long").as("chars"),
+        (n(AlphaRe) + n(NumRe) + n(OtherRe)).as("toks"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("bytes")).as("sum_bytes"),
+        sum(col("toks")).as("sum_tokens"),
+        expr("(sum(bytes) * 1000) div sum(toks)")
+          .as("bytes_per_token_milli"),
+        expr("(sum(chars) * 1000) div sum(toks)")
+          .as("chars_per_token_milli"))
+      .orderBy("lang")
+  }
+
+  // `all` references this by name; keep object-init safe regardless
+  // of declaration order (a plain val here would still be null when
+  // `all` initializes above — see Verify's oracle_sql.json writer)
+  lazy val tokenizerFertilitySql: String = s"""
+    WITH per_doc AS (
+      SELECT lang, strlen(text) AS bytes, length(text) AS chars,
+        len(regexp_extract_all(text, '$AlphaRe'))
+          + len(regexp_extract_all(text, '$NumRe'))
+          + len(regexp_extract_all(text, '$OtherRe')) AS toks
+      FROM documents)
+    SELECT lang, count(*) AS n_docs,
+      CAST(sum(bytes) AS BIGINT) AS sum_bytes,
+      CAST(sum(toks) AS BIGINT) AS sum_tokens,
+      CAST(sum(bytes) * 1000 AS BIGINT) // CAST(sum(toks) AS BIGINT)
+        AS bytes_per_token_milli,
+      CAST(sum(chars) * 1000 AS BIGINT) // CAST(sum(toks) AS BIGINT)
+        AS chars_per_token_milli
+    FROM per_doc
+    GROUP BY lang
+    ORDER BY lang"""
 }

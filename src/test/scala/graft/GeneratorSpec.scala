@@ -154,6 +154,7 @@ class GeneratorSpec extends SparkSpec {
     assert(Strftime.toJava("%Y-%m-%d") == "yyyy-MM-dd")
     assert(Strftime.toJava("%d.%m.%Y %H:%M:%S") == "dd.MM.yyyy HH:mm:ss")
     assert(Strftime.toJava("%Y-%m-%dT%H") == "yyyy-MM-dd'T'HH")
+    assert(Strftime.toJava("%H:%M:%S.%f") == "HH:mm:ss.SSSSSS")
     assert(Strftime.toJava("100%%") == "100%")
     val e = intercept[IllegalArgumentException](Strftime.toJava("%Q"))
     assert(e.getMessage.contains("unsupported strftime code"))

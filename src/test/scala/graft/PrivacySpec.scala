@@ -1,30 +1,16 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-import org.scalatest.BeforeAndAfterAll
-import org.scalatest.funsuite.AnyFunSuite
-
 import graft.queries.Privacy
 
 /** Invariants of the privacy-risk audits (pv01–pv03) that hold on ANY
   * corpus — the oracle hash-match pins the values, these pin the
-  * semantics. */
-class PrivacySpec extends AnyFunSuite with BeforeAndAfterAll {
-
-  private val sfDir = "/root/testdata/sf0.001"
-  private var spark: SparkSession = _
-
-  override def beforeAll(): Unit = {
-    spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-  }
-
-  override def afterAll(): Unit = spark.stop()
+  * semantics.
+  *
+  * Extends [[SparkSpec]] — `getOrCreate()` returns the JVM-shared
+  * session, so a suite-local `afterAll { spark.stop() }` here once
+  * killed the session under every suite scheduled after this one
+  * (76 cross-suite failures). Never stop the shared session. */
+class PrivacySpec extends SparkSpec {
 
   test("pv01: class-size histogram conserves the released rows and " +
     "flags exactly the sub-k sizes") {
