@@ -1155,14 +1155,18 @@ object Relational {
   def q42RecursiveSpine(spark: SparkSession, dir: String): DataFrame = {
     table(spark, dir, "orders")
       .createOrReplaceTempView("graft_q42_orders")
+    // the stop bound rides the recursive rows as a column: a scalar
+    // subquery in the recursion condition is re-evaluated EVERY
+    // iteration (~80 extra min/max scans of orders — measured 10 s
+    // at sf0.1 vs 0.6 s for this form)
     spark.sql("""
-      WITH RECURSIVE spine(month_start) AS (
-        SELECT date_trunc('MONTH', min(o_orderdate))
+      WITH RECURSIVE spine(month_start, month_end) AS (
+        SELECT date_trunc('MONTH', min(o_orderdate)),
+          date_trunc('MONTH', max(o_orderdate))
         FROM graft_q42_orders
         UNION ALL
-        SELECT month_start + INTERVAL 1 MONTH FROM spine
-        WHERE month_start < (SELECT date_trunc('MONTH', max(o_orderdate))
-          FROM graft_q42_orders)
+        SELECT month_start + INTERVAL 1 MONTH, month_end FROM spine
+        WHERE month_start < month_end
       ),
       sparse AS (
         SELECT date_trunc('MONTH', o_orderdate) AS m, count(*) AS n
@@ -1176,12 +1180,13 @@ object Relational {
   }
 
   val q42Sql: String = """
-    WITH RECURSIVE spine(month_start) AS (
-        SELECT date_trunc('month', min(o_orderdate)) FROM orders
+    WITH RECURSIVE spine(month_start, month_end) AS (
+        SELECT date_trunc('month', min(o_orderdate)),
+          date_trunc('month', max(o_orderdate))
+        FROM orders
         UNION ALL
-        SELECT month_start + INTERVAL 1 MONTH FROM spine
-        WHERE month_start < (SELECT date_trunc('month', max(o_orderdate))
-          FROM orders)
+        SELECT month_start + INTERVAL 1 MONTH, month_end FROM spine
+        WHERE month_start < month_end
       ),
       sparse AS (
         SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n

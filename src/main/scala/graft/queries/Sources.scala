@@ -484,13 +484,21 @@ object Sources {
       s"graft_j10_bucketed_$app").getAbsolutePath
     val oTab = s"graft_j10_orders_$app"
     val cTab = s"graft_j10_customer_$app"
+    // repartition ON THE BUCKET KEY before the write: each task then
+    // holds exactly one bucket's rows, so the layout is one file per
+    // bucket instead of (tasks × buckets) fragments — at 100 TB the
+    // fragment count is the difference between a listable table and
+    // a small-file catastrophe, and one-file-per-bucket is also what
+    // lets a sorted bucket scan skip the re-sort
     Relational.table(s, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .repartition(16, col("o_custkey"))
       .write.mode("overwrite").option("path", s"$base/orders")
       .bucketBy(16, "o_custkey").sortBy("o_custkey")
       .saveAsTable(oTab)
     Relational.table(s, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"))
+      .repartition(16, col("c_custkey"))
       .write.mode("overwrite").option("path", s"$base/customer")
       .bucketBy(16, "c_custkey").sortBy("c_custkey")
       .saveAsTable(cTab)
@@ -572,6 +580,99 @@ object Sources {
     GROUP BY 1
     ORDER BY 1"""
 
+  /** j12 — VARIANT ingestion + shredding (Spark 4's semi-structured
+    * type): order rows rendered as JSON text (the shape logs and
+    * event buses actually deliver), parsed ONCE into `VariantType`
+    * with `parse_json`, then shredded with typed `variant_get` path
+    * extraction and aggregated. Variant keeps the parse cost to one
+    * pass and the storage binary-encoded — at 100 TB the alternative
+    * (per-query `get_json_object` string re-parsing) multiplies the
+    * corpus scan cost by the number of paths touched. The DuckDB
+    * oracle computes the same aggregate straight from the typed
+    * columns, so the hash match proves the
+    * struct→JSON→variant→typed-path cycle is lossless, including
+    * double round-trips through JSON text. */
+  def variantShred(s: SparkSession, dir: String): DataFrame = {
+    val js = to_json(struct(col("o_orderkey").as("k"),
+      col("o_totalprice").as("p"), col("o_orderpriority").as("pr")))
+    Relational.table(s, dir, "orders")
+      .select(parse_json(js).as("v"))
+      .select(
+        variant_get(col("v"), "$.k", "bigint").as("k"),
+        variant_get(col("v"), "$.p", "double").as("p"),
+        variant_get(col("v"), "$.pr", "string").as("pr"))
+      .groupBy("pr")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("k")).as("sum_key"),
+        sum(col("p").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_price"))
+      .orderBy("pr")
+  }
+
+  val variantShredSql: String = """
+    SELECT o_orderpriority AS pr, count(*) AS n_orders,
+      CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        AS sum_price
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1"""
+
+  /** j13 — runtime bloom-filter join pruning: the shuffle-side twin
+    * of j11's DPP for UNPARTITIONED layouts. A selective dim (big
+    * urgent orders) joins the lineitem fact on orderkey — no
+    * partition layout to prune, so Catalyst's InjectRuntimeFilter
+    * builds a bloom filter from the dim's join keys and applies
+    * `might_contain` to the fact BEFORE its shuffle, cutting the
+    * shuffled fact rows to ~the join's selectivity. At 100 TB the
+    * fact shuffle is the dominant cost of every selective join;
+    * the bloom filter prices it at one scan-side expression. Runs
+    * in a child session (`newSession`) with the application-side
+    * size threshold lowered — the 10 GB default exists to spare
+    * small scans the overhead, and a test-scale corpus never
+    * reaches it; production keeps the default. Round6Spec asserts
+    * `might_contain` on the fact side of the executed plan and
+    * result equality with the unfiltered join. */
+  def bloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "true")
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "0")
+    // broadcast would bypass the shuffle the bloom filter protects;
+    // production dims at this selectivity exceed the threshold anyway
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    bloomJoinOn(s2, dir)
+  }
+
+  /** The join body on an explicitly-configured session (the spec
+    * passes its own to read the plan). */
+  private[graft] def bloomJoinOn(s2: SparkSession,
+      dir: String): DataFrame = {
+    val li = Relational.table(s2, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+    val dim = Relational.table(s2, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_totalprice") > 450000)
+      .select(col("o_orderkey"))
+    li.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  val bloomJoinSql: String = """
+    SELECT l_returnflag, count(*) AS n_lines,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 450000
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame,
     Option[String])] =
     Seq(("j01_jsonl_roundtrip", jsonlRoundtrip _, Some(jsonlRoundtripSql)),
@@ -587,5 +688,7 @@ object Sources {
       ("j09_nested_projection", nestedProjection _,
         Some(nestedProjectionSql)),
       ("j10_bucketed_join", bucketedJoin _, Some(bucketedJoinSql)),
-      ("j11_dpp_join", dppJoin _, Some(dppJoinSql)))
+      ("j11_dpp_join", dppJoin _, Some(dppJoinSql)),
+      ("j12_variant_shred", variantShred _, Some(variantShredSql)),
+      ("j13_bloom_join", bloomJoin _, Some(bloomJoinSql)))
 }

@@ -60,6 +60,38 @@ class Round6Spec extends SparkSpec {
       months.toSeq)
   }
 
+  test("j12: variant shredding round-trips typed values exactly — " +
+    "including doubles through JSON text") {
+    val shredded = Sources.variantShred(spark, sfDir).collect()
+    val raw = Relational.table(spark, sfDir, "orders")
+      .groupBy(col("o_orderpriority").as("pr"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_orderkey")).as("sum_key"),
+        sum(col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_price"))
+      .orderBy("pr").collect()
+    assert(shredded.toSeq == raw.toSeq)
+  }
+
+  test("j13: the fact side of the plan carries a bloom-filter " +
+    "might_contain probe, and the result equals the plain join") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "true")
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "0")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val df = Sources.bloomJoinOn(s2, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"),
+      s"no runtime bloom filter injected:\n${p.take(3000)}")
+    val viaBloom = Sources.bloomJoin(spark, sfDir).collect()
+    val plain = Sources.bloomJoinOn(spark, sfDir).collect()
+    assert(viaBloom.toSeq == plain.toSeq)
+  }
+
   test("q42: the recursive spine is contiguous min..max month, and " +
     "the gap rows a GROUP BY cannot produce are live") {
     val rows = Relational.q42RecursiveSpine(spark, sfDir).collect()
