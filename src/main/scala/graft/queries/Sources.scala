@@ -673,6 +673,87 @@ object Sources {
     GROUP BY l_returnflag
     ORDER BY l_returnflag"""
 
+  /** j14 — XML sink → source roundtrip (Spark 4's built-in XML
+    * datasource; the OTHER format the reference itself consumes —
+    * its CLDR keymaps are XML). Same contract as j01/j03: write the
+    * Spanish documents as XML with a `doc` row tag, read back with
+    * an EXPLICIT schema, aggregate; the oracle computes identical
+    * aggregates from the original parquet, so a hash match proves
+    * the XML encode/decode cycle is lossless — including entity
+    * escaping of every `<`/`&`/quote byte in the text payload, the
+    * part naive XML handling silently corrupts. Per-partition writer
+    * fanout; no coalesce. */
+  def xmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.table(s, dir, "documents")
+      .filter(col("lang") === "es")
+      .select(col("doc_id"), col("source"), col("text"))
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_j14_xml_${s.sparkContext.applicationId}").getAbsolutePath
+    docs.write.mode("overwrite").option("rowTag", "doc")
+      .format("xml").save(out)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("source", StringType),
+      StructField("text", StringType)))
+    s.read.schema(schema).option("rowTag", "doc").format("xml")
+      .load(out)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        sum(length(col("text")).cast("long")).as("sum_chars"))
+      .orderBy("source")
+  }
+
+  val xmlRoundtripSql: String = """
+    SELECT source, count(*) AS n_docs,
+      CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+      CAST(sum(length(text)) AS BIGINT) AS sum_chars
+    FROM documents WHERE lang = 'es'
+    GROUP BY source
+    ORDER BY source"""
+
+  /** j15 — file-metadata provenance columns: every file-source row
+    * carries hidden `_metadata` (file path, size, modification time)
+    * — the zero-cost lineage a 100 TB ingest audit needs (WHICH
+    * input file produced this row?) without baking paths into the
+    * data or re-listing the filesystem. The query re-shards the
+    * documents table into multiple parquet files, reads it back, and
+    * reconciles per-source row counts against distinct source FILES
+    * — path strings themselves never reach the output (they are
+    * environment-specific; cardinalities and row counts are not).
+    * The oracle reproduces the counts from the logical table,
+    * proving metadata projection changes no row. */
+  def metadataColumns(s: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_j15_meta_${s.sparkContext.applicationId}").getAbsolutePath
+    Relational.table(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .repartition(8)
+      .write.mode("overwrite").parquet(out)
+    val withMeta = s.read.parquet(out)
+      .select(col("doc_id"), col("source"),
+        col("_metadata.file_path").as("file_path"))
+    // global distinct-file count (8 — round-robin fills every shard
+    // when rows >> shards) attached to each source row; per-SOURCE
+    // file fans are layout-dependent (a 25-doc source need not touch
+    // all 8 shards) and deliberately NOT part of the contract
+    val nFiles = withMeta.agg(
+      count_distinct(col("file_path")).as("n_files_total"))
+    withMeta.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_doc_id"))
+      .crossJoin(nFiles)
+      .orderBy("source")
+  }
+
+  val metadataColumnsSql: String = """
+    SELECT source, count(*) AS n_docs,
+      CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+      CAST(8 AS BIGINT) AS n_files_total
+    FROM documents
+    GROUP BY source
+    ORDER BY source"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame,
     Option[String])] =
     Seq(("j01_jsonl_roundtrip", jsonlRoundtrip _, Some(jsonlRoundtripSql)),
@@ -690,5 +771,8 @@ object Sources {
       ("j10_bucketed_join", bucketedJoin _, Some(bucketedJoinSql)),
       ("j11_dpp_join", dppJoin _, Some(dppJoinSql)),
       ("j12_variant_shred", variantShred _, Some(variantShredSql)),
-      ("j13_bloom_join", bloomJoin _, Some(bloomJoinSql)))
+      ("j13_bloom_join", bloomJoin _, Some(bloomJoinSql)),
+      ("j14_xml_roundtrip", xmlRoundtrip _, Some(xmlRoundtripSql)),
+      ("j15_metadata_columns", metadataColumns _,
+        Some(metadataColumnsSql)))
 }

@@ -92,6 +92,53 @@ class Round6Spec extends SparkSpec {
     assert(viaBloom.toSeq == plain.toSeq)
   }
 
+  test("j14: XML roundtrip preserves exact text bytes including " +
+    "entity-escaped <, &, quotes, and newlines") {
+    import spark.implicits._
+    val hostile = Seq(
+      (1L, "a<b>&amp;</b> \"quoted\" 'single'"),
+      (2L, "line1\nline2 & <not-a-tag> ]]>"),
+      (3L, "plain")).toDF("id", "text")
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_j14_spec_${spark.sparkContext.applicationId}")
+      .getAbsolutePath
+    hostile.write.mode("overwrite").option("rowTag", "doc")
+      .format("xml").save(out)
+    val back = spark.read
+      .schema("id LONG, text STRING")
+      .option("rowTag", "doc").format("xml").load(out)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(back == Map(
+      1L -> "a<b>&amp;</b> \"quoted\" 'single'",
+      2L -> "line1\nline2 & <not-a-tag> ]]>",
+      3L -> "plain"))
+    // and the gate query equals the straight parquet aggregate
+    val viaXml = Sources.xmlRoundtrip(spark, sfDir).collect()
+    val raw = Relational.table(spark, sfDir, "documents")
+      .filter(col("lang") === "es")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        sum(length(col("text")).cast("long")).as("sum_chars"))
+      .orderBy("source").collect()
+    assert(viaXml.toSeq == raw.toSeq)
+  }
+
+  test("j15: _metadata projection changes no row and sees all 8 " +
+    "shards") {
+    val rows = Sources.metadataColumns(spark, sfDir).collect()
+    assert(rows.forall(_.getLong(3) == 8L),
+      rows.map(_.getLong(3)).toSeq)
+    val raw = Relational.table(spark, sfDir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_doc_id"))
+      .orderBy("source").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq == raw.map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2))).toSeq)
+  }
+
   test("q42: the recursive spine is contiguous min..max month, and " +
     "the gap rows a GROUP BY cannot produce are live") {
     val rows = Relational.q42RecursiveSpine(spark, sfDir).collect()
