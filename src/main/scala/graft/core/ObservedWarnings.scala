@@ -77,7 +77,14 @@ object ObservedWarnings {
       session.listenerManager.register(new QueryExecutionListener {
         override def onSuccess(funcName: String, qe: QueryExecution,
                                durationNs: Long): Unit =
-          qe.observedMetrics.foreach { case (mName, row) =>
+          // other operators use observe() too (e.g. cluster-formation
+          // convergence metrics) — touching their rows here throws
+          // FIELD_NOT_FOUND and silently aborts the remaining metrics
+          // of the same query, so gate on OUR metric-name prefix first
+          qe.observedMetrics
+            .filter { case (mName, _) =>
+              mName.startsWith("gecko_p_unmet_") }
+            .foreach { case (mName, row) =>
             def metric(field: String): Long = {
               val i = row.fieldIndex(field)
               if (row.isNullAt(i)) 0L else row.getLong(i)

@@ -1198,6 +1198,40 @@ object Relational {
     FROM spine LEFT JOIN sparse ON spine.month_start = sparse.m
     ORDER BY month"""
 
+  /** q43 — correlated LATERAL top-k: "each customer's 3 largest
+    * orders" phrased the way SQL users write it — a correlated
+    * LATERAL subquery with ORDER BY ... LIMIT — rather than q07's
+    * explicit window. The point is the PLAN: Catalyst decorrelates
+    * the per-row subquery into ONE `WindowGroupLimit` (partial →
+    * final, so each task keeps only its local top-3 per key before
+    * the shuffle) + a single join — NOT one subquery execution per
+    * customer. At 100 TB the difference is a per-partition bounded
+    * heap versus N correlated scans; the user pays nothing for the
+    * readable phrasing. Tie-break on orderkey makes the top-3
+    * deterministic; values pass through unaggregated, so no float
+    * arithmetic touches the hash. DuckDB runs the same LATERAL SQL. */
+  def q43LateralTopk(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "customer")
+      .createOrReplaceTempView("graft_q43_customer")
+    table(spark, dir, "orders")
+      .createOrReplaceTempView("graft_q43_orders")
+    spark.sql("""
+      SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      FROM graft_q43_customer c,
+      LATERAL (SELECT o_orderkey, o_totalprice FROM graft_q43_orders o
+               WHERE o.o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+      ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""")
+  }
+
+  val q43Sql: String = """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+    ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_segment_revenue", q02SegmentRevenue _, q02Sql),
@@ -1231,5 +1265,6 @@ object Relational {
     ("q40_ordered_string_agg", q40OrderedStringAgg _, q40Sql),
     ("q41_map_profile", q41MapProfile _, q41Sql),
     ("q42_recursive_spine", q42RecursiveSpine _, q42Sql),
+    ("q43_lateral_topk", q43LateralTopk _, q43Sql),
   )
 }

@@ -163,6 +163,31 @@ class Round6Spec extends SparkSpec {
       months.last == span.getString(1))
   }
 
+  test("q43: the correlated LATERAL decorrelates to a partial " +
+    "WindowGroupLimit (bounded per-task top-k), and equals the " +
+    "explicit window ranking") {
+    val df = Relational.q43LateralTopk(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      s"LATERAL LIMIT not decorrelated to a group limit:\n${p.take(3000)}")
+    assert(p.contains("Partial"), p.take(3000))
+    val viaLateral = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val viaWindow = Relational.table(spark, sfDir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .join(Relational.table(spark, sfDir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .orderBy(col("c_custkey"), col("o_totalprice").desc,
+        col("o_orderkey"))
+      .select("c_custkey", "o_orderkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaLateral == viaWindow)
+  }
+
   test("s23: triple conservation (one candidate per anchor), status " +
     "domain, kept-liveness, and determinism across runs") {
     val out = Sampling.contrastiveTriplets(spark, sfDir).collect()
