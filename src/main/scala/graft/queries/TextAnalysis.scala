@@ -1953,7 +1953,9 @@ object TextAnalysis {
     GROUP BY source
     ORDER BY source"""
 
-  val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
+  // lazy: forces AFTER full object init, so oracle-SQL vals declared
+  // below this registration can never be read as null
+  lazy val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("t01_token_count", tokenCount _, Some(tokenCountSql)),
       ("t02_quality_score", qualityScore _, Some(qualityScoreSql)),
@@ -1999,6 +2001,8 @@ object TextAnalysis {
       ("t35_domain_quality", domainQuality _, Some(domainQualitySql)),
       ("t36_tokenizer_fertility", tokenizerFertility _,
         Some(tokenizerFertilitySql)),
+      ("t37_pretrain_manifest", pretrainManifest _,
+        Some(pretrainManifestSql)),
     )
 
   // --------------------------------------------- tokenizer fertility
@@ -2054,4 +2058,132 @@ object TextAnalysis {
     FROM per_doc
     GROUP BY lang
     ORDER BY lang"""
+
+  // ------------------------------------------ pretraining manifest
+  // `final val` + literal = compile-time constant, immune to object
+  // init order: the lazy SQL below is forced DURING `all`'s
+  // initialization, before later plain vals assign — a plain val
+  // here interpolates as "null" into the oracle (bit us once: the
+  // canary reached DuckDB as the literal string 'null' while Spark,
+  // evaluating at query time, used the real one)
+  private final val T37Canary =
+    " canary alpha beta gamma delta epsilon zeta eta" // 8 tokens
+
+  /** t37 — the composed pretraining-corpus build, end to end in ONE
+    * labeled pass: exact dedup (d01) → length-band quality gate →
+    * eval hold-out + 8-gram decontamination (t28) → 90/10 train/val
+    * split (s08), with every document's FATE — the first stage that
+    * dropped it, else its final split — resolved in a single CASE
+    * chain over one frame, so the whole model-card ledger is ONE
+    * aggregation. That per-doc-fate shape is the 100 TB design: the
+    * naive per-stage recount re-scans the corpus once per ledger row;
+    * this scans it once total (plus the two bounded side inputs: the
+    * dedup keep-table and the eval-gram contamination list, both
+    * broadcast-sized by construction — eval sets are small, that is
+    * why they are eval sets). Plants keep every stage provably live:
+    * exact copies of every 20th doc (id +2e6) feed the dedup drop, a
+    * shared 8-token canary on the %37 and %101 slices feeds the
+    * contamination drop, and the band edges drop both length tails.
+    * All gates are md5/arithmetic — the DuckDB oracle replays the
+    * entire five-stage pipeline bit-exactly. */
+  def pretrainManifest(s: SparkSession, dir: String): DataFrame = {
+    val plantGate = pmod(col("doc_id"), lit(37)) === 0 ||
+      pmod(col("doc_id"), lit(101)) === 0
+    val base = Relational.table(s, dir, "documents")
+      .select(col("doc_id"),
+        when(plantGate, concat(col("text"), lit(T37Canary)))
+          .otherwise(col("text")).as("text"))
+    val dupes = base.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + lit(2000000L)).as("doc_id"), col("text"))
+    val raw = base.unionAll(dupes)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    // stage A side input: canonical id per exact-text group
+    val keep = raw.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    val labeled = raw.withColumn("h", md5(col("text")))
+      .join(keep, Seq("h"))
+      .withColumn("is_dup", col("doc_id") =!= col("keep_id"))
+      .withColumn("is_quality",
+        !col("is_dup") && col("n_chars").between(80, 480))
+      .withColumn("is_eval",
+        col("is_quality") && pmod(col("doc_id"), lit(101)) === 0)
+    // stage C side input: train-side survivors sharing an 8-gram
+    // with the eval hold-out
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= DupGramN)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - $DupGramN + 1), " +
+          s"i -> array_join(slice(toks, i, $DupGramN), ' '))")).as("gram"))
+    val evalGrams = grams(labeled.filter(col("is_eval")))
+      .select("gram").distinct()
+    val contaminated =
+      grams(labeled.filter(col("is_quality") && !col("is_eval")))
+        .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+        .select("doc_id").distinct()
+        .withColumn("hit", lit(1L))
+    val u = conv(substring(md5(concat(lit("t37#"), col("doc_id"))),
+      1, 8), 16, 10).cast("long")
+    labeled.join(contaminated, Seq("doc_id"), "left")
+      .withColumn("fate",
+        when(col("is_dup"), "1_dropped_dup")
+          .when(!col("is_quality"), "2_dropped_quality")
+          .when(col("is_eval"), "4_eval")
+          .when(col("hit").isNotNull, "3_dropped_contaminated")
+          .when(u * 10 < 9L * 4294967296L, "4_train")
+          .otherwise("4_val"))
+      .groupBy("fate")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"))
+      .orderBy("fate")
+  }
+
+  lazy val pretrainManifestSql: String = s"""
+    WITH base AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 37 = 0 OR doc_id % 101 = 0
+          THEN text || '$T37Canary' ELSE text END AS text
+      FROM documents),
+    raw AS (
+      SELECT doc_id, text, length(text) AS n_chars FROM base
+      UNION ALL
+      SELECT doc_id + 2000000, text, length(text) FROM base
+      WHERE doc_id % 20 = 0),
+    keep AS (
+      SELECT md5(text) AS h, min(doc_id) AS keep_id
+      FROM raw GROUP BY 1),
+    labeled AS (
+      SELECT r.*, r.doc_id <> k.keep_id AS is_dup,
+        r.doc_id = k.keep_id AND r.n_chars BETWEEN 80 AND 480
+          AS is_quality,
+        r.doc_id = k.keep_id AND r.n_chars BETWEEN 80 AND 480
+          AND r.doc_id % 101 = 0 AS is_eval
+      FROM raw r JOIN keep k ON md5(r.text) = k.h),
+    toks AS (
+      SELECT doc_id, is_quality, is_eval, string_split(text, ' ') AS t
+      FROM labeled),
+    grams AS (
+      SELECT doc_id, is_eval, unnest(list_transform(
+          range(1, len(t) - $DupGramN + 2),
+          i -> array_to_string(t[i:i+${DupGramN - 1}], ' '))) AS gram
+      FROM toks WHERE len(t) >= $DupGramN AND is_quality),
+    eval_grams AS (
+      SELECT DISTINCT gram FROM grams WHERE is_eval),
+    contaminated AS (
+      SELECT DISTINCT g.doc_id
+      FROM grams g JOIN eval_grams e ON g.gram = e.gram
+      WHERE NOT g.is_eval)
+    SELECT
+      CASE WHEN l.is_dup THEN '1_dropped_dup'
+           WHEN NOT l.is_quality THEN '2_dropped_quality'
+           WHEN l.is_eval THEN '4_eval'
+           WHEN c.doc_id IS NOT NULL THEN '3_dropped_contaminated'
+           WHEN ('0x' || substr(md5('t37#' || l.doc_id), 1, 8))::BIGINT
+               * 10 < 9 * 4294967296 THEN '4_train'
+           ELSE '4_val' END AS fate,
+      count(*) AS n_docs,
+      CAST(sum(l.n_chars) AS BIGINT) AS n_chars
+    FROM labeled l LEFT JOIN contaminated c ON l.doc_id = c.doc_id
+    GROUP BY 1
+    ORDER BY fate"""
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.queries.{Relational, Sampling, Sources}
+import graft.queries.{Relational, Sampling, Sources, TextAnalysis}
 
 /** Round-6 session-2 operators: j10 bucketed co-located join and s23
   * contrastive triplet mining. Each test pins what the DuckDB hash
@@ -209,6 +209,26 @@ class Round6Spec extends SparkSpec {
     // partition-layout dependence)
     val again = Sampling.contrastiveTriplets(spark, sfDir).collect()
     assert(out.toSeq == again.toSeq)
+  }
+
+  test("t37: every pipeline stage is live, the ledger conserves the " +
+    "planted corpus, and the dedup drop equals the plant count") {
+    val rows = TextAnalysis.pretrainManifest(spark, sfDir).collect()
+    val byFate = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byFate.keySet == Set("1_dropped_dup", "2_dropped_quality",
+      "3_dropped_contaminated", "4_eval", "4_train", "4_val"),
+      byFate.keySet)
+    val docs = Relational.table(spark, sfDir, "documents")
+    val n = docs.count()
+    val nPlanted = docs.filter(col("doc_id") % 20 === 0).count()
+    // conservation: raw corpus = originals + planted exact copies
+    assert(byFate.values.sum == n + nPlanted, byFate)
+    // the dedup stage drops EXACTLY the planted copies (id-shifted
+    // above every original, so min-keep always keeps the original)
+    assert(byFate("1_dropped_dup") == nPlanted, byFate)
+    // every stage ledger row is positive (liveness already implied
+    // by the fate-set assert, but make the counts visible on failure)
+    byFate.foreach { case (f, c) => assert(c > 0, s"$f empty") }
   }
 
   test("s23: no kept triple pairs an anchor with a negative from " +
