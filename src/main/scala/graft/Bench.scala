@@ -96,6 +96,12 @@ object Bench {
       "q13_order_lineitem_smj", "q16_salted_join", "q17_asof_join",
       "d01_dedup_exact", "d02_dedup_minhash_lsh", "d06_dedup_clusters",
       "d08_paragraph_dedup", "d09_semantic_dedup", "q21_range_join",
+      // round-6 session-2 flagships — early so the enforced line
+      // budget never truncates them
+      "j10_bucketed_join", "j11_dpp_join", "j13_bloom_join",
+      "q42_recursive_spine", "q43_lateral_topk",
+      "s23_contrastive_triplets", "t37_pretrain_manifest",
+      "st21_spend_alerts_streamed",
       "s01_ann_brute_force", "s02_ann_lsh_bucketed",
       "s04_ann_ivf", "s06_embedding_clusters", "t11_tfidf",
       "t14_quality_gate",
@@ -146,14 +152,29 @@ object Bench {
     // 2 decimals: centisecond resolution is enough for the driver's
     // trend reading and buys the 2000-char stdout-tail budget ~1 char
     // per key — the list is at 1973 chars with 3 decimals and 67 keys
-    val qsCompact = headline.flatMap(k => resultMap.get(k).map(v =>
-        "\"" + k + "\":" + (math.rint(v * 100) / 100)))
-      .mkString("{", ",", "}")
-    val jsonCompact =
+    // ENFORCED budget: the headline list has outgrown the hand-pruned
+    // 2000-char budget twice (BENCH_r04/r05 "parsed": null — the
+    // compact line's opening brace fell outside the driver's tail),
+    // so serialize greedily in headline priority order and STOP
+    // before the line would exceed the budget; bench.json still
+    // carries every query
+    val compactHead =
       s"""{"metric":"total","value":${math.rint(total * 100) / 100},""" +
-        s""""unit":"sec","queries":$qsCompact,"sf":"$sfDir",""" +
-        s""""cpus":$cpus,"iters":$iters,"n_queries":${results.size},""" +
-        s""""full":"bench.json"}"""
+        s""""unit":"sec","queries":{"""
+    val compactTail =
+      s"""},"sf":"$sfDir","cpus":$cpus,"iters":$iters,""" +
+        s""""n_queries":${results.size},"full":"bench.json"}"""
+    val lineBudget = 1900 - compactHead.length - compactTail.length
+    val qsCompact = new StringBuilder
+    headline.foreach { k =>
+      resultMap.get(k).foreach { v =>
+        val entry = (if (qsCompact.isEmpty) "" else ",") +
+          "\"" + k + "\":" + (math.rint(v * 100) / 100)
+        if (qsCompact.length + entry.length <= lineBudget)
+          qsCompact.append(entry)
+      }
+    }
+    val jsonCompact = compactHead + qsCompact + compactTail
 
     // file first: survives any stdout interleaving from sbt/Spark
     val outDir = sys.env.getOrElse("SPARK_GRAFT_OUT", ".")
