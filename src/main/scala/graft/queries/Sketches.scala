@@ -71,8 +71,128 @@ object Sketches {
     ORDER BY n_true DESC, t
     LIMIT $TopK"""
 
+  // ------------------------------------------------ KMV set sketches
+  private[queries] val KmvK = 64
+  // error contracts for the inv oracle: KMV σ ≈ 1/√(k−2) ≈ 12.7% at
+  // k=64; distinct estimates bound at 35% (≈2.7σ), the
+  // inclusion–exclusion intersection — error compounds across three
+  // estimates — at 50%. Deterministic given (data, xxhash64), but the
+  // driver REDRAWS testdata between rounds, so the margins are
+  // deliberately generous rather than fitted to one draw.
+  private val DistinctBound = 0.35
+  private val InterBound = 0.50
+
+  /** Per-event-type KMV sketches + pairwise audience-overlap
+    * estimates next to exact truth. The sketch build is the 100 TB
+    * path: one partial-agg shuffle whose state is ≤k longs per group
+    * regardless of user cardinality ([[graft.expr.KmvSketchAgg]]);
+    * the estimator then runs on 5 collected sketches (≤ k longs each
+    * — small-side by construction, like every sketch readout). Union
+    * = merge-and-trim of two sketches, distinct = (k−1)/u(kth min),
+    * intersection = inclusion–exclusion floored at 0. The exact
+    * columns exist for the audit contract; a production pipeline at
+    * a scale where exact distinct is unaffordable ships only the
+    * sketches — they are mergeable and storable (c09's MV pattern
+    * applies unchanged). Estimates are engine-specific (xxhash64) →
+    * rows-only; sk01_kmv_inv carries the oracle-checked contract. */
+  def kmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    import graft.expr.KmvSketchAgg._
+    val ut = Relational.table(s, dir, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+    val sketches = Relational.table(s, dir, "events")
+      .select(col("event_type"), xxhash64(col("user_id")).as("h"))
+      .groupBy("event_type").agg(kmvSketch(col("h"), KmvK).as("sk"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+    val est = sketches.keys.toSeq.sorted.combinations(2).map {
+      case Seq(ta, tb) =>
+        val (a, b) = (sketches(ta), sketches(tb))
+        val ea = estimateDistinct(a, KmvK)
+        val eb = estimateDistinct(b, KmvK)
+        val eu = estimateDistinct(unionSketch(a, b, KmvK), KmvK)
+        val ei = math.max(0.0, ea + eb - eu)
+        (ta, tb, math.round(ea), math.round(eb), math.round(eu),
+          math.round(ei))
+    }.toSeq
+    import s.implicits._
+    val estDf = est.toDF("ta", "tb", "est_a", "est_b", "est_union",
+      "est_inter")
+    estDf.join(exactPairs(s, ut), Seq("ta", "tb"))
+      .select(col("ta"), col("tb"), col("exact_a"), col("exact_b"),
+        col("exact_union"), col("exact_inter"), col("est_a"),
+        col("est_b"), col("est_union"), col("est_inter"))
+      .orderBy("ta", "tb")
+  }
+
+  /** Exact pairwise distinct/union/intersection truth over the
+    * (type, user) distinct pairs — cross-pairs the (tiny) type
+    * domain so zero-overlap pairs survive with 0. */
+  private def exactPairs(s: SparkSession, ut: DataFrame): DataFrame = {
+    val n = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val types = ut.select("event_type").distinct()
+    val pairs = types.toDF("ta")
+      .crossJoin(types.toDF("tb")).filter(col("ta") < col("tb"))
+    val inter = ut.toDF("ta", "u")
+      .join(ut.toDF("tb", "u2"),
+        col("u") === col("u2") && col("ta") < col("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("i"))
+    pairs.join(inter, Seq("ta", "tb"), "left")
+      .join(n.toDF("ta", "na"), Seq("ta"))
+      .join(n.toDF("tb", "nb"), Seq("tb"))
+      .select(col("ta"), col("tb"), col("na").as("exact_a"),
+        col("nb").as("exact_b"),
+        (col("na") + col("nb") - coalesce(col("i"), lit(0L)))
+          .as("exact_union"),
+        coalesce(col("i"), lit(0L)).as("exact_inter"))
+  }
+
+  /** sk01's invariant projection, fully oracle-checked: exact truth
+    * plus the error-contract flags the Spark side derived from the
+    * sketches — the oracle recomputes the truth and asserts TRUE. */
+  def kmvInv(s: SparkSession, dir: String): DataFrame = {
+    def ok(est: String, exact: String, bound: Double) =
+      (abs(col(est) - col(exact)) <=
+        ceil(col(exact) * bound) + lit(1L)).as(s"ok_$est")
+    kmvOverlap(s, dir).select(col("ta"), col("tb"),
+      col("exact_a"), col("exact_b"), col("exact_union"),
+      col("exact_inter"),
+      ok("est_a", "exact_a", DistinctBound),
+      ok("est_b", "exact_b", DistinctBound),
+      ok("est_union", "exact_union", DistinctBound),
+      ok("est_inter", "exact_inter", InterBound))
+  }
+
+  val kmvInvSql: String = """
+    WITH ut AS (
+      SELECT DISTINCT event_type, user_id FROM events),
+    n AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+    types AS (SELECT DISTINCT event_type FROM events),
+    pairs AS (
+      SELECT a.event_type AS ta, b.event_type AS tb
+      FROM types a JOIN types b ON a.event_type < b.event_type),
+    inter AS (
+      SELECT a.event_type AS ta, b.event_type AS tb,
+        count(*) AS i
+      FROM ut a JOIN ut b ON a.user_id = b.user_id
+        AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT p.ta, p.tb,
+      CAST(na.n AS BIGINT) AS exact_a,
+      CAST(nb.n AS BIGINT) AS exact_b,
+      CAST(na.n + nb.n - coalesce(i.i, 0) AS BIGINT) AS exact_union,
+      CAST(coalesce(i.i, 0) AS BIGINT) AS exact_inter,
+      TRUE AS ok_est_a, TRUE AS ok_est_b,
+      TRUE AS ok_est_union, TRUE AS ok_est_inter
+    FROM pairs p
+    LEFT JOIN inter i ON p.ta = i.ta AND p.tb = i.tb
+    JOIN n na ON p.ta = na.event_type
+    JOIN n nb ON p.tb = nb.event_type
+    ORDER BY p.ta, p.tb"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("t12_heavy_hitters", heavyHitters _, None),
-      ("t12_cms_inv", cmsInv _, Some(cmsInvSql)))
+      ("t12_cms_inv", cmsInv _, Some(cmsInvSql)),
+      ("sk01_kmv_overlap", kmvOverlap _, None),
+      ("sk01_kmv_inv", kmvInv _, Some(kmvInvSql)))
 }

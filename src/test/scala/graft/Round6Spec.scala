@@ -211,6 +211,34 @@ class Round6Spec extends SparkSpec {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("sk01: KMV sketches are exact below k, estimates equal truth " +
+    "at this SF, and the sketch is partition-layout-independent") {
+    import graft.expr.KmvSketchAgg.kmvSketch
+    // sf0.001 has 15 distinct users per type < k=64 → the sketch
+    // holds the whole set and every estimate must be EXACT
+    val rows = graft.queries.Sketches.kmvOverlap(spark, sfDir).collect()
+    assert(rows.length == 10) // C(5 types, 2)
+    rows.foreach { r =>
+      assert(r.getLong(6) == r.getLong(2), s"est_a != exact_a: $r")
+      assert(r.getLong(7) == r.getLong(3), s"est_b != exact_b: $r")
+      assert(r.getLong(8) == r.getLong(4), s"est_union: $r")
+      assert(r.getLong(9) == r.getLong(5), s"est_inter: $r")
+    }
+    // merge-tree independence: 1-partition and 8-partition builds
+    // produce byte-identical sketches (set semantics, no order term)
+    def sketchOf(parts: Int): Seq[Long] = spark.range(10000)
+      .repartition(parts)
+      .select(xxhash64((col("id") % 500).cast("string")).as("h"))
+      .agg(kmvSketch(col("h"), 64)).collect().head.getSeq[Long](0)
+    assert(sketchOf(1) == sketchOf(8))
+    assert(sketchOf(8).length == 64)
+    // and the inv contract holds where estimation is actually active
+    // (n > k): 500 distinct hashed ids vs k=64
+    val est = graft.expr.KmvSketchAgg
+      .estimateDistinct(sketchOf(8).toArray, 64)
+    assert(math.abs(est - 500) <= 500 * 0.35, s"est=$est")
+  }
+
   test("t37: every pipeline stage is live, the ledger conserves the " +
     "planted corpus, and the dedup drop equals the plant count") {
     val rows = TextAnalysis.pretrainManifest(spark, sfDir).collect()
