@@ -165,13 +165,24 @@ object Bench {
       s"""},"sf":"$sfDir","cpus":$cpus,"iters":$iters,""" +
         s""""n_queries":${results.size},"full":"bench.json"}"""
     val lineBudget = 1900 - compactHead.length - compactTail.length
+    // STRICT priority-prefix: stop at the FIRST entry that would
+    // exceed the budget instead of skipping it and scanning on — a
+    // long-named flagship must never be dropped while lower-priority
+    // short keys survive (the "flagships listed early" intent)
     val qsCompact = new StringBuilder
+    var budgetHit = false
     headline.foreach { k =>
-      resultMap.get(k).foreach { v =>
+      if (!budgetHit) resultMap.get(k).foreach { v =>
         val entry = (if (qsCompact.isEmpty) "" else ",") +
           "\"" + k + "\":" + (math.rint(v * 100) / 100)
         if (qsCompact.length + entry.length <= lineBudget)
           qsCompact.append(entry)
+        else {
+          budgetHit = true
+          System.err.println(
+            s"[bench] compact-line budget hit at '$k' — later headline " +
+              "keys omitted from the tail line (bench.json has all)")
+        }
       }
     }
     val jsonCompact = compactHead + qsCompact + compactTail

@@ -160,6 +160,16 @@ object Mutators {
     * when-chain over the original columns, no shuffle. */
   case class WithPermute(seed: Long) extends Mutator {
 
+    /** Derangement enumeration is factorial in column count (!k of
+      * k! permutations survive the filter; the rewrite is a !k-deep
+      * when-chain per column). Fine at gecko-typical 2–4 columns;
+      * reference behavior past that is the same silent explosion
+      * (mutator.py:1059-1122 enumerates permutations too) — this
+      * engine fails loudly instead of hanging the driver/codegen. !7
+      * = 1854 branches is the last size whose when-chain still plans
+      * in interactive time. */
+    private[mut] val MaxPermuteColumns = 7
+
     private def derangements(k: Int): Seq[Seq[Int]] =
       (0 until k).permutations
         .filter(p => p.zipWithIndex.forall { case (v, i) => v != i })
@@ -177,6 +187,11 @@ object Mutators {
       if (cols.size < 2)
         throw new IllegalArgumentException(
           "list must contain at least two series to permute")
+      require(cols.size <= MaxPermuteColumns,
+        s"with_permute supports at most $MaxPermuteColumns columns " +
+          s"(got ${cols.size}): derangement enumeration and the " +
+          "per-row when-chain grow factorially — restructure into " +
+          "smaller permute groups")
       val ds = derangements(cols.size)
       val sel = draw(rid, 0, 0) < lit(p)
       val dIdx = floor(draw(rid, 0, 1) * lit(ds.size.toDouble)).cast("int")

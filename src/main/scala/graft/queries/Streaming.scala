@@ -758,7 +758,12 @@ $counts
     * sort inside each processor fully determines replay order.
     * Returns (srcDir, workDir); the caller checkpoints under workDir.
     * The workDir is wiped up front (st20's lesson: stale checkpoints
-    * + sink metadata double-count on same-JVM re-runs). */
+    * + sink metadata double-count on same-JVM re-runs).
+    *
+    * GATE SCAFFOLDING, not an ingestion pattern: the driver loop over
+    * weeks with `coalesce(1)` per week exists only to stage a
+    * deterministic ≥4-batch replay over a bounded test calendar — a
+    * production ingest never single-files its input. */
   private def weeklyEventFiles(s: SparkSession, dir: String,
       tag: String): (String, String) = {
     val baseDir = new java.io.File(sys.props("java.io.tmpdir"),

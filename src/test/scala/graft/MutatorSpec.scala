@@ -137,6 +137,27 @@ class MutatorSpec extends SparkSpec {
     }
   }
 
+  test("withPermute: rejects > 7 columns loudly (factorial " +
+    "derangement bound) and still accepts 7") {
+    val names = (0 until 8).map(i => s"c$i")
+    val row = (0L +: names.map(n => s"v$n")).toArray
+    val df = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(row: _*)),
+      org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField(Gecko.RowId,
+          org.apache.spark.sql.types.LongType) +:
+        names.map(n => org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.StringType))))
+    val e = intercept[IllegalArgumentException] {
+      WithPermute(seed = 9)(df, names, 1.0, col(Gecko.RowId))
+    }
+    assert(e.getMessage.contains("at most 7"))
+    // a width inside the bound still plans and executes
+    val ok = WithPermute(seed = 9)(df, names.take(6), 1.0,
+      col(Gecko.RowId)).collect()
+    assert(ok.length == 1)
+  }
+
   test("withLowercase / withUppercase") {
     val df = frame(Seq("ABC", "abc", "MiXeD", "123"))
     val lo = collectV(WithLowercase(seed = 3)(df, Seq("v"), 1.0,

@@ -98,7 +98,12 @@ class Round6Spec extends SparkSpec {
     val hostile = Seq(
       (1L, "a<b>&amp;</b> \"quoted\" 'single'"),
       (2L, "line1\nline2 & <not-a-tag> ]]>"),
-      (3L, "plain")).toDF("id", "text")
+      (3L, "plain"),
+      // surrounding whitespace is payload: the read sets
+      // ignoreSurroundingSpaces=false explicitly, so leading/trailing
+      // blanks (and a whitespace-heavy value) must survive byte-exact
+      (4L, "  leading and trailing  "),
+      (5L, " \t mixed\ttabs \t ")).toDF("id", "text")
     val out = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_j14_spec_${spark.sparkContext.applicationId}")
       .getAbsolutePath
@@ -106,12 +111,15 @@ class Round6Spec extends SparkSpec {
       .format("xml").save(out)
     val back = spark.read
       .schema("id LONG, text STRING")
-      .option("rowTag", "doc").format("xml").load(out)
+      .option("rowTag", "doc")
+      .option("ignoreSurroundingSpaces", "false").format("xml").load(out)
       .collect().map(r => (r.getLong(0), r.getString(1))).toMap
     assert(back == Map(
       1L -> "a<b>&amp;</b> \"quoted\" 'single'",
       2L -> "line1\nline2 & <not-a-tag> ]]>",
-      3L -> "plain"))
+      3L -> "plain",
+      4L -> "  leading and trailing  ",
+      5L -> " \t mixed\ttabs \t "))
     // and the gate query equals the straight parquet aggregate
     val viaXml = Sources.xmlRoundtrip(spark, sfDir).collect()
     val raw = Relational.table(spark, sfDir, "documents")
