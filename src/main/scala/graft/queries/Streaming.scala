@@ -756,51 +756,65 @@ $counts
     * FUNCTION of ts (not a row split) means same-timestamp events can
     * never straddle a batch boundary, so the per-batch (ts, event_id)
     * sort inside each processor fully determines replay order.
-    * Returns (srcDir, workDir); the caller checkpoints under workDir.
-    * The workDir is wiped up front (st20's lesson: stale checkpoints
-    * + sink metadata double-count on same-JVM re-runs).
+    * Built ONCE per (application, sf dir) and shared by every
+    * streamed gate query (st21–st24) — the input staging was ~2/3 of
+    * the streamed trio's wall-clock when each query re-staged it.
+    * Returns the srcDir; callers own their separate work dirs.
     *
     * GATE SCAFFOLDING, not an ingestion pattern: the driver loop over
     * weeks with `coalesce(1)` per week exists only to stage a
     * deterministic ≥4-batch replay over a bounded test calendar — a
     * production ingest never single-files its input. */
-  private def weeklyEventFiles(s: SparkSession, dir: String,
-      tag: String): (String, String) = {
-    val baseDir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_${tag}_${s.sparkContext.applicationId}")
-    if (baseDir.exists())
-      org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
-    val src = new java.io.File(baseDir, "src")
-    src.mkdirs()
-    val ev = events(s, dir)
-      .withColumn("wk", date_trunc("week", col("ts")))
-    val weeks = ev.select("wk").distinct().orderBy("wk")
-      .collect().map(_.getTimestamp(0))
-    weeks.zipWithIndex.foreach { case (wk, i) =>
-      val stage = new java.io.File(baseDir, s"stage_$i")
-      ev.filter(col("wk") === lit(wk)).drop("wk")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(stage.getAbsolutePath)
-      val part = stage.listFiles()
-        .filter(f => f.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(src, f"week-$i%03d.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      // mtime drives FileStreamSource's processing order — set it
-      // explicitly (sub-second write bursts could otherwise tie)
-      dst.setLastModified(1700000000000L + i * 60000L)
-      org.apache.commons.io.FileUtils.deleteDirectory(stage)
-    }
-    (src.getAbsolutePath, baseDir.getAbsolutePath)
-  }
+  private val weeklySrcCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def weeklyEventSrc(s: SparkSession, dir: String): String =
+    weeklySrcCache.computeIfAbsent(
+      (s.sparkContext.applicationId, dir), _ => {
+        val tag = java.lang.Integer.toHexString(dir.hashCode)
+        val baseDir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_stweeks_${tag}_${s.sparkContext.applicationId}")
+        if (baseDir.exists())
+          org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
+        val src = new java.io.File(baseDir, "src")
+        src.mkdirs()
+        val ev = events(s, dir)
+          .withColumn("wk", date_trunc("week", col("ts")))
+        val weeks = ev.select("wk").distinct().orderBy("wk")
+          .collect().map(_.getTimestamp(0))
+        weeks.zipWithIndex.foreach { case (wk, i) =>
+          val stage = new java.io.File(baseDir, s"stage_$i")
+          ev.filter(col("wk") === lit(wk)).drop("wk")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(stage.getAbsolutePath)
+          val part = stage.listFiles()
+            .filter(f => f.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(src, f"week-$i%03d.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          // mtime drives FileStreamSource's processing order — set it
+          // explicitly (sub-second write bursts could otherwise tie)
+          dst.setLastModified(1700000000000L + i * 60000L)
+          org.apache.commons.io.FileUtils.deleteDirectory(stage)
+        }
+        src.getAbsolutePath
+      })
 
   /** Run a typed event-stream transform through checkpointed
     * micro-batches (AvailableNow, one week-file per batch) into a
-    * parquet sink, and read the committed result back. */
+    * parquet sink, and read the committed result back. The staged
+    * weekly input is shared across queries; the work dir (checkpoint
+    * + sink) is per-query and wiped up front (st20's lesson: stale
+    * checkpoints + sink metadata double-count on same-JVM re-runs). */
   private def runEventStream(s: SparkSession, dir: String, tag: String)(
       f: org.apache.spark.sql.Dataset[EventStreams.Event] => DataFrame)
       : DataFrame = {
     import s.implicits._
-    val (src, base) = weeklyEventFiles(s, dir, tag)
+    val src = weeklyEventSrc(s, dir)
+    val baseDir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_${tag}_${s.sparkContext.applicationId}")
+    if (baseDir.exists())
+      org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
+    val base = baseDir.getAbsolutePath
     val stream = s.readStream.schema(EventStreams.EventsSchema)
       .option("maxFilesPerTrigger", "1").parquet(src)
     val outDir = s"$base/out"
@@ -850,6 +864,52 @@ $counts
       EventStreams.profileStream(ev).toDF())
       .orderBy("user_id", "event_id")
 
+  /** st24 — st13's idle detection executed AS A STREAM: the
+    * event-time-TIMER path (the subtlest state machine in the repo —
+    * alerts are PUSHED when the watermark passes an un-slid timer,
+    * not derived from input rows alone) through the same checkpointed
+    * weekly micro-batches as st21–23, against st13's oracle.
+    *
+    * Mid-stream silences hash-match st13 micros-exactly (they are
+    * detected from input rows, timer timing never decides them). The
+    * TRAILING alerts are decided by real watermark/timer machinery,
+    * which Spark quantizes to milliseconds (watermark = floor_ms(max
+    * event time) − delay; a timer fires iff timer_ms <= wm_ms —
+    * pinned empirically by tools/TimerProbe and StreamingSpec), so
+    * the oracle's trailing predicate uses the SAME ms-floored
+    * arithmetic instead of st13's micros comparison. On ms-aligned
+    * data the two predicates coincide; on micro-jittered testdata
+    * they can differ for a user whose final silence ends within 1ms
+    * of the threshold — the quantization is the platform contract,
+    * and the oracle states it rather than hoping the band is empty. */
+  def idleUsersStreamed(s: SparkSession, dir: String): DataFrame =
+    runEventStream(s, dir, "st24")(ev =>
+      EventStreams.idleStream(ev, IdleGapMinutes,
+        s"$IdleWmMinutes minutes").toDF())
+      .orderBy("user_id", "last_seen_us")
+
+  val idleUsersStreamedSql: String = {
+    val gapUs = IdleGapMinutes * 60000000L
+    val gapMs = IdleGapMinutes * 60000L
+    val wmMs = IdleWmMinutes * 60000L
+    s"""
+    WITH mx AS (SELECT max(ts) AS max_ts FROM events),
+    seq AS (
+      SELECT user_id, ts,
+        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS next_ts
+      FROM events)
+    SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS last_seen_us,
+      CAST(epoch_us(ts) + $gapUs AS BIGINT) AS idle_at_us
+    FROM seq, mx
+    WHERE (next_ts IS NOT NULL
+           AND epoch_us(next_ts) > epoch_us(ts) + $gapUs)
+       OR (next_ts IS NULL
+           AND epoch_us(ts) // 1000 + $gapMs
+               <= epoch_us(max_ts) // 1000 - $wmMs)
+    ORDER BY user_id, last_seen_us"""
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("st01_tumbling_window", tumblingWindow _, Some(tumblingWindowSql)),
@@ -882,5 +942,7 @@ $counts
         Some(recentBasketsSql)),
       ("st23_user_profiles_streamed", userProfilesStreamed _,
         Some(userProfilesSql)),
+      ("st24_idle_streamed", idleUsersStreamed _,
+        Some(idleUsersStreamedSql)),
     )
 }

@@ -391,48 +391,96 @@ object EventStreams {
 
   case class IdleAlert(user_id: Long, last_seen_us: Long, idle_at_us: Long)
 
-  /** Event-time-timer idleness detector on the v2 API: each user's
-    * state is one `lastTs` long plus ONE registered timer at
-    * `lastTs + gap`; new events slide the timer forward, and when the
-    * WATERMARK passes an un-slid timer, [[StatefulProcessor
-    * .handleExpiredTimer]] emits the idle alert — the push-based
-    * "entity went quiet" primitive (session expiry, heartbeat loss,
-    * cache invalidation) that polling formulations scan the whole
-    * state store for. State and timer count are O(1) per user.
+  /** Exact epoch micros of an event timestamp (java.sql.Timestamp
+    * carries ms in getTime plus full sub-second nanos; Spark's own
+    * encoder conversion is the same arithmetic). Timers and
+    * watermarks are ms-quantized, but emitted ALERT VALUES must be
+    * micros-exact to hash-match the batch oracle. */
+  private[graft] def epochUs(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  /** Event-time-timer idleness detector on the v2 API — the
+    * push-based "entity went quiet" primitive (session expiry,
+    * heartbeat loss, cache invalidation) that polling formulations
+    * scan the whole state store for. State is one (lastUs, alerted)
+    * pair plus ONE registered timer per user — O(1).
     *
-    * Alert timing depends on watermark progression, so the bit-exact
-    * batch twin ([[idleBatch]]) is the driver-facing query; the spec
-    * proves stream == batch under event-time-ordered batch slicing. */
+    * Built to be REPLAY-EXACT against [[idleBatch]] under any
+    * event-time-ordered batch slicing (st24 runs it in the gate
+    * against st13's oracle):
+    *  - MID-STREAM gaps are detected from the input rows themselves
+    *    (consecutive-pair scan in (ts, event_id) order, micros-exact
+    *    strict `> gap`), never from timer timing — a silence wholly
+    *    inside one micro-batch emits exactly like one that straddles
+    *    batches.
+    *  - TIMERS carry only what input rows cannot: the alert for a
+    *    user whose silence is still open when the watermark passes
+    *    `last + gap` (covers the trailing alert; may also pre-fire a
+    *    mid-stream gap when the watermark passes first — provably
+    *    consistent, since the watermark trails the user's next event
+    *    by the delay, so a pre-fired gap is a real one).
+    *  - The `alerted` flag dedups the two paths: a timer-fired alert
+    *    marks the stored `lastUs` as already-alerted, and the
+    *    input-row path skips the (stored, first-new) pair iff marked.
+    *  - Timer/watermark arithmetic is ms-floored (pinned by
+    *    tools/TimerProbe + StreamingSpec: watermark = floor_ms(max
+    *    event time) − delay; a timer fires iff timer_ms <= wm_ms);
+    *    alert VALUES are computed from the micros-exact state, never
+    *    from `ExpiredTimerInfo`. */
   class IdleDetector(gapMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, Event, IdleAlert] {
-    @transient private var lastTs:
+    private val gapUs = gapMs * 1000L
+    @transient private var lastUs:
       org.apache.spark.sql.streaming.ValueState[Long] = _
+    @transient private var alerted:
+      org.apache.spark.sql.streaming.ValueState[Boolean] = _
 
     override def init(outputMode: OutputMode,
-        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
-      lastTs = getHandle.getValueState[Long]("lastTs",
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      lastUs = getHandle.getValueState[Long]("lastUs",
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.streaming.TTLConfig.NONE)
+      alerted = getHandle.getValueState[Boolean]("alerted",
+        org.apache.spark.sql.Encoders.scalaBoolean,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
 
     override def handleInputRows(key: Long, rows: Iterator[Event],
         timers: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[IdleAlert] = {
-      val batchMax = rows.map(_.ts.getTime).max
-      if (lastTs.exists()) {
-        getHandle.deleteTimer(lastTs.get() + gapMs)
-        if (batchMax > lastTs.get()) lastTs.update(batchMax)
-      } else lastTs.update(batchMax)
-      getHandle.registerTimer(lastTs.get() + gapMs)
-      Iterator.empty
+      val sorted = rows.toSeq
+        .sortBy(e => (epochUs(e.ts), e.event_id)).map(e => epochUs(e.ts))
+      val out = scala.collection.mutable.ArrayBuffer.empty[IdleAlert]
+      var prev = if (lastUs.exists()) Some(lastUs.get()) else None
+      // slide the pending timer (no-op if it already fired)
+      prev.foreach(p => getHandle.deleteTimer(p / 1000L + gapMs))
+      var prevAlerted = alerted.exists() && alerted.get()
+      sorted.foreach { us =>
+        prev match {
+          case Some(p) if us - p > gapUs && !prevAlerted =>
+            out += IdleAlert(key, p, p + gapUs)
+          case _ => ()
+        }
+        prevAlerted = false // the flag only covers the stored prev
+        prev = Some(us)
+      }
+      lastUs.update(prev.get)
+      alerted.update(false)
+      getHandle.registerTimer(prev.get / 1000L + gapMs)
+      out.iterator
     }
 
     override def handleExpiredTimer(key: Long,
         timers: org.apache.spark.sql.streaming.TimerValues,
         expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
         : Iterator[IdleAlert] =
-      Iterator.single(IdleAlert(key, lastTs.get() * 1000L,
-        expired.getExpiryTimeInMs * 1000L))
+      if (alerted.exists() && alerted.get()) Iterator.empty
+      else {
+        alerted.update(true)
+        val p = lastUs.get()
+        Iterator.single(IdleAlert(key, p, p + gapUs))
+      }
   }
 
   /** Batch twin of [[IdleDetector]] over a finite log: an idle alert

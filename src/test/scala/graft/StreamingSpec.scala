@@ -531,6 +531,129 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("idle detector slicing invariance: intra-batch gaps, " +
+    "slid-timer gaps, and timer-pre-fired gaps all emit the batch " +
+    "twin's alert set under coarse AND fine slicing") {
+    // user 7: gap 2->100 (mid) + trailing after 101
+    // user 8: gap 5->50 (mid) + trailing after 50
+    // user 9: no mid gap, trailing after 20
+    // sentinel 999 at 500 drives the final watermark to 490
+    val ts = (m: Long) => new java.sql.Timestamp(m * 60000L)
+    val body = Seq(
+      EventStreams.Event(1, ts(1), 7L, "click", 1.0),
+      EventStreams.Event(2, ts(2), 7L, "click", 1.0),
+      EventStreams.Event(3, ts(100), 7L, "click", 1.0),
+      EventStreams.Event(4, ts(101), 7L, "click", 1.0),
+      EventStreams.Event(5, ts(5), 8L, "click", 1.0),
+      EventStreams.Event(6, ts(50), 8L, "click", 1.0),
+      EventStreams.Event(7, ts(10), 9L, "click", 1.0),
+      EventStreams.Event(8, ts(20), 9L, "click", 1.0))
+    val sentinelMid = EventStreams.Event(90, ts(45), 999L, "click", 0.0)
+    val sentinelEnd = EventStreams.Event(91, ts(500), 999L, "click", 0.0)
+    // coarse: every body event in ONE batch (user 7/8's mid-stream
+    // gaps are INTRA-batch — input-row detection must emit them);
+    // fine: the sentinel@45 advances the watermark past user 7's
+    // first timer BEFORE the return at 100 arrives (timer pre-fires
+    // the gap; the alerted flag must dedup the input-row path)
+    val slicings = Seq(
+      Seq(body, Seq(sentinelEnd)),
+      Seq(body.filter(_.ts.getTime <= 20 * 60000L), Seq(sentinelMid),
+        body.filter(_.ts.getTime > 20 * 60000L), Seq(sentinelEnd)))
+
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val outs = slicings.zipWithIndex.map { case (slices, i) =>
+        val dir = java.nio.file.Files.createTempDirectory(s"idle-slc$i")
+        val enc =
+          implicitly[org.apache.spark.sql.Encoder[EventStreams.Event]]
+        slices.head.toDS().coalesce(1).write.mode("append")
+          .parquet(s"$dir/in")
+        val q = EventStreams.idleStream(
+            spark.readStream.schema(enc.schema).parquet(s"$dir/in")
+              .as[EventStreams.Event],
+            gapMinutes = 30, watermark = "10 minutes")
+          .writeStream.outputMode("append")
+          .format("memory").queryName(s"idle_slc$i").start()
+        q.processAllAvailable()
+        slices.tail.foreach { f =>
+          f.toDS().coalesce(1).write.mode("append").parquet(s"$dir/in")
+          q.processAllAvailable()
+        }
+        q.stop()
+        spark.table(s"idle_slc$i").filter(col("user_id") =!= 999L)
+          .orderBy("user_id", "last_seen_us").collect().toSeq
+      }
+      val batch = EventStreams.idleBatch(
+          (body :+ sentinelEnd :+ sentinelMid).toDS().toDF(), 30, 10)
+        .filter(col("user_id") =!= 999L)
+        .orderBy("user_id", "last_seen_us").collect().toSeq
+      assert(batch.map(r => (r.getLong(0), r.getLong(1) / 60000000L)) ==
+        Seq((7L, 2L), (7L, 101L), (8L, 5L), (8L, 50L), (9L, 20L)))
+      assert(outs(0) == batch,
+        s"coarse(${outs(0).mkString(",")}) != batch(${batch.mkString(",")})")
+      assert(outs(1) == batch,
+        s"fine(${outs(1).mkString(",")}) != batch(${batch.mkString(",")})")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("idle detector ms-quantization contract: watermark floors " +
+    "micros->ms, a timer fires iff timer_ms <= wm_ms, and alert " +
+    "values keep exact micros (the st24 oracle's trailing predicate)") {
+    def tsUs(us: Long) = {
+      val t = new java.sql.Timestamp(us / 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    // sentinel max event = 3000s exactly -> final wm_ms = 2_400_000.
+    // user 1 last at 600_000_000us: timer_ms = 2_400_000 == wm -> fires
+    // user 3 last at 600_000_999us: ms-FLOORS to the same timer ->
+    //   fires, and the alert must carry the exact 999us tail
+    // user 2 last at 600_001_000us: timer_ms = 2_400_001 > wm -> silent
+    val f1 = Seq(
+      EventStreams.Event(1, tsUs(600000000L), 1L, "click", 1.0),
+      EventStreams.Event(2, tsUs(600001000L), 2L, "click", 1.0),
+      EventStreams.Event(3, tsUs(600000999L), 3L, "click", 1.0))
+    val f2 = Seq(EventStreams.Event(9, tsUs(3000000000L), 999L, "click", 0.0))
+    val dir = java.nio.file.Files.createTempDirectory("idle-quant")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val enc = implicitly[org.apache.spark.sql.Encoder[EventStreams.Event]]
+      f1.toDS().coalesce(1).write.mode("append").parquet(s"$dir/in")
+      val q = EventStreams.idleStream(
+          spark.readStream.schema(enc.schema).parquet(s"$dir/in")
+            .as[EventStreams.Event],
+          gapMinutes = 30, watermark = "10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("idle_quant").start()
+      q.processAllAvailable()
+      f2.toDS().coalesce(1).write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("idle_quant").filter(col("user_id") =!= 999L)
+        .orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == Seq(
+        (1L, 600000000L, 600000000L + 1800000000L),
+        (3L, 600000999L, 600000999L + 1800000000L)), got.mkString(","))
+      // and this is exactly where the micros-exact batch twin DIVERGES
+      // by design: it would not alert user 3 (off by 999us) — the st24
+      // oracle therefore uses the ms-floored trailing predicate
+      val batchUsers = EventStreams.idleBatch(
+          (f1 ++ f2).toDS().toDF(), 30, 10)
+        .filter(col("user_id") =!= 999L)
+        .collect().map(_.getLong(0)).toSeq.sorted
+      assert(batchUsers == Seq(1L))
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("transformWithState MapState: point-in-time profiles == batch " +
     "twin, per-type counts carried across batch slicings") {
     val dir = java.nio.file.Files.createTempDirectory("profile-stream")
