@@ -161,28 +161,43 @@ object Graph {
     * the clustering primitive behind community detection and
     * recommendation diversity scoring.
     *
-    * Scale shape: the classic degree-ordered orientation (each
+    * Scale shape (round-8 rework): degree-ordered orientation (each
     * undirected edge directed from its (degree, id)-smaller endpoint)
-    * bounds every vertex's out-degree by O(√m), so the wedge join
-    * (e1.dst = e2.src) materializes O(m^1.5) candidates worst-case
-    * instead of Σ deg² — the MapReduce triangle-counting bound. Three
-    * shuffles total (wedge join + closing-edge semi-join + the final
-    * per-node count), all on edge keys, no broadcast requirement.
-    * Every count is an exact integer, so the DuckDB replica matches
-    * hash-exactly. */
+    * bounds every vertex's out-degree by O(√m); triangles are then
+    * closed EDGE-ITERATOR style — the oriented out-neighborhoods are
+    * collected once into sorted per-node arrays and each oriented edge
+    * (u,v) intersects adj(u) ∩ adj(v) in-memory. The O(Σ outdeg²)
+    * wedge candidates (≈400M rows at sf1, the round-6/7 `weak`) are
+    * never materialized as shuffle rows: they become array-merge CPU
+    * inside one codegen stage, and the only post-orientation shuffles
+    * move O(m) rows — the adjacency collect plus two edge⋈adj joins
+    * (GraphX's triangleCount uses the same collect-then-intersect
+    * shape). Row volume after intersection is exactly 3 rows per
+    * triangle (u and v take |W| via the pre-aggregated size, each
+    * w ∈ W takes 1 via explode), then one final per-node sum. Every
+    * count is an exact integer, so the DuckDB replica matches
+    * hash-exactly; the oracle SQL keeps the equivalent wedge+EXISTS
+    * formulation because DuckDB has no array intersection over
+    * grouped adjacency — same semantics, engine-appropriate plans. */
   def triangles(s: SparkSession, dir: String): DataFrame =
     trianglesWithCap(s, dir, TriOrderCap)
 
   /** The per-order fanout cap is the gr03 cost knob: candidate wedge
     * volume grows ~cap² per order. Measured sensitivity on the
-    * round-6 draw (tools/PerfAudit gr03, cold single runs):
-    * sf0.1 — cap 2: 11.4 s / 3,273 triangle-bearing nodes;
-    * cap 4: 14.4 s / 20,000 (every part); cap 8: 31.9 s / 20,000.
-    * sf1 — cap 2: 22.2 s / 32,730; cap 4: 50.9 s / 200,000;
-    * cap 8: 118.2 s / 200,000. Cap 4 is the knee: full node
-    * coverage at ~45% of cap-8's cost; cap 2 halves the time again
-    * but drops 5/6 of the triangle-bearing nodes. Doubling the cap
-    * roughly doubles wall time while adding no coverage — hence 4. */
+    * round-8 draw with the edge-iterator closing (tools/PerfAudit
+    * gr03, cold single runs incl. ~9 s session/JIT fixed cost):
+    * sf0.1 — cap 4: 13.9 s / 20,000 triangle-bearing nodes (every
+    * part); cap 8: 16.0 s / 20,000. sf1 — cap 2: 20.6 s / 32,730;
+    * cap 4: 25.4 s / 200,000; cap 8: 42.6 s / 200,000. Warm (second
+    * run in a live session, tools/TriProbe): cap 4 is 5.0 s at sf0.1
+    * and 16.0 s at sf1, with wedge volume measured exactly linear in
+    * SF (21.5M → 215M in-array candidates — never shuffle rows).
+    * Cap 4 keeps full node coverage; cap 2 drops 5/6 of the
+    * triangle-bearing nodes for ~20% of the cost back; cap 8 doubles
+    * the cost and adds no coverage — hence 4. (Pre-r8 wedge-join
+    * numbers for the same knob: 50.9 s cap 4 / 118.2 s cap 8 at
+    * sf1 — the rework is 2–2.8× on the knee and turned the 100×
+    * story from materialized-row growth into linear CPU.) */
   private[graft] val TriOrderCap = 4
 
   private[graft] def trianglesWithCap(s: SparkSession, dir: String,
@@ -197,16 +212,24 @@ object Graph {
     * checkpoint scan. Callers own the returned caches. */
   private[graft] def trianglesPlan(s: SparkSession, dir: String,
       cap: Int): (DataFrame, Seq[DataFrame]) = {
-    import org.apache.spark.sql.expressions.Window
-    val pairs = Relational.table(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val capped = pairs.withColumn("rn", row_number().over(
-        Window.partitionBy("l_orderkey").orderBy("l_partkey")))
-      .filter(col("rn") <= cap).drop("rn")
-    val a = capped.select(col("l_orderkey"), col("l_partkey").as("u"))
-    val b = capped.select(col("l_orderkey"), col("l_partkey").as("v"))
-    val edges = a.join(b, "l_orderkey").filter(col("u") < col("v"))
-      .select("u", "v").distinct().persist()
+    // Per-order capped part set in ONE shuffle: collect_set(partkey)
+    // (partial-aggregated map-side) -> sort -> keep the `cap` lowest,
+    // then emit the <=C(cap,2) unordered pairs IN-ROW with a nested
+    // transform — replacing the r6 shape's distinct + row_number
+    // window + self-join (three shuffles of the full lineitem pair
+    // stream) with a single orderkey-keyed aggregation.
+    val pairBlocks = Relational.table(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(slice(array_sort(collect_set(col("l_partkey"))), 1, cap)
+        .as("ps"))
+      .select(expr(
+        """flatten(transform(ps, (u, i) ->
+             transform(slice(ps, i + 2, size(ps)), v ->
+               struct(u AS u, v AS v))))""").as("pairs"))
+    val edges = pairBlocks
+      .select(explode(col("pairs")).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .distinct().persist()
     val deg = edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("c"))
@@ -219,17 +242,29 @@ object Graph {
         when(struct(col("cu"), col("u")) < struct(col("cv"), col("v")),
           col("v")).otherwise(col("u")).as("d"))
       .persist()
-    val wedges = orient.select(col("s").as("a"), col("d").as("b"))
-      .join(orient.select(col("s").as("b"), col("d").as("c")), "b")
-    val tris = wedges.join(
-      orient.select(col("s").as("a"), col("d").as("c")), Seq("a", "c"),
-      "left_semi")
-    val out = tris.select(col("a").as("node"))
-      .unionAll(tris.select(col("b").as("node")))
-      .unionAll(tris.select(col("c").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    // Edge-iterator closing: sorted oriented adjacency per node, one
+    // in-memory intersection per oriented edge. Inner joins are
+    // correct: an edge whose endpoint has no out-neighbors closes
+    // nothing, and every triangle is counted exactly once at its
+    // unique out-degree-2 apex (the (degree,id)-smallest corner).
+    val adj = orient.groupBy(col("s").as("n"))
+      .agg(sort_array(collect_list(col("d"))).as("nbrs"))
+      .persist()
+    val closed = orient
+      .join(adj.select(col("n").as("s"), col("nbrs").as("adj_s")), "s")
+      .join(adj.select(col("n").as("d"), col("nbrs").as("adj_d")), "d")
+      .select(col("s"), col("d"),
+        array_intersect(col("adj_s"), col("adj_d")).as("common"))
+      .filter(size(col("common")) > 0)
+    val out = closed.select(col("s").as("node"),
+        size(col("common")).cast("long").as("t"))
+      .unionAll(closed.select(col("d").as("node"),
+        size(col("common")).cast("long").as("t")))
+      .unionAll(closed.select(explode(col("common")).as("node"),
+        lit(1L).as("t")))
+      .groupBy("node").agg(sum(col("t")).as("n_triangles"))
       .orderBy("node")
-    (out, Seq(edges, orient))
+    (out, Seq(edges, orient, adj))
   }
 
   val trianglesSql: String = """

@@ -69,6 +69,17 @@ object Sources {
     val out = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_j02_part_${s.sparkContext.applicationId}").getAbsolutePath
     docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    // j15's fail-fast pattern: the read below prunes to lang=en/de
+    // DIRECTORIES — if the hive layout ever changes shape (missing
+    // dirs, nulls under __HIVE_DEFAULT_PARTITION__), fail with a
+    // named precondition instead of a bare oracle hash mismatch
+    val langDirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    require(langDirs.contains("lang=en") && langDirs.contains("lang=de")
+        && !langDirs.exists(_.contains("HIVE_DEFAULT_PARTITION")),
+      s"j02 precondition: partitionBy(lang) layout must contain " +
+        s"lang=en and lang=de dirs and no null partition (got " +
+        s"${langDirs.toSeq.sorted.mkString(", ")})")
     s.read.parquet(out)
       .filter(col("lang").isin("en", "de"))
       .groupBy("lang", "source")
@@ -147,6 +158,15 @@ object Sources {
     fragged.repartition(4).write.mode("overwrite").parquet(compact)
     def nFiles(p: String): Long = new java.io.File(p).listFiles()
       .count(f => f.getName.endsWith(".parquet")).toLong
+    // j15's fail-fast pattern: the oracle hardcodes the 64→4 file
+    // counts, so a writer fan-out change (maxRecordsPerFile, empty
+    // partitions dropped, AQE coalescing a repartition) must surface
+    // as a NAMED precondition break, not a bare hash mismatch
+    require(nFiles(frag) == 64 && nFiles(compact) == 4,
+      s"j04 precondition: repartition(64)/repartition(4) must yield " +
+        s"exactly 64/4 parquet files (got ${nFiles(frag)}/" +
+        s"${nFiles(compact)}) — writer fan-out changed; the oracle's " +
+        s"files_before=64/files_after=4 would hash-mismatch")
     s.read.parquet(compact)
       .agg(count(lit(1)).as("n_rows"),
         sum(col("l_orderkey")).as("sum_okey"),
@@ -560,6 +580,17 @@ object Sources {
           date_format(col("l_shipdate"), "yyyy-MM"))
         .select(col("l_orderkey"), col("l_quantity"), col("ship_month"))
         .write.mode("overwrite").partitionBy("ship_month").parquet(out)
+    // j15's fail-fast pattern (FS listing only — no extra scan): DPP
+    // needs a real multi-directory month layout to prune, and a null
+    // ship month would silently land in the hive default partition
+    // and come back as a NULL group — name both breaks
+    val monthDirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    require(monthDirs.count(_.startsWith("ship_month=")) >= 12 &&
+        !monthDirs.exists(_.contains("HIVE_DEFAULT_PARTITION")),
+      s"j11 precondition: ship_month layout must have >= 12 month " +
+        s"dirs and no null partition (got ${monthDirs.length} dirs: " +
+        s"${monthDirs.sorted.take(5).mkString(", ")}…)")
     val fact = s.read.parquet(out)
     val dim = Relational.table(s, dir, "orders")
       .filter(year(col("o_orderdate")) === 1996)
@@ -641,6 +672,13 @@ object Sources {
     new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
 
   def bloomJoin(s: SparkSession, dir: String): DataFrame = {
+    // evict entries from dead contexts: a JVM hosting several
+    // SparkContexts over its lifetime (test harnesses) would
+    // otherwise accumulate stopped child sessions, and a cached
+    // child of a stopped context throws on use
+    bloomSessions.entrySet().removeIf(e =>
+      e.getKey != s.sparkContext.applicationId ||
+        e.getValue.sparkContext.isStopped)
     val s2 = bloomSessions.computeIfAbsent(
       s.sparkContext.applicationId, _ => {
         val c = s.newSession()
@@ -757,18 +795,20 @@ object Sources {
     // The oracle hardcodes 8, so FAIL FAST if the layout assumption
     // ever breaks (corpus < 8 rows, maxRecordsPerFile set, writer
     // fan-out change) instead of surfacing as a bare hash mismatch.
+    // ONE distinct-file scan serves both the precondition and the
+    // output column (as a literal) — the earlier shape re-counted
+    // the same files in a crossJoin aggregate, two extra scans per
+    // bench iteration for a static layout check
     val nFilesSeen = withMeta.select(col("file_path")).distinct().count()
     require(nFilesSeen == 8,
       s"j15 precondition: repartition(8) must yield exactly 8 data " +
         s"files (got $nFilesSeen) — corpus too small, " +
         s"spark.sql.files.maxRecordsPerFile set, or writer fan-out " +
         s"changed; the oracle's n_files_total=8 would hash-mismatch")
-    val nFiles = withMeta.agg(
-      count_distinct(col("file_path")).as("n_files_total"))
     withMeta.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("doc_id")).as("sum_doc_id"))
-      .crossJoin(nFiles)
+      .withColumn("n_files_total", lit(nFilesSeen))
       .orderBy("source")
   }
 

@@ -768,10 +768,21 @@ $counts
   private val weeklySrcCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
-  private def weeklyEventSrc(s: SparkSession, dir: String): String =
+  private def weeklyEventSrc(s: SparkSession, dir: String): String = {
+    // evict stale entries: staging from a previous SparkContext in
+    // this JVM, or a src dir an OS tmp cleaner removed mid-suite —
+    // returning a cached path that no longer exists would fail the
+    // replay with FileNotFound instead of restaging
+    weeklySrcCache.entrySet().removeIf(e =>
+      e.getKey._1 != s.sparkContext.applicationId ||
+        !new java.io.File(e.getValue).isDirectory)
     weeklySrcCache.computeIfAbsent(
       (s.sparkContext.applicationId, dir), _ => {
-        val tag = java.lang.Integer.toHexString(dir.hashCode)
+        // collision-resistant dir tag: two sf dirs in one application
+        // must never share a staging root (String.hashCode collides)
+        val tag = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(dir.getBytes("UTF-8"))
+          .take(8).map(b => f"$b%02x").mkString
         val baseDir = new java.io.File(sys.props("java.io.tmpdir"),
           s"graft_stweeks_${tag}_${s.sparkContext.applicationId}")
         if (baseDir.exists())
@@ -798,6 +809,7 @@ $counts
         }
         src.getAbsolutePath
       })
+  }
 
   /** Run a typed event-stream transform through checkpointed
     * micro-batches (AvailableNow, one week-file per batch) into a
@@ -910,6 +922,39 @@ $counts
     ORDER BY user_id, last_seen_us"""
   }
 
+  /** st25 — st08's per-(user, day) ingestion quota executed AS A
+    * STREAM: the flatMapGroupsWithState + event-time-timeout path
+    * (the last distinct state API whose gate coverage was previously
+    * batch-twin-only) through the same checkpointed weekly
+    * AvailableNow micro-batches as st21–24, against st08's kept-set
+    * oracle. State is ONE counter per active (user, day), expired by
+    * an event-time timeout at the day's end — bounded regardless of
+    * stream length. Unlike st24 there is no timer/quantization band
+    * to model: kept rows are decided purely from input rows in
+    * (micros ts, event_id) order, so the oracle ranks with the same
+    * micros arithmetic and the match is exact under the staged
+    * event-time-ordered slicing. */
+  def quotaStreamed(s: SparkSession, dir: String): DataFrame =
+    runEventStream(s, dir, "st25")(ev =>
+      EventStreams.quotaStream(
+        ev.withWatermark("ts", "10 minutes"), QuotaN).toDF())
+      .select(col("user_id"), col("event_id"),
+        (col("value").cast(DecimalType(18, 6)) * 1000000)
+          .cast("long").as("value_micros"))
+      .orderBy("user_id", "event_id")
+
+  val quotaStreamedSql: String = s"""
+    WITH ranked AS (
+      SELECT event_id, user_id, value,
+        row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+          ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events)
+    SELECT user_id, event_id,
+      CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+        AS value_micros
+    FROM ranked WHERE rn <= $QuotaN
+    ORDER BY user_id, event_id"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("st01_tumbling_window", tumblingWindow _, Some(tumblingWindowSql)),
@@ -944,5 +989,7 @@ $counts
         Some(userProfilesSql)),
       ("st24_idle_streamed", idleUsersStreamed _,
         Some(idleUsersStreamedSql)),
+      ("st25_quota_streamed", quotaStreamed _,
+        Some(quotaStreamedSql)),
     )
 }

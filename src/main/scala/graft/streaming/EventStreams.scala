@@ -225,7 +225,10 @@ object EventStreams {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             var c = state.getOption.getOrElse(0L)
-            val kept = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            // micros-exact within-batch order, matching quotaBatch's
+            // window ORDER BY ts (getTime alone is ms-truncated and
+            // could mis-rank sub-ms neighbors at the cap boundary)
+            val kept = rows.toSeq.sortBy(e => (epochUs(e.ts), e.event_id))
               .filter { e => val ok = c < n; if (ok) c += 1; ok }
               .map(e => KeptEvent(e.event_id, e.ts, e.user_id, e.value))
             state.update(c)
@@ -405,9 +408,18 @@ object EventStreams {
     * scan the whole state store for. State is one (lastUs, alerted)
     * pair plus ONE registered timer per user — O(1).
     *
-    * Built to be REPLAY-EXACT against [[idleBatch]] under any
-    * event-time-ordered batch slicing (st24 runs it in the gate
-    * against st13's oracle):
+    * Built to be REPLAY-EXACT against [[idleBatch]] under
+    * event-time-ordered batch slicing with a watermark delay of at
+    * least 1 ms (st24 runs it in the gate against st13's oracle,
+    * which satisfies both). The delay precondition exists because
+    * timer arithmetic is ms-FLOORED while the batch twin's gap
+    * predicate is micros-strict: with a sub-ms delay and
+    * late-but-admitted rows, a pre-fired timer could alert a
+    * mid-stream silence whose micros width falls within the 1 ms
+    * band BELOW the gap, which the batch twin rejects. With >= 1 ms
+    * delay the watermark trails every admitted row's event time by
+    * at least the quantization band, so any pre-fired gap is also a
+    * gap under the strict micros predicate. Invariants:
     *  - MID-STREAM gaps are detected from the input rows themselves
     *    (consecutive-pair scan in (ts, event_id) order, micros-exact
     *    strict `> gap`), never from timer timing — a silence wholly

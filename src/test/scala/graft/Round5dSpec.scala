@@ -186,7 +186,7 @@ class Round5dSpec extends SparkSpec {
   }
 
   test("gr03: triangle algebra — per-node counts sum to 3x the " +
-    "triangle total, plan has the closing semi-join and no cartesian") {
+    "triangle total, closing is in-memory intersection (no wedge rows)") {
     // plan variant: the shipped query materializes via localCheckpoint
     // (cache release), which would hide the real plan behind a scan
     val (df, caches) =
@@ -196,7 +196,11 @@ class Round5dSpec extends SparkSpec {
     assert(counts.sum % 3 == 0,
       "each triangle must contribute to exactly 3 nodes")
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("LeftSemi"), p)
+    // r8 rework: wedges close via array_intersect over collected
+    // adjacency — no materialized wedge join, no semi-join, and the
+    // O(sum outdeg^2) candidates never become shuffle rows
+    assert(p.contains("array_intersect"), p)
+    assert(!p.contains("LeftSemi"), p)
     assert(!p.contains("Cartesian"), p)
     caches.foreach(_.unpersist(false))
   }

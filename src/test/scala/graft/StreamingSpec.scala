@@ -835,4 +835,109 @@ class StreamingSpec extends SparkSpec {
       .select("u", "dt").collect()
     assert(orig.map(_.toString).sameElements(back.map(_.toString)))
   }
+
+  test("idle detector under Trigger.AvailableNow + file sink: the " +
+    "trailing no-data batch fires last-file timers (the gate's exact " +
+    "shape, previously pinned only by the manual TimerProbe)") {
+    // The memory-sink tests above drive with processAllAvailable; the
+    // GATE (st24) runs AvailableNow into a parquet sink, where the
+    // trailing alerts depend on AvailableNow running a final no-data
+    // batch in which the last file's watermark fires still-pending
+    // timers. Pin that platform behavior in CI: user 9's ONLY event
+    // is in the final input file — its trailing alert exists iff the
+    // no-data batch runs.
+    val root = java.nio.file.Files.createTempDirectory("idle-an")
+    val ts = (m: Long) => new java.sql.Timestamp(m * 60000L)
+    val f1 = Seq(
+      EventStreams.Event(1, ts(1), 7L, "click", 1.0),
+      EventStreams.Event(2, ts(2), 7L, "click", 1.0))
+    val f2 = Seq(
+      EventStreams.Event(3, ts(600), 9L, "click", 1.0),
+      EventStreams.Event(90, ts(700), 999L, "click", 0.0))
+    Seq((f1, "f1"), (f2, "f2")).zipWithIndex.foreach {
+      case ((rows, name), i) =>
+        val stage = s"$root/stage_$name"
+        rows.toDS().coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(s"$root/in")
+        dst.mkdirs()
+        val f = new java.io.File(dst, s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, f.toPath)
+        f.setLastModified(1700000000000L + i * 60000L)
+    }
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val enc = implicitly[org.apache.spark.sql.Encoder[EventStreams.Event]]
+      val q = EventStreams.idleStream(
+          spark.readStream.schema(enc.schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+            .as[EventStreams.Event],
+          gapMinutes = 30, watermark = "10 minutes")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val got = spark.read.parquet(s"$root/out")
+        .filter(col("user_id") =!= 999L)
+        .orderBy("user_id", "last_seen_us")
+        .collect().map(r => (r.getLong(0), r.getLong(1) / 60000000L))
+      // trailing alerts for BOTH users — 9's only event arrived in
+      // the final file, so its alert proves last-batch timers fire
+      assert(got.toSeq == Seq((7L, 2L), (9L, 600L)),
+        s"got ${got.mkString(",")}")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("quota gate slicing pin: 4 checkpointed AvailableNow " +
+    "micro-batches into a file sink keep exactly the batch twin's " +
+    "rows (st25's gate shape)") {
+    val batchEvents = graft.queries.Streaming.events(spark, sfDir)
+    val keptBatch = EventStreams.quotaBatch(batchEvents, 5)
+      .filter(col("kept") === 1)
+      .select("event_id").as[Long].collect().toSet
+
+    // four ts-ordered quartile files — same event-time-ordered slicing
+    // contract as the gate's weekly staging, one file per micro-batch
+    val root = java.nio.file.Files.createTempDirectory("quota-an")
+    val qs = batchEvents
+      .selectExpr("percentile(unix_micros(ts), array(0.25, 0.5, 0.75))")
+      .collect().head.getSeq[Double](0).map(_.toLong)
+    val bounds = (Long.MinValue +: qs) :+ Long.MaxValue
+    bounds.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+      val stage = s"$root/stage_$i"
+      batchEvents.filter(unix_micros(col("ts")) > lo &&
+          unix_micros(col("ts")) <= hi)
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$root/in")
+      dst.mkdirs()
+      val f = new java.io.File(dst, f"q$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, f.toPath)
+      f.setLastModified(1700000000000L + i * 60000L)
+    }
+    val q = EventStreams.quotaStream(
+        spark.readStream.schema(EventStreams.EventsSchema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+          .withWatermark("ts", "10 minutes")
+          .as[EventStreams.Event], 5)
+      .writeStream.outputMode("append")
+      .format("parquet")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val keptStream = spark.read.parquet(s"$root/out")
+      .select("event_id").as[Long].collect()
+    assert(keptStream.length == keptStream.toSet.size, "duplicate emits")
+    assert(keptStream.toSet == keptBatch,
+      s"stream kept ${keptStream.length}, batch kept ${keptBatch.size}")
+  }
 }
