@@ -101,7 +101,7 @@ object Bench {
       "j10_bucketed_join", "j11_dpp_join", "j13_bloom_join",
       "q42_recursive_spine", "q43_lateral_topk",
       "s23_contrastive_triplets", "t37_pretrain_manifest",
-      "st21_spend_alerts_streamed",
+      "st21_spend_alerts_streamed", "st25_quota_streamed",
       "s01_ann_brute_force", "s02_ann_lsh_bucketed",
       "s04_ann_ivf", "s06_embedding_clusters", "t11_tfidf",
       "t14_quality_gate",
