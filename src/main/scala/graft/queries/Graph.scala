@@ -210,15 +210,17 @@ object Graph {
     * plan assertions must read the REAL plan, and
     * materializeAndRelease replaces the returned lineage with a
     * checkpoint scan. Callers own the returned caches. */
-  private[graft] def trianglesPlan(s: SparkSession, dir: String,
-      cap: Int): (DataFrame, Seq[DataFrame]) = {
-    // Per-order capped part set in ONE shuffle: collect_set(partkey)
-    // (partial-aggregated map-side) -> sort -> keep the `cap` lowest,
-    // then emit the <=C(cap,2) unordered pairs IN-ROW with a nested
-    // transform — replacing the r6 shape's distinct + row_number
-    // window + self-join (three shuffles of the full lineitem pair
-    // stream) with a single orderkey-keyed aggregation.
-    val pairBlocks = Relational.table(s, dir, "lineitem")
+  /** The gr03/gr04 co-purchase edge list (u < v part pairs from each
+    * order's `cap` lowest part keys), built in ONE shuffle: per-order
+    * collect_set(partkey) (partial-aggregated map-side) -> sort ->
+    * keep the `cap` lowest, then emit the <=C(cap,2) unordered pairs
+    * IN-ROW with a nested transform — replacing the r6 shape's
+    * distinct + row_number window + self-join (three shuffles of the
+    * full lineitem pair stream) with a single orderkey-keyed
+    * aggregation, plus the final pair distinct. */
+  private def coPurchaseEdges(s: SparkSession, dir: String,
+      cap: Int): DataFrame =
+    Relational.table(s, dir, "lineitem")
       .groupBy(col("l_orderkey"))
       .agg(slice(array_sort(collect_set(col("l_partkey"))), 1, cap)
         .as("ps"))
@@ -226,10 +228,13 @@ object Graph {
         """flatten(transform(ps, (u, i) ->
              transform(slice(ps, i + 2, size(ps)), v ->
                struct(u AS u, v AS v))))""").as("pairs"))
-    val edges = pairBlocks
       .select(explode(col("pairs")).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
-      .distinct().persist()
+      .distinct()
+
+  private[graft] def trianglesPlan(s: SparkSession, dir: String,
+      cap: Int): (DataFrame, Seq[DataFrame]) = {
+    val edges = coPurchaseEdges(s, dir, cap).persist()
     val deg = edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("c"))
@@ -318,16 +323,8 @@ object Graph {
     * pagerank loop. */
   def denseCore(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    val pairs = Relational.table(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val capped = pairs.withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("l_orderkey").orderBy("l_partkey")))
-      .filter(col("rn") <= 4).drop("rn")
-    val a = capped.select(col("l_orderkey"), col("l_partkey").as("u"))
-    val b = capped.select(col("l_orderkey"), col("l_partkey").as("v"))
-    var edges = a.join(b, "l_orderkey").filter(col("u") < col("v"))
-      .select("u", "v").distinct().localCheckpoint()
+    // same one-shuffle edge build as gr03 (r8 rework)
+    var edges = coPurchaseEdges(s, dir, 4).localCheckpoint()
     for (_ <- 1 to 3) {
       val deg = edges.select(col("u").as("n"))
         .unionAll(edges.select(col("v").as("n")))
