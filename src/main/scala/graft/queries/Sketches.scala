@@ -199,10 +199,84 @@ object Sketches {
     JOIN n nb ON p.tb = nb.event_type
     ORDER BY p.ta, p.tb"""
 
+  // --------------------------------------------- HLL (Datasketches)
+  /** lgConfigK = 12 → 4 KB sketch, rel. std. error ≈ 1.04/√2¹² ≈
+    * 1.6%. Inv margins are multiples of σ with redraw slack, same
+    * sizing logic as the KMV bounds above: distinct at 10% (≈6σ of
+    * the estimated set), inclusion–exclusion intersection at 15% of
+    * the UNION (≈3σ·√3 compounded — see the KMV comment for why the
+    * intersection error scales with the union, never with the
+    * intersection). */
+  private val HllLgK = 12
+  private val HllDistinctBound = 0.10
+  private val HllInterBound = 0.15
+
+  /** sk02 — audience overlap on Spark's built-in Datasketches HLL
+    * (`hll_sketch_agg` / `hll_union` / `hll_sketch_estimate`): the
+    * platform twin of sk01's custom KMV aggregate. Same contract —
+    * mergeable fixed-size state (4 KB at lgK=12) per group at ANY
+    * cardinality — but the whole estimator stays IN-PLAN: sketches
+    * pair via a crossJoin of the 5-row per-type sketch table
+    * (self-join of an aggregate, trivially broadcast) and union /
+    * estimate / inclusion–exclusion are all column expressions, so
+    * nothing is collected to the driver. This is the shape a 100 TB
+    * overlap matrix runs: per-group sketch build is one
+    * partial-aggregated shuffle; the pairwise stage's input is
+    * #groups rows, independent of corpus size. KMV keeps two things
+    * HLL lacks — the sketch IS the k minimum hashes (auditable) and
+    * set ops beyond union come from first principles — while HLL
+    * buys 8× tighter error per byte; the engine ships both.
+    * Estimates are engine-specific (Datasketches hash) → rows-only;
+    * sk02_hll_inv carries the oracle-checked error contract. */
+  def hllOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ut = Relational.table(s, dir, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+    val sk = Relational.table(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(HllLgK)).as("sk"))
+    val pairs = sk.select(col("event_type").as("ta"), col("sk").as("ska"))
+      .crossJoin(sk.select(col("event_type").as("tb"),
+        col("sk").as("skb")))
+      .filter(col("ta") < col("tb"))
+      .select(col("ta"), col("tb"),
+        hll_sketch_estimate(col("ska")).as("est_a"),
+        hll_sketch_estimate(col("skb")).as("est_b"),
+        hll_sketch_estimate(hll_union(col("ska"), col("skb")))
+          .as("est_union"))
+      .withColumn("est_inter",
+        greatest(lit(0L), col("est_a") + col("est_b") - col("est_union")))
+    pairs.join(exactPairs(s, ut), Seq("ta", "tb"))
+      .select(col("ta"), col("tb"), col("exact_a"), col("exact_b"),
+        col("exact_union"), col("exact_inter"), col("est_a"),
+        col("est_b"), col("est_union"), col("est_inter"))
+      .orderBy("ta", "tb")
+  }
+
+  /** sk02's invariant projection, fully oracle-checked — kmvInv's
+    * contract at HLL's tighter bounds. */
+  def hllInv(s: SparkSession, dir: String): DataFrame = {
+    def ok(est: String, exact: String, ref: String, bound: Double) =
+      (abs(col(est) - col(exact)) <=
+        ceil(col(ref) * bound) + lit(1L)).as(s"ok_$est")
+    hllOverlap(s, dir).select(col("ta"), col("tb"),
+      col("exact_a"), col("exact_b"), col("exact_union"),
+      col("exact_inter"),
+      ok("est_a", "exact_a", "exact_a", HllDistinctBound),
+      ok("est_b", "exact_b", "exact_b", HllDistinctBound),
+      ok("est_union", "exact_union", "exact_union", HllDistinctBound),
+      ok("est_inter", "exact_inter", "exact_union", HllInterBound))
+  }
+
+  /** Same exact-truth replay as kmvInvSql; only the flag margins the
+    * Spark side derived differ, and the oracle asserts them TRUE. */
+  val hllInvSql: String = kmvInvSql
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("t12_heavy_hitters", heavyHitters _, None),
       ("t12_cms_inv", cmsInv _, Some(cmsInvSql)),
       ("sk01_kmv_overlap", kmvOverlap _, None),
-      ("sk01_kmv_inv", kmvInv _, Some(kmvInvSql)))
+      ("sk01_kmv_inv", kmvInv _, Some(kmvInvSql)),
+      ("sk02_hll_overlap", hllOverlap _, None),
+      ("sk02_hll_inv", hllInv _, Some(hllInvSql)))
 }
