@@ -182,11 +182,98 @@ object Privacy {
     GROUP BY n_sensitive
     ORDER BY n_sensitive"""
 
+  // ------------------------------------- pv04 DP noisy count release
+  /** Truncated two-sided geometric outcomes for ε = ln 2 (α = e^−ε =
+    * 1/2): P(N = n) ∝ α^|n|, truncated at |n| ≤ 12 (dropped tail mass
+    * 2/12288 ≈ 1.6e−4). With α = 1/2 every probability is dyadic, so
+    * the inverse CDF is PURE INTEGER thresholds on a scaled uniform
+    * draw — exactly replayable in both engines, no float log/floor at
+    * a boundary. Walk order 0, −1, +1, −2, +2, …; weight(±k) =
+    * 2^(12−k) over total mass 12286. */
+  private val DpOutcomes: Seq[(Int, Long)] =
+    (0, 4096L) +: (1 to 12).flatMap(k =>
+      Seq((-k, 1L << (12 - k)), (k, 1L << (12 - k))))
+  private val DpTotal: Long = DpOutcomes.map(_._2).sum // 12286
+  private val DpBounds: Seq[Long] = DpOutcomes.scanLeft(0L)(_ + _._2).tail
+
+  /** pv04 — ε-differentially-private count release (geometric
+    * mechanism, Ghosh–Roughgarden–Sundararajan 2009: the discrete
+    * Laplace twin, utility-optimal for sensitivity-1 counts): the
+    * per-(nation, segment) customer counts with two-sided geometric
+    * noise at ε = ln 2, clamped at 0 (post-processing never spends
+    * budget). The released frame carries ONLY the noisy counts and
+    * the privacy parameters — no exact counts, no class sizes below
+    * the noise floor to re-derive them from.
+    *
+    * The noise draw is md5-gated on the GROUP KEY — the same
+    * determinism-over-freshness trade every seeded operator in this
+    * engine makes so the DuckDB oracle replays the release bit-
+    * exactly; a production deployment draws fresh noise per release
+    * (keyed determinism would let repeat observers average the noise
+    * out). Mechanism arithmetic is integer-exact end to end: the
+    * uniform is 8 md5 hex digits mod 12286, the inverse CDF is the
+    * [[DpBounds]] threshold chain, both engines compare the same
+    * BIGINTs.
+    *
+    * Scale shape: ONE combinable groupBy on the release key; the
+    * noise is a scalar expression on the (tiny) aggregate — the cost
+    * of privatizing a 100 TB count release is the count itself. */
+  /** The keyed noise draw (spec hook): md5 of the key → scaled
+    * uniform → threshold-chain inverse CDF. */
+  private[graft] def dpNoise(key: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val m = pmod(conv(substring(md5(key), 1, 8), 16, 10).cast("long"),
+      lit(DpTotal))
+    DpOutcomes.init.zip(DpBounds.init).reverse
+      .foldLeft(lit(DpOutcomes.last._1.toLong)) {
+        case (acc, ((n, _), ub)) =>
+          when(m < ub, lit(n.toLong)).otherwise(acc)
+      }
+  }
+
+  def dpCounts(s: SparkSession, dir: String): DataFrame = {
+    val noise = dpNoise(concat(lit("pv04#"), col("nation"),
+      lit("#"), col("segment")))
+    release(s, dir)
+      .groupBy("nation", "segment")
+      .agg(count(lit(1)).as("n"))
+      .select(col("nation"), col("segment"),
+        greatest(lit(0L), col("n") + noise).as("noisy_count"),
+        lit(693147L).as("eps_micro"), // ε = ln 2 in micro-nats
+        lit(12L).as("trunc_at"))
+      .orderBy("nation", "segment")
+  }
+
+  val dpCountsSql: String = {
+    val cases = DpOutcomes.init.zip(DpBounds.init)
+      .map { case ((n, _), ub) => s"WHEN m < $ub THEN $n" }
+      .mkString(" ")
+    s"""
+    WITH counts AS (
+      SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        c_mktsegment AS segment, count(*) AS n
+      FROM customer
+      GROUP BY 1, 2),
+    drawn AS (
+      SELECT nation, segment, n,
+        ('0x' || substr(md5('pv04#' || nation || '#' || segment), 1, 8))
+          ::BIGINT % $DpTotal AS m
+      FROM counts)
+    SELECT nation, segment,
+      CAST(greatest(0, n + (CASE $cases
+        ELSE ${DpOutcomes.last._1} END)) AS BIGINT) AS noisy_count,
+      CAST(693147 AS BIGINT) AS eps_micro,
+      CAST(12 AS BIGINT) AS trunc_at
+    FROM drawn
+    ORDER BY nation, segment"""
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("pv01_k_anonymity", kAnonymityAudit _, Some(kAnonymityAuditSql)),
       ("pv02_generalization_ladder", generalizationLadder _,
         Some(generalizationLadderSql)),
       ("pv03_l_diversity", lDiversityAudit _, Some(lDiversityAuditSql)),
+      ("pv04_dp_counts", dpCounts _, Some(dpCountsSql)),
     )
 }

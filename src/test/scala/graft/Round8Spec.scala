@@ -92,6 +92,45 @@ class Round8Spec extends SparkSpec {
       s"merge-shape drift ${ests.max - ests.min} exceeds 2 sigma")
   }
 
+  test("l08 composite blocking: identical entities to l05's 3-char " +
+    "prefix at a fraction of the candidate volume") {
+    // the composite key only ever REMOVES candidate pairs; recall is
+    // provably intact (the key reads the corruption-stable name
+    // regions), so the resolved entities must be identical
+    val a = graft.queries.Linkage.entityResolution(spark, sfDir)
+      .collect().map(_.toString).sorted
+    val b = graft.queries.Linkage.compositeBlockResolution(spark, sfDir)
+      .collect().map(_.toString).sorted
+    assert(a.nonEmpty && a.sameElements(b),
+      s"entity outputs differ: ${a.length} vs ${b.length} rows")
+  }
+
+  test("pv04 geometric mechanism: the keyed draw realizes the " +
+    "two-sided geometric distribution (alpha = 1/2), truncated at 12") {
+    // 200k distinct keys through the same inverse-CDF expression the
+    // release uses: P(0) = 1/3, P(+-k) halves per step, |N| <= 12,
+    // and the md5 uniform makes the draw key-symmetric (mean ~ 0)
+    val noise = spark.range(200000)
+      .select(graft.queries.Privacy.dpNoise(
+        concat(lit("spec#"), col("id"))).as("n"))
+      .groupBy("n").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(noise.keys.forall(n => math.abs(n) <= 12), noise.keys.toSeq)
+    val total = noise.values.sum.toDouble
+    val p0 = noise.getOrElse(0L, 0L) / total
+    assert(math.abs(p0 - 4096.0 / 12286.0) < 0.01, s"P(0) = $p0")
+    val mean = noise.map { case (n, c) => n * c }.sum / total
+    assert(math.abs(mean) < 0.05, s"mean = $mean")
+    // geometric decay: each step outward roughly halves the mass
+    Seq(1L, 2L, 3L).foreach { k =>
+      val r = noise(k + 1).toDouble / noise(k)
+      assert(r > 0.35 && r < 0.65, s"decay at +$k: $r")
+    }
+    // post-processing: the release never goes negative
+    val rel = graft.queries.Privacy.dpCounts(spark, sfDir).collect()
+    assert(rel.nonEmpty && rel.forall(_.getLong(2) >= 0L))
+  }
+
   test("sk02 HLL overlap: in-plan estimator matches the exact truth " +
     "within the inv bounds on the gate corpus") {
     val rows = graft.queries.Sketches.hllInv(spark, sfDir).collect()
