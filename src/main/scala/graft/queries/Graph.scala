@@ -218,9 +218,11 @@ object Graph {
     * distinct + row_number window + self-join (three shuffles of the
     * full lineitem pair stream) with a single orderkey-keyed
     * aggregation, plus the final pair distinct. */
-  private def coPurchaseEdges(s: SparkSession, dir: String,
-      cap: Int): DataFrame =
+  private[graft] def coPurchaseEdges(s: SparkSession, dir: String,
+      cap: Int,
+      rowFilter: org.apache.spark.sql.Column = lit(true)): DataFrame =
     Relational.table(s, dir, "lineitem")
+      .filter(rowFilter)
       .groupBy(col("l_orderkey"))
       .agg(slice(array_sort(collect_set(col("l_partkey"))), 1, cap)
         .as("ps"))
@@ -757,6 +759,125 @@ object Graph {
     FROM hop1 h LEFT JOIN peers p ON h.supp = p.supp
     ORDER BY h.supp"""
 
+  // -------------------------------------------------------------- gr10
+  /** Truss threshold: surviving edges need ≥ TrussK−2 = 2 supporting
+    * triangles per peel round. */
+  private val TrussK = 4
+  private val TrussRounds = 2
+
+  /** gr10 — bounded k-truss decomposition (Cohen 2008: the
+    * edge-analog of gr04's dense core — an edge survives iff ≥ k−2
+    * triangles support it, re-evaluated as weaker edges fall away).
+    * Trusses are the community-detection primitive that tolerates
+    * the noisy pendant edges a k-core keeps. Like gr04 the round
+    * count is a CONSTANT 2, not convergence-driven, so the DuckDB
+    * oracle replays the identical rounds; Round8Spec asserts the
+    * monotone-shrink law and that every surviving edge really has
+    * ≥ 2 triangles inside the surviving set's closure step.
+    *
+    * Built entirely from gr03's r8 machinery: each round is ONE
+    * support pass — degree orientation, adjacency collect,
+    * `array_intersect` closing (wedges never materialize as rows),
+    * then 3 edge-hits per triangle aggregated per undirected edge —
+    * and one semi-join-shaped filter. The graph is the gr02-style
+    * sparsified slice (orders with orderkey ≡ 0 mod 3) so the
+    * 2-round demo prices at ~2/3 of one gr03, not 2×. */
+  def ktruss(s: SparkSession, dir: String): DataFrame = {
+    var edges = coPurchaseEdges(s, dir, TriOrderCap,
+      col("l_orderkey") % 3 === 0).localCheckpoint()
+    var support: DataFrame = null
+    for (_ <- 1 to TrussRounds) {
+      support = edgeSupport(edges).localCheckpoint()
+      edges = support.filter(col("sup") >= TrussK - 2)
+        .select("u", "v").localCheckpoint()
+    }
+    support.filter(col("sup") >= TrussK - 2)
+      .select(col("u"), col("v"), col("sup").as("support"))
+      .orderBy("u", "v")
+  }
+
+  /** Per-undirected-edge triangle support of the CURRENT edge set:
+    * gr03's orientation + adjacency-intersection closing, then each
+    * triangle credits its 3 edges (one combinable aggregation). */
+  private def edgeSupport(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("n"))
+      .unionAll(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("c"))
+    val du = deg.select(col("n").as("u"), col("c").as("cu"))
+    val dv = deg.select(col("n").as("v"), col("c").as("cv"))
+    val orient = edges.join(du, "u").join(dv, "v")
+      .select(
+        when(struct(col("cu"), col("u")) < struct(col("cv"), col("v")),
+          col("u")).otherwise(col("v")).as("s"),
+        when(struct(col("cu"), col("u")) < struct(col("cv"), col("v")),
+          col("v")).otherwise(col("u")).as("d"))
+    val adj = orient.groupBy(col("s").as("n"))
+      .agg(sort_array(collect_list(col("d"))).as("nbrs"))
+    val tri = orient
+      .join(adj.select(col("n").as("s"), col("nbrs").as("adj_s")), "s")
+      .join(adj.select(col("n").as("d"), col("nbrs").as("adj_d")), "d")
+      .select(col("s"), col("d"),
+        explode(array_intersect(col("adj_s"), col("adj_d"))).as("w"))
+    tri.select(explode(array(
+        struct(least(col("s"), col("d")).as("u"),
+          greatest(col("s"), col("d")).as("v")),
+        struct(least(col("s"), col("w")).as("u"),
+          greatest(col("s"), col("w")).as("v")),
+        struct(least(col("d"), col("w")).as("u"),
+          greatest(col("d"), col("w")).as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("sup"))
+  }
+
+  /** The oracle unrolls the same 2 rounds; every multiply-referenced
+    * CTE is MATERIALIZED (the gr04 lesson — DuckDB re-inlines). The
+    * closing uses gr03's wedge+EXISTS form per round. */
+  val ktrussSql: String = {
+    def round(eIn: String, i: Int): String = s"""
+    d$i AS MATERIALIZED (
+      SELECT n, count(*) AS c FROM (
+        SELECT u AS n FROM $eIn UNION ALL SELECT v FROM $eIn)
+      GROUP BY n),
+    o$i AS MATERIALIZED (
+      SELECT CASE WHEN (du.c, e.u) < (dv.c, e.v) THEN e.u ELSE e.v
+               END AS s,
+             CASE WHEN (du.c, e.u) < (dv.c, e.v) THEN e.v ELSE e.u
+               END AS d
+      FROM $eIn e JOIN d$i du ON e.u = du.n JOIN d$i dv ON e.v = dv.n),
+    t$i AS MATERIALIZED (
+      SELECT e1.s AS a, e1.d AS b, e2.d AS c
+      FROM o$i e1 JOIN o$i e2 ON e1.d = e2.s
+      WHERE EXISTS (SELECT 1 FROM o$i e3
+                    WHERE e3.s = e1.s AND e3.d = e2.d)),
+    s$i AS MATERIALIZED (
+      SELECT u, v, count(*) AS sup FROM (
+        SELECT least(a, b) AS u, greatest(a, b) AS v FROM t$i
+        UNION ALL
+        SELECT least(a, c), greatest(a, c) FROM t$i
+        UNION ALL
+        SELECT least(b, c), greatest(b, c) FROM t$i)
+      GROUP BY u, v),
+    e$i AS MATERIALIZED (
+      SELECT u, v, sup FROM s$i WHERE sup >= ${TrussK - 2})"""
+    s"""
+    WITH ranked AS (
+      SELECT l_orderkey, l_partkey,
+        row_number() OVER (PARTITION BY l_orderkey
+                           ORDER BY l_partkey) AS rn
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_orderkey % 3 = 0)),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM (SELECT * FROM ranked WHERE rn <= $TriOrderCap) a
+      JOIN (SELECT * FROM ranked WHERE rn <= $TriOrderCap) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    ${round("e0", 1)},
+    ${round("e1", 2)}
+    SELECT u, v, CAST(sup AS BIGINT) AS support
+    FROM e2
+    ORDER BY u, v"""
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame,
     Option[String])] =
     Seq(("gr01_pagerank", pagerank _, Some(pagerankSql)),
@@ -770,5 +891,6 @@ object Graph {
       ("gr08_weighted_paths", weightedPaths _,
         Some(weightedPathsSql)),
       ("gr09_khop_features", khopFeatures _,
-        Some(khopFeaturesSql)))
+        Some(khopFeaturesSql)),
+      ("gr10_ktruss", ktruss _, Some(ktrussSql)))
 }

@@ -92,6 +92,43 @@ class Round8Spec extends SparkSpec {
       s"merge-shape drift ${ests.max - ests.min} exceeds 2 sigma")
   }
 
+  test("gr03 edge build: the one-shuffle collect_set formulation " +
+    "equals the r6 distinct + window + self-join shape exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val cap = graft.queries.Graph.TriOrderCap
+    val fresh = graft.queries.Graph
+      .coPurchaseEdges(spark, sfDir, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the pre-r8 formulation, verbatim
+    val pairs = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val capped = pairs.withColumn("rn", row_number().over(
+        Window.partitionBy("l_orderkey").orderBy("l_partkey")))
+      .filter(col("rn") <= cap).drop("rn")
+    val a = capped.select(col("l_orderkey"), col("l_partkey").as("u"))
+    val b = capped.select(col("l_orderkey"), col("l_partkey").as("v"))
+    val old = a.join(b, "l_orderkey").filter(col("u") < col("v"))
+      .select("u", "v").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fresh.nonEmpty && fresh == old,
+      s"${fresh.size} vs ${old.size} edges")
+  }
+
+  test("gr10 k-truss: peeling only shrinks the edge set, and every " +
+    "surviving edge carries >= k-2 supporting triangles") {
+    val out = graft.queries.Graph.ktruss(spark, sfDir).collect()
+    assert(out.nonEmpty, "truss demo must survive on the gate corpus")
+    assert(out.forall(_.getLong(2) >= 2L), "support threshold violated")
+    // monotone shrink: the truss is a subset of the round-0 edges
+    val e0 = graft.queries.Graph
+      .coPurchaseEdges(spark, sfDir, graft.queries.Graph.TriOrderCap,
+        col("l_orderkey") % 3 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val kept = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept.subsetOf(e0) && kept.size < e0.size,
+      s"${kept.size} of ${e0.size} edges kept")
+  }
+
   test("l08 composite blocking: identical entities to l05's 3-char " +
     "prefix at a fraction of the candidate volume") {
     // the composite key only ever REMOVES candidate pairs; recall is
