@@ -231,9 +231,14 @@ object Sketches {
   def hllOverlap(s: SparkSession, dir: String): DataFrame = {
     val ut = Relational.table(s, dir, "events")
       .select(col("event_type"), col("user_id")).distinct()
+    // materialize the (tiny) per-type sketch table ONCE before the
+    // pairwise self-join — a lazy frame would rebuild the corpus
+    // aggregation on BOTH crossJoin sides (two full scans, visible
+    // as twin Scan nodes in the un-checkpointed plan)
     val sk = Relational.table(s, dir, "events")
       .groupBy(col("event_type"))
       .agg(hll_sketch_agg(col("user_id"), lit(HllLgK)).as("sk"))
+      .localCheckpoint()
     val pairs = sk.select(col("event_type").as("ta"), col("sk").as("ska"))
       .crossJoin(sk.select(col("event_type").as("tb"),
         col("sk").as("skb")))
