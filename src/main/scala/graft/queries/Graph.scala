@@ -787,7 +787,7 @@ object Graph {
       col("l_orderkey") % 3 === 0).localCheckpoint()
     var support: DataFrame = null
     for (_ <- 1 to TrussRounds) {
-      support = edgeSupport(edges).localCheckpoint()
+      support = edgeSupport(edges) // materialized, caches released
       edges = support.filter(col("sup") >= TrussK - 2)
         .select("u", "v").localCheckpoint()
     }
@@ -798,7 +798,11 @@ object Graph {
 
   /** Per-undirected-edge triangle support of the CURRENT edge set:
     * gr03's orientation + adjacency-intersection closing, then each
-    * triangle credits its 3 edges (one combinable aggregation). */
+    * triangle credits its 3 edges (one combinable aggregation).
+    * Returns an eagerly-materialized frame: `orient` feeds three
+    * consumers (both closing-join sides via adj, plus the join
+    * spine itself), so it is persisted for the pass and released as
+    * soon as the support aggregate lands. */
   private def edgeSupport(edges: DataFrame): DataFrame = {
     val deg = edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))
@@ -811,14 +815,16 @@ object Graph {
           col("u")).otherwise(col("v")).as("s"),
         when(struct(col("cu"), col("u")) < struct(col("cv"), col("v")),
           col("v")).otherwise(col("u")).as("d"))
+      .persist()
     val adj = orient.groupBy(col("s").as("n"))
       .agg(sort_array(collect_list(col("d"))).as("nbrs"))
+      .persist()
     val tri = orient
       .join(adj.select(col("n").as("s"), col("nbrs").as("adj_s")), "s")
       .join(adj.select(col("n").as("d"), col("nbrs").as("adj_d")), "d")
       .select(col("s"), col("d"),
         explode(array_intersect(col("adj_s"), col("adj_d"))).as("w"))
-    tri.select(explode(array(
+    val support = tri.select(explode(array(
         struct(least(col("s"), col("d")).as("u"),
           greatest(col("s"), col("d")).as("v")),
         struct(least(col("s"), col("w")).as("u"),
@@ -827,6 +833,7 @@ object Graph {
           greatest(col("d"), col("w")).as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .groupBy("u", "v").agg(count(lit(1)).as("sup"))
+    CacheScope.materializeAndRelease(support, orient, adj)
   }
 
   /** The oracle unrolls the same 2 rounds; every multiply-referenced
