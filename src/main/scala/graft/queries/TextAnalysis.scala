@@ -2003,6 +2003,7 @@ object TextAnalysis {
         Some(tokenizerFertilitySql)),
       ("t37_pretrain_manifest", pretrainManifest _,
         Some(pretrainManifestSql)),
+      ("t38_vocab_growth", vocabGrowth _, Some(vocabGrowthSql)),
     )
 
   // --------------------------------------------- tokenizer fertility
@@ -2186,4 +2187,67 @@ object TextAnalysis {
     FROM labeled l LEFT JOIN contaminated c ON l.doc_id = c.doc_id
     GROUP BY 1
     ORDER BY fate"""
+
+  // ------------------------------------------ t38 vocabulary growth
+  /** t38 — vocabulary-growth (Heaps'-law) audit: distinct-token
+    * counts over four NESTED corpus prefixes (doc-id quartile
+    * bounds) plus the marginal growth ratio of each quarter in exact
+    * ppm. The declining ratio sequence is the saturation curve a
+    * data-mixing review reads to decide whether MORE of a source
+    * still buys new vocabulary — the corpus-level twin of t31's
+    * per-document n-gram novelty.
+    *
+    * Scale shape: ONE token scan feeding a single multi-distinct
+    * aggregation (Catalyst plans the four conditional
+    * `count_distinct`s as one Expand + agg pair — the c06 lesson,
+    * never four rescans); the quartile bounds ride a broadcast
+    * 1-row crossJoin, and distinct state is bounded by VOCABULARY
+    * size per quarter, not corpus size. Ratios are floor-division
+    * ppm over `greatest(v, 1)` so the arithmetic is total and
+    * bit-exact in both engines. */
+  def vocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.table(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val bounds = docs.agg(min(col("doc_id")).as("lo"),
+      max(col("doc_id")).as("hi"))
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .filter(col("t") =!= "")
+    def vq(k: Int) = count_distinct(
+      when(col("doc_id") <= expr(s"lo + (hi - lo + 1) * $k div 4"),
+        col("t"))).as(s"v$k")
+    toks.crossJoin(broadcast(bounds))
+      .agg(vq(1), vq(2), vq(3), vq(4))
+      .select(col("v1").as("v25"), col("v2").as("v50"),
+        col("v3").as("v75"), col("v4").as("v100"),
+        expr("(v2 - v1) * 1000000 div greatest(v1, 1)").as("g50_ppm"),
+        expr("(v3 - v2) * 1000000 div greatest(v2, 1)").as("g75_ppm"),
+        expr("(v4 - v3) * 1000000 div greatest(v3, 1)").as("g100_ppm"))
+  }
+
+  val vocabGrowthSql: String = """
+    WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi
+               FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      FROM documents),
+    v AS (
+      SELECT
+        count(DISTINCT CASE WHEN doc_id <= lo + (hi - lo + 1) * 1 // 4
+          THEN t END) AS v25,
+        count(DISTINCT CASE WHEN doc_id <= lo + (hi - lo + 1) * 2 // 4
+          THEN t END) AS v50,
+        count(DISTINCT CASE WHEN doc_id <= lo + (hi - lo + 1) * 3 // 4
+          THEN t END) AS v75,
+        count(DISTINCT CASE WHEN doc_id <= lo + (hi - lo + 1) * 4 // 4
+          THEN t END) AS v100
+      FROM tok, b WHERE t <> '')
+    SELECT v25, v50, v75, v100,
+      CAST((v50 - v25) * 1000000 // greatest(v25, 1) AS BIGINT)
+        AS g50_ppm,
+      CAST((v75 - v50) * 1000000 // greatest(v50, 1) AS BIGINT)
+        AS g75_ppm,
+      CAST((v100 - v75) * 1000000 // greatest(v75, 1) AS BIGINT)
+        AS g100_ppm
+    FROM v"""
 }

@@ -129,6 +129,29 @@ class Round8Spec extends SparkSpec {
       s"${kept.size} of ${e0.size} edges kept")
   }
 
+  test("t38 vocab growth: nested prefixes are monotone and the four " +
+    "distincts ride ONE Expand, not four rescans") {
+    val df = graft.queries.TextAnalysis.vocabGrowth(spark, sfDir)
+    val r = df.collect().head
+    val vs = (0 to 3).map(r.getLong)
+    assert(vs == vs.sorted && vs.head >= 1,
+      s"prefix vocab must be monotone: $vs")
+    // the gate corpus draws from a small closed vocabulary, so the
+    // curve SATURATES (v25 == v100) — exactly the reading the audit
+    // exists to surface; growth ratios must then be zero
+    if (vs.last == vs.head)
+      (4 to 6).foreach(i => assert(r.getLong(i) == 0L,
+        s"saturated curve must have zero growth ppm: $r"))
+    // AdaptiveSparkPlan.toString prints final AND initial plans —
+    // read the final section only (the Round5d lesson)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("Expand"), plan)
+    // exactly two scans: the 1-row quartile bounds agg + ONE token
+    // scan feeding the Expand — the four distincts never rescan
+    assert("Scan parquet".r.findAllIn(plan).length == 2, plan)
+  }
+
   test("l08 composite blocking: identical entities to l05's 3-char " +
     "prefix at a fraction of the candidate volume") {
     // the composite key only ever REMOVES candidate pairs; recall is
