@@ -30,6 +30,51 @@ classpath, e.g. ``spark-submit --jars geckospark.jar`` or
 Generator/mutator values returned by the factories are opaque JVM
 handles; build them against the same SparkSession you pass to
 ``to_data_frame``.
+
+Surface parity with the reference (gecko) API:
+
+======================================  =========================================
+reference                               this module
+======================================  =========================================
+generator.from_function                 NOT exposed (see below)
+generator.from_uniform_distribution     from_uniform_distribution
+generator.from_normal_distribution      from_normal_distribution
+generator.from_frequency_table          from_frequency_table / ..._csv
+generator.from_multicolumn_frequency_…  from_multicolumn_frequency_table
+generator.from_datetime_range           from_datetime_range
+generator.from_group                    from_group
+generator.to_data_frame                 to_data_frame
+mutator.with_function                   NOT exposed (see below)
+mutator.with_cldr_keymap_file           with_cldr_keymap_file
+mutator.with_phonetic_replacement_table with_phonetic_replacement_table
+mutator.with_replacement_table          with_replacement_table
+mutator.with_missing_value              with_missing_value
+mutator.with_insert / delete /          with_insert / with_delete /
+  transpose / substitute / noop           with_transpose / with_substitute /
+                                          with_noop
+mutator.with_categorical_values         with_categorical_values
+mutator.with_permute                    with_permute
+mutator.with_lowercase / uppercase      with_lowercase / with_uppercase
+mutator.with_datetime_offset            with_datetime_offset
+mutator.with_generator                  with_generator
+mutator.with_regex_replacement_table    with_regex_replacement_table / ..._csv
+mutator.with_repeat                     with_repeat
+mutator.with_group                      with_group
+mutator.mutate_data_frame               mutate_data_frame
+======================================  =========================================
+
+``from_function`` / ``with_function`` — the callable escape hatches —
+are deliberately NOT exposed through this wrapper. They take an
+arbitrary Python callable, and shipping one through the py4j bridge
+would execute it row-at-a-time on the driver: the opposite of the
+fused, distributed plans everything else here compiles to. Python
+callers who need custom per-row logic should express it either as one
+of the config-driven mutators above (replacement/regex/phonetic
+tables cover the reference's own examples) or as a native PySpark
+``pandas_udf`` applied outside the Layer A pipeline; Scala callers
+get the real G1/M1 (`graft.gen.Generators.FromFunction`,
+`graft.mut.Mutators.WithFunction`), which run as distributed
+expressions/UDFs inside the fused plan.
 """
 
 from pyspark.sql import DataFrame, SparkSession
@@ -195,6 +240,25 @@ def with_phonetic_replacement_table(rules, *, seed):
 def with_cldr_keymap_file(path, charset=None, *, seed):
     return _jvm(_active_spark()).withCldrKeymapFile(
         path, charset if charset else "", int(seed))
+
+
+def with_regex_replacement_table(df, pattern_column="pattern",
+                                 flags_column=None, *, seed):
+    """M17 — regex substitutions from a rule DataFrame: ``pattern_column``
+    holds the regex, every other column (minus ``flags_column``) is a
+    capture-group replacement, numbered ("1", "2", ...) or named. Pure
+    config — no callable crosses the bridge."""
+    return _jvm(df.sparkSession).withRegexReplacementTable(
+        df._jdf, pattern_column, flags_column or "", int(seed))
+
+
+def with_regex_replacement_table_csv(spark, path, pattern_column="pattern",
+                                     flags_column=None, encoding="UTF-8",
+                                     delimiter=",", *, seed):
+    """M17 from a headered CSV file (reference: mutator.py:1444-1483)."""
+    return _jvm(spark).withRegexReplacementTableCsv(
+        spark._jsparkSession, path, pattern_column, flags_column or "",
+        encoding, delimiter, int(seed))
 
 
 def with_group(weighted_mutators, *, seed):

@@ -43,17 +43,27 @@ def main():
     freq = spark.createDataFrame(
         [("consumer", 6), ("corporate", 3), ("household", 1)],
         "value string, freq long")
+    words = spark.createDataFrame(
+        [("foobar", 5), ("FooBar", 3), ("quux", 2)],
+        "value string, freq long")
+    regex_csv = os.path.join(
+        REPO, "src", "test", "resources", "assets",
+        "regex-foobar-case-insensitive.csv")
     df = graft.to_data_frame(spark, [
         (["segment"], graft.from_frequency_table(freq, "value", "freq",
                                                  seed=1)),
         (["dob"], graft.from_datetime_range("1940-01-01", "2005-12-31",
                                             "%Y-%m-%d", "d", seed=2)),
         (["score"], graft.from_uniform_distribution(0.0, 100.0, 2, seed=5)),
+        (["word"], graft.from_frequency_table(words, "value", "freq",
+                                              seed=7)),
     ], 10000)
     out = graft.mutate_data_frame(df, [
         (["dob"], [(0.3, graft.with_replacement_table(
             [("0", "o"), ("1", "|"), ("5", "s")], inline=True, seed=3))]),
         (["segment"], [(0.2, graft.with_insert(seed=4))]),
+        (["word"], [(0.5, graft.with_regex_replacement_table_csv(
+            spark, regex_csv, "pattern", "flags", seed=6))]),
     ])
 
     got = out.orderBy("__row_id").toPandas()

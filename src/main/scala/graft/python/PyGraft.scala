@@ -142,6 +142,30 @@ object PyGraft {
         .lazyZip(flags.asScala.toSeq).toSeq,
       seed)
 
+  /** M17 from a rule DataFrame — the pattern column plus one column
+    * per capture group (numbered or named); empty `flagsColumn` means
+    * no flags column. Pure config, no callable crosses the bridge
+    * (reference: gecko/mutator.py:1444-1590). */
+  def withRegexReplacementTable(df: DataFrame, patternColumn: String,
+                                flagsColumn: String,
+                                seed: Long): Mutator =
+    RuleMutators.WithRegexReplacementTable(df, patternColumn,
+      if (flagsColumn == null || flagsColumn.isEmpty) None
+      else Some(flagsColumn),
+      seed)
+
+  /** M17 CSV-path variant (header row names the columns). */
+  def withRegexReplacementTableCsv(spark: SparkSession, path: String,
+                                   patternColumn: String,
+                                   flagsColumn: String, encoding: String,
+                                   delimiter: String,
+                                   seed: Long): Mutator =
+    RuleMutators.WithRegexReplacementTable.fromCsv(spark, path,
+      patternColumn,
+      if (flagsColumn == null || flagsColumn.isEmpty) None
+      else Some(flagsColumn),
+      encoding, delimiter, seed)
+
   def withCldrKeymapFile(path: String, charset: String,
                          seed: Long): Mutator =
     RuleMutators.WithCldrKeymap(path,

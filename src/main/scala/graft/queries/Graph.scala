@@ -206,10 +206,6 @@ object Graph {
     CacheScope.materializeAndRelease(out, caches: _*)
   }
 
-  /** Un-materialized plan + its persisted inputs — the spec hook:
-    * plan assertions must read the REAL plan, and
-    * materializeAndRelease replaces the returned lineage with a
-    * checkpoint scan. Callers own the returned caches. */
   /** The gr03/gr04 co-purchase edge list (u < v part pairs from each
     * order's `cap` lowest part keys), built in ONE shuffle: per-order
     * collect_set(partkey) (partial-aggregated map-side) -> sort ->
@@ -234,6 +230,10 @@ object Graph {
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct()
 
+  /** Un-materialized plan + its persisted inputs — the spec hook:
+    * plan assertions must read the REAL plan, and
+    * materializeAndRelease replaces the returned lineage with a
+    * checkpoint scan. Callers own the returned caches. */
   private[graft] def trianglesPlan(s: SparkSession, dir: String,
       cap: Int): (DataFrame, Seq[DataFrame]) = {
     val edges = coPurchaseEdges(s, dir, cap).persist()
@@ -257,12 +257,16 @@ object Graph {
     val adj = orient.groupBy(col("s").as("n"))
       .agg(sort_array(collect_list(col("d"))).as("nbrs"))
       .persist()
+    // persisted: feeds THREE union branches below — without the cache
+    // the expensive closing joins + array_intersect replay per branch
+    // (exchange reuse only salvages the shuffles beneath the joins)
     val closed = orient
       .join(adj.select(col("n").as("s"), col("nbrs").as("adj_s")), "s")
       .join(adj.select(col("n").as("d"), col("nbrs").as("adj_d")), "d")
       .select(col("s"), col("d"),
         array_intersect(col("adj_s"), col("adj_d")).as("common"))
       .filter(size(col("common")) > 0)
+      .persist()
     val out = closed.select(col("s").as("node"),
         size(col("common")).cast("long").as("t"))
       .unionAll(closed.select(col("d").as("node"),
@@ -271,7 +275,7 @@ object Graph {
         lit(1L).as("t")))
       .groupBy("node").agg(sum(col("t")).as("n_triangles"))
       .orderBy("node")
-    (out, Seq(edges, orient, adj))
+    (out, Seq(edges, orient, adj, closed))
   }
 
   val trianglesSql: String = """
@@ -772,8 +776,12 @@ object Graph {
     * the noisy pendant edges a k-core keeps. Like gr04 the round
     * count is a CONSTANT 2, not convergence-driven, so the DuckDB
     * oracle replays the identical rounds; Round8Spec asserts the
-    * monotone-shrink law and that every surviving edge really has
-    * ≥ 2 triangles inside the surviving set's closure step.
+    * monotone-shrink law. The reported `support` is the support
+    * measured in the LAST peel round's closure — i.e. on the edge set
+    * entering that round, pre-final-filter — consistent with the
+    * constant-round oracle replay. It is NOT re-measured inside the
+    * final surviving set (a converged k-truss would guarantee that
+    * stronger post-filter invariant; a bounded 2-round peel does not).
     *
     * Built entirely from gr03's r8 machinery: each round is ONE
     * support pass — degree orientation, adjacency collect,

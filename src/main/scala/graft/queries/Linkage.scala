@@ -362,8 +362,26 @@ object Linkage {
   private val RecOffset = 10000000L
 
   // ------------------------------------- l05 entity resolution
+  /** The DEFAULT blocking key: 3-char prefix PLUS final character,
+    * both read from the name regions the corruption model provably
+    * leaves intact (the single deletion lands at positions 4–8 of 9).
+    * Composite by default because it is the key that SCALES: the key
+    * domain is ×|alphabet| larger than the bare prefix, so per-block
+    * candidate volume — the quadratic term — is ~10× smaller at the
+    * same recall (no true pair can disagree on the stable regions).
+    * Measured: 2× end-to-end at sf1 vs the 3-char prefix
+    * (BASELINE.md); l08 keeps the bare-prefix variant as the
+    * pedagogical contrast row. */
+  private val CompositeKey: Column => Column =
+    n => concat(substring(n, 1, 3), substring(n, -1, 1))
+
+  private val CompositeBlockCond: String =
+    "substr(i.name, 1, 3) || substr(i.name, -1, 1) = " +
+      "substr(c.rec_name, 1, 3) || substr(c.rec_name, -1, 1)"
+
   /** l05 — the COMPOSED entity-resolution pipeline, end to end in one
-    * declarative plan: blocking (l01's equi-join on name prefixes) →
+    * declarative plan: blocking (the [[CompositeKey]] equi-join —
+    * the scale-safe default; see l08 for the bare-prefix contrast) →
     * field comparison → Fellegi-Sunter decision (l04) → 'match' edges
     * → min-label clustering → golden record per entity. This is the
     * "a linkage user could switch" showcase, the c01 pattern applied
@@ -383,7 +401,13 @@ object Linkage {
     * with a CONSTANT round count); golden-record election is one
     * struct-min per cluster (arg-min by node id), map-side combinable. */
   def entityResolution(s: SparkSession, dir: String): DataFrame =
-    entityResolutionOn(s, dir, n => substring(n, 1, 3))
+    entityResolutionOn(s, dir, CompositeKey)
+
+  /** The FS decisions under the DEFAULT (composite) blocking — the
+    * exact edge set [[entityResolution]] consumes; spec hook for the
+    * closure/convergence assertions. */
+  private[graft] def defaultMatchDecisions(s: SparkSession,
+      dir: String): DataFrame = fellegiSunterOn(s, dir, CompositeKey)
 
   private def entityResolutionOn(s: SparkSession, dir: String,
       blockOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
@@ -453,36 +477,32 @@ object Linkage {
   }
 
   val entityResolutionSql: String =
-    entityResolutionSqlOn(PrefixBlockCond)
+    entityResolutionSqlOn(CompositeBlockCond)
 
-  // --------------------------- l08 composite-key blocking at scale
-  /** l08 — l05's full pipeline on a COMPOSITE blocking key: the
-    * 3-char prefix PLUS the final character, both chosen from the
-    * name regions the corruption model provably leaves intact (the
-    * single deletion lands at positions 4–8 of 9, so the head
-    * survives by construction and the last character survives
-    * because the deletion is always strictly before it). This is
-    * the scale knob the l01 scaladoc prescribes for growing corpora
-    * — "a longer prefix or a composite key" — made concrete and
-    * MEASURED: the key domain grows ×10, per-block candidate volume
-    * drops ~10×, and recall is unchanged because no true pair can
-    * disagree on the stable regions. On the r8 draw the match-edge
-    * set (and therefore the golden-record output) is IDENTICAL to
-    * l05's, pinned by Round8Spec; the oracle replays l08's own
-    * blocking, so the row would stay green even on a draw where a
-    * spurious cross-identity candidate falls out of the tighter
-    * blocks.
+  // ----------------------- l08 bare-prefix blocking (contrast row)
+  /** l08 — l05's full pipeline on the BARE 3-char-prefix key: the
+    * pedagogical contrast to the composite default (it was the
+    * default until r9). Same recall on the corruption model (the
+    * deletion never touches the prefix), but the key domain is
+    * ×|alphabet| smaller, so per-block candidate volume — and the
+    * quadratic verify term — grows with the corpus ~10× faster than
+    * the composite key's: the measured l05-vs-l08 gap in BASELINE.md
+    * IS the blocking-key scaling lesson (the l01 scaladoc's "a longer
+    * prefix or a composite key" made concrete). On the current draw
+    * the match-edge set (and therefore the golden-record output) is
+    * IDENTICAL to l05's, pinned by Round8Spec; the oracle replays
+    * l08's own blocking, so the row would stay green even on a draw
+    * where a spurious cross-identity candidate appears only in the
+    * looser blocks.
     *
-    * substring(n, -1, 1) is last-char in BOTH engines (negative
-    * start), which is what lets one key expression serve the 9-char
-    * identity and the 8-char corrupted side. */
-  def compositeBlockResolution(s: SparkSession, dir: String): DataFrame =
-    entityResolutionOn(s, dir,
-      n => concat(substring(n, 1, 3), substring(n, -1, 1)))
+    * substring(n, -1, 1) in the composite key is last-char in BOTH
+    * engines (negative start), which is what lets one key expression
+    * serve the 9-char identity and the 8-char corrupted side. */
+  def prefixBlockResolution(s: SparkSession, dir: String): DataFrame =
+    entityResolutionOn(s, dir, n => substring(n, 1, 3))
 
-  val compositeBlockResolutionSql: String = entityResolutionSqlOn(
-    "substr(i.name, 1, 3) || substr(i.name, -1, 1) = " +
-      "substr(c.rec_name, 1, 3) || substr(c.rec_name, -1, 1)")
+  val prefixBlockResolutionSql: String =
+    entityResolutionSqlOn(PrefixBlockCond)
 
   // ------------------------------------ l06 edit-distance linkage
   /** l06 — bounded edit-distance fuzzy matching, the classic
@@ -686,7 +706,7 @@ object Linkage {
       ("l06_edit_distance", editDistanceLinkage _,
         Some(editDistanceLinkageSql)),
       ("l07_blocking_audit", blockingAudit _, Some(blockingAuditSql)),
-      ("l08_composite_blocking", compositeBlockResolution _,
-        Some(compositeBlockResolutionSql)),
+      ("l08_prefix_blocking", prefixBlockResolution _,
+        Some(prefixBlockResolutionSql)),
     )
 }

@@ -201,16 +201,21 @@ object Privacy {
     * Laplace twin, utility-optimal for sensitivity-1 counts): the
     * per-(nation, segment) customer counts with two-sided geometric
     * noise at ε = ln 2, clamped at 0 (post-processing never spends
-    * budget). The released frame carries ONLY the noisy counts and
-    * the privacy parameters — no exact counts, no class sizes below
-    * the noise floor to re-derive them from.
+    * budget). The released frame carries only the noisy counts and
+    * the privacy parameters.
     *
-    * The noise draw is md5-gated on the GROUP KEY — the same
-    * determinism-over-freshness trade every seeded operator in this
-    * engine makes so the DuckDB oracle replays the release bit-
-    * exactly; a production deployment draws fresh noise per release
-    * (keyed determinism would let repeat observers average the noise
-    * out). Mechanism arithmetic is integer-exact end to end: the
+    * PRIVACY CAVEAT — this query is an oracle-replay DEMO of the
+    * mechanism's arithmetic, NOT a privacy-bearing release. The noise
+    * draw is md5-gated on the PUBLIC group key ('pv04#nation#segment'),
+    * the same determinism-over-freshness trade every seeded operator
+    * in this engine makes so the DuckDB oracle replays the release
+    * bit-exactly — but it means any observer who knows the mechanism
+    * can recompute the noise term exactly and INVERT the release back
+    * to the true counts (strictly worse than the repeat-observer
+    * averaging that fresh-but-logged noise would allow). A production
+    * deployment must draw noise that is secret and fresh per release;
+    * only then do the ε-DP guarantees hold. Mechanism arithmetic here
+    * is still integer-exact end to end and is what is under test: the
     * uniform is 8 md5 hex digits mod 12286, the inverse CDF is the
     * [[DpBounds]] threshold chain, both engines compare the same
     * BIGINTs.

@@ -16,9 +16,15 @@ object PyParityDump {
 
   val N = 10000L
 
+  /** The M17 fixture the wrapper-parity run shares with RuleMutatorSpec
+    * (committed CSV, repo-relative so both languages read one file). */
+  val RegexCsv = "src/test/resources/assets/regex-foobar-case-insensitive.csv"
+
   def run(spark: SparkSession): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val freq = Seq(("consumer", 6L), ("corporate", 3L), ("household", 1L))
+      .toDF("value", "freq")
+    val words = Seq(("foobar", 5L), ("FooBar", 3L), ("quux", 2L))
       .toDF("value", "freq")
     val df = ToDataFrame(spark, Seq(
       Seq("segment") -> Generators.fromFrequencyTable(spark, freq,
@@ -26,12 +32,16 @@ object PyParityDump {
       Seq("dob") -> Generators.FromDatetimeRange("1940-01-01", "2005-12-31",
         "%Y-%m-%d", "d", seed = 2),
       Seq("score") -> Generators.FromUniformDistribution(0.0, 100.0, 2,
-        seed = 5)), N)
+        seed = 5),
+      Seq("word") -> Generators.fromFrequencyTable(spark, words,
+        "value", "freq", seed = 7)), N)
     MutateDataFrame(df, Seq(
       Seq("dob") -> Seq(0.3 -> RuleMutators.WithReplacementTable(
         Seq("0" -> "o", "1" -> "|", "5" -> "s"), inline = true,
         reverse = false, seed = 3)),
-      Seq("segment") -> Seq(0.2 -> Mutators.WithInsert(seed = 4))))
+      Seq("segment") -> Seq(0.2 -> Mutators.WithInsert(seed = 4)),
+      Seq("word") -> Seq(0.5 -> RuleMutators.WithRegexReplacementTable
+        .fromCsv(spark, RegexCsv, "pattern", Some("flags"), seed = 6))))
   }
 
   def main(args: Array[String]): Unit = {

@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   */
 object ScaleUpTestData {
 
-  /** Far above every key in any sf dir AND above Dedup's planted-id
-    * offsets (2e6), so shifted copies can never collide. */
-  private val Stride = 100000000L
+  /** Far above every key in any sf dir (max 149,999 at sf0.1) AND
+    * above Dedup's planted-id offsets (2e6), so shifted copies can
+    * never collide — while keeping copy·Stride + key ≤ 9 digits for
+    * every factor ≤ 99, which [[RederiveName]] requires. */
+  private val Stride = 10000000L
 
   private val ShiftCols: Seq[(String, Seq[String])] = Seq(
     "region" -> Seq.empty,
@@ -30,6 +32,20 @@ object ScaleUpTestData {
     "events" -> Seq("event_id", "user_id"),
     "documents" -> Seq("doc_id"),
     "embeddings" -> Seq("vec_id"))
+
+  /** Key-DERIVED string columns, re-derived from the SHIFTED key per
+    * copy (TPC-H's own rule: `c_name = 'Customer#%09d'`). Without
+    * this, copies carry the source names VERBATIM, so every
+    * name-derived blocking/grouping key collides factor× more than
+    * real TPC-H growth — at sf3 the linkage sweep was measuring a
+    * quadratic same-name artifact, not the blocking plan
+    * (BASELINE.md's r8 caveat; fixed r9). The shifted keys stay
+    * ≤ 9 digits for every factor ≤ 99 (shift = copy · [[Stride]]),
+    * so the %09d width — and with it every prefix/suffix/length
+    * blocking key's SHAPE — is preserved. */
+  private val RederiveName: Map[String, (String, String)] = Map(
+    "customer" -> ("c_name", "Customer#"),
+    "supplier" -> ("s_name", "Supplier#"))
 
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir, factorStr) = args
@@ -53,8 +69,12 @@ object ScaleUpTestData {
       val out =
         if (shifts.isEmpty) df
         else (0 until factor).map { i =>
-          shifts.foldLeft(df) { (d, c) =>
+          val shifted = shifts.foldLeft(df) { (d, c) =>
             d.withColumn(c, col(c) + lit(i * Stride))
+          }
+          RederiveName.get(table).fold(shifted) {
+            case (nameCol, prefix) => shifted.withColumn(nameCol,
+              format_string(s"$prefix%09d", col(shifts.head)))
           }
         }.reduce(_.unionAll(_))
       out.repartition(32).write.mode("overwrite")

@@ -318,7 +318,10 @@ class Round5eSpec extends SparkSpec {
     // every 'match' edge must be intra-entity: rebuild the labels the
     // same way a THIRD round would and check stability (the
     // convergence guard for the fixed 2-round unroll)
-    val matches = Linkage.fellegiSunter(spark, sfDir)
+    // the DEFAULT blocking's decisions — the exact edge set
+    // entityResolution consumed (l04's bare-prefix edges could be a
+    // superset on an adversarial draw)
+    val matches = Linkage.defaultMatchDecisions(spark, sfDir)
       .filter(col("decision") === "match")
       .select(col("cust_id"), col("rec_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

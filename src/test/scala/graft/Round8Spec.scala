@@ -152,14 +152,14 @@ class Round8Spec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(plan).length == 2, plan)
   }
 
-  test("l08 composite blocking: identical entities to l05's 3-char " +
-    "prefix at a fraction of the candidate volume") {
+  test("l05/l08 blocking keys: the composite default resolves " +
+    "identical entities to the bare 3-char prefix contrast") {
     // the composite key only ever REMOVES candidate pairs; recall is
     // provably intact (the key reads the corruption-stable name
     // regions), so the resolved entities must be identical
     val a = graft.queries.Linkage.entityResolution(spark, sfDir)
       .collect().map(_.toString).sorted
-    val b = graft.queries.Linkage.compositeBlockResolution(spark, sfDir)
+    val b = graft.queries.Linkage.prefixBlockResolution(spark, sfDir)
       .collect().map(_.toString).sorted
     assert(a.nonEmpty && a.sameElements(b),
       s"entity outputs differ: ${a.length} vs ${b.length} rows")

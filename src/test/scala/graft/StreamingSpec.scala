@@ -390,6 +390,10 @@ class StreamingSpec extends SparkSpec {
       EventStreams.Event(5, ts(11), 9L, "purchase", 30.0))
     f1.toDS().coalesce(1).write.mode("append").parquet(s"$dir/in")
 
+    // save-and-restore (not unset): the shared suite session may carry
+    // a pre-existing provider setting — runEventStream's pattern
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state." +
         "RocksDBStateStoreProvider")
@@ -417,7 +421,12 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.sameElements(batch),
         s"stream(${streamed.mkString(",")}) != batch(${batch.mkString(",")})")
     } finally {
-      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      prevProvider match {
+        case Some(v) => spark.conf
+          .set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf
+          .unset("spark.sql.streaming.stateStore.providerClass")
+      }
     }
   }
 
@@ -437,6 +446,10 @@ class StreamingSpec extends SparkSpec {
       EventStreams.Event(51, ts(11), 9L, "purchase", 6.0))
     f1.toDS().coalesce(1).write.mode("append").parquet(s"$dir/in")
 
+    // save-and-restore (not unset): the shared suite session may carry
+    // a pre-existing provider setting — runEventStream's pattern
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state." +
         "RocksDBStateStoreProvider")
@@ -463,7 +476,12 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.sameElements(batch),
         s"stream(${streamed.mkString(",")}) != batch(${batch.mkString(",")})")
     } finally {
-      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      prevProvider match {
+        case Some(v) => spark.conf
+          .set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf
+          .unset("spark.sql.streaming.stateStore.providerClass")
+      }
     }
   }
 
@@ -492,6 +510,10 @@ class StreamingSpec extends SparkSpec {
     val f4 = Seq(EventStreams.Event(91, ts(500), 999L, "click", 0.0))
     f1.toDS().coalesce(1).write.mode("append").parquet(s"$dir/in")
 
+    // save-and-restore (not unset): the shared suite session may carry
+    // a pre-existing provider setting — runEventStream's pattern
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state." +
         "RocksDBStateStoreProvider")
@@ -527,7 +549,12 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.sameElements(batch),
         s"stream(${streamed.mkString(",")}) != batch(${batch.mkString(",")})")
     } finally {
-      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      prevProvider match {
+        case Some(v) => spark.conf
+          .set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf
+          .unset("spark.sql.streaming.stateStore.providerClass")
+      }
     }
   }
 
@@ -560,6 +587,10 @@ class StreamingSpec extends SparkSpec {
       Seq(body.filter(_.ts.getTime <= 20 * 60000L), Seq(sentinelMid),
         body.filter(_.ts.getTime > 20 * 60000L), Seq(sentinelEnd)))
 
+    // save-and-restore (not unset): the shared suite session may carry
+    // a pre-existing provider setting — runEventStream's pattern
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state." +
         "RocksDBStateStoreProvider")
@@ -596,7 +627,12 @@ class StreamingSpec extends SparkSpec {
       assert(outs(1) == batch,
         s"fine(${outs(1).mkString(",")}) != batch(${batch.mkString(",")})")
     } finally {
-      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      prevProvider match {
+        case Some(v) => spark.conf
+          .set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf
+          .unset("spark.sql.streaming.stateStore.providerClass")
+      }
     }
   }
 
@@ -619,6 +655,10 @@ class StreamingSpec extends SparkSpec {
       EventStreams.Event(3, tsUs(600000999L), 3L, "click", 1.0))
     val f2 = Seq(EventStreams.Event(9, tsUs(3000000000L), 999L, "click", 0.0))
     val dir = java.nio.file.Files.createTempDirectory("idle-quant")
+    // save-and-restore (not unset): the shared suite session may carry
+    // a pre-existing provider setting — runEventStream's pattern
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state." +
         "RocksDBStateStoreProvider")
@@ -650,7 +690,12 @@ class StreamingSpec extends SparkSpec {
         .collect().map(_.getLong(0)).toSeq.sorted
       assert(batchUsers == Seq(1L))
     } finally {
-      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      prevProvider match {
+        case Some(v) => spark.conf
+          .set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf
+          .unset("spark.sql.streaming.stateStore.providerClass")
+      }
     }
   }
 
@@ -669,6 +714,10 @@ class StreamingSpec extends SparkSpec {
       EventStreams.Event(7, ts(10), 9L, "error", 1.0))
     f1.toDS().coalesce(1).write.mode("append").parquet(s"$dir/in")
 
+    // save-and-restore (not unset): the shared suite session may carry
+    // a pre-existing provider setting — runEventStream's pattern
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state." +
         "RocksDBStateStoreProvider")
@@ -698,7 +747,12 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.sameElements(batch),
         s"stream(${streamed.mkString(",")}) != batch(${batch.mkString(",")})")
     } finally {
-      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      prevProvider match {
+        case Some(v) => spark.conf
+          .set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf
+          .unset("spark.sql.streaming.stateStore.providerClass")
+      }
     }
   }
 
@@ -866,6 +920,10 @@ class StreamingSpec extends SparkSpec {
         java.nio.file.Files.move(part.toPath, f.toPath)
         f.setLastModified(1700000000000L + i * 60000L)
     }
+    // save-and-restore (not unset): the shared suite session may carry
+    // a pre-existing provider setting — runEventStream's pattern
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state." +
         "RocksDBStateStoreProvider")
@@ -891,7 +949,12 @@ class StreamingSpec extends SparkSpec {
       assert(got.toSeq == Seq((7L, 2L), (9L, 600L)),
         s"got ${got.mkString(",")}")
     } finally {
-      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      prevProvider match {
+        case Some(v) => spark.conf
+          .set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf
+          .unset("spark.sql.streaming.stateStore.providerClass")
+      }
     }
   }
 
