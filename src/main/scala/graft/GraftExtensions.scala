@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo,
   Literal}
 import graft.expr.{CosineSimilarity, HyperplaneBuckets, IntDotProduct,
-  MinHashSignature, MisraGriesTopK, NgramHashes, SimHash64, TopKPairs}
+  KmvSketchAgg, MinHashSignature, MisraGriesTopK, NgramHashes, SimHash64,
+  TopKPairs}
 
 /** SQL-surface registration for the engine's custom expressions.
   *
@@ -27,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.simhash64Fn)
     ext.injectFunction(GraftExtensions.mgTopKFn)
     ext.injectFunction(GraftExtensions.topkPairsFn)
+    ext.injectFunction(GraftExtensions.kmvSketchFn)
   }
 }
 
@@ -156,6 +158,22 @@ object GraftExtensions {
     new ExpressionInfo(classOf[TopKPairs].getName, "topk_pairs"),
     (exprs: Seq[Expression]) => buildTopkPairs(exprs))
 
+  private def buildKmvSketch(exprs: Seq[Expression]): Expression = {
+    require(exprs.size == 2,
+      s"kmv_sketch takes (hash, k), got ${exprs.size}")
+    val k = exprs(1) match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"kmv_sketch: k must be an integer literal, got $other")
+    }
+    KmvSketchAgg(exprs.head, k)
+  }
+
+  private[graft] val kmvSketchFn = (
+    FunctionIdentifier("kmv_sketch"),
+    new ExpressionInfo(classOf[KmvSketchAgg].getName, "kmv_sketch"),
+    (exprs: Seq[Expression]) => buildKmvSketch(exprs))
+
   /** Register the engine's SQL functions on an existing session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -174,5 +192,7 @@ object GraftExtensions {
       "mg_topk", buildMgTopK, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "topk_pairs", buildTopkPairs, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmv_sketch", buildKmvSketch, "scala_udf")
   }
 }

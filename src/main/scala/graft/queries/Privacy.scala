@@ -273,6 +273,62 @@ object Privacy {
     ORDER BY nation, segment"""
   }
 
+  // ------------------------------ pv05 randomized response (local DP)
+  /** pv05 — Warner-1965 randomized response, the LOCAL-model
+    * counterpart of pv04's central-model geometric mechanism: each
+    * respondent privatizes their own bit BEFORE aggregation (report
+    * the truth w.p. p = 3/4, the lie w.p. 1/4 — ε = ln(p/(1−p)) =
+    * ln 3), so the aggregator never holds a true microdata row at
+    * all. The release carries the per-nation respondent and
+    * reported-yes counts plus the debiased estimator of the true
+    * count: E[yes] = p·t + (1−p)(n−t) ⇒ t̂ = 2·yes − n/2, emitted in
+    * exact integer milli-units (2000·yes − 500·n) so both engines
+    * agree bit-for-bit — no floating division anywhere.
+    *
+    * PRIVACY CAVEAT (same as pv04): the flip draw is md5-gated on the
+    * public respondent key so the DuckDB oracle can replay the
+    * mechanism arithmetic — which makes THIS demo release invertible
+    * by anyone who knows the gate. A production deployment draws the
+    * flip from respondent-side secret randomness; only then does the
+    * local-DP guarantee hold. What is under test is the mechanism
+    * arithmetic and the debiasing algebra.
+    *
+    * Scale shape: the flip + XOR is per-row codegen'd column math,
+    * then ONE combinable groupBy on the release key — privatizing a
+    * 100 TB survey costs exactly the count itself (and unlike pv04
+    * the noise work distributes over rows, not groups). */
+  def randomizedResponse(s: SparkSession, dir: String): DataFrame = {
+    val truth = (col("segment") === "BUILDING").cast("long")
+    val flip = (pmod(conv(substring(
+      md5(concat(lit("pv05#"), col("c_custkey"))), 1, 8), 16, 10)
+      .cast("long"), lit(4L)) === 0L).cast("long")
+    val reported = pmod(truth + flip, lit(2L))
+    release(s, dir)
+      .select(col("nation"), reported.as("r"))
+      .groupBy("nation")
+      .agg(count(lit(1)).as("n"), sum(col("r")).as("n_reported_yes"))
+      .select(col("nation"), col("n"), col("n_reported_yes"),
+        (col("n_reported_yes") * 2000L - col("n") * 500L)
+          .as("est_true_milli"),
+        lit(1098612L).as("eps_micro")) // ε = ln 3 in micro-nats
+      .orderBy("nation")
+  }
+
+  val randomizedResponseSql: String = """
+    WITH resp AS (
+      SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        (CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+         + CASE WHEN ('0x' || substr(md5('pv05#' || c_custkey), 1, 8))
+                     ::BIGINT % 4 = 0 THEN 1 ELSE 0 END) % 2 AS r
+      FROM customer)
+    SELECT nation, count(*) AS n,
+      CAST(sum(r) AS BIGINT) AS n_reported_yes,
+      CAST(sum(r) * 2000 - count(*) * 500 AS BIGINT) AS est_true_milli,
+      CAST(1098612 AS BIGINT) AS eps_micro
+    FROM resp
+    GROUP BY nation
+    ORDER BY nation"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("pv01_k_anonymity", kAnonymityAudit _, Some(kAnonymityAuditSql)),
@@ -280,5 +336,7 @@ object Privacy {
         Some(generalizationLadderSql)),
       ("pv03_l_diversity", lDiversityAudit _, Some(lDiversityAuditSql)),
       ("pv04_dp_counts", dpCounts _, Some(dpCountsSql)),
+      ("pv05_randomized_response", randomizedResponse _,
+        Some(randomizedResponseSql)),
     )
 }

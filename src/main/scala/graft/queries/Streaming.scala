@@ -959,6 +959,35 @@ $counts
           .cast("long").as("value_micros"))
       .orderBy("user_id", "event_id")
 
+  private val AttribWindowMinutes = 120
+
+  /** st26 — purchase→click attribution executed as a STREAM-STREAM
+    * inner interval join, the one streaming-join category the gate
+    * did not yet execute for real (st21–25 cover the five state
+    * APIs; this is the two-sided join state machine): both sides of
+    * [[EventStreams.attributionStream]] read the same checkpointed
+    * weekly AvailableNow replay, each with its own watermark, and
+    * Spark bounds both state stores from the interval condition.
+    * Inner matches are emitted when both rows have arrived — never
+    * watermark-delayed — so the committed result is slicing-
+    * independent and the DuckDB oracle is the exact batch interval
+    * join, micros arithmetic end to end (no st24-style quantization
+    * band: no timers decide membership). */
+  def attributionStreamed(s: SparkSession, dir: String): DataFrame =
+    runEventStream(s, dir, "st26")(ev =>
+      EventStreams.attributionStream(ev.toDF(), AttribWindowMinutes))
+      .orderBy("user_id", "purchase_id", "click_id")
+
+  val attributionStreamedSql: String = s"""
+    SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+      CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+    FROM events p JOIN events c
+      ON p.event_type = 'purchase' AND c.event_type = 'click'
+      AND p.user_id = c.user_id
+      AND c.ts > p.ts - INTERVAL $AttribWindowMinutes MINUTE
+      AND c.ts <= p.ts
+    ORDER BY p.user_id, purchase_id, click_id"""
+
   val quotaStreamedSql: String = s"""
     WITH ranked AS (
       SELECT event_id, user_id, value,
@@ -1007,5 +1036,7 @@ $counts
         Some(idleUsersStreamedSql)),
       ("st25_quota_streamed", quotaStreamed _,
         Some(quotaStreamedSql)),
+      ("st26_attribution_streamed", attributionStreamed _,
+        Some(attributionStreamedSql)),
     )
 }

@@ -1098,7 +1098,21 @@ object TextAnalysis {
 
   /** The t23 induction loop itself, returning each round's rule in
     * symbol form: (round, "␟s1␟  ␟s2␟" pattern, "␟s1s2␟" replacement,
-    * pair count). Shared by t23 (reporting) and t24 (application). */
+    * pair count). Shared by t23 (reporting) and t24 (application).
+    *
+    * MERGE-COUNT ENVELOPE — this loop launches ONE Spark job per
+    * merge (the 1-row argmax collect), which is the right shape for
+    * the 3-round oracle demo but NOT for tokenizer training: a real
+    * 32k-merge run would be 32k jobs of pure scheduler overhead on a
+    * vocabulary-sized frame. The production path is [[bpeTrain]]:
+    * after the one corpus-collapsing shuffle the vocabulary is SMALL
+    * (Heaps' law — t38 measures the saturation curve on this very
+    * corpus), so collect it once and run every merge round driver-
+    * side in memory; the corpus is touched exactly twice total (vocab
+    * build + final encode) for ANY merge count. Measured (BpeProbe,
+    * sf0.1, r9): 16 rounds in 0.41 s TOTAL vs 1.2 s/merge for this
+    * loop — the gap is pure per-job overhead and widens linearly with
+    * merge count (BASELINE.md r9). */
   private def bpeRules(s: SparkSession,
       dir: String): Seq[(Int, String, String, Long)] = {
     val words = Relational.table(s, dir, "documents")
@@ -1128,6 +1142,73 @@ object TextAnalysis {
       cur = cur.withColumn("sym",
           replace(col("sym"), lit(s1 + "  " + s2), lit(merged)))
         .localCheckpoint()
+    }
+    rules.result()
+  }
+
+  /** Production-shape BPE trainer: identical merge rules to
+    * [[bpeRules]] (same pair counting, same count-desc/lexicographic
+    * tie-break, same greedy left-to-right non-overlapping merge), but
+    * the loop runs DRIVER-SIDE over the collected vocabulary — the
+    * "small model, big corpus" discipline every real BPE trainer
+    * uses. Job envelope: exactly ONE corpus job here (the distinct
+    * (word, freq) collapse + collect; vocabulary-sized by Heaps' law,
+    * the t38 audit measures its saturation) and zero jobs per round;
+    * the single corpus encode pass (t24's literal fold, or a
+    * generated expression chain at 32k rules) is the only other
+    * corpus-proportional work a full pipeline adds. KmvSketchSpec-
+    * style parity is pinned by Round9Spec: the first [[BpeRounds]]
+    * rules match the in-plan loop's exactly.
+    *
+    * Returns the same symbol-form tuples as [[bpeRules]], so the
+    * encode fold is interchangeable. */
+  private[graft] def bpeTrain(s: SparkSession, dir: String,
+      rounds: Int): Seq[(Int, String, String, Long)] = {
+    val vocab: Array[(Array[String], Long)] =
+      Relational.table(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .collect()
+        .map(r => (r.getString(0).split("").filter(_.nonEmpty),
+          r.getLong(1)))
+    var words = vocab
+    val rules = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val key = (syms(i), syms(i + 1))
+          counts.update(key, counts.getOrElse(key, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        // count desc, then s1/s2 lexicographic — bpeRules' orderBy
+        val ((s1, s2), cnt) = counts.minBy { case ((a, b), c) =>
+          (-c, a, b)
+        }
+        rules += ((r,
+          s"$USep$s1$USep  $USep$s2$USep", s"$USep$s1$s2$USep", cnt))
+        val merged = s1 + s2
+        words = words.map { case (syms, f) =>
+          // greedy left-to-right non-overlapping — replace() semantics
+          val out = new scala.collection.mutable.ArrayBuffer[String](
+            syms.length)
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == s1 && syms(i + 1) == s2) {
+              out += merged; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toArray, f)
+        }
+        r += 1
+      }
     }
     rules.result()
   }
@@ -2004,6 +2085,7 @@ object TextAnalysis {
       ("t37_pretrain_manifest", pretrainManifest _,
         Some(pretrainManifestSql)),
       ("t38_vocab_growth", vocabGrowth _, Some(vocabGrowthSql)),
+      ("t39_zipf_audit", zipfAudit _, Some(zipfAuditSql)),
     )
 
   // --------------------------------------------- tokenizer fertility
@@ -2250,4 +2332,67 @@ object TextAnalysis {
       CAST((v100 - v75) * 1000000 // greatest(v75, 1) AS BIGINT)
         AS g100_ppm
     FROM v"""
+
+  // ---------------------------------------- t39 Zipf rank-frequency
+  private val ZipfMaxRank = 1024
+
+  /** t39 — Zipf rank-frequency audit, t38's companion law: sample
+    * the token frequency curve at power-of-2 ranks (1, 2, 4, …,
+    * [[ZipfMaxRank]]) and report each sampled frequency's exact
+    * integer log2 (t25's `length(bin(x)) − 1` trick) plus the bits
+    * dropped since the previous sampled rank. Under Zipf (cnt ∝
+    * 1/rank) each rank DOUBLING costs ~1 bit, so the bits_drop
+    * column reads directly as the local Zipf exponent — the curve a
+    * data-mixing review checks for head-heavy (boilerplate) or
+    * flat-tail (template spam) deviations before trusting token
+    * counts from a new source.
+    *
+    * Scale shape: one combinable token count, then a
+    * TakeOrderedAndProject top-[[ZipfMaxRank]] — the global sort
+    * never materializes the vocabulary; the rank window and lag run
+    * on ≤1024 rows regardless of corpus size. All integer
+    * arithmetic; bit-exact oracle. */
+  def zipfAudit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = Relational.table(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(ZipfMaxRank)
+    val byRank = Window.orderBy(col("cnt").desc, col("token"))
+    val sampled = top
+      .withColumn("rank", row_number().over(byRank).cast("long"))
+      .filter(expr("rank & (rank - 1)") === 0L)
+      .withColumn("freq_bits", (length(bin(col("cnt"))) - 1).cast("long"))
+    sampled
+      .withColumn("bits_drop",
+        coalesce(lag(col("freq_bits"), 1)
+            .over(Window.orderBy(col("rank"))), col("freq_bits"))
+          - col("freq_bits"))
+      .select(col("rank"), col("token"), col("cnt"),
+        col("freq_bits"), col("bits_drop"))
+      .orderBy("rank")
+  }
+
+  val zipfAuditSql: String = s"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    cnts AS (
+      SELECT token, count(*) AS cnt FROM tok WHERE token <> ''
+      GROUP BY token),
+    ranked AS (
+      SELECT token, cnt,
+        row_number() OVER (ORDER BY cnt DESC, token) AS rank
+      FROM cnts ORDER BY cnt DESC, token LIMIT $ZipfMaxRank),
+    pw AS (
+      SELECT CAST(rank AS BIGINT) AS rank, token,
+        CAST(cnt AS BIGINT) AS cnt,
+        CAST(length(bin(cnt)) - 1 AS BIGINT) AS freq_bits
+      FROM ranked WHERE rank & (rank - 1) = 0)
+    SELECT rank, token, cnt, freq_bits,
+      CAST(coalesce(lag(freq_bits) OVER (ORDER BY rank), freq_bits)
+        - freq_bits AS BIGINT) AS bits_drop
+    FROM pw
+    ORDER BY rank"""
 }

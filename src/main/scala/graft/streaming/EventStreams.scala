@@ -597,6 +597,53 @@ object EventStreams {
         OutputMode.Append())
   }
 
+  // ------------- attribution (stream-stream interval join) -------------
+
+  /** Purchase→click attribution as a STREAM-STREAM inner join with an
+    * event-time interval condition: every (purchase, click) pair of
+    * the same user where the click lands in the `windowMinutes` before
+    * the purchase — STRICTLY after `p_ts − window`, inclusive at
+    * `p_ts`. The half-open window is deliberate, not cosmetic: the
+    * join's state horizon is derived from the interval (clicks with
+    * `c_ts <= watermark − window` are evicted, equality evicted), so
+    * a pair at EXACTLY `c_ts = p_ts − window` is the one row the
+    * store may or may not still hold when the purchase arrives,
+    * depending on micro-batch slicing — StreamingSpec pins the drop.
+    * With the strict lower bound every matching click satisfies
+    * `c_ts > wm − window` whenever its purchase is on time, so the
+    * emitted SET is provably slicing-independent and equals the batch
+    * twin's. The time constraint plus the per-side watermarks is what
+    * makes unbounded two-stream state finite: state is O(events in
+    * one window horizon) regardless of stream length — the only join
+    * shape that survives an unbounded 100 TB/day event stream.
+    * Inner-join matches are emitted as soon as both rows have
+    * arrived, never watermark-delayed. */
+  def attributionStream(events: DataFrame, windowMinutes: Int): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") > col("p_ts") -
+          expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("click_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
+          .as("gap_us"))
+  }
+
+  /** Batch twin of [[attributionStream]]: the same interval self-join
+    * on the static frame (one shuffle on user_id; the interval
+    * predicate is a post-join filter on same-user candidates). */
+  def attributionBatch(events: DataFrame, windowMinutes: Int): DataFrame =
+    attributionStream(events, windowMinutes)
+
   /** The spend stream both paths monitor: non-negative purchases
     * only, so the threshold crossings use plain integer division on
     * monotone totals (identical in Spark, DuckDB and the processor). */

@@ -1003,4 +1003,225 @@ class StreamingSpec extends SparkSpec {
     assert(keptStream.toSet == keptBatch,
       s"stream kept ${keptStream.length}, batch kept ${keptBatch.size}")
   }
+
+  test("stream-stream interval join: inclusive boundaries, cross-batch " +
+    "matches, and batch-twin equality (st26's gate shape)") {
+    def ts(m: Long) = new java.sql.Timestamp(m * 60000L)
+    val root = java.nio.file.Files.createTempDirectory("ssjoin")
+    val w = 30 // minutes
+    // clicks arrive in batch 1, purchases in batch 2: every match is
+    // CROSS-batch, so the join must prove its buffered two-sided state.
+    // Click 1 sits at EXACTLY p_ts - w: the half-open window excludes
+    // it BY DESIGN — with an inclusive bound this is the row the state
+    // store may or may not still hold at match time (state eviction is
+    // `c_ts <= watermark - w`, equality evicted; observed dropped under
+    // this very slicing), so the strict bound is what makes the result
+    // set slicing-independent. The spec pins the exclusion.
+    val f1 = Seq(
+      EventStreams.Event(1, ts(0), 7L, "click", 1.0), // exactly p_ts - w
+      EventStreams.Event(2, ts(10), 7L, "click", 1.0), // inside window
+      EventStreams.Event(3, ts(31), 9L, "click", 1.0)) // same-ts match
+    val f2 = Seq(
+      EventStreams.Event(10, ts(30), 7L, "purchase", 5.0), // ← 2 only
+      EventStreams.Event(11, ts(100), 7L, "purchase", 5.0), // too late
+      EventStreams.Event(12, ts(31), 9L, "purchase", 1.0)) // ← 3, gap 0
+    Seq(f1, f2).zipWithIndex.foreach { case (evs, i) =>
+      val stage = s"$root/stage_$i"
+      evs.toDS().coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$root/in"); dst.mkdirs()
+      val f = new java.io.File(dst, s"f$i.parquet")
+      java.nio.file.Files.move(part.toPath, f.toPath)
+      f.setLastModified(1700000000000L + i * 60000L)
+    }
+    val enc = implicitly[org.apache.spark.sql.Encoder[EventStreams.Event]]
+    val q = EventStreams.attributionStream(
+        spark.readStream.schema(enc.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$root/in").toDF(), w)
+      .writeStream.outputMode("append")
+      .format("parquet")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$root/out")
+      .orderBy("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // half-open window: the exact-boundary click (gap == w) is
+    // excluded, gap 0 (click at p_ts) is included
+    assert(got == Seq((7L, 10L, 2L, 20L * 60000000L), (9L, 12L, 3L, 0L)),
+      got)
+    val batch = EventStreams.attributionBatch((f1 ++ f2).toDS().toDF(), w)
+      .orderBy("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == batch, s"stream $got != batch $batch")
+  }
+
+  test("checkpoint restart + state-schema evolution pin: state survives " +
+    "a same-processor restart; an upgraded processor may ADD a state " +
+    "variable (initialized EMPTY — history is not backfilled); changing " +
+    "an existing variable's value encoder is REJECTED at restart") {
+    def ts(m: Long) = new java.sql.Timestamp(m * 60000L)
+    val root = java.nio.file.Files.createTempDirectory("twsrestart")
+    def writeFile(events: Seq[EventStreams.Event]): Unit =
+      events.toDS().coalesce(1).write.mode("append")
+        .parquet(s"$root/in")
+
+    def run(mk: => org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EventStreams.Event, EventStreams.ProfileRow]): Unit = {
+      val enc =
+        implicitly[org.apache.spark.sql.Encoder[EventStreams.Event]]
+      val q = spark.readStream.schema(enc.schema)
+        .parquet(s"$root/in").as[EventStreams.Event]
+        .groupByKey(_.user_id)
+        .transformWithState(mk,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def outRows() = spark.read.parquet(s"$root/out")
+      .orderBy("event_id")
+      .select("event_id", "n_click", "n_error").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      // run 1: two clicks for user 7 through the v1 processor
+      writeFile(Seq(
+        EventStreams.Event(1, ts(1), 7L, "click", 1.0),
+        EventStreams.Event(2, ts(2), 7L, "click", 1.0)))
+      run(new EventStreams.ProfileBuilder)
+      assert(outRows() == Seq((1L, 1L, 0L), (2L, 2L, 0L)))
+
+      // run 2: SAME processor restarted from the checkpoint — the file
+      // source log skips f1, and the MapState continues from count 2:
+      // what a plain rolling restart preserves
+      writeFile(Seq(EventStreams.Event(3, ts(3), 7L, "click", 1.0)))
+      run(new EventStreams.ProfileBuilder)
+      assert(outRows().lastOption.contains((3L, 3L, 0L)),
+        s"state lost across same-processor restart: ${outRows()}")
+
+      // run 3: UPGRADED processor — v2 keeps the 'profile' MapState
+      // (same name + encoders) and ADDS a ValueState. The platform
+      // accepts new state variables at restart; the old map carries
+      // its history forward, the new variable starts EMPTY (count 1,
+      // not 4, on the observation channel) — an upgrade adds a blank
+      // column, it does not backfill
+      writeFile(Seq(EventStreams.Event(4, ts(4), 7L, "click", 1.0)))
+      run(new TwsUpgrades.ProfileBuilderV2)
+      assert(outRows().lastOption.contains((4L, 4L, 1L)),
+        s"upgrade semantics broken: ${outRows()}")
+
+      // run 4: INCOMPATIBLE upgrade — same state name 'profile', value
+      // encoder Long→Double. Pinned: the restart is rejected by the
+      // state-schema compatibility check (it must never silently
+      // reinterpret serialized state)
+      writeFile(Seq(EventStreams.Event(5, ts(5), 7L, "click", 1.0)))
+      val e = intercept[Exception] {
+        run(new TwsUpgrades.ProfileBuilderV3)
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.toString.toLowerCase).mkString(" ")
+      assert(msgs.contains("schema") || msgs.contains("compatible"),
+        s"expected a state-schema compatibility rejection, got: $e")
+    } finally {
+      prevProvider match {
+        case Some(v) => spark.conf
+          .set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf
+          .unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+}
+
+/** Upgrade variants of [[EventStreams.ProfileBuilder]] for the
+  * checkpoint-restart pin — top-level (not suite-nested) so the
+  * closure serializer never drags the ScalaTest suite along. */
+object TwsUpgrades {
+
+  /** v2 upgrade: same 'profile' MapState (name + encoders unchanged)
+    * plus a NEW ValueState counting rows since the upgrade. The count
+    * is surfaced on the otherwise-0 `n_error` field (inputs in the
+    * spec are clicks only) purely as an observation channel. */
+  class ProfileBuilderV2
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EventStreams.Event, EventStreams.ProfileRow] {
+    @transient private var profile:
+      org.apache.spark.sql.streaming.MapState[String, Long] = _
+    @transient private var sinceUpgrade:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      profile = getHandle.getMapState[String, Long]("profile",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      sinceUpgrade = getHandle.getValueState[Long]("since_upgrade",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[EventStreams.Event],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[EventStreams.ProfileRow] = {
+      val out =
+        scala.collection.mutable.ArrayBuffer.empty[EventStreams.ProfileRow]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val n = (if (profile.containsKey(e.event_type))
+          profile.getValue(e.event_type) else 0L) + 1L
+        profile.updateValue(e.event_type, n)
+        val su = (if (sinceUpgrade.exists()) sinceUpgrade.get() else 0L) + 1L
+        sinceUpgrade.update(su)
+        def c(t: String): Long =
+          if (profile.containsKey(t)) profile.getValue(t) else 0L
+        out += EventStreams.ProfileRow(key, e.event_id, c("click"),
+          c("view"), c("purchase"), c("signup"), su)
+      }
+      out.iterator
+    }
+  }
+
+  /** v3 "upgrade": the SAME state name 'profile' with its map VALUE
+    * encoder changed Long→Double — the incompatible change the
+    * platform must reject at restart. */
+  class ProfileBuilderV3
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EventStreams.Event, EventStreams.ProfileRow] {
+    @transient private var profile:
+      org.apache.spark.sql.streaming.MapState[String, Double] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      profile = getHandle.getMapState[String, Double]("profile",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[EventStreams.Event],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[EventStreams.ProfileRow] = {
+      rows.map { e =>
+        val n = (if (profile.containsKey(e.event_type))
+          profile.getValue(e.event_type) else 0.0) + 1.0
+        profile.updateValue(e.event_type, n)
+        EventStreams.ProfileRow(key, e.event_id, n.toLong, 0L, 0L, 0L, 0L)
+      }
+    }
+  }
 }
