@@ -276,6 +276,114 @@ object Sketches {
     * Spark side derived differ, and the oracle asserts them TRUE. */
   val hllInvSql: String = kmvInvSql
 
+  // ------------------------------------- sk03 quantile sketch (GK)
+  /** approx_percentile accuracy knob: rank error ≤ n/QAcc. */
+  private val QAcc = 1000
+
+  /** The event-value stream in exact integer micros (the st21
+    * convention), the domain every quantile below lives in. */
+  private def valueMicros(s: SparkSession, dir: String): DataFrame =
+    Relational.table(s, dir, "events")
+      .select(col("event_type"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6))
+          * 1000000).cast("long").as("m"))
+
+  /** sk03 — per-type value quantiles via Spark's Greenwald–Khanna
+    * `approx_percentile`, completing the sketch trio the engine
+    * ships: cardinality (sk01 KMV / sk02 HLL), frequency (t22
+    * Misra-Gries / t12 CMS), and now QUANTILES — the three summaries
+    * a 100 TB profiling pass actually computes. GK state is
+    * O(QAcc·log n) per group regardless of input size, merges across
+    * partials, and guarantees the returned element's RANK is within
+    * n/[[QAcc]] of the target — the contract sk03_quantile_inv
+    * checks. Estimates depend on the merge tree → rows-only;
+    * the inv row carries the oracle-checked contract. */
+  def quantileSketch(s: SparkSession, dir: String): DataFrame =
+    valueMicros(s, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        percentile_approx(col("m"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(QAcc)).as("est"))
+      .select(col("event_type"), col("n"),
+        col("est").getItem(0).as("est_q50"),
+        col("est").getItem(1).as("est_q90"),
+        col("est").getItem(2).as("est_q99"))
+      .orderBy("event_type")
+
+  /** sk03's invariant projection, fully oracle-checked: exact
+    * discrete quantiles (value at rank ⌈q·n⌉ — pure integer rank
+    * arithmetic both engines replay) plus the GK rank-error flags.
+    * The estimate is an actual input element, so its rank membership
+    * test is two counting aggregates: ∃ rank r ∈ [#{m<est}+1, #{m≤est}]
+    * with |r − ⌈q·n⌉| ≤ n/QAcc  ⇔  #{m≤est} ≥ target − ε  AND
+    * #{m<est} + 1 ≤ target + ε. The exact columns are the audit
+    * contract (like sk01's): a production profile at sketch scale
+    * ships only the GK summaries; the per-type global sort behind
+    * the exact ranks is gate-affordable, not the 100 TB path. */
+  def quantileInv(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val est = quantileSketch(s, dir).localCheckpoint() // 5 rows
+    val v = valueMicros(s, dir)
+    // `div`, not `/`: Spark's `/` on longs is DOUBLE division, which
+    // would shift every rank threshold by 0.5 vs DuckDB's `//`
+    def target(qNum: Int, qDen: Int) =
+      expr(s"(n * $qNum + ${qDen - 1}) div $qDen") // ceil(q*n), integer
+    val eps = expr(s"n div $QAcc") + lit(1L)
+    def okFlag(q: String, qNum: Int, qDen: Int) = {
+      val k = target(qNum, qDen)
+      (col(s"le_$q") >= k - eps && col(s"lt_$q") + 1 <= k + eps)
+        .as(s"ok_$q")
+    }
+    val ranks = v.join(broadcast(est), "event_type")
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("m") < col("est_q50"), 1L).otherwise(0L)).as("lt_q50"),
+        sum(when(col("m") <= col("est_q50"), 1L).otherwise(0L)).as("le_q50"),
+        sum(when(col("m") < col("est_q90"), 1L).otherwise(0L)).as("lt_q90"),
+        sum(when(col("m") <= col("est_q90"), 1L).otherwise(0L)).as("le_q90"),
+        sum(when(col("m") < col("est_q99"), 1L).otherwise(0L)).as("lt_q99"),
+        sum(when(col("m") <= col("est_q99"), 1L).otherwise(0L)).as("le_q99"))
+    val byM = Window.partitionBy("event_type").orderBy("m")
+    val exact = v
+      .withColumn("rn", row_number().over(byM).cast("long"))
+      .join(broadcast(est.select(col("event_type"), col("n"))),
+        "event_type")
+      .groupBy("event_type")
+      .agg(
+        min(when(col("rn") >= expr("(n + 1) div 2"), col("m")))
+          .as("exact_q50"),
+        min(when(col("rn") >= expr("(n * 9 + 9) div 10"), col("m")))
+          .as("exact_q90"),
+        min(when(col("rn") >= expr("(n * 99 + 99) div 100"), col("m")))
+          .as("exact_q99"))
+    est.join(exact, "event_type").join(ranks, "event_type")
+      .select(col("event_type"), col("n"), col("exact_q50"),
+        col("exact_q90"), col("exact_q99"),
+        okFlag("q50", 1, 2), okFlag("q90", 9, 10), okFlag("q99", 99, 100))
+      .orderBy("event_type")
+  }
+
+  val quantileInvSql: String = """
+    WITH v AS (
+      SELECT event_type,
+        CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS m
+      FROM events),
+    n AS (SELECT event_type, count(*) AS n FROM v GROUP BY 1),
+    r AS (
+      SELECT event_type, m,
+        row_number() OVER (PARTITION BY event_type ORDER BY m) AS rn
+      FROM v)
+    SELECT n.event_type, n.n,
+      (SELECT min(m) FROM r WHERE r.event_type = n.event_type
+         AND rn >= (n.n + 1) // 2) AS exact_q50,
+      (SELECT min(m) FROM r WHERE r.event_type = n.event_type
+         AND rn >= (n.n * 9 + 9) // 10) AS exact_q90,
+      (SELECT min(m) FROM r WHERE r.event_type = n.event_type
+         AND rn >= (n.n * 99 + 99) // 100) AS exact_q99,
+      TRUE AS ok_q50, TRUE AS ok_q90, TRUE AS ok_q99
+    FROM n
+    ORDER BY n.event_type"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("t12_heavy_hitters", heavyHitters _, None),
@@ -283,5 +391,7 @@ object Sketches {
       ("sk01_kmv_overlap", kmvOverlap _, None),
       ("sk01_kmv_inv", kmvInv _, Some(kmvInvSql)),
       ("sk02_hll_overlap", hllOverlap _, None),
-      ("sk02_hll_inv", hllInv _, Some(hllInvSql)))
+      ("sk02_hll_inv", hllInv _, Some(hllInvSql)),
+      ("sk03_quantile_sketch", quantileSketch _, None),
+      ("sk03_quantile_inv", quantileInv _, Some(quantileInvSql)))
 }

@@ -39,6 +39,40 @@ class Round9Spec extends SparkSpec {
     assert(jobsRun < 16, s"$jobsRun jobs for 16 driver-side rounds")
   }
 
+  test("sk03 quantile sketch: GK rank contract green on the gate " +
+    "corpus, exact ranks match brute force, and the estimate stays " +
+    "in-band under different merge trees") {
+    val inv = queries.Sketches.quantileInv(spark, sfDir).collect()
+    assert(inv.nonEmpty)
+    inv.foreach { r =>
+      (5 to 7).foreach(i => assert(r.getBoolean(i),
+        s"GK rank contract violated: $r"))
+    }
+    // brute-force one type's exact q50: value at rank ceil(n/2) of the
+    // sorted micros — must equal the operator's exact column
+    val clickRow = inv.find(_.getString(0) == "click").get
+    val micros = queries.Streaming.events(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .select((col("value")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6)) * 1000000)
+        .cast("long")).as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().sorted
+    assert(clickRow.getLong(2) == micros((micros.length + 1) / 2 - 1),
+      "exact_q50 != brute-force rank value")
+    // the estimate itself may vary with the merge tree (why sk03 is
+    // rows-only) — but every partitioning must satisfy the rank band
+    for (nParts <- Seq(1, 5, 13)) {
+      val est = spark.range(10000)
+        .repartition(nParts)
+        .selectExpr("CAST(id * id AS BIGINT) AS m") // skewed domain
+        .agg(percentile_approx(col("m"), lit(0.9), lit(1000)))
+        .collect().head.getLong(0)
+      val rank = math.ceil(math.sqrt(est.toDouble)).toLong + 1 // #{m<=est}
+      assert(math.abs(rank - 9000L) <= 10000 / 1000 + 1,
+        s"nParts=$nParts est=$est rank=$rank")
+    }
+  }
+
   test("pv05 randomized response: the keyed flip realizes rate 1/4, " +
     "and the debiased estimator recovers the true count within " +
     "sampling noise") {
