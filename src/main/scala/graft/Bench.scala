@@ -102,8 +102,8 @@ object Bench {
       "q42_recursive_spine", "q43_lateral_topk",
       "s23_contrastive_triplets", "t37_pretrain_manifest",
       "st21_spend_alerts_streamed", "st25_quota_streamed",
-      "st26_attribution_streamed", "sk02_hll_overlap",
-      "sk03_quantile_sketch",
+      "st26_attribution_streamed", "st27_attribution_outer_streamed",
+      "sk02_hll_overlap", "sk03_quantile_sketch",
       "s01_ann_brute_force", "s02_ann_lsh_bucketed",
       "s04_ann_ivf", "s06_embedding_clusters", "t11_tfidf",
       "t14_quality_gate",

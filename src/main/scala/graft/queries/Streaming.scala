@@ -988,6 +988,54 @@ $counts
       AND c.ts <= p.ts
     ORDER BY p.user_id, purchase_id, click_id"""
 
+  /** st27 — the LEFT-OUTER twin of st26: unattributed purchases
+    * surface as (purchase, −1, −1) rows. The null side is watermark-
+    * gated (see [[EventStreams.attributionOuterStream]]), so the
+    * oracle models the platform's final-watermark cutoff explicitly:
+    * a no-click purchase emits its null row iff the global watermark
+    * passed its event time before the replay ended — wm_final =
+    * min(maxP, maxC) ms-floored minus the 10-minute delay, the same
+    * ms-quantized arithmetic st24 pinned; the strict-< comparator is
+    * pinned empirically by StreamingSpec's boundary case (a no-click
+    * purchase EXACTLY at the final watermark is withheld, 1 ms below
+    * it emits). Matched rows are st26's exact set. */
+  def attributionOuterStreamed(s: SparkSession, dir: String): DataFrame =
+    runEventStream(s, dir, "st27")(ev =>
+      EventStreams.attributionOuterStream(ev.toDF(), AttribWindowMinutes))
+      .orderBy("user_id", "purchase_id", "click_id")
+
+  val attributionOuterStreamedSql: String = s"""
+    WITH wm AS (
+      SELECT least(
+        (SELECT max(epoch_us(ts) // 1000) FROM events
+         WHERE event_type = 'purchase'),
+        (SELECT max(epoch_us(ts) // 1000) FROM events
+         WHERE event_type = 'click')) - 600000 AS wm_ms),
+    matched AS (
+      SELECT p.user_id, p.event_id AS purchase_id,
+        c.event_id AS click_id,
+        CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+      FROM events p JOIN events c
+        ON p.event_type = 'purchase' AND c.event_type = 'click'
+        AND p.user_id = c.user_id
+        AND c.ts > p.ts - INTERVAL $AttribWindowMinutes MINUTE
+        AND c.ts <= p.ts),
+    unmatched AS (
+      SELECT p.user_id, p.event_id AS purchase_id,
+        CAST(-1 AS BIGINT) AS click_id, CAST(-1 AS BIGINT) AS gap_us
+      FROM events p, wm
+      WHERE p.event_type = 'purchase'
+        AND epoch_us(p.ts) // 1000 < wm.wm_ms
+        AND NOT EXISTS (
+          SELECT 1 FROM events c
+          WHERE c.event_type = 'click' AND c.user_id = p.user_id
+            AND c.ts > p.ts - INTERVAL $AttribWindowMinutes MINUTE
+            AND c.ts <= p.ts))
+    SELECT user_id, purchase_id, click_id, gap_us FROM matched
+    UNION ALL
+    SELECT user_id, purchase_id, click_id, gap_us FROM unmatched
+    ORDER BY user_id, purchase_id, click_id"""
+
   val quotaStreamedSql: String = s"""
     WITH ranked AS (
       SELECT event_id, user_id, value,
@@ -1038,5 +1086,7 @@ $counts
         Some(quotaStreamedSql)),
       ("st26_attribution_streamed", attributionStreamed _,
         Some(attributionStreamedSql)),
+      ("st27_attribution_outer_streamed", attributionOuterStreamed _,
+        Some(attributionOuterStreamedSql)),
     )
 }

@@ -644,6 +644,41 @@ object EventStreams {
   def attributionBatch(events: DataFrame, windowMinutes: Int): DataFrame =
     attributionStream(events, windowMinutes)
 
+  /** LEFT-OUTER variant of [[attributionStream]]: purchases with no
+    * click in the window emit exactly one (purchase, −1, −1) row —
+    * unattributed-conversion accounting. Unlike the inner join the
+    * null side is WATERMARK-GATED: Spark can declare "no click will
+    * ever match" only once the global watermark passes the
+    * purchase's event time (the upper end of its click window), so
+    * a null row emits one state-cleanup batch after its watermark
+    * crossing, and purchases inside the final watermark horizon
+    * never emit at all — the streaming-semantics fact st27's oracle
+    * models explicitly (the st24 discipline: the platform's
+    * quantized watermark arithmetic is the contract, stated rather
+    * than hoped away). Matched rows behave exactly as in the inner
+    * join. */
+  def attributionOuterStream(events: DataFrame,
+      windowMinutes: Int): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") > col("p_ts") -
+          expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("c_ts") <= col("p_ts"),
+      "left_outer")
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        coalesce(unix_micros(col("p_ts")) - unix_micros(col("c_ts")),
+          lit(-1L)).as("gap_us"))
+  }
+
   /** The spend stream both paths monitor: non-negative purchases
     * only, so the threshold crossings use plain integer division on
     * monotone totals (identical in Spark, DuckDB and the processor). */

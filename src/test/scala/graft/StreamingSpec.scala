@@ -1060,6 +1060,45 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch, s"stream $got != batch $batch")
   }
 
+  test("left-outer interval join watermark gate: null rows emit iff " +
+    "p_ts is STRICTLY below the final global watermark (st27's " +
+    "oracle comparator), via the AvailableNow cleanup batch") {
+    def tsMs(ms: Long) = new java.sql.Timestamp(ms)
+    val root = java.nio.file.Files.createTempDirectory("ssouter")
+    val min = 60000L
+    // click-side max = 100min → click wm = 90min; purchase-side max =
+    // 200min → purchase wm = 190min; GLOBAL wm = min = 90min exactly
+    val events = Seq(
+      EventStreams.Event(1, tsMs(50 * min), 9L, "click", 1.0),
+      EventStreams.Event(2, tsMs(60 * min), 9L, "purchase", 5.0), // match
+      EventStreams.Event(3, tsMs(100 * min), 42L, "click", 1.0), // wm src
+      EventStreams.Event(4, tsMs(90 * min - 1), 8L, "purchase", 1.0),
+      EventStreams.Event(5, tsMs(90 * min), 7L, "purchase", 1.0), // == wm
+      EventStreams.Event(6, tsMs(200 * min), 999L, "purchase", 1.0))
+    events.toDS().coalesce(1).write.parquet(s"$root/in")
+    val enc = implicitly[org.apache.spark.sql.Encoder[EventStreams.Event]]
+    val q = EventStreams.attributionOuterStream(
+        spark.readStream.schema(enc.schema).parquet(s"$root/in").toDF(), 30)
+      .writeStream.outputMode("append")
+      .format("parquet")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$root/out")
+      .orderBy("user_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    // user 8 (1ms BELOW the 90min watermark): null row emitted in the
+    // cleanup batch; user 7 (EXACTLY at the watermark): WITHHELD —
+    // the strict-< comparator st27's oracle uses, pinned here; user
+    // 999 (above the watermark) withheld; matched pair (9) emits
+    // normally. The global watermark is the MIN across both sides'
+    // watermark operators (clicks cap it at 90min despite purchases
+    // reaching 190min).
+    assert(got == Seq((8L, 4L, -1L), (9L, 2L, 1L)), got)
+  }
+
   test("checkpoint restart + state-schema evolution pin: state survives " +
     "a same-processor restart; an upgraded processor may ADD a state " +
     "variable (initialized EMPTY — history is not backfilled); changing " +
