@@ -36,7 +36,7 @@ Surface parity with the reference (gecko) API:
 ======================================  =========================================
 reference                               this module
 ======================================  =========================================
-generator.from_function                 NOT exposed (see below)
+generator.from_function                 from_function (pandas_udf bridge)
 generator.from_uniform_distribution     from_uniform_distribution
 generator.from_normal_distribution      from_normal_distribution
 generator.from_frequency_table          from_frequency_table / ..._csv
@@ -44,7 +44,7 @@ generator.from_multicolumn_frequency_…  from_multicolumn_frequency_table
 generator.from_datetime_range           from_datetime_range
 generator.from_group                    from_group
 generator.to_data_frame                 to_data_frame
-mutator.with_function                   NOT exposed (see below)
+mutator.with_function                   with_function (pandas_udf bridge)
 mutator.with_cldr_keymap_file           with_cldr_keymap_file
 mutator.with_phonetic_replacement_table with_phonetic_replacement_table
 mutator.with_replacement_table          with_replacement_table
@@ -64,17 +64,37 @@ mutator.mutate_data_frame               mutate_data_frame
 ======================================  =========================================
 
 ``from_function`` / ``with_function`` — the callable escape hatches —
-are deliberately NOT exposed through this wrapper. They take an
-arbitrary Python callable, and shipping one through the py4j bridge
-would execute it row-at-a-time on the driver: the opposite of the
-fused, distributed plans everything else here compiles to. Python
-callers who need custom per-row logic should express it either as one
-of the config-driven mutators above (replacement/regex/phonetic
-tables cover the reference's own examples) or as a native PySpark
-``pandas_udf`` applied outside the Layer A pipeline; Scala callers
-get the real G1/M1 (`graft.gen.Generators.FromFunction`,
-`graft.mut.Mutators.WithFunction`), which run as distributed
-expressions/UDFs inside the fused plan.
+are bridged as **distributed pandas UDFs**, never py4j callbacks: the
+callable is pickled to the executors and invoked there per Arrow
+batch (row-at-a-time WITHIN the batch, matching the reference's
+explicitly non-vectorized contract — "use sparingly ... for testing
+purposes or if performance is not important", gecko/generator.py:34).
+A py4j callback would instead pull every row through the driver
+socket. Contract:
+
+* The callable runs once per row (``func(*args, **kwargs)`` for
+  ``from_function``; ``func(str(value), *args, **kwargs)`` for
+  ``with_function``) and its result is coerced with ``str``. NULL
+  input values pass through ``with_function`` untouched.
+* Batch semantics: executors feed the UDF Arrow batches of up to
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` rows; the callable
+  must not assume batch boundaries or cross-row state.
+* Determinism is the CALLER's responsibility, exactly as in the
+  reference (where ``func`` closes over whatever state it likes): a
+  pure callable gives reproducible frames; a stateful/random one does
+  not, and partition scheduling decides which rows see which calls.
+  The reference's ``rng`` parameter on ``with_function`` is replaced
+  by the wrapper-wide ``seed`` convention, which drives WHICH rows
+  are mutated (the hash-gated p-draw on ``__row_id`` — partition-
+  stable and reproducible, unlike the reference's draw); what the
+  callable COMPUTES is still its own business.
+* ``with_function`` entries must come after any engine mutators in
+  the same column group's list (the engine's mutators run as one
+  fused JVM plan first; interleaving would reorder applications, so
+  it raises instead).
+
+Scala callers get the real G1/M1 (`graft.gen.Generators.FromFunction`,
+`graft.mut.Mutators.WithFunction`), which run inside the fused plan.
 """
 
 from pyspark.sql import DataFrame, SparkSession
@@ -100,6 +120,75 @@ def _jlist(spark, xs):
     for x in xs:
         lst.add(x)
     return lst
+
+
+# ----------------------------------- python-callable escape hatches
+
+class _PyFunctionGenerator:
+    """G1 marker: a Python callable to run on the EXECUTORS as a
+    scalar pandas UDF. Held python-side until ``to_data_frame``
+    attaches it; never crosses py4j."""
+
+    def __init__(self, func, args, kwargs):
+        self._func, self._args, self._kwargs = func, args, kwargs
+
+    def _column(self):
+        from pyspark.sql.functions import pandas_udf
+        func, args, kwargs = self._func, self._args, self._kwargs
+
+        @pandas_udf("string")
+        def _gen(row_id):
+            import pandas as _pd
+            return _pd.Series(
+                [str(func(*args, **kwargs)) for _ in range(len(row_id))])
+
+        return _gen
+
+
+class _PyFunctionMutator:
+    """M1 marker: a Python callable applied to hash-selected rows as
+    a scalar pandas UDF (see the module docstring's contract)."""
+
+    def __init__(self, func, args, kwargs, seed):
+        self._func, self._args, self._kwargs = func, args, kwargs
+        self._seed = int(seed)
+
+    def _apply(self, df, column, p):
+        from pyspark.sql import functions as F
+        if not (0.0 <= p <= 1.0):
+            raise ValueError(f"with_function: p must be in [0, 1], is {p}")
+        return df.withColumn(column, F.when(
+            F.pmod(F.xxhash64(F.lit(self._seed), F.lit(column),
+                              F.col("__row_id")),
+                   F.lit(1000000)) < F.lit(int(round(p * 1000000))),
+            _mutate_udf(self._func, self._args, self._kwargs)(F.col(column))
+        ).otherwise(F.col(column)))
+
+
+def _mutate_udf(func, args, kwargs):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _mut(values):
+        return values.map(
+            lambda v: v if v is None else str(func(str(v), *args, **kwargs)))
+
+    return _mut
+
+
+def from_function(func, *args, **kwargs):
+    """G1 — generate each value by calling ``func(*args, **kwargs)``
+    once per row, on the executors (scalar pandas UDF; see the module
+    docstring for the batch/determinism contract). Single-column."""
+    return _PyFunctionGenerator(func, args, kwargs)
+
+
+def with_function(func, *args, seed, **kwargs):
+    """M1 — mutate hash-selected rows (p-fraction, seeded on
+    ``__row_id``) by calling ``func(str(value), *args, **kwargs)`` on
+    the executors. The reference's ``rng`` parameter is replaced by
+    ``seed`` (wrapper convention); see the module docstring."""
+    return _PyFunctionMutator(func, args, kwargs, seed)
 
 
 # --------------------------------------------------------- generators
@@ -153,11 +242,34 @@ def to_data_frame(spark, spec, n):
     """G8 — ``spec`` is [([col, ...], generator), ...]; returns a
     PySpark DataFrame with a ``__row_id`` column plus the spec's
     columns, built as ONE fused range(n) scan when every generator is
-    expression-backed."""
-    names = _jlist(spark, [_jlist(spark, list(cols)) for cols, _ in spec])
-    gens = _jlist(spark, [g for _, g in spec])
-    jdf = _jvm(spark).toDataFrame(spark._jsparkSession, names, gens, int(n))
-    return DataFrame(jdf, spark)
+    expression-backed. ``from_function`` entries are attached on top
+    of that scan as scalar pandas UDF columns (still one pass — the
+    UDF stage maps over the fused frame; no extra shuffle)."""
+    jvm_spec = [(cols, g) for cols, g in spec
+                if not isinstance(g, _PyFunctionGenerator)]
+    py_spec = [(cols, g) for cols, g in spec
+               if isinstance(g, _PyFunctionGenerator)]
+    for cols, _ in py_spec:
+        if len(cols) != 1:
+            raise ValueError(
+                f"from_function generates a single column, got {cols}")
+    if jvm_spec:
+        names = _jlist(spark,
+                       [_jlist(spark, list(cols)) for cols, _ in jvm_spec])
+        gens = _jlist(spark, [g for _, g in jvm_spec])
+        df = DataFrame(
+            _jvm(spark).toDataFrame(spark._jsparkSession, names, gens,
+                                    int(n)), spark)
+    else:
+        df = spark.range(int(n)).selectExpr("id as __row_id")
+    if py_spec:
+        from pyspark.sql.functions import col
+        for cols, g in py_spec:
+            df = df.withColumn(cols[0], g._column()(col("__row_id")))
+        # restore the spec's column order (python columns were appended)
+        df = df.select("__row_id",
+                       *[c for cols, _ in spec for c in cols])
+    return df
 
 
 # ----------------------------------------------------------- mutators
@@ -270,10 +382,40 @@ def with_group(weighted_mutators, *, seed):
 
 
 def mutate_data_frame(df, spec):
-    """M20 — ``spec`` is [([col, ...], [(p, mutator), ...]), ...]."""
+    """M20 — ``spec`` is [([col, ...], [(p, mutator), ...]), ...].
+    ``with_function`` mutators must come LAST in their group's list:
+    the engine mutators run as one fused JVM plan, then each
+    ``with_function`` is applied per column in listed order (its rows
+    are hash-selected on ``__row_id``, independently per column)."""
+    jvm_spec = []
+    py_apps = []  # (cols, p, mutator) in spec order
+    for cols, ms in spec:
+        jvm_ms, seen_py = [], False
+        for p, m in ms:
+            if isinstance(m, _PyFunctionMutator):
+                seen_py = True
+                py_apps.append((cols, float(p), m))
+            elif seen_py:
+                raise ValueError(
+                    "with_function mutators must come after engine "
+                    f"mutators in a column group's list (group {cols}): "
+                    "the engine's mutators run as one fused JVM plan "
+                    "first, so interleaving would reorder applications")
+            else:
+                jvm_ms.append((p, m))
+        if jvm_ms:
+            jvm_spec.append((cols, jvm_ms))
     s = df.sparkSession
-    col_groups = _jlist(s, [_jlist(s, list(cols)) for cols, _ in spec])
-    probs = _jlist(s, [_jlist(s, [float(p) for p, _ in ms])
-                       for _, ms in spec])
-    muts = _jlist(s, [_jlist(s, [m for _, m in ms]) for _, ms in spec])
-    return DataFrame(_jvm(s).mutate(df._jdf, col_groups, probs, muts), s)
+    out = df
+    if jvm_spec:
+        col_groups = _jlist(s, [_jlist(s, list(cols))
+                                for cols, _ in jvm_spec])
+        probs = _jlist(s, [_jlist(s, [float(p) for p, _ in ms])
+                           for _, ms in jvm_spec])
+        muts = _jlist(s, [_jlist(s, [m for _, m in ms])
+                          for _, ms in jvm_spec])
+        out = DataFrame(_jvm(s).mutate(out._jdf, col_groups, probs, muts), s)
+    for cols, p, m in py_apps:
+        for c in cols:
+            out = m._apply(out, c, p)
+    return out

@@ -74,6 +74,53 @@ def main():
     pd.testing.assert_frame_equal(got, want, check_exact=True)
     print(f"PY-PARITY PASS: {len(got)} rows byte-identical "
           f"({list(got.columns)})")
+
+    # ---- from_function / with_function (pandas_udf bridge) ----
+    # README-style escape hatch: a custom callable per row. Pure
+    # callables -> reproducible frames (the bridge's documented
+    # contract); the p-draw is hash-gated on __row_id, so WHICH rows
+    # mutate is exactly reproducible too.
+    df2 = graft.to_data_frame(spark, [
+        (["country"], graft.from_function(lambda: "de_DE")),
+        (["segment"], graft.from_frequency_table(freq, "value", "freq",
+                                                 seed=1)),
+    ], 2000)
+    assert df2.columns == ["__row_id", "country", "segment"], df2.columns
+    p2 = df2.orderBy("__row_id").toPandas()
+    assert (p2["country"] == "de_DE").all(), "from_function value drift"
+
+    full = graft.mutate_data_frame(df2, [
+        (["segment"], [(1.0, graft.with_function(
+            lambda v: v.upper(), seed=9))]),
+    ]).orderBy("__row_id").toPandas()
+    assert (full["segment"] == p2["segment"].str.upper()).all(), \
+        "with_function p=1.0 must mutate every row"
+
+    half_a = graft.mutate_data_frame(df2, [
+        (["segment"], [(0.5, graft.with_function(
+            lambda v: v.upper(), seed=9))]),
+    ]).orderBy("__row_id").toPandas()
+    half_b = graft.mutate_data_frame(df2, [
+        (["segment"], [(0.5, graft.with_function(
+            lambda v: v.upper(), seed=9))]),
+    ]).orderBy("__row_id").toPandas()
+    pd.testing.assert_frame_equal(half_a, half_b, check_exact=True)
+    n_mut = int((half_a["segment"] != p2["segment"]).sum())
+    assert 0 < n_mut < len(half_a), f"p=0.5 mutated {n_mut} rows"
+    # unmutated rows must be byte-identical to the input
+    untouched = half_a["segment"] == half_a["segment"].str.upper()
+    assert (half_a.loc[~untouched, "segment"]
+            == p2.loc[~untouched, "segment"]).all()
+    try:
+        graft.mutate_data_frame(df2, [
+            (["segment"], [
+                (0.5, graft.with_function(lambda v: v, seed=9)),
+                (0.2, graft.with_insert(seed=4))])])
+        raise AssertionError("interleaved with_function must raise")
+    except ValueError:
+        pass
+    print(f"PY-FUNCTION-BRIDGE PASS: from_function 2000 rows, "
+          f"with_function p=0.5 mutated {n_mut} (reproducible)")
     spark.stop()
 
 

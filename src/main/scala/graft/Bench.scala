@@ -45,6 +45,25 @@ object Bench {
       ()
     }
 
+    // fixed-work drift control: pure-CPU, data-independent (200M
+    // xxhash64 in whole-stage codegen, one task per core). Its time
+    // moves ONLY with ambient host load + JIT state, so every bench
+    // carries its own denominator for "ambient drift vs real
+    // regression" — the r9 close ran under load-avg ~4 and its
+    // +15-20% uniform elevation stayed an argument for lack of one.
+    // Measured min-of-iters BEFORE and AFTER the suite (drift can
+    // arrive mid-run); ~1s quiet-host reference recorded in
+    // BASELINE.md next to each round's close.
+    def controlSec(): Double = (1 to iters).map { _ =>
+      val t0 = System.nanoTime()
+      // bit_xor, not sum: 200M full-range hashes overflow a long sum
+      // under ANSI mode
+      spark.range(0L, 200000000L, 1L, cpus.toInt)
+        .selectExpr("bit_xor(xxhash64(id))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val controlPre = controlSec()
+
     // dev-only subset filter (unset for the driver = run everything)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
@@ -68,12 +87,16 @@ object Bench {
         // (fast) partial success
         name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
+    val controlPost = controlSec()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    def r2(d: Double): Double = math.rint(d * 100) / 100
+    val controlJson =
+      s""""control_pre":${r2(controlPre)},"control_post":${r2(controlPost)}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""sf":"$sfDir","cpus":$cpus,"iters":$iters}"""
+        s""""sf":"$sfDir","cpus":$cpus,"iters":$iters,$controlJson}"""
     // The driver stores only a 2000-char tail of stdout (BENCH_r0*.json
     // "tail") and parses the metrics JSON out of it; the full per-query
     // line is ~4-5 KB, so its opening brace falls outside the tail and
@@ -165,7 +188,7 @@ object Bench {
         s""""unit":"sec","queries":{"""
     val compactTail =
       s"""},"sf":"$sfDir","cpus":$cpus,"iters":$iters,""" +
-        s""""n_queries":${results.size},"full":"bench.json"}"""
+        s""""n_queries":${results.size},$controlJson,"full":"bench.json"}"""
     val lineBudget = 1900 - compactHead.length - compactTail.length
     // STRICT priority-prefix: stop at the FIRST entry that would
     // exceed the budget instead of skipping it and scanning on — a

@@ -5,9 +5,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo,
   Literal}
-import graft.expr.{CosineSimilarity, HyperplaneBuckets, IntDotProduct,
-  KmvSketchAgg, MinHashSignature, MisraGriesTopK, NgramHashes, SimHash64,
-  TopKPairs}
+import graft.expr.{CosineSimilarity, GkCount, GkEstimate, GkMergeAgg,
+  GkSketchAgg, HyperplaneBuckets, IntDotProduct, KmvSketchAgg,
+  MinHashSignature, MisraGriesTopK, NgramHashes, SimHash64, TopKPairs}
 
 /** SQL-surface registration for the engine's custom expressions.
   *
@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.mgTopKFn)
     ext.injectFunction(GraftExtensions.topkPairsFn)
     ext.injectFunction(GraftExtensions.kmvSketchFn)
+    ext.injectFunction(GraftExtensions.gkSketchFn)
+    ext.injectFunction(GraftExtensions.gkMergeFn)
+    ext.injectFunction(GraftExtensions.gkEstimateFn)
+    ext.injectFunction(GraftExtensions.gkCountFn)
   }
 }
 
@@ -174,6 +178,53 @@ object GraftExtensions {
     new ExpressionInfo(classOf[KmvSketchAgg].getName, "kmv_sketch"),
     (exprs: Seq[Expression]) => buildKmvSketch(exprs))
 
+  private def buildGkSketch(exprs: Seq[Expression]): Expression = {
+    require(exprs.size == 2,
+      s"gk_sketch takes (value, accuracy), got ${exprs.size}")
+    val acc = exprs(1) match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"gk_sketch: accuracy must be an integer literal, got $other")
+    }
+    GkSketchAgg(exprs.head, acc)
+  }
+
+  private def buildGkMerge(exprs: Seq[Expression]): Expression = {
+    require(exprs.size == 1, s"gk_merge takes (state), got ${exprs.size}")
+    GkMergeAgg(exprs.head)
+  }
+
+  private def buildGkEstimate(exprs: Seq[Expression]): Expression = {
+    require(exprs.size == 2,
+      s"gk_estimate takes (state, q), got ${exprs.size}")
+    GkEstimate(exprs(0), exprs(1))
+  }
+
+  private def buildGkCount(exprs: Seq[Expression]): Expression = {
+    require(exprs.size == 1, s"gk_count takes (state), got ${exprs.size}")
+    GkCount(exprs.head)
+  }
+
+  private[graft] val gkSketchFn = (
+    FunctionIdentifier("gk_sketch"),
+    new ExpressionInfo(classOf[GkSketchAgg].getName, "gk_sketch"),
+    (exprs: Seq[Expression]) => buildGkSketch(exprs))
+
+  private[graft] val gkMergeFn = (
+    FunctionIdentifier("gk_merge"),
+    new ExpressionInfo(classOf[GkMergeAgg].getName, "gk_merge"),
+    (exprs: Seq[Expression]) => buildGkMerge(exprs))
+
+  private[graft] val gkEstimateFn = (
+    FunctionIdentifier("gk_estimate"),
+    new ExpressionInfo(classOf[GkEstimate].getName, "gk_estimate"),
+    (exprs: Seq[Expression]) => buildGkEstimate(exprs))
+
+  private[graft] val gkCountFn = (
+    FunctionIdentifier("gk_count"),
+    new ExpressionInfo(classOf[GkCount].getName, "gk_count"),
+    (exprs: Seq[Expression]) => buildGkCount(exprs))
+
   /** Register the engine's SQL functions on an existing session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -194,5 +245,13 @@ object GraftExtensions {
       "topk_pairs", buildTopkPairs, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kmv_sketch", buildKmvSketch, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "gk_sketch", buildGkSketch, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "gk_merge", buildGkMerge, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "gk_estimate", buildGkEstimate, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "gk_count", buildGkCount, "scala_udf")
   }
 }

@@ -358,8 +358,17 @@ object Linkage {
 
   val fellegiSunterSql: String = fellegiSunterSqlOn(PrefixBlockCond)
 
-  /** Right-side node ids live above left-side ones. */
-  private val RecOffset = 10000000L
+  /** Right-side node ids live above left-side ones. NOT a multiple of
+    * (or congruent to 0 mod) [[graft.tools.ScaleUpTestData]]'s key
+    * Stride (1e7): when scaled dirs shift keys by `copy * Stride`,
+    * copy i's record node ids (`key + i*Stride + RecOffset`) must not
+    * land on copy i+1's identity node ids (`key + (i+1)*Stride`).
+    * With RecOffset = 5e6 and base keys ≤ ~150k, identity ids occupy
+    * `[i*1e7, i*1e7 + 150k]` and record ids `[i*1e7 + 5e6, i*1e7 +
+    * 5e6 + 150k]` — disjoint bands for every copy. (The r9 value 1e7
+    * was exactly Stride, chaining every customer's copies into one
+    * cluster with duplicate node ids in scaled-dir l05/l08 runs.) */
+  private val RecOffset = 5000000L
 
   // ------------------------------------- l05 entity resolution
   /** The DEFAULT blocking key: 3-char prefix PLUS final character,

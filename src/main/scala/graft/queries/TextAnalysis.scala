@@ -1161,17 +1161,59 @@ object TextAnalysis {
     * rules match the in-plan loop's exactly.
     *
     * Returns the same symbol-form tuples as [[bpeRules]], so the
-    * encode fold is interchangeable. */
+    * encode fold is interchangeable.
+    *
+    * DRIVER-MEMORY DISCIPLINE (the r9 watch item): the vocabulary
+    * collect is BOUNDED by two knobs applied in-plan, BEFORE any row
+    * reaches the driver — `minFreq` drops words seen fewer than that
+    * many times (the standard BPE trainer cutoff: hapax/noise strings
+    * dominate the distinct-"word" set of web text, hundreds of
+    * millions of strings at 100 TB, while contributing ~nothing to
+    * pair counts), and `topN` caps the collected vocabulary at the N
+    * most frequent words (deterministic: freq desc, then word, so the
+    * cap commutes with re-runs). Defaults (minFreq = 1, topN = 0 =
+    * uncapped) keep gate-corpus parity with [[bpeRules]] exactly —
+    * the Heaps-small gate vocab needs no floor and Round10Spec pins
+    * that a vacuous floor changes nothing — but a web-scale run sets
+    * `minFreq >= 2` (or a topN in the low millions) as every real
+    * tokenizer trainer does; rules then differ from the unfloored run
+    * only through the dropped words' pair counts.
+    *
+    * Tie-breaks compare UTF-8 BYTES (unsigned), matching Spark's
+    * binary string ordering in [[bpeRules]]'s `orderBy` — Scala's
+    * default String ordering is UTF-16 code units, which disagrees
+    * with UTF-8 for code points in [U+E000, U+FFFF] vs supplementary
+    * planes (the r9 advice gap: the parity claim was ASCII-only). */
+  /** Unsigned lexicographic comparison of the UTF-8 encodings — the
+    * order Spark's binary string comparator (and DuckDB) uses. */
+  private def utf8Compare(x: String, y: String): Int = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
   private[graft] def bpeTrain(s: SparkSession, dir: String,
-      rounds: Int): Seq[(Int, String, String, Long)] = {
-    val vocab: Array[(Array[String], Long)] =
-      Relational.table(s, dir, "documents")
-        .select(explode(tokens(col("text"))).as("w"))
-        .filter(col("w") =!= "")
-        .groupBy("w").agg(count(lit(1)).as("freq"))
-        .collect()
-        .map(r => (r.getString(0).split("").filter(_.nonEmpty),
-          r.getLong(1)))
+      rounds: Int, minFreq: Long = 1L, topN: Int = 0)
+      : Seq[(Int, String, String, Long)] = {
+    val base = Relational.table(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minFreq)
+    val capped =
+      if (topN > 0) base.orderBy(col("freq").desc, col("w")).limit(topN)
+      else base
+    val vocab: Array[(Array[String], Long)] = capped
+      .collect()
+      .map(r => (r.getString(0).split("").filter(_.nonEmpty),
+        r.getLong(1)))
     var words = vocab
     val rules = Seq.newBuilder[(Int, String, String, Long)]
     var r = 1
@@ -1188,9 +1230,17 @@ object TextAnalysis {
       }
       if (counts.isEmpty) exhausted = true
       else {
-        // count desc, then s1/s2 lexicographic — bpeRules' orderBy
-        val ((s1, s2), cnt) = counts.minBy { case ((a, b), c) =>
-          (-c, a, b)
+        // count desc, then s1/s2 lexicographic in UTF-8 BYTE order —
+        // exactly bpeRules' orderBy (Spark compares strings as binary
+        // UTF-8); Scala tuple minBy would compare UTF-16 code units
+        val ((s1, s2), cnt) = counts.reduce { (x, y) =>
+          val cmp =
+            if (x._2 != y._2) java.lang.Long.compare(y._2, x._2)
+            else {
+              val c1 = utf8Compare(x._1._1, y._1._1)
+              if (c1 != 0) c1 else utf8Compare(x._1._2, y._1._2)
+            }
+          if (cmp <= 0) x else y
         }
         rules += ((r,
           s"$USep$s1$USep  $USep$s2$USep", s"$USep$s1$s2$USep", cnt))

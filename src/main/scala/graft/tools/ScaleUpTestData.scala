@@ -16,9 +16,14 @@ import org.apache.spark.sql.functions._
 object ScaleUpTestData {
 
   /** Far above every key in any sf dir (max 149,999 at sf0.1) AND
-    * above Dedup's planted-id offsets (2e6), so shifted copies can
-    * never collide — while keeping copy·Stride + key ≤ 9 digits for
-    * every factor ≤ 99, which [[RederiveName]] requires. */
+    * above Dedup's planted-id offsets (2e6), so shifted KEYS never
+    * collide across copies — while keeping copy·Stride + key ≤ 9
+    * digits for every factor ≤ 99, which [[RederiveName]] requires.
+    * NOTE: query-time id offsets must not be congruent to 0 mod this
+    * Stride, or copy i's offset ids land on copy i+1's raw ids —
+    * Linkage.RecOffset (5e6) is chosen against this constraint; see
+    * its scaladoc (the r9 RecOffset == Stride collision chained all
+    * copies of a customer into one entity-resolution cluster). */
   private val Stride = 10000000L
 
   private val ShiftCols: Seq[(String, Seq[String])] = Seq(
