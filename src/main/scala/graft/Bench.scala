@@ -62,7 +62,22 @@ object Bench {
         .selectExpr("bit_xor(xxhash64(id))").collect()
       (System.nanoTime() - t0) / 1e9
     }.min
+    // the SHUFFLE-path twin: fixed-work exchange (20M rows -> 200k
+    // groups) through real shuffle write/read + hash aggregation.
+    // The r10 forensics found an environment where the codegen
+    // control stayed flat while every shuffle/stream-bearing query
+    // ran uniformly ~1.3-1.4x slower — only a control that exercises
+    // the exchange machinery can tell that mode from a regression.
+    def controlShuffleSec(): Double = (1 to iters).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0L, 20000000L, 1L, cpus.toInt)
+        .selectExpr("pmod(xxhash64(id), 200000) as k")
+        .groupBy("k").count()
+        .selectExpr("bit_xor(count)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
     val controlPre = controlSec()
+    val controlShufflePre = controlShuffleSec()
 
     // dev-only subset filter (unset for the driver = run everything)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -88,12 +103,15 @@ object Bench {
         name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val controlPost = controlSec()
+    val controlShufflePost = controlShuffleSec()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     def r2(d: Double): Double = math.rint(d * 100) / 100
     val controlJson =
-      s""""control_pre":${r2(controlPre)},"control_post":${r2(controlPost)}"""
+      s""""control_pre":${r2(controlPre)},"control_post":${r2(controlPost)},""" +
+        s""""control_shuffle_pre":${r2(controlShufflePre)},""" +
+        s""""control_shuffle_post":${r2(controlShufflePost)}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","cpus":$cpus,"iters":$iters,$controlJson}"""

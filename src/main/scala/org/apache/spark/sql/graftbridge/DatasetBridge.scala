@@ -19,4 +19,12 @@ object DatasetBridge {
   /** Wrap a logical plan as a DataFrame on the given session. */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** `SparkSession.cloneSession()` — same SparkContext and cached
+    * data, fresh copy of the SessionState (conf, catalog, registry).
+    * `private[sql]` in Spark 4; needed to run CONCURRENT streaming
+    * queries without contending on one session's analyzer state and
+    * to scope per-stream conf overrides. */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[classic.SparkSession].cloneSession()
 }
