@@ -144,7 +144,8 @@ object Bench {
       "s23_contrastive_triplets", "t37_pretrain_manifest",
       "st21_spend_alerts_streamed", "st25_quota_streamed",
       "st26_attribution_streamed", "st27_attribution_outer_streamed",
-      "sk02_hll_overlap", "sk03_quantile_sketch",
+      "sk02_hll_overlap", "sk03_quantile_sketch", "sk04_gk_profile",
+      "st28_quantile_profile_streamed",
       "s01_ann_brute_force", "s02_ann_lsh_bucketed",
       "s04_ann_ivf", "s06_embedding_clusters", "t11_tfidf",
       "t14_quality_gate",

@@ -569,6 +569,20 @@ object Dedup {
   // ------------------------------------------------ semantic dedup
   private val SemK = 8
   private val SemTauNum = 81 // tau^2 = 81/100 => cosine threshold 0.9
+  /** Target in-cluster population: the centroid count is
+    * k = max([[SemK]], n/SemClusterTarget), so cluster sizes — and
+    * with them the per-cluster quadratic pair term, the ONLY
+    * superlinear term in d09/d16 — stay ~constant as the corpus
+    * grows (the SemDeDup premise; the r10 sf1 audit caught the
+    * fixed-k version growing its pair term 100× per 10× data). At
+    * the gate SFs the rule resolves to k = [[SemK]] exactly, so the
+    * oracle values are unchanged; both engines replay the same
+    * `greatest(k_min, n div target)` arithmetic. Centroids stay the
+    * k lowest-id vectors — valid while k is below the first id gap
+    * (2000 at the scaled-dir stride; k reaches that at ~500k
+    * vectors, where production swaps in s06's sampled k-means
+    * anyway, as the d09 scaladoc already prescribes). */
+  private val SemClusterTarget = 256L
 
   /** d09 — SemDeDup-style semantic deduplication (Abbas et al. 2023):
     * cluster the corpus, then drop every vector that has a
@@ -612,10 +626,12 @@ object Dedup {
       .select(col("vec_id"), col("q"))
       .withColumn("n2", idot(col("q"), col("q")))
 
-    // centroids: quantized vectors of the SemK lowest ids — plan-time
-    // driver lookup of a tiny, deterministic set (same pattern as the
-    // reference's factory-time table loads)
-    val cents: Array[(Long, Seq[Int])] = quant.filter(col("vec_id") < SemK)
+    // centroids: quantized vectors of the k lowest ids, k scaled to
+    // the corpus (see SemClusterTarget) — plan-time driver lookup of
+    // a tiny, deterministic set (same pattern as the reference's
+    // factory-time table loads)
+    val k = math.max(SemK.toLong, corpus.count() / SemClusterTarget)
+    val cents: Array[(Long, Seq[Int])] = quant.filter(col("vec_id") < k)
       .orderBy("vec_id").select(col("vec_id"), col("q")).collect()
       .map(r => (r.getLong(0), r.getSeq[Int](1)))
     val dots = array(cents.map { case (_, c) =>
@@ -669,7 +685,9 @@ object Dedup {
     qn AS (
       SELECT vec_id, q,
         list_sum(list_transform(q, x -> x * x)) AS n2 FROM qe),
-    cents AS (SELECT vec_id AS cid, q AS cq FROM qe WHERE vec_id < $SemK),
+    cents AS (SELECT vec_id AS cid, q AS cq FROM qe
+      WHERE vec_id < greatest($SemK,
+        (SELECT count(*) FROM corpus) // $SemClusterTarget)),
     assign AS (
       SELECT vec_id, cid FROM (
         SELECT qe.vec_id, c.cid,
@@ -729,7 +747,8 @@ object Dedup {
     val quant = Similarity.quantizeEmbeddings(corpus)
       .select(col("vec_id"), col("q"))
       .withColumn("n2", idot(col("q"), col("q")))
-    val cents: Array[(Long, Seq[Int])] = quant.filter(col("vec_id") < SemK)
+    val k = math.max(SemK.toLong, corpus.count() / SemClusterTarget)
+    val cents: Array[(Long, Seq[Int])] = quant.filter(col("vec_id") < k)
       .orderBy("vec_id").select(col("vec_id"), col("q")).collect()
       .map(r => (r.getLong(0), r.getSeq[Int](1)))
     val dots = array(cents.map { case (_, c) =>
@@ -783,7 +802,9 @@ object Dedup {
     qn AS (
       SELECT vec_id, q,
         list_sum(list_transform(q, x -> x * x)) AS n2 FROM qe),
-    cents AS (SELECT vec_id AS cid, q AS cq FROM qe WHERE vec_id < $SemK),
+    cents AS (SELECT vec_id AS cid, q AS cq FROM qe
+      WHERE vec_id < greatest($SemK,
+        (SELECT count(*) FROM corpus) // $SemClusterTarget)),
     assign AS (
       SELECT vec_id, cid FROM (
         SELECT qe.vec_id, c.cid,

@@ -332,7 +332,7 @@ object Sketches {
     * sk04's merged-state audit runs at 2 — merge preserves the ε
     * guarantee post-SPARK-32908, but the audit band deliberately
     * carries headroom rather than fitting the tightest claim. */
-  private def quantileInvOn(s: SparkSession, dir: String,
+  private[queries] def quantileInvOn(s: SparkSession, dir: String,
       estFrame: DataFrame, epsFactor: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val est = estFrame.localCheckpoint() // #event_types rows

@@ -1120,6 +1120,41 @@ $counts
     SELECT user_id, purchase_id, click_id, gap_us FROM unmatched
     ORDER BY user_id, purchase_id, click_id"""
 
+  /** st28 — sk04's stored-GK-sketch pattern executed AS A STREAM:
+    * [[EventStreams.GkProfiler]] holds one serialized GK summary per
+    * event_type in ValueState (bytes bounded at O((1/ε)·log εn)
+    * regardless of stream length), inserting each checkpointed
+    * micro-batch and emitting the running profile; the committed
+    * result keeps the final (max-n) row per type. This closes the
+    * loop the round-10 sketch work opened: the SAME codec bytes flow
+    * through a batch aggregate (sk04's gk_sketch), a parquet sink
+    * (sk04's epoch table), and now RocksDB streaming state — the
+    * continuous-profiling shape a 100 TB monitor runs. Estimates are
+    * engine-specific (GK summary internals) → rows-only; st28's inv
+    * row carries the oracle-checked rank contract (identical
+    * exact-truth SQL to sk03/sk04's). */
+  private val GkAcc = 1000
+
+  def quantileProfileStreamed(s: SparkSession, dir: String): DataFrame =
+    runEventStream(s, dir, "st28")(ev =>
+      EventStreams.gkProfileStream(ev, GkAcc).toDF())
+      .groupBy(col("event_type"))
+      .agg(max(struct(col("n"), col("est_q50"), col("est_q90"),
+        col("est_q99"))).as("m"))
+      .select(col("event_type"), col("m.n").as("n"),
+        col("m.est_q50").as("est_q50"),
+        col("m.est_q90").as("est_q90"),
+        col("m.est_q99").as("est_q99"))
+      .orderBy("event_type")
+
+  /** st28's invariant projection — [[Sketches.quantileInvOn]] at the
+    * streamed-state band (sequential inserts keep the single-pass ε
+    * guarantee; the 2ε band matches sk04's headroom discipline). */
+  def quantileProfileStreamedInv(s: SparkSession, dir: String): DataFrame =
+    Sketches.quantileInvOn(s, dir, quantileProfileStreamed(s, dir)
+      .select("event_type", "n", "est_q50", "est_q90", "est_q99"),
+      epsFactor = 2)
+
   val quotaStreamedSql: String = s"""
     WITH ranked AS (
       SELECT event_id, user_id, value,
@@ -1172,5 +1207,8 @@ $counts
         Some(attributionStreamedSql)),
       ("st27_attribution_outer_streamed", attributionOuterStreamed _,
         Some(attributionOuterStreamedSql)),
+      ("st28_quantile_profile_streamed", quantileProfileStreamed _, None),
+      ("st28_quantile_profile_inv", quantileProfileStreamedInv _,
+        Some(Sketches.quantileInvSql)),
     )
 }

@@ -597,6 +597,66 @@ object EventStreams {
         OutputMode.Append())
   }
 
+  // ------------- streaming quantile profile (GK state) -------------
+
+  case class QProfileRow(event_type: String, n: Long, est_q50: Long,
+                         est_q90: Long, est_q99: Long)
+
+  /** Continuous quantile profiling on serialized GK state — the sk04
+    * stored-sketch pattern run AS A STREAM: one
+    * ValueState[Array[Byte]] per event_type holds the
+    * [[graft.expr.GkStateCodec]] bytes (O((1/ε)·log εn), bounded
+    * regardless of stream length — the property that makes quantile
+    * monitoring of an unbounded stream possible at all); each batch
+    * deserializes, inserts its rows in (ts, event_id) order, and
+    * re-serializes — the state column a production monitor would
+    * also snapshot outward per epoch (sk04's parquet half). Emits the
+    * running (n, q50, q90, q99) per key per batch; the final profile
+    * is the max-n row. Deterministic under the staged event-time-
+    * ordered slicing; estimates are engine-specific (GK summary) →
+    * rows-only, with the rank-band inv as the oracle-checked
+    * contract. */
+  class GkProfiler(accuracy: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, Event, QProfileRow] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[Array[Byte]] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[Array[Byte]]("gk",
+        org.apache.spark.sql.Encoders.BINARY,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[QProfileRow] = {
+      import org.apache.spark.sql.catalyst.util.QuantileSummaries
+      var qs =
+        if (st.exists()) graft.expr.GkStateCodec.deserialize(st.get())
+        else new QuantileSummaries(
+          QuantileSummaries.defaultCompressThreshold, 1.0 / accuracy)
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        qs = qs.insert(valueMicros(e.value).toDouble)
+      }
+      val c = if (qs.compressed) qs else qs.compress()
+      st.update(graft.expr.GkStateCodec.serialize(c))
+      def est(q: Double): Long = c.query(q).map(_.toLong).getOrElse(0L)
+      Iterator.single(
+        QProfileRow(key, c.count, est(0.5), est(0.9), est(0.99)))
+    }
+  }
+
+  /** Streaming quantile profile per event type (v2 API, GK state). */
+  def gkProfileStream(events: Dataset[Event],
+      accuracy: Int): Dataset[QProfileRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(new GkProfiler(accuracy),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   // ------------- attribution (stream-stream interval join) -------------
 
   /** Purchase→click attribution as a STREAM-STREAM inner join with an
