@@ -368,7 +368,7 @@ object Linkage {
     * 5e6 + 150k]` — disjoint bands for every copy. (The r9 value 1e7
     * was exactly Stride, chaining every customer's copies into one
     * cluster with duplicate node ids in scaled-dir l05/l08 runs.) */
-  private val RecOffset = 5000000L
+  private[graft] val RecOffset = 5000000L
 
   // ------------------------------------- l05 entity resolution
   /** The DEFAULT blocking key: 3-char prefix PLUS final character,

@@ -452,6 +452,113 @@ object Sketches {
     * band the Spark side derived, and the oracle asserts them TRUE. */
   val gkProfileInvSql: String = quantileInvSql
 
+  // ----------------------- sk05 sketch-based join cardinality (CBO)
+  private val JoinK = 1024
+  /** |est − exact| bound for the FK-join estimate: KMV at k=1024 is
+    * ~3% σ per distinct estimate; the product-form estimator
+    * compounds three of them plus the (here exact) uniformity
+    * premise — 50% is ≥10σ with redraw slack, the sk01 sizing
+    * discipline. */
+  private val JoinBoundPct = 50L
+  /** Slack for the lower-bound contract: est ≤ exact·(1+margin) —
+    * the margin covers only sketch error on d (the bound itself is
+    * an inequality, not an estimate). */
+  private val LbMarginPct = 10L
+
+  /** sk05 — JOIN-SIZE ESTIMATION from per-table sketch statistics,
+    * the cost-based-optimizer capability the sketch family feeds in a
+    * real engine: for a join A ⋈ B on key k, estimate
+    * |A ⋈ B| ≈ d_inter · (n_A/d_A) · (n_B/d_B) from exactly the
+    * artifacts a stats collection pass stores — row counts and
+    * per-column KMV sketches (built here at k=1024, one
+    * partial-agg'd scan per table; the estimator then runs on ≤k-long
+    * driver-side readouts, never on data). Two audited pairs:
+    *
+    *  - orders ⋈ lineitem on orderkey (the FK join every TPC-H plan
+    *    costs): one side's multiplicity is exactly 1, so the
+    *    uniformity premise is EXACT and the estimate must land within
+    *    sketch error of truth — flagged at ±[[JoinBoundPct]]%.
+    *  - events ⋈ events on user_id (the skewed self-join): the
+    *    uniform-multiplicity estimate n²/d is a CAUCHY-SCHWARZ LOWER
+    *    BOUND on Σc² — est ≤ exact always, with equality iff uniform.
+    *    The flag pins that inequality (+sketch slack); `skew_x1000` =
+    *    exact·1000 div ⌊est⌋ reports how far real skew pushes truth
+    *    above the uniform assumption — the number that justifies
+    *    histograms/heavy-hitter sketches beyond distinct counts in
+    *    any real CBO.
+    *
+    * Estimates are engine-specific (xxhash64 KMV) → rows-only;
+    * sk05_join_card_inv recomputes exact truth (the self-join size
+    * as Σc² over a groupBy — never materializing the join) and
+    * asserts the flags TRUE. */
+  def joinCardinality(s: SparkSession, dir: String): DataFrame = {
+    import graft.expr.KmvSketchAgg._
+    import s.implicits._
+    def stats(table: String, key: String): (Long, Array[Long]) = {
+      val r = Relational.table(s, dir, table)
+        .agg(count(lit(1)), kmvSketch(xxhash64(col(key)), JoinK))
+        .collect()(0)
+      (r.getLong(0), r.getSeq[Long](1).toArray)
+    }
+    val (nO, skO) = stats("orders", "o_orderkey")
+    val (nL, skL) = stats("lineitem", "l_orderkey")
+    val (nE, skE) = stats("events", "user_id")
+    def estJoin(na: Long, a: Array[Long], nb: Long, b: Array[Long])
+        : Double = {
+      val da = estimateDistinct(a, JoinK)
+      val db = estimateDistinct(b, JoinK)
+      val du = estimateDistinct(unionSketch(a, b, JoinK), JoinK)
+      val di = math.max(0.0, da + db - du)
+      di * (na / da) * (nb / db)
+    }
+    val estOL = estJoin(nO, skO, nL, skL)
+    val estEE = estJoin(nE, skE, nE, skE) // self: inter = distinct
+    val exactOL = Relational.table(s, dir, "orders").select("o_orderkey")
+      .join(Relational.table(s, dir, "lineitem").select("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey")).count()
+    val exactEE = Relational.table(s, dir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c"))).collect()(0).getLong(0)
+    Seq(
+      ("orders-lineitem", nO, nL, exactOL, estOL.toLong,
+        math.abs(estOL - exactOL) <=
+          exactOL * JoinBoundPct / 100.0 + JoinK,
+        0L),
+      ("events-events", nE, nE, exactEE, estEE.toLong,
+        estEE <= exactEE * (100 + LbMarginPct) / 100.0,
+        exactEE * 1000L / math.max(1L, estEE.toLong)))
+      .toDF("pair", "n_a", "n_b", "exact_join", "est_join", "ok",
+        "skew_x1000")
+      .orderBy("pair")
+  }
+
+  /** sk05's invariant projection — exact truth + the contract flags,
+    * fully oracle-checked (the kmvInv discipline: DuckDB recomputes
+    * the joins and asserts the flags the Spark side derived). The
+    * skew report column stays engine-specific (it divides by the
+    * sketch estimate) so the inv drops it. */
+  def joinCardinalityInv(s: SparkSession, dir: String): DataFrame =
+    joinCardinality(s, dir)
+      .select(col("pair"), col("n_a"), col("n_b"), col("exact_join"),
+        col("ok"))
+
+  val joinCardinalityInvSql: String = """
+    SELECT * FROM (
+      SELECT 'orders-lineitem' AS pair,
+        (SELECT count(*) FROM orders) AS n_a,
+        (SELECT count(*) FROM lineitem) AS n_b,
+        (SELECT count(*) FROM orders o JOIN lineitem l
+          ON o.o_orderkey = l.l_orderkey) AS exact_join,
+        TRUE AS ok
+      UNION ALL
+      SELECT 'events-events',
+        (SELECT count(*) FROM events),
+        (SELECT count(*) FROM events),
+        (SELECT CAST(sum(c * c) AS BIGINT) FROM (
+          SELECT count(*) AS c FROM events GROUP BY user_id)),
+        TRUE)
+    ORDER BY pair"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("t12_heavy_hitters", heavyHitters _, None),
@@ -463,5 +570,8 @@ object Sketches {
       ("sk03_quantile_sketch", quantileSketch _, None),
       ("sk03_quantile_inv", quantileInv _, Some(quantileInvSql)),
       ("sk04_gk_profile", gkProfile _, None),
-      ("sk04_gk_profile_inv", gkProfileInv _, Some(gkProfileInvSql)))
+      ("sk04_gk_profile_inv", gkProfileInv _, Some(gkProfileInvSql)),
+      ("sk05_join_card", joinCardinality _, None),
+      ("sk05_join_card_inv", joinCardinalityInv _,
+        Some(joinCardinalityInvSql)))
 }

@@ -340,9 +340,7 @@ class Round5eSpec extends SparkSpec {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
-    // must equal Linkage.RecOffset (5e6 since r10 — decoupled from
-    // ScaleUpTestData's 1e7 key Stride, the r9 advice-high collision)
-    val offset = 5000000L
+    val offset = Linkage.RecOffset
     matches.foreach { case (u, v) => union(u, v + offset) }
     val sizeByRoot = scala.collection.mutable.Map[Long, Long]()
     // every customer contributes cust_id and rec_id+offset
