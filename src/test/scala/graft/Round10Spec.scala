@@ -152,6 +152,32 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("sk04 plan shape: the profile stage reads ONLY the persisted " +
+    "state table — the corpus is scanned once, at state-build time") {
+    val profile = queries.Sketches.gkProfile(spark, sfDir)
+    val plan = profile.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_sk04"),
+      s"profile must scan the persisted state table:\n$plan")
+    assert(!plan.contains("events.parquet"),
+      s"profile stage must not rescan the corpus:\n$plan")
+  }
+
+  test("sk05 estimator inputs are sketch readouts: the FK estimate " +
+    "lands within the oracle band and the self-join lower bound " +
+    "holds strictly below exact on the skewed key") {
+    val rows = queries.Sketches.joinCardinality(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    val (exOL, estOL, okOL) = rows("orders-lineitem")
+    val (exEE, estEE, okEE) = rows("events-events")
+    assert(okOL && okEE)
+    assert(math.abs(estOL - exOL) <= exOL / 2 + 1024,
+      s"FK est $estOL vs exact $exOL")
+    // Cauchy-Schwarz: uniform-multiplicity estimate can exceed exact
+    // only through sketch error on d, never through the bound itself
+    assert(estEE <= exEE * 11 / 10, s"lower bound $estEE vs $exEE")
+  }
+
   test("gk SQL surface: gk_sketch/gk_merge/gk_estimate/gk_count " +
     "registered and bit-consistent with the column API") {
     GraftExtensions.register(spark)
