@@ -193,3 +193,66 @@ class Round10Spec extends SparkSpec {
     assert(sql.getLong(0) > 0L && !sql.isNullAt(1))
   }
 }
+
+/** Property fuzz for the versioned GK state codec: arbitrary insert
+  * streams, arbitrary split points — serialize/deserialize must be
+  * lossless (count + every queried quantile identical) and merge of
+  * round-tripped parts must answer within the rank band. Stored
+  * bytes outlive the process that wrote them, so the codec gets a
+  * property test, not just the happy path. */
+class GkCodecPropertySpec extends SparkSpec {
+  import org.apache.spark.sql.catalyst.util.QuantileSummaries
+  import graft.expr.GkStateCodec
+  import org.scalacheck.Gen
+  import org.scalacheck.rng.Seed
+
+  private val acc = 200
+
+  private def fresh() = new QuantileSummaries(
+    QuantileSummaries.defaultCompressThreshold, 1.0 / acc)
+
+  test("codec round-trip is lossless and split+merge stays in band " +
+    "over 40 arbitrary streams") {
+    val gen = Gen.listOfN(40, for {
+      n <- Gen.chooseNum(1, 5000)
+      scale <- Gen.oneOf(1.0, 1e-6, 1e6, -1.0)
+      split <- Gen.chooseNum(0, n)
+    } yield (n, scale, split))
+    val cases = gen(Gen.Parameters.default, Seed(4242L)).get
+    cases.foreach { case (n, scale, split) =>
+      val rnd = new scala.util.Random(n * 31 + split)
+      val xs = Vector.fill(n)(rnd.nextInt(1000000) * scale)
+      val whole = xs.foldLeft(fresh())((q, x) => q.insert(x))
+      val rt = GkStateCodec.deserialize(GkStateCodec.serialize(whole))
+      val wholeC = whole.compress()
+      assert(rt.count == wholeC.count, s"count drift n=$n")
+      for (q <- Seq(0.01, 0.25, 0.5, 0.75, 0.99))
+        assert(rt.query(q) == wholeC.query(q),
+          s"query($q) drift after round-trip n=$n scale=$scale")
+      val (a, b) = xs.splitAt(split)
+      val merged = Seq(a, b).map(part =>
+        GkStateCodec.deserialize(GkStateCodec.serialize(
+          part.foldLeft(fresh())((q, x) => q.insert(x)))))
+        .reduce(GkStateCodec.mergeStates)
+      assert(merged.count == n.toLong, s"merged count n=$n split=$split")
+      val sorted = xs.sorted
+      for (q <- Seq(0.25, 0.5, 0.9)) {
+        val est = merged.query(q).get
+        val rank = sorted.count(_ <= est)
+        val target = math.ceil(q * n)
+        assert(math.abs(rank - target) <= 2.0 * n / acc + 1,
+          s"merged rank out of band n=$n split=$split q=$q " +
+            s"rank=$rank target=$target")
+      }
+    }
+  }
+
+  test("codec rejects foreign versions loudly") {
+    val bytes = GkStateCodec.serialize(fresh().insert(1.0))
+    bytes(0) = 99
+    val e = intercept[IllegalArgumentException] {
+      GkStateCodec.deserialize(bytes)
+    }
+    assert(e.getMessage.contains("version"), e.getMessage)
+  }
+}
