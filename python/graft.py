@@ -230,8 +230,20 @@ def from_multicolumn_frequency_table(df, value_columns, freq_column, *, seed):
         df._jdf, _jlist(s, list(value_columns)), freq_column, int(seed))
 
 
+def _require_jvm_handle(obj, where):
+    if isinstance(obj, (_PyFunctionGenerator, _PyFunctionMutator)):
+        raise ValueError(
+            f"{where} composes JVM plan handles and cannot nest a "
+            "from_function/with_function bridge (the callable runs as a "
+            "pandas UDF attached by to_data_frame/mutate_data_frame, not "
+            "as a JVM generator/mutator) — pass it as its own top-level "
+            "spec entry instead")
+
+
 def from_group(weighted_generators, max_rounding_adjustment=0, *, seed):
     """G7 — ``weighted_generators`` is [(weight, generator), ...]."""
+    for _, g in weighted_generators:
+        _require_jvm_handle(g, "from_group")
     s = _active_spark()
     ws = _jlist(s, [float(w) for w, _ in weighted_generators])
     gs = _jlist(s, [g for _, g in weighted_generators])
@@ -326,6 +338,7 @@ def with_repeat(join_with=" ", *, seed):
 
 
 def with_generator(generator, mode="replace", join_with=" ", *, seed):
+    _require_jvm_handle(generator, "with_generator")
     return _jvm(_active_spark()).withGenerator(generator, mode, join_with,
                                                int(seed))
 
@@ -375,6 +388,8 @@ def with_regex_replacement_table_csv(spark, path, pattern_column="pattern",
 
 def with_group(weighted_mutators, *, seed):
     """M19 — ``weighted_mutators`` is [(p, mutator), ...]."""
+    for _, m in weighted_mutators:
+        _require_jvm_handle(m, "with_group")
     s = _active_spark()
     ps = _jlist(s, [float(p) for p, _ in weighted_mutators])
     ms = _jlist(s, [m for _, m in weighted_mutators])
