@@ -452,6 +452,59 @@ object Sketches {
     * band the Spark side derived, and the oracle asserts them TRUE. */
   val gkProfileInvSql: String = quantileInvSql
 
+  // ------------------- sk06 stored + merged HLL state (epoch MV)
+  /** sk06 — sk04's stored-state pattern for CARDINALITY: per-(type,
+    * week) HLL sketches built in one pass, PERSISTED to a parquet
+    * sink, read back and merged per type with `hll_union_agg` — the
+    * platform's own Datasketches bytes as the stored artifact, so a
+    * daily audience profile is #groups·4 KB and any later cross-epoch
+    * distinct question (month, quarter, lifetime) is a merge over
+    * stored state, never a rescan. Entirely built-in functions: the engine
+    * contribution is the MV discipline (the c08/sk04 shape), pinned
+    * here end to end. Estimates are engine-specific → rows-only;
+    * sk06_hll_mv_inv carries the oracle-checked error contract at
+    * sk02's bounds (±10% ≈ 6σ at lgK=12 with redraw slack). */
+  def hllMv(s: SparkSession, dir: String): DataFrame = {
+    val perEpoch = Relational.table(s, dir, "events")
+      .groupBy(col("event_type"),
+        date_trunc("week", col("ts")).as("epoch"))
+      .agg(hll_sketch_agg(col("user_id"), lit(HllLgK)).as("sk"))
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_sk06_${s.sparkContext.applicationId}").getAbsolutePath
+    perEpoch.write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_epochs"),
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(true)))
+          .as("est_distinct_users"))
+      .orderBy("event_type")
+  }
+
+  /** sk06's invariant projection, fully oracle-checked: exact
+    * per-type distinct users (DuckDB recomputes) + the error flag the
+    * Spark side derived from the merged stored state. */
+  def hllMvInv(s: SparkSession, dir: String): DataFrame = {
+    val exact = Relational.table(s, dir, "events")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_distinct_users"))
+    hllMv(s, dir).join(exact, "event_type")
+      .select(col("event_type"), col("n_epochs"),
+        col("exact_distinct_users"),
+        (abs(col("est_distinct_users") - col("exact_distinct_users")) <=
+          ceil(col("exact_distinct_users") * HllDistinctBound) + lit(1L))
+          .as("ok_est"))
+      .orderBy("event_type")
+  }
+
+  val hllMvInvSql: String = """
+    SELECT event_type,
+      CAST(count(DISTINCT date_trunc('week', ts)) AS BIGINT) AS n_epochs,
+      CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct_users,
+      TRUE AS ok_est
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type"""
+
   // ----------------------- sk05 sketch-based join cardinality (CBO)
   private val JoinK = 1024
   /** |est − exact| bound for the FK-join estimate: KMV at k=1024 is
@@ -591,5 +644,7 @@ object Sketches {
       ("sk04_gk_profile_inv", gkProfileInv _, Some(gkProfileInvSql)),
       ("sk05_join_card", joinCardinality _, None),
       ("sk05_join_card_inv", joinCardinalityInv _,
-        Some(joinCardinalityInvSql)))
+        Some(joinCardinalityInvSql)),
+      ("sk06_hll_mv", hllMv _, None),
+      ("sk06_hll_mv_inv", hllMvInv _, Some(hllMvInvSql)))
 }
