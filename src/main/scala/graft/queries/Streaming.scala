@@ -1155,6 +1155,33 @@ $counts
       .select("event_type", "n", "est_q50", "est_q90", "est_q99"),
       epsFactor = 2)
 
+  /** st29 — st09's stream-STATIC join executed AS A STREAM, closing
+    * the streaming-join matrix the gate executes for real:
+    * stream-stream inner (st26), stream-stream left-outer (st27),
+    * and now stream-static broadcast enrichment — the highest-volume
+    * join shape in production streaming (dimension lookup on a
+    * micro-batch). The static customer dim broadcasts into every
+    * micro-batch of the checkpointed weekly replay; the join is
+    * STATELESS (no watermark, no state store), so the committed
+    * enriched rows are slicing-independent by construction and the
+    * per-segment rollup over the committed sink hash-matches st09's
+    * exact batch oracle verbatim. */
+  def enrichStreamed(s: SparkSession, dir: String): DataFrame = {
+    val dim = Relational.table(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    runEventStream(s, dir, "st29")(ev =>
+      ev.toDF().join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("event_type"),
+          col("user_id"), col("value")))
+      .groupBy(col("c_mktsegment").as("mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        sum(col("value")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("total_value"))
+      .orderBy("mktsegment", "event_type")
+  }
+
   val quotaStreamedSql: String = s"""
     WITH ranked AS (
       SELECT event_id, user_id, value,
@@ -1210,5 +1237,6 @@ $counts
       ("st28_quantile_profile_streamed", quantileProfileStreamed _, None),
       ("st28_quantile_profile_inv", quantileProfileStreamedInv _,
         Some(Sketches.quantileInvSql)),
+      ("st29_enrich_streamed", enrichStreamed _, Some(enrichSegmentsSql)),
     )
 }
