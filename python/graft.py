@@ -404,12 +404,14 @@ def mutate_data_frame(df, spec):
     are hash-selected on ``__row_id``, independently per column)."""
     jvm_spec = []
     py_apps = []  # (cols, p, mutator) in spec order
+    py_touched = set()  # columns a with_function has already targeted
     for cols, ms in spec:
         jvm_ms, seen_py = [], False
         for p, m in ms:
             if isinstance(m, _PyFunctionMutator):
                 seen_py = True
                 py_apps.append((cols, float(p), m))
+                py_touched.update(cols)
             elif seen_py:
                 raise ValueError(
                     "with_function mutators must come after engine "
@@ -417,6 +419,18 @@ def mutate_data_frame(df, spec):
                     "the engine's mutators run as one fused JVM plan "
                     "first, so interleaving would reorder applications")
             else:
+                # the same ordering hazard ACROSS groups: all engine
+                # mutators run first in one fused plan, so an engine
+                # mutator listed after a with_function on an
+                # overlapping column would silently apply BEFORE it
+                overlap = py_touched.intersection(cols)
+                if overlap:
+                    raise ValueError(
+                        "engine mutators listed after a with_function "
+                        f"on the same column(s) {sorted(overlap)} would "
+                        "silently run before it (the engine's mutators "
+                        "execute as one fused JVM plan first) — list "
+                        "the with_function last across groups too")
                 jvm_ms.append((p, m))
         if jvm_ms:
             jvm_spec.append((cols, jvm_ms))

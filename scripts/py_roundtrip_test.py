@@ -119,6 +119,17 @@ def main():
         raise AssertionError("interleaved with_function must raise")
     except ValueError:
         pass
+    # same hazard ACROSS groups: an engine mutator listed after a
+    # with_function on the same column must raise, not silently
+    # reorder (all engine mutators run first in the fused plan)
+    try:
+        graft.mutate_data_frame(df2, [
+            (["segment"], [(0.5, graft.with_function(
+                lambda v: v, seed=9))]),
+            (["segment"], [(0.2, graft.with_insert(seed=4))])])
+        raise AssertionError("cross-group reordering must raise")
+    except ValueError:
+        pass
     print(f"PY-FUNCTION-BRIDGE PASS: from_function 2000 rows, "
           f"with_function p=0.5 mutated {n_mut} (reproducible)")
     spark.stop()

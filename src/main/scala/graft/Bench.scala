@@ -76,12 +76,18 @@ object Bench {
         .selectExpr("bit_xor(count)").collect()
       (System.nanoTime() - t0) / 1e9
     }.min
-    val controlPre = controlSec()
-    val controlShufflePre = controlShuffleSec()
-
     // dev-only subset filter (unset for the driver = run everything)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // controls cost ~2-6 s per pair of passes — real money on a
+    // quick dev-subset loop where they can exceed the measured work,
+    // free on a full close. Run them on full runs (the driver's
+    // shape) or on demand via SPARK_GRAFT_CONTROLS=1; a skipped
+    // control records -1, never a fake 0.
+    val runControls = only.isEmpty ||
+      sys.env.get("SPARK_GRAFT_CONTROLS").contains("1")
+    val controlPre = if (runControls) controlSec() else -1.0
+    val controlShufflePre = if (runControls) controlShuffleSec() else -1.0
     // n iterations per query, report the per-query MIN: single-shot
     // numbers at sub-second scale are dominated by JIT/janino warmup
     // and run-order noise (the r2 m15/m05 "regressions" were exactly
@@ -102,8 +108,8 @@ object Bench {
         // (fast) partial success
         name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
-    val controlPost = controlSec()
-    val controlShufflePost = controlShuffleSec()
+    val controlPost = if (runControls) controlSec() else -1.0
+    val controlShufflePost = if (runControls) controlShuffleSec() else -1.0
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -207,7 +213,8 @@ object Bench {
         s""""unit":"sec","queries":{"""
     val compactTail =
       s"""},"sf":"$sfDir","cpus":$cpus,"iters":$iters,""" +
-        s""""n_queries":${results.size},$controlJson,"full":"bench.json"}"""
+        s""""n_queries":${results.size},$controlJson,""" +
+        s""""full":"${if (only.isEmpty) "bench.json" else "bench_subset.json"}"}"""
     val lineBudget = 1900 - compactHead.length - compactTail.length
     // STRICT priority-prefix: stop at the FIRST entry that would
     // exceed the budget instead of skipping it and scanning on — a
@@ -231,16 +238,20 @@ object Bench {
     }
     val jsonCompact = compactHead + qsCompact + compactTail
 
-    // file first: survives any stdout interleaving from sbt/Spark
+    // file first: survives any stdout interleaving from sbt/Spark.
+    // Dev-subset runs write bench_subset.json — a quick
+    // SPARK_GRAFT_BENCH_ONLY probe must never clobber the canonical
+    // full-run artifact (it did, twice, in round 10)
     val outDir = sys.env.getOrElse("SPARK_GRAFT_OUT", ".")
+    val outName = if (only.isEmpty) "bench.json" else "bench_subset.json"
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
       java.nio.file.Files.write(
-        java.nio.file.Paths.get(outDir, "bench.json"),
+        java.nio.file.Paths.get(outDir, outName),
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch {
       case e: Throwable =>
-        System.err.println(s"[bench] could not write bench.json: ${e.getMessage}")
+        System.err.println(s"[bench] could not write $outName: ${e.getMessage}")
     }
 
     // stop Spark BEFORE the JSON lines so no executor-shutdown noise

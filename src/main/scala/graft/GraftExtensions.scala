@@ -197,7 +197,11 @@ object GraftExtensions {
   private def buildGkEstimate(exprs: Seq[Expression]): Expression = {
     require(exprs.size == 2,
       s"gk_estimate takes (state, q), got ${exprs.size}")
-    GkEstimate(exprs(0), exprs(1))
+    // SQL parses `0.5` as DECIMAL(1,1); accept any numeric q the way
+    // percentile_approx does, by casting at the registry boundary
+    GkEstimate(exprs(0),
+      org.apache.spark.sql.catalyst.expressions.Cast(exprs(1),
+        org.apache.spark.sql.types.DoubleType))
   }
 
   private def buildGkCount(exprs: Seq[Expression]): Expression = {

@@ -71,6 +71,13 @@ private[graft] object GkStateCodec {
     if (a.count == 0) b
     else if (b.count == 0) a
     else {
+      // merging states built at different accuracies would silently
+      // carry the left operand's eps while containing coarser data —
+      // the advertised rank band would be violated with no error
+      require(a.relativeError == b.relativeError,
+        s"gk_merge: cannot merge states with different accuracies " +
+          s"(relativeError ${a.relativeError} vs ${b.relativeError}); " +
+          "rebuild one side at the other's accuracy")
       val ca = if (a.compressed) a else a.compress()
       val cb = if (b.compressed) b else b.compress()
       ca.merge(cb)
@@ -243,7 +250,8 @@ case class GkCount(child: Expression)
           s"got ${other.catalogString}")
     }
   override def dataType: DataType = LongType
-  override def nullable: Boolean = false
+  // null state in -> null out (UnaryExpression's default null handling)
+  override def nullable: Boolean = child.nullable
   override def prettyName: String = "gk_count"
 
   override protected def nullSafeEval(state: Any): Any =

@@ -367,7 +367,11 @@ object Linkage {
     * `[i*1e7, i*1e7 + 150k]` and record ids `[i*1e7 + 5e6, i*1e7 +
     * 5e6 + 150k]` — disjoint bands for every copy. (The r9 value 1e7
     * was exactly Stride, chaining every customer's copies into one
-    * cluster with duplicate node ids in scaled-dir l05/l08 runs.) */
+    * cluster with duplicate node ids in scaled-dir l05/l08 runs.)
+    * Bound for NATIVELY generated (unscaled) dirs: record ids stay
+    * disjoint from identity ids while max(c_custkey) < 5e6 — native
+    * TPC-H crosses that around sf≈33 (150k keys/sf); past it, raise
+    * RecOffset to the next Stride-coprime band above the key range. */
   private[graft] val RecOffset = 5000000L
 
   // ------------------------------------- l05 entity resolution

@@ -185,7 +185,7 @@ class Round10Spec extends SparkSpec {
       .createOrReplaceTempView("r10_events")
     val sql = spark.sql("""
       SELECT gk_count(st) AS n,
-             gk_estimate(st, CAST(0.5 AS DOUBLE)) AS q50
+             gk_estimate(st, 0.5) AS q50
       FROM (
         SELECT gk_merge(st) AS st FROM (
           SELECT gk_sketch(CAST(value * 1000000 AS BIGINT), 1000) AS st
