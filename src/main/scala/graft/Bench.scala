@@ -151,7 +151,8 @@ object Bench {
       "st21_spend_alerts_streamed", "st25_quota_streamed",
       "st26_attribution_streamed", "st27_attribution_outer_streamed",
       "sk02_hll_overlap", "sk03_quantile_sketch", "sk04_gk_profile",
-      "st28_quantile_profile_streamed",
+      "sk05_join_card", "sk06_hll_mv",
+      "st28_quantile_profile_streamed", "st29_enrich_streamed",
       "s01_ann_brute_force", "s02_ann_lsh_bucketed",
       "s04_ann_ivf", "s06_embedding_clusters", "t11_tfidf",
       "t14_quality_gate",
