@@ -153,6 +153,9 @@ object Bench {
       "sk02_hll_overlap", "sk03_quantile_sketch", "sk04_gk_profile",
       "sk05_join_card", "sk06_hll_mv",
       "st28_quantile_profile_streamed", "st29_enrich_streamed",
+      // round-11 flagships
+      "st30_lsh_dedup_streamed", "s24_ann_stored_ivf",
+      "sk07_cbo_strategy", "t40_compression_quality",
       "s01_ann_brute_force", "s02_ann_lsh_bucketed",
       "s04_ann_ivf", "s06_embedding_clusters", "t11_tfidf",
       "t14_quality_gate",

@@ -5,8 +5,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo,
   Literal}
-import graft.expr.{CosineSimilarity, GkCount, GkEstimate, GkMergeAgg,
-  GkSketchAgg, HyperplaneBuckets, IntDotProduct, KmvSketchAgg,
+import graft.expr.{CosineSimilarity, DeflateLength, GkCount, GkEstimate,
+  GkMergeAgg, GkSketchAgg, HyperplaneBuckets, IntDotProduct, KmvSketchAgg,
   MinHashSignature, MisraGriesTopK, NgramHashes, SimHash64, TopKPairs}
 
 /** SQL-surface registration for the engine's custom expressions.
@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.intDotFn)
     ext.injectFunction(GraftExtensions.hyperplaneBucketsFn)
     ext.injectFunction(GraftExtensions.simhash64Fn)
+    ext.injectFunction(GraftExtensions.deflateLengthFn)
     ext.injectFunction(GraftExtensions.mgTopKFn)
     ext.injectFunction(GraftExtensions.topkPairsFn)
     ext.injectFunction(GraftExtensions.kmvSketchFn)
@@ -127,6 +128,17 @@ object GraftExtensions {
     FunctionIdentifier("simhash64"),
     new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
     (exprs: Seq[Expression]) => buildSimhash(exprs))
+
+  private def buildDeflateLength(exprs: Seq[Expression]): Expression = {
+    require(exprs.size == 1,
+      s"deflate_length takes exactly 1 argument, got ${exprs.size}")
+    DeflateLength(exprs.head)
+  }
+
+  private[graft] val deflateLengthFn = (
+    FunctionIdentifier("deflate_length"),
+    new ExpressionInfo(classOf[DeflateLength].getName, "deflate_length"),
+    (exprs: Seq[Expression]) => buildDeflateLength(exprs))
 
   // the analyzer wraps a bare AggregateFunction from a registry
   // builder in an AggregateExpression, same as builtin aggregates
@@ -243,6 +255,8 @@ object GraftExtensions {
       "hyperplane_buckets", buildHyperplaneBuckets, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", buildSimhash, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "deflate_length", buildDeflateLength, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "mg_topk", buildMgTopK, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

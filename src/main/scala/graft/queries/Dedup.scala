@@ -70,8 +70,24 @@ object Dedup {
     ORDER BY text_hash"""
 
   // -------------------------------------------------------- minhash
-  private val MinhashK = 32
-  private val Bands = 16 // x2 rows per band
+  private[queries] val MinhashK = 32
+  private[queries] val Bands = 16 // x2 rows per band
+
+  /** The d02 band columns over a `sig` column — one struct per band,
+    * bucket hash = murmur3 of the band's two signature positions.
+    * Shared with the streamed twin (st30) so the stream's bucket keys
+    * are bit-identical to the batch plan's. */
+  private[queries] def bandStructs: Seq[org.apache.spark.sql.Column] =
+    (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        hash(element_at(col("sig"), 2 * b + 1),
+          element_at(col("sig"), 2 * b + 2)).as("bh"))
+    }
+
+  /** Exact-duplicate representatives of the planted near-dup corpus —
+    * the staged input both d02 and its streamed twin consume. */
+  private[queries] def nearDupReps(s: SparkSession, dir: String): DataFrame =
+    exactReps(corpusWithNearDups(s, dir))
 
   /** splitmix64 finalizer — cheap, allocation-free avalanche. */
   @inline private def mix64(z0: Long): Long = {
@@ -138,20 +154,15 @@ object Dedup {
     * replaces the returned lineage with a checkpoint scan). */
   private[graft] def dedupMinhashLshPlan(s: SparkSession, dir: String)
       : (DataFrame, Seq[DataFrame]) = {
-    val sigs = exactReps(corpusWithNearDups(s, dir))
+    val sigs = nearDupReps(s, dir)
       .select(col("doc_id"),
         graft.expr.MinHashSignature.minhashSignature(col("text"), MinhashK)
           .as("sig"))
 
-    val bandCols = (0 until Bands).map { b =>
-      struct(lit(b).as("band"),
-        hash(element_at(col("sig"), 2 * b + 1),
-          element_at(col("sig"), 2 * b + 2)).as("bh"))
-    }
     // persisted: both sides of the candidate join consume this frame —
     // at scale you persist/checkpoint the signature table exactly here
     val buckets = sigs.select(col("doc_id"), col("sig"),
-      explode(array(bandCols: _*)).as("bb")).persist()
+      explode(array(bandStructs: _*)).as("bb")).persist()
 
     // candidate pairs: docs sharing a band bucket (dedup across bands)
     val a = buckets.select(col("bb"), col("doc_id").as("a"),

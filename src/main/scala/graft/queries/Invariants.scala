@@ -402,6 +402,38 @@ object Invariants {
         (col("n_over") === 0).as("k_bounded"))
   }
 
+  /** S24: the stored-index serve path returns EXACTLY the in-plan
+    * IVF's results (same centroids, spec-pinned probe-arithmetic
+    * parity — so any drift means the index build or the pruned serve
+    * scan corrupted the postings), plus s04's own recall/k contract
+    * re-asserted on the served rows. */
+  def s24AnnInv(s: SparkSession, dir: String): DataFrame = {
+    val served = Similarity.annStoredIvf(s, dir)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    val inPlan = Similarity.annIvf(s, dir)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    val mism = served.join(inPlan, Seq("query_id", "neighbor_id", "rank"),
+        "full_outer")
+      .agg(count(lit(1)).as("n_union"))
+    val both = served.join(inPlan, Seq("query_id", "neighbor_id", "rank"))
+      .agg(count(lit(1)).as("n_both"))
+    val bf = Similarity.annBruteForce(s, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val hit = bf.join(served.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("hit"))
+    val tot = bf.agg(count(lit(1)).as("tot"))
+    val overK = served.groupBy("query_id").agg(count(lit(1)).as("k"))
+      .agg(sum((col("k") > 5).cast("long")).as("n_over"))
+    mism.crossJoin(both).crossJoin(hit).crossJoin(tot).crossJoin(overK)
+      .select((col("n_union") === col("n_both")).as("parity_ok"),
+        (col("hit") >= lit(0.3) * col("tot")).as("recall_ok"),
+        (col("n_over") === 0).as("k_bounded"))
+  }
+
+  val s24Sql: String =
+    "SELECT TRUE AS parity_ok, TRUE AS recall_ok, TRUE AS k_bounded"
+
   /** Q18: the HyperLogLog++ distinct estimate stays within 5% of the
     * exact count per group (rsd=0.02 sketch). */
   def q18ErrorInv(s: SparkSession, dir: String): DataFrame =
@@ -532,6 +564,7 @@ object Invariants {
       ("s02_ann_inv", s02AnnInv _, Some(s02Sql)),
       ("s04_ann_inv", s04AnnInv _, Some(s02Sql)),
       ("s10_ann_inv", s10AnnInv _, Some(s02Sql)),
+      ("s24_ann_inv", s24AnnInv _, Some(s24Sql)),
       ("t22_heavy_inv", t22HeavyInv _, Some(t22Sql)),
       ("q18_error_inv", q18ErrorInv _, Some(q18ErrSql)),
       ("q20_error_inv", q20ErrorInv _, Some(q20ErrSql)),

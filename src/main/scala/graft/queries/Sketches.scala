@@ -630,6 +630,158 @@ object Sketches {
         TRUE)
     ORDER BY pair"""
 
+  // ------------------- sk07 stats-driven join strategy (CBO loop)
+  /** Broadcast eligibility cap in STORED-STATS rows: with the gate
+    * tables' ~0.1–1 KB rows, 10k rows ≈ the 10 MB default broadcast
+    * threshold a production config expresses in bytes. Exceeding it
+    * routes the join to shuffle. */
+  private val BroadcastRowCap = 10000L
+
+  /** Final physical plan string AFTER execution (AQE unwrapped — the
+    * re-optimized plan, not the initial guess). */
+  private def finalPlanString(df: DataFrame): String =
+    (df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }).toString
+
+  /** sk07 — the DECISION half of the CBO loop sk05 opened: sk05
+    * showed join cardinality is estimable from stored per-table
+    * statistics; this query closes the loop by letting the stored
+    * stats CHOOSE the physical join strategy and then AUDITING the
+    * executed plan against the choice. For each audited pair the
+    * ANALYZE artifact (row counts persisted to a parquet stats table,
+    * the sk04/sk05 catalog discipline) picks: broadcast the smaller
+    * side when its stored count is ≤ [[BroadcastRowCap]], else
+    * shuffle (sort-merge). Spark's OWN size-based auto-broadcast is
+    * disabled for the audited joins — static and adaptive thresholds
+    * both −1 — so the strategy in the executed plan provably came
+    * from the stored stats, not from Spark's file-size estimate; the
+    * emitted row carries the decision, the join operator found in the
+    * post-AQE executed plan, the match flag, and the exact join count.
+    *
+    * Every column is deterministic from the data (counts are exact —
+    * the sketch layer of the stats table is sk05's subject), so the
+    * row is FULLY oracle-checked: DuckDB replays the decision rule
+    * from its own exact counts, maps it to the expected operator, and
+    * recomputes the join sizes — a wrong decision, a plan that
+    * ignored the hint, or a wrong join result all hash-fail.
+    *
+    * 100 TB shape: this is precisely how a catalog-backed planner
+    * avoids the pathological default — without stats, a 100 TB fact ⋈
+    * 5 GB "dim" can only be costed from file sizes after pruning
+    * lies; with the stored counts the broadcast/shuffle choice is a
+    * driver-side table lookup, and the audit (decision vs executed
+    * operator) is the regression test a plan-stability suite runs. */
+  def cboStrategy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tables = Seq("nation", "customer", "orders", "lineitem")
+    // the ANALYZE pass: exact row counts, persisted as the catalog
+    // artifact (one scan per table; re-ANALYZE is incremental in a
+    // real catalog). Stored → read back → decisions from stored only.
+    val statsPath = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_sk07_${s.sparkContext.applicationId}").getAbsolutePath
+    tables.map(t => Relational.table(s, dir, t)
+        .agg(count(lit(1)).as("n")).select(lit(t).as("tbl"), col("n")))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(statsPath)
+    val n = s.read.parquet(statsPath).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pairs = Seq(
+      ("nation-customer", "nation", "customer", "n_nationkey",
+        "c_nationkey"),
+      ("customer-orders", "customer", "orders", "c_custkey", "o_custkey"),
+      ("orders-lineitem", "orders", "lineitem", "o_orderkey",
+        "l_orderkey"))
+    val overrides = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prevs = overrides.map { case (k, _) => k -> s.conf.getOption(k) }
+    overrides.foreach { case (k, v) => s.conf.set(k, v) }
+    val rows = try {
+      pairs.map { case (pair, ta, tb, ka, kb) =>
+        val (small, smallN) =
+          if (n(ta) <= n(tb)) (ta, n(ta)) else (tb, n(tb))
+        val decision =
+          if (smallN <= BroadcastRowCap) s"broadcast_$small" else "shuffle"
+        val dfa = Relational.table(s, dir, ta).select(col(ka))
+        val dfb = Relational.table(s, dir, tb).select(col(kb))
+        val joined = decision match {
+          case d if d == s"broadcast_$ta" =>
+            broadcast(dfa).join(dfb, col(ka) === col(kb))
+          case d if d == s"broadcast_$tb" =>
+            dfa.join(broadcast(dfb), col(ka) === col(kb))
+          case _ => dfa.join(dfb, col(ka) === col(kb))
+        }
+        val nOut = joined.count()
+        val plan = finalPlanString(joined)
+        val executed =
+          if (plan.contains("BroadcastHashJoin")) "BroadcastHashJoin"
+          else if (plan.contains("SortMergeJoin")) "SortMergeJoin"
+          else if (plan.contains("ShuffledHashJoin")) "ShuffledHashJoin"
+          else "Other"
+        val expected =
+          if (decision == "shuffle") "SortMergeJoin" else "BroadcastHashJoin"
+        (pair, n(ta), n(tb), decision, executed, executed == expected,
+          nOut)
+      }
+    } finally {
+      prevs.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }
+    rows.toDF("pair", "n_left", "n_right", "decision", "executed_join",
+        "plan_matches", "n_out")
+      .orderBy("pair")
+  }
+
+  /** DuckDB replays the decision rule from its own exact counts and
+    * the decision→operator mapping; `TRUE AS plan_matches` makes a
+    * hint-ignoring plan hash-fail. Note the rule resolves DIFFERENTLY
+    * across gate SFs (orders crosses the 10k cap between sf0.001 and
+    * sf0.01) — both sides recompute it from the data, so the oracle
+    * tracks the flip. */
+  val cboStrategySql: String = s"""
+    WITH n AS (SELECT
+      (SELECT count(*) FROM nation) AS nn,
+      (SELECT count(*) FROM customer) AS nc,
+      (SELECT count(*) FROM orders) AS no_,
+      (SELECT count(*) FROM lineitem) AS nl)
+    SELECT pair, n_left, n_right, decision,
+      CASE WHEN decision = 'shuffle' THEN 'SortMergeJoin'
+           ELSE 'BroadcastHashJoin' END AS executed_join,
+      TRUE AS plan_matches, n_out
+    FROM (
+      SELECT 'nation-customer' AS pair, nn AS n_left, nc AS n_right,
+        CASE WHEN least(nn, nc) <= $BroadcastRowCap THEN
+          'broadcast_' || (CASE WHEN nn <= nc THEN 'nation'
+                           ELSE 'customer' END)
+        ELSE 'shuffle' END AS decision,
+        (SELECT count(*) FROM nation JOIN customer
+          ON n_nationkey = c_nationkey) AS n_out
+      FROM n
+      UNION ALL
+      SELECT 'customer-orders', nc, no_,
+        CASE WHEN least(nc, no_) <= $BroadcastRowCap THEN
+          'broadcast_' || (CASE WHEN nc <= no_ THEN 'customer'
+                           ELSE 'orders' END)
+        ELSE 'shuffle' END,
+        (SELECT count(*) FROM customer JOIN orders
+          ON c_custkey = o_custkey)
+      FROM n
+      UNION ALL
+      SELECT 'orders-lineitem', no_, nl,
+        CASE WHEN least(no_, nl) <= $BroadcastRowCap THEN
+          'broadcast_' || (CASE WHEN no_ <= nl THEN 'orders'
+                           ELSE 'lineitem' END)
+        ELSE 'shuffle' END,
+        (SELECT count(*) FROM orders JOIN lineitem
+          ON o_orderkey = l_orderkey)
+      FROM n)
+    ORDER BY pair"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("t12_heavy_hitters", heavyHitters _, None),
@@ -646,5 +798,6 @@ object Sketches {
       ("sk05_join_card_inv", joinCardinalityInv _,
         Some(joinCardinalityInvSql)),
       ("sk06_hll_mv", hllMv _, None),
-      ("sk06_hll_mv_inv", hllMvInv _, Some(hllMvInvSql)))
+      ("sk06_hll_mv_inv", hllMvInv _, Some(hllMvInvSql)),
+      ("sk07_cbo_strategy", cboStrategy _, Some(cboStrategySql)))
 }

@@ -1194,6 +1194,161 @@ $counts
     FROM ranked WHERE rn <= $QuotaN
     ORDER BY user_id, event_id"""
 
+  // --------------- st30 streaming MinHash-LSH near-dup dedup ---------------
+
+  /** Stage the exact-deduped near-dup corpus as 7 doc_id-sliced
+    * parquet files — the arrival epochs of a crawl feed. `doc_id % 7`
+    * slicing puts every planted near-dup copy (id + 1e6, and 1e6 ≡ 1
+    * mod 7) in a DIFFERENT file than its original, so the matcher's
+    * cross-batch state path decides every planted pair, not the
+    * in-batch shortcut. GATE SCAFFOLDING like [[weeklyEventSrc]]
+    * (coalesce(1) per slice stages a deterministic ≥7-batch replay);
+    * memoized per (application, sf dir) because both the gate row and
+    * its inv companion replay the same feed. */
+  private val lshSrcCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), String]()
+
+  private def lshDocSrc(s: SparkSession, dir: String): String = {
+    lshSrcCache.entrySet().removeIf(e =>
+      e.getKey._1 != s.sparkContext.applicationId ||
+        !new java.io.File(e.getValue).isDirectory)
+    lshSrcCache.computeIfAbsent(
+      (s.sparkContext.applicationId, dir), _ => {
+        val tag = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(dir.getBytes("UTF-8"))
+          .take(8).map(b => f"$b%02x").mkString
+        val baseDir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_st30src_${tag}_${s.sparkContext.applicationId}")
+        if (baseDir.exists())
+          org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
+        val src = new java.io.File(baseDir, "src")
+        src.mkdirs()
+        val reps = Dedup.nearDupReps(s, dir)
+        (0 until 7).foreach { i =>
+          val stage = new java.io.File(baseDir, s"stage_$i")
+          reps.filter(pmod(col("doc_id"), lit(7)) === i)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(stage.getAbsolutePath)
+          val part = stage.listFiles()
+            .filter(f => f.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(src, f"epoch-$i%03d.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          dst.setLastModified(1700000000000L + i * 60000L)
+          org.apache.commons.io.FileUtils.deleteDirectory(stage)
+        }
+        src.getAbsolutePath
+      })
+  }
+
+  private val lshSinkCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), String]()
+
+  /** st30 — d02's MinHash-LSH near-dup candidate generation executed
+    * AS A STREAM: documents arrive in 7 checkpointed AvailableNow
+    * micro-batches, the per-doc signature is the SAME native
+    * [[graft.expr.MinHashSignature]] expression and the band/bucket
+    * keys the SAME [[Dedup.bandStructs]] as the batch plan, and the
+    * per-bucket signature lists that batch d02 materializes as a
+    * self-join live here as keyed RocksDB ListState
+    * ([[EventStreams.LshBucketMatcher]]): each arriving doc is
+    * matched against, then appended to, its bucket's stored list.
+    * Threshold filter + cross-band pair dedup happen on the committed
+    * sink — order-independent, so the final pair SET is
+    * replay-slicing-independent by construction, and st30_lsh_inv
+    * pins it EQUAL to batch d02's output. Signature values are
+    * engine-specific (xxhash64) → rows-only; the inv is the oracle
+    * companion.
+    *
+    * 100 TB/day shape: the state IS the incremental dedup index — one
+    * (id, signature) entry per doc per band, sharded by the state
+    * store; per-key lists stay small because that is LSH's job, and
+    * the input is exact-deduped upstream (the same staging guard as
+    * batch d02) so planted exact copies can't blow a bucket up
+    * quadratically. */
+  def lshDedupStreamed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lshSinkCache.entrySet().removeIf(e =>
+      e.getKey._1 != s.sparkContext.applicationId ||
+        !new java.io.File(e.getValue).isDirectory)
+    val outDir = lshSinkCache.computeIfAbsent(
+      (s.sparkContext.applicationId, dir), _ => {
+        val src = lshDocSrc(s, dir)
+        val baseDir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_st30_${s.sparkContext.applicationId}")
+        if (baseDir.exists())
+          org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
+        val base = baseDir.getAbsolutePath
+        val docSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType)))
+        val overrides = Seq(
+          "spark.sql.streaming.stateStore.providerClass" ->
+            ("org.apache.spark.sql.execution.streaming.state." +
+              "RocksDBStateStoreProvider"),
+          "spark.sql.shuffle.partitions" -> "4",
+          "spark.sql.streaming.stateStore.rocksdb." +
+            "changelogCheckpointing.enabled" -> "true")
+        val prevs = overrides.map { case (k, _) => k -> s.conf.getOption(k) }
+        overrides.foreach { case (k, v) => s.conf.set(k, v) }
+        try {
+          val stream = s.readStream.schema(docSchema)
+            .option("maxFilesPerTrigger", "1").parquet(src)
+          val banded = stream
+            .select(col("doc_id"),
+              graft.expr.MinHashSignature.minhashSignature(col("text"),
+                Dedup.MinhashK).as("sig"))
+            .select(col("doc_id"), col("sig"),
+              explode(array(Dedup.bandStructs: _*)).as("bb"))
+            .select(col("doc_id"), col("bb.band").as("band"),
+              col("bb.bh").as("bh"), col("sig"))
+            .as[EventStreams.BandedDoc]
+          val q = EventStreams.lshDedupStream(banded).toDF()
+            .writeStream.format("parquet")
+            .option("path", s"$base/out")
+            .option("checkpointLocation", s"$base/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally {
+          prevs.foreach {
+            case (k, Some(v)) => s.conf.set(k, v)
+            case (k, None) => s.conf.unset(k)
+          }
+        }
+        s"$base/out"
+      })
+    s.read.parquet(outDir)
+      .filter(col("est_jaccard") >= 0.5)
+      .dropDuplicates("a", "b")
+      .select(col("a"), col("b"), col("est_jaccard"))
+      .orderBy("a", "b")
+  }
+
+  /** st30's oracle companion: the streamed pair set (ids AND the
+    * signature-estimated Jaccard values) is EXACTLY batch d02's
+    * output — same corpus, same signatures, same buckets, different
+    * execution (keyed state machine vs self-join), so any drift means
+    * the state path lost, duplicated, or mis-scored a candidate. */
+  def lshStreamInv(s: SparkSession, dir: String): DataFrame = {
+    val streamed = lshDedupStreamed(s, dir)
+    val batch = Dedup.dedupMinhashLsh(s, dir)
+      .select(col("a"), col("b"), col("est_jaccard"))
+    val cols = Seq("a", "b", "est_jaccard")
+    val union = streamed.join(batch, cols, "full_outer")
+      .agg(count(lit(1)).as("n_union"))
+    val both = streamed.join(batch, cols)
+      .agg(count(lit(1)).as("n_both"))
+    val n = streamed.agg(count(lit(1)).as("n_pairs"))
+    union.crossJoin(both).crossJoin(n)
+      .select((col("n_union") === col("n_both")).as("parity_ok"),
+        (col("n_pairs") > 0).as("nonempty"))
+  }
+
+  val lshStreamInvSql: String =
+    "SELECT TRUE AS parity_ok, TRUE AS nonempty"
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("st01_tumbling_window", tumblingWindow _, Some(tumblingWindowSql)),
@@ -1238,5 +1393,7 @@ $counts
       ("st28_quantile_profile_inv", quantileProfileStreamedInv _,
         Some(Sketches.quantileInvSql)),
       ("st29_enrich_streamed", enrichStreamed _, Some(enrichSegmentsSql)),
+      ("st30_lsh_dedup_streamed", lshDedupStreamed _, None),
+      ("st30_lsh_inv", lshStreamInv _, Some(lshStreamInvSql)),
     )
 }

@@ -2136,6 +2136,8 @@ object TextAnalysis {
         Some(pretrainManifestSql)),
       ("t38_vocab_growth", vocabGrowth _, Some(vocabGrowthSql)),
       ("t39_zipf_audit", zipfAudit _, Some(zipfAuditSql)),
+      ("t40_compression_quality", compressionQuality _, None),
+      ("t40_compression_inv", compressionInv _, Some(compressionInvSql)),
     )
 
   // --------------------------------------------- tokenizer fertility
@@ -2445,4 +2447,90 @@ object TextAnalysis {
         - freq_bits AS BIGINT) AS bits_drop
     FROM pw
     ORDER BY rank"""
+
+  // ----------------------------------------- compression-ratio gate
+  /** milli-ratio below which a document counts as degenerate
+    * repetition (boilerplate, stutter loops); the gate corpus'
+    * natural range is ~390–1020 so the tail flags are non-vacuous at
+    * the incompressible end and structurally reachable at this one. */
+  private val RepetitiveMilli = 350L
+  /** milli-ratio at/above which a document counts as near-
+    * incompressible (binary spill, base64 blobs, high-entropy noise);
+    * the gate corpus' short-doc tail reaches ~912 so the flag counts
+    * are non-vacuous (short docs amortize no dictionary). */
+  private val IncompressibleMilli = 900L
+
+  /** Per-document deflate milli-ratio: raw-deflate bytes × 1000 div
+    * UTF-8 bytes, pure integer readout of the native
+    * [[graft.expr.DeflateLength]] kernel. */
+  private def deflateRatioMilli(text: Column): Column =
+    floor((graft.expr.DeflateLength.deflateLength(text).cast("long")
+      * 1000L).cast("double") /
+      greatest(octet_length(text).cast("long"), lit(1L))).cast("long")
+
+  /** t40 — compression-ratio quality signal (the Gopher-family
+    * curation rule no length/stopword heuristic replaces): documents
+    * whose UTF-8 bytes deflate to under [[RepetitiveMilli]]/1000 of
+    * their size are degenerate repetition; documents at/above
+    * [[IncompressibleMilli]]/1000 are effectively incompressible
+    * (binary spill, base64, high-entropy junk). Both tails are
+    * filtered before pretraining; the mid-band ratio itself is a
+    * standard quality feature.
+    *
+    * Scale shape: one scan, the deflate kernel is a native codegen'd
+    * expression ([[graft.expr.DeflateLength]] — per-thread pooled
+    * zlib state, no UDF boxing, no break in the whole-stage span),
+    * then a per-source partial-agg'd groupBy over 20 groups — scan
+    * speed at 100 TB, shuffle carries 20 rows. Deflate byte counts
+    * are zlib-build-specific → rows-only; t40_compression_inv is the
+    * oracle-checked companion. */
+  def compressionQuality(s: SparkSession, dir: String): DataFrame =
+    Relational.table(s, dir, "documents")
+      .select(col("source"),
+        deflateRatioMilli(col("text")).as("ratio_milli"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ratio_milli")).as("sum_ratio_milli"),
+        min(col("ratio_milli")).as("min_ratio_milli"),
+        max(col("ratio_milli")).as("max_ratio_milli"),
+        sum((col("ratio_milli") < RepetitiveMilli).cast("long"))
+          .as("n_repetitive"),
+        sum((col("ratio_milli") >= IncompressibleMilli).cast("long"))
+          .as("n_incompressible"))
+      .orderBy("source")
+
+  /** t40's oracle-checked invariants — the falsifiable contract of a
+    * kernel DuckDB cannot replay: (a) raw deflate never EXPANDS text
+    * beyond the 5-bytes-per-16 KB stored-block overhead (64-byte
+    * slack covers every gate document); (b) the ratio is strictly
+    * positive (finish() always emits at least the final block); (c) a
+    * degenerate 1000×"ab" literal compresses below 10% while the
+    * corpus median does not — the separation the quality rule exists
+    * to detect. A wrong kernel (truncated count, missed finish loop,
+    * expansion bug) flips a flag and hash-fails the row. */
+  def compressionInv(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = Relational.table(s, dir, "documents")
+      .select(
+        graft.expr.DeflateLength.deflateLength(col("text")).cast("long")
+          .as("dlen"),
+        octet_length(col("text")).cast("long").as("blen"),
+        deflateRatioMilli(col("text")).as("ratio_milli"))
+    perDoc.agg(
+        count(lit(1)).as("n_docs"),
+        max(col("dlen") - (col("blen") + 64L)).as("worst_expansion"),
+        min(col("ratio_milli")).as("min_ratio"),
+        percentile_approx(col("ratio_milli"), lit(0.5), lit(10000))
+          .as("median_ratio"))
+      .select(col("n_docs"),
+        (col("worst_expansion") <= 0L).as("no_expansion"),
+        (col("min_ratio") > 0L).as("ratio_positive"),
+        ((graft.expr.DeflateLength.deflateLength(
+          lit("ab" * 1000)).cast("long") * 1000L / 2000L < 100L) &&
+          (col("median_ratio") >= 100L)).as("repeat_separates"))
+  }
+
+  val compressionInvSql: String = """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS no_expansion,
+      TRUE AS ratio_positive, TRUE AS repeat_separates
+    FROM documents"""
 }

@@ -851,4 +851,91 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
   }
+
+  // ------------- streaming near-dup dedup (LSH bucket state) -------------
+
+  /** A document's membership row in one LSH band bucket: the stream
+    * key is (band, bh); `sig` rides along so the matcher can estimate
+    * Jaccard against stored signatures without any side lookup. */
+  case class BandedDoc(doc_id: Long, band: Int, bh: Int, sig: Array[Long])
+
+  /** One emitted candidate: an unordered doc pair sharing a band
+    * bucket, with the signature-estimated Jaccard (|equal positions| /
+    * k — the same arithmetic as the batch d02 plan). */
+  case class CandPair(a: Long, b: Long, est_jaccard: Double)
+
+  /** Continuous MinHash-LSH dedup — the batch d02 candidate join run
+    * AS A STREAM: the per-bucket signature lists that the batch plan
+    * materializes as one big self-join live here as keyed RocksDB
+    * ListState, and every arriving document is matched against (then
+    * appended to) its bucket's list. Emits ALL same-bucket pairs with
+    * their estimated Jaccard; threshold filtering and cross-band pair
+    * dedup happen on the committed sink (order-independent, exactly
+    * like the batch plan's dropDuplicates + filter) — so the final
+    * pair SET is replay-slicing-independent by construction.
+    *
+    * State discipline at 100 TB/day: the state IS the index — one
+    * (id, k-long signature) entry per doc per band, exactly the
+    * signature table the batch job persists, sharded by the state
+    * store across partitions. Per-KEY lists stay small because that
+    * is LSH's job (a bucket that grows unboundedly means the band
+    * scheme is mis-sized, and the quadratic in-bucket emit cost makes
+    * that visible immediately — the same guard the batch exactReps
+    * staging provides against planted exact copies). No TTL: corpus
+    * dedup state is permanent by definition; a production deployment
+    * ages it by re-sharding epochs, not by watermark. */
+  class LshBucketMatcher
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (Int, Int), BandedDoc, CandPair] {
+    @transient private var docs:
+      org.apache.spark.sql.streaming.ListState[(Long, Array[Long])] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      docs = getHandle.getListState[(Long, Array[Long])]("docs",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.javaSerialization[Array[Long]]),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    private def estJaccard(x: Array[Long], y: Array[Long]): Double = {
+      var eq = 0
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) { if (x(i) == y(i)) eq += 1; i += 1 }
+      eq.toDouble / math.max(x.length, 1)
+    }
+
+    override def handleInputRows(key: (Int, Int),
+        rows: Iterator[BandedDoc],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[CandPair] = {
+      val stored = scala.collection.mutable.ArrayBuffer[
+        (Long, Array[Long])]()
+      val it = docs.get()
+      while (it.hasNext) stored += it.next()
+      val out = scala.collection.mutable.ArrayBuffer[CandPair]()
+      // in-batch arrival order pinned by doc_id — emitted pairs are
+      // unordered (min, max) so the SET is order-independent anyway
+      rows.toSeq.sortBy(_.doc_id).foreach { d =>
+        stored.foreach { case (pid, psig) =>
+          if (pid != d.doc_id)
+            out += CandPair(math.min(pid, d.doc_id),
+              math.max(pid, d.doc_id), estJaccard(psig, d.sig))
+        }
+        stored += ((d.doc_id, d.sig))
+        docs.appendValue((d.doc_id, d.sig))
+      }
+      out.iterator
+    }
+  }
+
+  /** Streamed LSH candidate generation over banded doc rows. */
+  def lshDedupStream(banded: Dataset[BandedDoc]): Dataset[CandPair] = {
+    import banded.sparkSession.implicits._
+    banded.groupByKey(d => (d.band, d.bh))
+      .transformWithState(new LshBucketMatcher,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
 }
