@@ -21,8 +21,13 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Relational {
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // every query path funnels through here, so this is the one place
+    // scratch-artifact lifecycle (shutdown-hook delete of this app's
+    // graft_* tmp dirs + age-guarded sweep of prior apps') is armed
+    graft.core.TmpHousekeeping.arm(spark.sparkContext.applicationId)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** Exact decimal sum surfaced as double (see object doc). */
   private def dsum(c: Column, scale: Int): Column =

@@ -327,9 +327,17 @@ object Similarity {
     * IDENTICAL to the in-plan s04 — s24_ann_inv pins that parity plus
     * the recall contract. Engine-specific ordering internals →
     * rows-only. */
-  def annStoredIvf(s: SparkSession, dir: String): DataFrame = {
+  def annStoredIvf(s: SparkSession, dir: String): DataFrame =
+    serveIvf(s, buildIvfIndex(s, dir), dir)
+
+  /** The serve path against an ARBITRARY index root — shared by s24
+    * (build-once index) and s25 (incrementally upserted index): reads
+    * the k-row centroid table, computes probe lists driver-side from
+    * the bounded per-request query set, scans only probed posting
+    * partitions, exact-cosine re-rank. */
+  private[graft] def serveIvf(s: SparkSession, root: String,
+      dir: String): DataFrame = {
     import s.implicits._
-    val root = buildIvfIndex(s, dir)
     val cents = s.read
       .parquet(new java.io.File(root, "centroids").getAbsolutePath)
       .orderBy("cid").collect()
@@ -378,6 +386,172 @@ object Similarity {
     new java.io.File(root, "postings").listFiles()
       .count(f => f.isDirectory && f.getName.startsWith("cid="))
   }
+
+  // ------------------------------ s25 incremental IVF upsert (serve)
+  /** Assign a vector frame to the stored centroid set — the one
+    * broadcast pass both the build and every upsert batch go through
+    * (same codegen'd argmax as s04/s24 ⇒ identical list membership). */
+  private[graft] def assignToLists(emb: DataFrame,
+      cents: Array[Array[Float]]): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+      nearestCentroidCol(col("embedding"), cents).as("cid"))
+
+  /** Write an index root (centroids + `partitionBy(cid)` postings)
+    * from an already-assigned frame — the build step s24 does for the
+    * whole corpus, factored out so s25 can build a BASE index and
+    * grow it. */
+  private[graft] def writeIvfIndex(s: SparkSession, emb: DataFrame,
+      cents: Array[Array[Float]], root: java.io.File): Unit = {
+    import s.implicits._
+    if (root.exists())
+      org.apache.commons.io.FileUtils.deleteDirectory(root)
+    cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "centroid")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(new java.io.File(root, "centroids").getAbsolutePath)
+    assignToLists(emb, cents)
+      .write.partitionBy("cid").mode("overwrite")
+      .parquet(new java.io.File(root, "postings").getAbsolutePath)
+  }
+
+  /** s25's mechanism — UPSERT a vector batch into a stored IVF index
+    * WITHOUT rebuilding it: assign the batch against the STORED
+    * centroids (k-row read, one broadcast pass over the batch), then
+    * rewrite ONLY the affected posting lists via dynamic partition
+    * overwrite (the j08 machinery): merged = (existing rows of the
+    * affected lists MINUS rows whose vec_id the batch replaces) ∪
+    * batch, staged and written with `partitionOverwriteMode=dynamic`
+    * so Spark replaces exactly the `cid=` directories the batch
+    * touches — unaffected lists' files are never opened OR rewritten
+    * (Round12Spec pins both, file-listing-level).
+    *
+    * This is the vector-database ingest path: at 100 TB the cost of
+    * an upsert is ∝ |batch| + |affected lists| (the isin on the
+    * partition column is static pruning, same as the s24 serve scan),
+    * never ∝ corpus. Centroids are intentionally immutable here —
+    * re-training is a rebuild, not an upsert (the same contract FAISS
+    * IVF exposes); served results therefore stay IDENTICAL to a full
+    * rebuild over the union corpus with the same centroid set, which
+    * is exactly what s25_ann_upsert_inv pins. */
+  private[graft] def upsertIvfIndex(s: SparkSession, root: String,
+      batch: DataFrame): Unit = {
+    val cents = s.read
+      .parquet(new java.io.File(root, "centroids").getAbsolutePath)
+      .orderBy("cid").collect()
+      .map(_.getSeq[Float](1).toArray)
+    val postingsPath = new java.io.File(root, "postings").getAbsolutePath
+    val assigned = assignToLists(batch, cents)
+    // bounded by k: the distinct partition ids the batch lands in
+    val affected = assigned.select("cid").distinct().collect()
+      .map(_.getInt(0)).sorted
+    val existing = s.read.parquet(postingsPath)
+      .filter(col("cid").isin(affected.map(Integer.valueOf): _*))
+      .join(assigned.select("vec_id"), Seq("vec_id"), "left_anti")
+      .select("vec_id", "embedding", "cid")
+    // stage the merged lists first: Spark (correctly) refuses a write
+    // that overwrites a path its own plan is reading
+    val stage = new java.io.File(root, "postings_stage")
+    existing.unionByName(assigned)
+      .write.partitionBy("cid").mode("overwrite")
+      .parquet(stage.getAbsolutePath)
+    s.read.parquet(stage.getAbsolutePath)
+      .select("vec_id", "embedding", "cid")
+      .write.partitionBy("cid").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(postingsPath)
+    org.apache.commons.io.FileUtils.deleteDirectory(stage)
+  }
+
+  /** Build-once memo for the s25 pair of roots: the INCREMENTAL index
+    * (base build + upserted delta) and the FULL-REBUILD reference
+    * (one-shot assignment of the union corpus with the SAME stored
+    * centroid set). */
+  private val ivfUpsertCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      (String, String)]()
+
+  private[graft] def buildUpsertedIvfIndex(s: SparkSession, dir: String)
+      : (String, String) = {
+    ivfUpsertCache.entrySet().removeIf(e =>
+      e.getKey._1 != s.sparkContext.applicationId ||
+        !new java.io.File(e.getValue._1).isDirectory ||
+        !new java.io.File(e.getValue._2).isDirectory)
+    ivfUpsertCache.computeIfAbsent(
+      (s.sparkContext.applicationId, dir), _ => {
+        val tag = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(dir.getBytes("UTF-8"))
+          .take(8).map(b => f"$b%02x").mkString
+        val emb = Relational.table(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        // base corpus = 3/4 of the vectors; the delta batch is the
+        // remaining quarter PLUS re-writes of every vec_id % 8 == 0
+        // vector (ids already present in the base — the REPLACE half
+        // of upsert; payload identical, so the union corpus is still
+        // exactly the full table)
+        val base = emb.filter(pmod(col("vec_id"), lit(4)) =!= 3)
+        val delta = emb.filter(pmod(col("vec_id"), lit(4)) === 3)
+          .unionByName(emb.filter(pmod(col("vec_id"), lit(8)) === 0))
+        // centroids train on the BASE (that is what existed at build
+        // time) and stay immutable through the upsert
+        val cents = ivfCentroids(base, IvfK, IvfIters, seed = 9000)
+        val incRoot = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_s25inc_${tag}_${s.sparkContext.applicationId}")
+        val fullRoot = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_s25full_${tag}_${s.sparkContext.applicationId}")
+        writeIvfIndex(s, base, cents, incRoot)
+        upsertIvfIndex(s, incRoot.getAbsolutePath, delta)
+        writeIvfIndex(s, emb, cents, fullRoot)
+        (incRoot.getAbsolutePath, fullRoot.getAbsolutePath)
+      })
+  }
+
+  /** s25 — ANN served from the UPSERTED index: the s24 serve path
+    * run against an index that was built on 3/4 of the corpus and
+    * then grew the rest (plus replacements) through
+    * [[upsertIvfIndex]]. Engine-specific ordering internals →
+    * rows-only; [[annUpsertIvfInv]] ★ pins bit-parity with the
+    * full-rebuild reference, no duplicate ids after the replace
+    * batch, and the k bound. */
+  def annUpsertIvf(s: SparkSession, dir: String): DataFrame =
+    serveIvf(s, buildUpsertedIvfIndex(s, dir)._1, dir)
+
+  /** Deterministic contract of the upsert path: (1) serving the
+    * incrementally-grown index ≡ serving a full rebuild with the same
+    * centroids, row for row; (2) the replace batch left no duplicate
+    * vec_ids in the postings (and postings row count == corpus row
+    * count); (3) every query still returns ≤ k neighbors. */
+  def annUpsertIvfInv(s: SparkSession, dir: String): DataFrame = {
+    val (incRoot, fullRoot) = buildUpsertedIvfIndex(s, dir)
+    val inc = serveIvf(s, incRoot, dir)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    val full = serveIvf(s, fullRoot, dir)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    val union = inc.join(full, Seq("query_id", "neighbor_id", "rank"),
+        "full_outer")
+      .agg(count(lit(1)).as("n_union"))
+    val both = inc.join(full, Seq("query_id", "neighbor_id", "rank"))
+      .agg(count(lit(1)).as("n_both"))
+    val postings = s.read
+      .parquet(new java.io.File(incRoot, "postings").getAbsolutePath)
+    val dupes = postings.groupBy("vec_id")
+      .agg(count(lit(1)).as("c"))
+      .agg(sum((col("c") > 1).cast("long")).as("n_dup"),
+        count(lit(1)).as("n_ids"))
+    val corpus = Relational.table(s, dir, "embeddings")
+      .agg(count(lit(1)).as("n_corpus"))
+    val overK = inc.groupBy("query_id").agg(count(lit(1)).as("k"))
+      .agg(sum((col("k") > 5).cast("long")).as("n_over"))
+    union.crossJoin(both).crossJoin(dupes).crossJoin(corpus)
+      .crossJoin(overK)
+      .select((col("n_union") === col("n_both")).as("parity_ok"),
+        (col("n_dup") === 0 && col("n_ids") === col("n_corpus"))
+          .as("no_dup"),
+        (col("n_over") === 0).as("k_bounded"))
+  }
+
+  val annUpsertIvfInvSql: String =
+    "SELECT TRUE AS parity_ok, TRUE AS no_dup, TRUE AS k_bounded"
 
   // ------------------------------------------- int8 quantization
   /** Symmetric int8 quantization of the embedding column — the
@@ -977,6 +1151,9 @@ object Similarity {
       ("s02_ann_lsh_bucketed", annLshBucketed _, None),
       ("s04_ann_ivf", annIvf _, None),
       ("s24_ann_stored_ivf", annStoredIvf _, None),
+      ("s25_ann_upsert", annUpsertIvf _, None),
+      ("s25_ann_upsert_inv", annUpsertIvfInv _,
+        Some(annUpsertIvfInvSql)),
       ("s06_embedding_clusters", embeddingClusters _, None),
       ("s06_cluster_inv", clusterInv _, Some(clusterInvSql)),
       ("s10_ann_pq", annPq _, None),

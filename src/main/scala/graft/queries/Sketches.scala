@@ -714,8 +714,16 @@ object Sketches {
             dfa.join(broadcast(dfb), col(ka) === col(kb))
           case _ => dfa.join(dfb, col(ka) === col(kb))
         }
-        val nOut = joined.count()
-        val plan = finalPlanString(joined)
+        // audit the plan that ACTUALLY executed: `joined.count()` runs
+        // a separate QueryExecution (the count aggregate), so reading
+        // `joined`'s executedPlan would plan the un-executed sibling —
+        // under AQE the initial guess, not the finalized strategy. The
+        // count DataFrame's own post-AQE plan contains the join
+        // operator after any runtime re-plan, so a strategy change AQE
+        // made at runtime is visible to plan_matches.
+        val cnt = joined.groupBy().count()
+        val nOut = cnt.collect().head.getLong(0)
+        val plan = finalPlanString(cnt)
         val executed =
           if (plan.contains("BroadcastHashJoin")) "BroadcastHashJoin"
           else if (plan.contains("SortMergeJoin")) "SortMergeJoin"
@@ -782,6 +790,174 @@ object Sketches {
       FROM n)
     ORDER BY pair"""
 
+  // ----------- sk08 sketch-ESTIMATED join strategy (est vs exact)
+  /** sk08 — sk07 re-run in the regime a real catalog actually lives
+    * in: ANALYZE writes SKETCHES, not truths, and the planner decides
+    * from estimates. The stored artifact per table is (exact row
+    * count, KMV sketch of the PRIMARY KEY) — and the decision path
+    * reads ONLY the sketch: the estimated NDV of a unique key IS the
+    * estimated row count (the textbook identity NDV(pk) = |T| that
+    * lets a distinct-count sketch stand in for reltuples). Broadcast
+    * the smaller-BY-ESTIMATE side when its estimated count is ≤ the
+    * cap, else shuffle; Spark's own size-based auto-broadcast is
+    * disabled (static + adaptive thresholds −1, the sk07 discipline)
+    * so the executed operator provably came from the sketch estimate.
+    * Each row carries BOTH counts (est + exact), BOTH decisions, the
+    * `flip` flag (est-decision ≠ exact-decision — the event that
+    * matters at the cap boundary: a ±3%-σ estimate straddling the
+    * threshold routes a 100 TB join down the wrong path, which is
+    * exactly why production caps sit well inside the estimator's
+    * error band), the executed operator, and the audit flag.
+    *
+    * Estimates are engine-specific (xxhash64 KMV) → rows-only;
+    * [[cboSketchStrategyInv]] ★ drops the est columns and has DuckDB
+    * replay the EXACT-side decision rule, recompute the join sizes,
+    * and assert `audit_ok` (executed operator == the est-decision's
+    * operator) and `est_ok` (both estimates within the sk05 error
+    * contract) — a hint-ignoring plan, a broken estimator, or a wrong
+    * join result all hash-fail. The near-boundary flip itself is
+    * pinned in Round12Spec with a constructed cap sitting between a
+    * table's exact count and its deterministic sketch estimate. */
+  private[graft] def cboSketchStrategyAt(s: SparkSession, dir: String,
+      cap: Long): DataFrame = {
+    import graft.expr.KmvSketchAgg._
+    import s.implicits._
+    val pks: Seq[(String, Seq[String])] = Seq(
+      "nation" -> Seq("n_nationkey"), "customer" -> Seq("c_custkey"),
+      "orders" -> Seq("o_orderkey"),
+      "lineitem" -> Seq("l_orderkey", "l_linenumber"))
+    // ANALYZE: one partial-agg'd scan per table → (n, kmv(pk)) rows
+    // persisted as the catalog artifact; decisions read back from
+    // storage only (est path touches just the sketch column)
+    val statsPath = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_sk08_${s.sparkContext.applicationId}").getAbsolutePath
+    pks.map { case (t, pk) =>
+        Relational.table(s, dir, t)
+          .agg(count(lit(1)).as("n"),
+            kmvSketch(xxhash64(pk.map(col): _*), JoinK).as("sk"))
+          .select(lit(t).as("tbl"), col("n"), col("sk"))
+      }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(statsPath)
+    val stored = s.read.parquet(statsPath).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getSeq[Long](2).toArray)).toMap
+    val nExact = stored.map { case (t, (n, _)) => t -> n }
+    val nEst = stored.map { case (t, (_, sk)) =>
+      t -> math.round(estimateDistinct(sk, JoinK)) }
+    def decide(counts: Map[String, Long], ta: String, tb: String)
+        : String = {
+      val (small, smallN) =
+        if (counts(ta) <= counts(tb)) (ta, counts(ta))
+        else (tb, counts(tb))
+      if (smallN <= cap) s"broadcast_$small" else "shuffle"
+    }
+    val pairs = Seq(
+      ("nation-customer", "nation", "customer", "n_nationkey",
+        "c_nationkey"),
+      ("customer-orders", "customer", "orders", "c_custkey",
+        "o_custkey"),
+      ("orders-lineitem", "orders", "lineitem", "o_orderkey",
+        "l_orderkey"))
+    val overrides = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prevs = overrides.map { case (k, _) => k -> s.conf.getOption(k) }
+    overrides.foreach { case (k, v) => s.conf.set(k, v) }
+    val rows = try {
+      pairs.map { case (pair, ta, tb, ka, kb) =>
+        val dEst = decide(nEst, ta, tb)
+        val dExact = decide(nExact, ta, tb)
+        val dfa = Relational.table(s, dir, ta).select(col(ka))
+        val dfb = Relational.table(s, dir, tb).select(col(kb))
+        // the ESTIMATE drives the physical strategy — that is the
+        // whole point of the sketch regime
+        val joined = dEst match {
+          case d if d == s"broadcast_$ta" =>
+            broadcast(dfa).join(dfb, col(ka) === col(kb))
+          case d if d == s"broadcast_$tb" =>
+            dfa.join(broadcast(dfb), col(ka) === col(kb))
+          case _ => dfa.join(dfb, col(ka) === col(kb))
+        }
+        // audit the EXECUTED plan (the count's own QueryExecution,
+        // post-AQE — the sk07 discipline)
+        val cnt = joined.groupBy().count()
+        val nOut = cnt.collect().head.getLong(0)
+        val plan = finalPlanString(cnt)
+        val executed =
+          if (plan.contains("BroadcastHashJoin")) "BroadcastHashJoin"
+          else if (plan.contains("SortMergeJoin")) "SortMergeJoin"
+          else if (plan.contains("ShuffledHashJoin")) "ShuffledHashJoin"
+          else "Other"
+        val expected =
+          if (dEst == "shuffle") "SortMergeJoin" else "BroadcastHashJoin"
+        val estOk = Seq(ta, tb).forall(t =>
+          math.abs(nEst(t) - nExact(t)) <=
+            nExact(t) * JoinBoundPct / 100.0 + JoinK)
+        (pair, nExact(ta), nExact(tb), nEst(ta), nEst(tb), dEst, dExact,
+          dEst != dExact, executed, executed == expected, estOk, nOut)
+      }
+    } finally {
+      prevs.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }
+    rows.toDF("pair", "n_left", "n_right", "est_left", "est_right",
+        "decision_est", "decision_exact", "flip", "executed_join",
+        "audit_ok", "est_ok", "n_out")
+      .orderBy("pair")
+  }
+
+  def cboSketchStrategy(s: SparkSession, dir: String): DataFrame =
+    cboSketchStrategyAt(s, dir, BroadcastRowCap)
+
+  /** Deterministic projection of sk08 — DuckDB replays the EXACT-side
+    * decision rule and the join sizes; `audit_ok`/`est_ok` as TRUE
+    * constants make a hint-ignoring plan or an out-of-contract
+    * estimator hash-fail. */
+  def cboSketchStrategyInv(s: SparkSession, dir: String): DataFrame =
+    cboSketchStrategy(s, dir)
+      .select(col("pair"), col("n_left"), col("n_right"),
+        col("decision_exact"), col("audit_ok"), col("est_ok"),
+        col("n_out"))
+
+  val cboSketchStrategyInvSql: String = s"""
+    WITH n AS (SELECT
+      (SELECT count(*) FROM nation) AS nn,
+      (SELECT count(*) FROM customer) AS nc,
+      (SELECT count(*) FROM orders) AS no_,
+      (SELECT count(*) FROM lineitem) AS nl)
+    SELECT pair, n_left, n_right, decision_exact,
+      TRUE AS audit_ok, TRUE AS est_ok, n_out
+    FROM (
+      SELECT 'nation-customer' AS pair, nn AS n_left, nc AS n_right,
+        CASE WHEN least(nn, nc) <= $BroadcastRowCap THEN
+          'broadcast_' || (CASE WHEN nn <= nc THEN 'nation'
+                           ELSE 'customer' END)
+        ELSE 'shuffle' END AS decision_exact,
+        (SELECT count(*) FROM nation JOIN customer
+          ON n_nationkey = c_nationkey) AS n_out
+      FROM n
+      UNION ALL
+      SELECT 'customer-orders', nc, no_,
+        CASE WHEN least(nc, no_) <= $BroadcastRowCap THEN
+          'broadcast_' || (CASE WHEN nc <= no_ THEN 'customer'
+                           ELSE 'orders' END)
+        ELSE 'shuffle' END,
+        (SELECT count(*) FROM customer JOIN orders
+          ON c_custkey = o_custkey)
+      FROM n
+      UNION ALL
+      SELECT 'orders-lineitem', no_, nl,
+        CASE WHEN least(no_, nl) <= $BroadcastRowCap THEN
+          'broadcast_' || (CASE WHEN no_ <= nl THEN 'orders'
+                           ELSE 'lineitem' END)
+        ELSE 'shuffle' END,
+        (SELECT count(*) FROM orders JOIN lineitem
+          ON o_orderkey = l_orderkey)
+      FROM n)
+    ORDER BY pair"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("t12_heavy_hitters", heavyHitters _, None),
@@ -799,5 +975,8 @@ object Sketches {
         Some(joinCardinalityInvSql)),
       ("sk06_hll_mv", hllMv _, None),
       ("sk06_hll_mv_inv", hllMvInv _, Some(hllMvInvSql)),
-      ("sk07_cbo_strategy", cboStrategy _, Some(cboStrategySql)))
+      ("sk07_cbo_strategy", cboStrategy _, Some(cboStrategySql)),
+      ("sk08_cbo_sketch", cboSketchStrategy _, None),
+      ("sk08_cbo_sketch_inv", cboSketchStrategyInv _,
+        Some(cboSketchStrategyInvSql)))
 }

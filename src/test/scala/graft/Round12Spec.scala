@@ -1,0 +1,268 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStreams
+
+/** Round-12 pins: the packed binary LSH state codec (round-trip,
+  * corruption rejection, and the loud restart-rejection of a
+  * checkpoint written by the round-11 Java-serialization codec),
+  * the sketch-driven CBO decision (sk08), the IVF upsert path (s25),
+  * and the stream-state epoch re-shard handoff (st31). */
+class Round12Spec extends SparkSpec {
+
+  // ----------------------------------------- SigEntryCodec pins
+  test("SigEntryCodec: round-trips (id, signature) exactly, at the " +
+    "documented 13 + 8k byte size") {
+    val rng = new scala.util.Random(12001)
+    (0 until 200).foreach { _ =>
+      val id = rng.nextLong()
+      val k = rng.nextInt(64)
+      val sig = Array.fill(k)(rng.nextLong())
+      val bytes = EventStreams.SigEntryCodec.encode(id, sig)
+      assert(bytes.length == 13 + 8 * k)
+      val (id2, sig2) = EventStreams.SigEntryCodec.decode(bytes)
+      assert(id2 == id)
+      assert(sig2.toSeq == sig.toSeq)
+    }
+  }
+
+  test("SigEntryCodec: wrong version and truncated entries reject " +
+    "loudly — no silent state migration") {
+    val good = EventStreams.SigEntryCodec.encode(7L, Array(1L, 2L, 3L))
+    val badVersion = good.clone(); badVersion(0) = 99.toByte
+    val e1 = intercept[IllegalArgumentException] {
+      EventStreams.SigEntryCodec.decode(badVersion)
+    }
+    assert(e1.getMessage.contains("version"))
+    val truncated = good.take(good.length - 4)
+    intercept[IllegalArgumentException] {
+      EventStreams.SigEntryCodec.decode(truncated)
+    }
+  }
+
+  // ----------------------------------------- sk08 flip machinery
+  test("sk08: a cap between a table's exact count and its sketch " +
+    "estimate produces a decision FLIP, executed per the estimate " +
+    "and audited green") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_r12_sk08").toFile
+    try {
+      val dir = base.getAbsolutePath
+      // synthetic catalog: orders has >k distinct pk values so its
+      // KMV readout is a genuine ESTIMATE (deterministic for a fixed
+      // dataset — xxhash64 has no seed draw), customer is strictly
+      // larger so orders is the small side of customer-orders
+      (0 until 25).toDF("n_nationkey")
+        .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+      (0 until 20000).map(i => (i.toLong, i % 25))
+        .toDF("c_custkey", "c_nationkey")
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      (0 until 12000).map(i => (i.toLong, (i % 20000).toLong))
+        .toDF("o_orderkey", "o_custkey")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      (0 until 3000).map(i => ((i % 12000).toLong, i))
+        .toDF("l_orderkey", "l_linenumber")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      // first pass at an out-of-band cap just to read the estimate
+      val probe = queries.Sketches.cboSketchStrategyAt(spark, dir, 1L)
+        .filter(col("pair") === "customer-orders").collect().head
+      val exact = probe.getAs[Long]("n_right")  // orders
+      val est = probe.getAs[Long]("est_right")
+      assert(exact == 12000L)
+      assert(est != exact,
+        s"KMV estimate landed exactly on truth ($est) — " +
+          "flip unconstructible with this dataset; adjust sizes")
+      // a cap strictly between est and exact: the two decision paths
+      // MUST disagree on broadcast-vs-shuffle for the orders side
+      val cap = (math.min(est, exact) + math.max(est, exact) - 1) / 2
+      val row = queries.Sketches.cboSketchStrategyAt(spark, dir, cap)
+        .filter(col("pair") === "customer-orders").collect().head
+      assert(row.getAs[Boolean]("flip"),
+        s"expected a flip at cap=$cap (est=$est exact=$exact)")
+      assert(row.getAs[String]("decision_est") !=
+        row.getAs[String]("decision_exact"))
+      // the ESTIMATE drove the physical plan, and the audit saw it
+      assert(row.getAs[Boolean]("audit_ok"))
+      val expectedOp =
+        if (row.getAs[String]("decision_est") == "shuffle")
+          "SortMergeJoin" else "BroadcastHashJoin"
+      assert(row.getAs[String]("executed_join") == expectedOp)
+      assert(row.getAs[Boolean]("est_ok")) // flip ≠ broken estimator
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(base)
+    }
+  }
+
+  test("sk08 on gate data: no flips at the production cap, est " +
+    "within contract, every audit green") {
+    val rows = queries.Sketches.cboSketchStrategy(spark, sfDir).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(!r.getAs[Boolean]("flip"), r.toString)
+      assert(r.getAs[Boolean]("audit_ok"), r.toString)
+      assert(r.getAs[Boolean]("est_ok"), r.toString)
+      assert(r.getAs[String]("decision_est") ==
+        r.getAs[String]("decision_exact"))
+    }
+  }
+
+  // ----------------------------------------- s25 upsert mechanics
+  test("s25 upsert: only affected posting lists are rewritten (file " +
+    "level), replaced vec_ids carry the new payload exactly once") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_r12_s25").toFile
+    try {
+      // injected, well-separated centroids so list membership is
+      // obvious: ids 1-3 → cid 0, ids 4-6 → cid 1
+      val cents = Array(Array(1f, 0f), Array(0f, 1f))
+      val base = Seq(
+        (1L, Seq(1f, 0.01f)), (2L, Seq(1f, 0.02f)), (3L, Seq(1f, 0.03f)),
+        (4L, Seq(0.01f, 1f)), (5L, Seq(0.02f, 1f)), (6L, Seq(0.03f, 1f)))
+        .toDF("vec_id", "embedding")
+      queries.Similarity.writeIvfIndex(spark, base, cents, root)
+      val postingsDir = new java.io.File(root, "postings")
+      def files(cid: Int): Set[String] = {
+        val d = new java.io.File(postingsDir, s"cid=$cid")
+        d.listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).toSet
+      }
+      val cid0Before = files(0)
+      // delta lands ONLY in list 1: one insert (7) + one replace (4)
+      val delta = Seq((7L, Seq(0.04f, 1f)), (4L, Seq(0.05f, 1f)))
+        .toDF("vec_id", "embedding")
+      queries.Similarity.upsertIvfIndex(spark,
+        root.getAbsolutePath, delta)
+      // dynamic partition overwrite left the unaffected list alone
+      assert(files(0) == cid0Before,
+        "cid=0 files changed though no batch row landed there")
+      val post = spark.read.parquet(postingsDir.getAbsolutePath)
+      assert(post.count() == 7)
+      val four = post.filter(col("vec_id") === 4L).collect()
+      assert(four.length == 1, "replaced id must appear exactly once")
+      assert(four.head.getSeq[Float](
+        four.head.fieldIndex("embedding")) == Seq(0.05f, 1f),
+        "replace must carry the NEW payload")
+      assert(post.filter(col("vec_id") === 7L).count() == 1)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(root)
+    }
+  }
+
+  test("s25 on gate data: upserted-index serve == full-rebuild serve, " +
+    "no duplicates, k bounded") {
+    val row = queries.Similarity.annUpsertIvfInv(spark, sfDir)
+      .collect().head
+    assert(row.getAs[Boolean]("parity_ok"))
+    assert(row.getAs[Boolean]("no_dup"))
+    assert(row.getAs[Boolean]("k_bounded"))
+  }
+
+  // ---------------- legacy-checkpoint restart rejection (the
+  // state-schema-evolution contract: a checkpoint whose "docs"
+  // ListState was written by the round-11 Java-serialization tuple
+  // encoder is structurally incompatible with the packed binary
+  // value; restarting over it must FAIL loudly, never decode garbage)
+  test("st30 state codec change rejects a legacy checkpoint on " +
+    "restart instead of silently misreading it") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_r12_legacy").toFile
+    try {
+      val src = new java.io.File(base, "src"); src.mkdirs()
+      def writeEpoch(name: String, ids: Seq[Long]): Unit = {
+        val stage = new java.io.File(base, s"stage_$name")
+        ids.map(i => (i, Array.fill(4)(i))).toDF("doc_id", "sig")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(stage.getAbsolutePath)
+        val part = stage.listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(src, s"$name.parquet").toPath)
+        org.apache.commons.io.FileUtils.deleteDirectory(stage)
+      }
+      writeEpoch("e0", Seq(1L, 2L))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sig",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType))))
+      val prev = spark.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      try {
+        def run(legacy: Boolean): Unit = {
+          val banded = spark.readStream.schema(schema)
+            .parquet(src.getAbsolutePath)
+            .select(col("doc_id"), lit(0).as("band"), lit(0).as("bh"),
+              col("sig"))
+            .as[EventStreams.BandedDoc]
+          val matched =
+            if (legacy)
+              banded.groupByKey(d => (d.band, d.bh))
+                .transformWithState(new LegacyLshBucketMatcher,
+                  org.apache.spark.sql.streaming.TimeMode.None(),
+                  OutputMode.Append())
+            else EventStreams.lshDedupStream(banded)
+          val q = matched.toDF().writeStream.format("parquet")
+            .option("path", s"$base/out")
+            .option("checkpointLocation", s"$base/ckpt")
+            .trigger(
+              org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        run(legacy = true) // seeds the checkpoint with tuple-encoded state
+        writeEpoch("e1", Seq(3L, 4L))
+        val e = intercept[Exception] { run(legacy = false) }
+        val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+          .takeWhile(_ != null).map(t => s"${t.getClass.getName}: " +
+            s"${Option(t.getMessage).getOrElse("")}").mkString("\n")
+        assert(msgs.toLowerCase.contains("schema") ||
+          msgs.toLowerCase.contains("state"),
+          s"expected a state-schema rejection, got:\n$msgs")
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", v)
+          case None => spark.conf.unset(
+            "spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(base)
+    }
+  }
+}
+
+/** The round-11 state layout, kept ONLY to pin that its checkpoints
+  * are rejected: "docs" ListState of (Long, Array[Long]) tuples under
+  * `Encoders.javaSerialization` — the codec [[EventStreams
+  * .SigEntryCodec]] replaced. */
+private class LegacyLshBucketMatcher
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      (Int, Int), EventStreams.BandedDoc, EventStreams.CandPair] {
+  @transient private var docs:
+    org.apache.spark.sql.streaming.ListState[(Long, Array[Long])] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    docs = getHandle.getListState[(Long, Array[Long])]("docs",
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.javaSerialization[Array[Long]]),
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: (Int, Int),
+      rows: Iterator[EventStreams.BandedDoc],
+      timers: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[EventStreams.CandPair] = {
+    rows.foreach(d => docs.appendValue((d.doc_id, d.sig)))
+    Iterator.empty
+  }
+}
