@@ -114,10 +114,22 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     def r2(d: Double): Double = math.rint(d * 100) / 100
+    // the control-NORMALIZED headline: suite-seconds per
+    // shuffle-control-second (mean of pre/post). BASELINE r10
+    // computed ≈270 by hand for two same-code runs whose absolute
+    // totals differed 13% with the controls moving in lockstep —
+    // emitting it mechanically gives every round a drift-immune
+    // number to trend (r11's 208.0 s close normalizes to ~239
+    // against its elevated 1.02/0.72 controls, i.e. flat-to-faster).
+    val normalizedTotal =
+      if (controlShufflePre > 0 && controlShufflePost > 0)
+        total / ((controlShufflePre + controlShufflePost) / 2)
+      else -1.0
     val controlJson =
       s""""control_pre":${r2(controlPre)},"control_post":${r2(controlPost)},""" +
         s""""control_shuffle_pre":${r2(controlShufflePre)},""" +
-        s""""control_shuffle_post":${r2(controlShufflePost)}"""
+        s""""control_shuffle_post":${r2(controlShufflePost)},""" +
+        s""""normalized_total":${r2(normalizedTotal)}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","cpus":$cpus,"iters":$iters,$controlJson}"""
@@ -156,6 +168,8 @@ object Bench {
       // round-11 flagships
       "st30_lsh_dedup_streamed", "s24_ann_stored_ivf",
       "sk07_cbo_strategy", "t40_compression_quality",
+      // round-12 flagships
+      "sk08_cbo_sketch", "s25_ann_upsert", "st31_epoch_handoff",
       "s01_ann_brute_force", "s02_ann_lsh_bucketed",
       "s04_ann_ivf", "s06_embedding_clusters", "t11_tfidf",
       "t14_quality_gate",

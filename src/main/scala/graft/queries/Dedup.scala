@@ -126,6 +126,17 @@ object Dedup {
     sig.toSeq
   }
 
+  /** Signature-estimated Jaccard (|equal positions| / k) as a pure
+    * expression — the d02 arithmetic, shared with st31's cross-epoch
+    * batch join so handoff pairs carry bit-identical estimates. */
+  private[queries] def estJaccardCol(sigA: org.apache.spark.sql.Column,
+      sigB: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (size(zip_with(sigA, sigB,
+      (x, y) => when(x === y, 1).otherwise(0)).as("eq")) -
+      size(filter(zip_with(sigA, sigB,
+        (x, y) => when(x === y, 1).otherwise(0)), _ === 0)))
+      .cast("double") / lit(MinhashK)
+
   /** Collapse exact duplicates to their min-id representative before
     * any near-dup candidate generation. Standard pipeline staging
     * (exact dedup → near dedup) and the structural guard against
@@ -173,12 +184,7 @@ object Dedup {
       .select(col("a"), col("b"), col("sig_a"), col("sig_b"))
       .dropDuplicates("a", "b")
 
-    val estJaccard = (
-      size(zip_with(col("sig_a"), col("sig_b"),
-        (x, y) => when(x === y, 1).otherwise(0)).as("eq")) -
-        size(filter(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)), _ === 0)))
-      .cast("double") / lit(MinhashK)
+    val estJaccard = estJaccardCol(col("sig_a"), col("sig_b"))
 
     val out = pairs.select(col("a"), col("b"),
         estJaccard.as("est_jaccard"))

@@ -1208,7 +1208,7 @@ $counts
   private val lshSrcCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String), String]()
 
-  private def lshDocSrc(s: SparkSession, dir: String): String = {
+  private[graft] def lshDocSrc(s: SparkSession, dir: String): String = {
     lshSrcCache.entrySet().removeIf(e =>
       e.getKey._1 != s.sparkContext.applicationId ||
         !new java.io.File(e.getValue).isDirectory)
@@ -1265,8 +1265,56 @@ $counts
     * the input is exact-deduped upstream (the same staging guard as
     * batch d02) so planted exact copies can't blow a bucket up
     * quadratically. */
-  def lshDedupStreamed(s: SparkSession, dir: String): DataFrame = {
+  /** One checkpointed AvailableNow replay of the LSH dedup stream
+    * over a staged epoch dir — the st30 pipeline, factored out so
+    * st31 can run it twice (pre- and post-handoff epochs). Streaming
+    * conf (RocksDB provider, changelog checkpointing, small shuffle
+    * width) is applied for the run and restored after. */
+  private[graft] def runLshEpoch(s: SparkSession, src: String,
+      outPath: String, ckptPath: String): Unit = {
     import s.implicits._
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val overrides = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        ("org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider"),
+      "spark.sql.shuffle.partitions" -> "4",
+      "spark.sql.streaming.stateStore.rocksdb." +
+        "changelogCheckpointing.enabled" -> "true")
+    val prevs = overrides.map { case (k, _) => k -> s.conf.getOption(k) }
+    overrides.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val stream = s.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val banded = stream
+        .select(col("doc_id"),
+          graft.expr.MinHashSignature.minhashSignature(col("text"),
+            Dedup.MinhashK).as("sig"))
+        .select(col("doc_id"), col("sig"),
+          explode(array(Dedup.bandStructs: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"),
+          col("bb.bh").as("bh"), col("sig"))
+        .as[EventStreams.BandedDoc]
+      val q = EventStreams.lshDedupStream(banded).toDF()
+        .writeStream.format("parquet")
+        .option("path", outPath)
+        .option("checkpointLocation", ckptPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      prevs.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }
+  }
+
+  def lshDedupStreamed(s: SparkSession, dir: String): DataFrame = {
     lshSinkCache.entrySet().removeIf(e =>
       e.getKey._1 != s.sparkContext.applicationId ||
         !new java.io.File(e.getValue).isDirectory)
@@ -1278,45 +1326,7 @@ $counts
         if (baseDir.exists())
           org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
         val base = baseDir.getAbsolutePath
-        val docSchema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("text",
-            org.apache.spark.sql.types.StringType)))
-        val overrides = Seq(
-          "spark.sql.streaming.stateStore.providerClass" ->
-            ("org.apache.spark.sql.execution.streaming.state." +
-              "RocksDBStateStoreProvider"),
-          "spark.sql.shuffle.partitions" -> "4",
-          "spark.sql.streaming.stateStore.rocksdb." +
-            "changelogCheckpointing.enabled" -> "true")
-        val prevs = overrides.map { case (k, _) => k -> s.conf.getOption(k) }
-        overrides.foreach { case (k, v) => s.conf.set(k, v) }
-        try {
-          val stream = s.readStream.schema(docSchema)
-            .option("maxFilesPerTrigger", "1").parquet(src)
-          val banded = stream
-            .select(col("doc_id"),
-              graft.expr.MinHashSignature.minhashSignature(col("text"),
-                Dedup.MinhashK).as("sig"))
-            .select(col("doc_id"), col("sig"),
-              explode(array(Dedup.bandStructs: _*)).as("bb"))
-            .select(col("doc_id"), col("bb.band").as("band"),
-              col("bb.bh").as("bh"), col("sig"))
-            .as[EventStreams.BandedDoc]
-          val q = EventStreams.lshDedupStream(banded).toDF()
-            .writeStream.format("parquet")
-            .option("path", s"$base/out")
-            .option("checkpointLocation", s"$base/ckpt")
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-        } finally {
-          prevs.foreach {
-            case (k, Some(v)) => s.conf.set(k, v)
-            case (k, None) => s.conf.unset(k)
-          }
-        }
+        runLshEpoch(s, src, s"$base/out", s"$base/ckpt")
         s"$base/out"
       })
     s.read.parquet(outDir)
@@ -1348,6 +1358,171 @@ $counts
 
   val lshStreamInvSql: String =
     "SELECT TRUE AS parity_ok, TRUE AS nonempty"
+
+  // ---- st31 epoch re-shard handoff (stream state → stored index → batch)
+  private val handoffCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), String]()
+
+  /** Builds the st31 artifact tree once per (application, sf dir):
+    * runs the retiring shard's stream, EXPORTS its state, runs the
+    * new shard with fresh state, and materializes the combined
+    * candidate set. Returns the base dir; subpaths: `outA`/`outB`
+    * (the two shards' streamed pairs), `snapshot` (the exported
+    * signature table), `combined` (all candidates). */
+  private[graft] def buildLshHandoff(s: SparkSession, dir: String)
+      : String = {
+    import s.implicits._
+    handoffCache.entrySet().removeIf(e =>
+      e.getKey._1 != s.sparkContext.applicationId ||
+        !new java.io.File(e.getValue).isDirectory)
+    handoffCache.computeIfAbsent(
+      (s.sparkContext.applicationId, dir), _ => {
+        val src = lshDocSrc(s, dir)
+        val baseDir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_st31_${s.sparkContext.applicationId}")
+        if (baseDir.exists())
+          org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
+        val base = baseDir.getAbsolutePath
+        // the re-shard split: epochs 0-3 are the RETIRING shard,
+        // 4-6 arrive after the handoff (planted near-dup pairs sit
+        // one epoch apart — ids differ by 1e6 ≡ 1 mod 7 — so the
+        // 3↔4 and 6↔0 pairs can ONLY be found by the handoff join)
+        val files = new java.io.File(src).listFiles()
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        val srcA = new java.io.File(baseDir, "srcA"); srcA.mkdirs()
+        val srcB = new java.io.File(baseDir, "srcB"); srcB.mkdirs()
+        files.take(4).foreach(f => java.nio.file.Files.copy(f.toPath,
+          new java.io.File(srcA, f.getName).toPath))
+        files.drop(4).foreach(f => java.nio.file.Files.copy(f.toPath,
+          new java.io.File(srcB, f.getName).toPath))
+        // the retiring shard runs to its final epoch...
+        runLshEpoch(s, srcA.getAbsolutePath, s"$base/outA",
+          s"$base/ckptA")
+        // ...then its state is EXPORTED through the state data source:
+        // RocksDB ListState rows → SigEntryCodec decode → the
+        // signature table, persisted as parquet. This is the
+        // retire-side of the epoch handoff a 100 TB/day deployment
+        // performs — the state store's contents become a stored index
+        // artifact the batch layer can join against, instead of state
+        // living forever in one ever-growing stream.
+        val overrides = Seq(
+          "spark.sql.streaming.stateStore.providerClass" ->
+            ("org.apache.spark.sql.execution.streaming.state." +
+              "RocksDBStateStoreProvider"))
+        val prevs = overrides.map { case (k, _) =>
+          k -> s.conf.getOption(k) }
+        overrides.foreach { case (k, v) => s.conf.set(k, v) }
+        try {
+          s.read.format("statestore")
+            .option("path", s"$base/ckptA")
+            .option("stateVarName", "docs")
+            .load()
+            .select(col("list_element.value").as("bytes"))
+            .as[Array[Byte]]
+            .map { bytes =>
+              val (id, sig) = graft.streaming.EventStreams
+                .SigEntryCodec.decode(bytes)
+              (id, sig.toSeq)
+            }
+            .toDF("doc_id", "sig")
+            .dropDuplicates("doc_id") // 16 band rows/doc, same sig
+            .write.mode("overwrite").parquet(s"$base/snapshot")
+        } finally {
+          prevs.foreach {
+            case (k, Some(v)) => s.conf.set(k, v)
+            case (k, None) => s.conf.unset(k)
+          }
+        }
+        // the new shard starts with FRESH state over the later epochs
+        runLshEpoch(s, srcB.getAbsolutePath, s"$base/outB",
+          s"$base/ckptB")
+        // cross-shard candidates: the exported signature table joined
+        // against the new shard's corpus in BATCH — same band keys
+        // (Dedup.bandStructs), same estimate arithmetic
+        // (Dedup.estJaccardCol), so handoff pairs are bit-identical
+        // to what the uninterrupted stream would have emitted
+        val snapBands = s.read.parquet(s"$base/snapshot")
+          .select(col("doc_id"), col("sig"),
+            explode(array(Dedup.bandStructs: _*)).as("bb"))
+          .select(col("bb"), col("doc_id").as("a_id"),
+            col("sig").as("sig_a"))
+        val newBands = s.read.parquet(srcB.getAbsolutePath)
+          .select(col("doc_id"),
+            graft.expr.MinHashSignature.minhashSignature(col("text"),
+              Dedup.MinhashK).as("sig"))
+          .select(col("doc_id"), col("sig"),
+            explode(array(Dedup.bandStructs: _*)).as("bb"))
+          .select(col("bb"), col("doc_id").as("b_id"),
+            col("sig").as("sig_b"))
+        val cross = snapBands.join(newBands, Seq("bb"))
+          .select(least(col("a_id"), col("b_id")).as("a"),
+            greatest(col("a_id"), col("b_id")).as("b"),
+            Dedup.estJaccardCol(col("sig_a"), col("sig_b"))
+              .as("est_jaccard"))
+        s.read.parquet(s"$base/outA")
+          .unionByName(s.read.parquet(s"$base/outB"))
+          .unionByName(cross)
+          .write.mode("overwrite").parquet(s"$base/combined")
+        base
+      })
+  }
+
+  /** st31 — the epoch RE-SHARD handoff st30's scaladoc promises: the
+    * continuous dedup index does not age by watermark, it ages by
+    * retiring a stream epoch — snapshot its state out as a stored
+    * signature table, start the next epoch's stream with fresh state,
+    * and cover the seam with one batch join of snapshot × new corpus.
+    * Executed for real here: epochs 0-3 stream to a checkpoint, the
+    * RocksDB "docs" ListState is exported THROUGH SPARK'S STATE DATA
+    * SOURCE (format "statestore") and decoded with the same
+    * [[graft.streaming.EventStreams.SigEntryCodec]] the processor
+    * writes with, epochs 4-6 stream against a fresh checkpoint, and
+    * the combined pair set (in-shard A ∪ in-shard B ∪ cross-shard
+    * batch join) is pinned EQUAL to the uninterrupted st30 run —
+    * st31_handoff_inv ★ also asserts the cross-shard join actually
+    * contributed pairs neither stream saw (the planted 3↔4 / 6↔0
+    * epoch pairs), so the pin is not vacuous. Signature values are
+    * engine-specific → rows-only. */
+  def lshEpochHandoff(s: SparkSession, dir: String): DataFrame = {
+    val base = buildLshHandoff(s, dir)
+    s.read.parquet(s"$base/combined")
+      .filter(col("est_jaccard") >= 0.5)
+      .dropDuplicates("a", "b")
+      .select(col("a"), col("b"), col("est_jaccard"))
+      .orderBy("a", "b")
+  }
+
+  /** st31's oracle companion: handoff set == uninterrupted-stream
+    * set, the cross-shard join contributed (≥1 pair no single shard
+    * saw), and the exported snapshot is a real artifact (every
+    * retiring-shard doc present exactly once). */
+  def lshHandoffInv(s: SparkSession, dir: String): DataFrame = {
+    val base = buildLshHandoff(s, dir)
+    val handed = lshEpochHandoff(s, dir)
+    val uninterrupted = lshDedupStreamed(s, dir)
+    val cols = Seq("a", "b", "est_jaccard")
+    val union = handed.join(uninterrupted, cols, "full_outer")
+      .agg(count(lit(1)).as("n_union"))
+    val both = handed.join(uninterrupted, cols)
+      .agg(count(lit(1)).as("n_both"))
+    val inShard = s.read.parquet(s"$base/outA")
+      .unionByName(s.read.parquet(s"$base/outB"))
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("a"), col("b")).distinct()
+    val crossOnly = handed.join(inShard, Seq("a", "b"), "left_anti")
+      .agg(count(lit(1)).as("n_cross"))
+    val snap = s.read.parquet(s"$base/snapshot")
+      .agg(count(lit(1)).as("n_snap"),
+        count_distinct(col("doc_id")).as("n_snap_ids"))
+    union.crossJoin(both).crossJoin(crossOnly).crossJoin(snap)
+      .select((col("n_union") === col("n_both")).as("parity_ok"),
+        (col("n_cross") > 0).as("cross_used"),
+        (col("n_snap") > 0 && col("n_snap") === col("n_snap_ids"))
+          .as("snapshot_ok"))
+  }
+
+  val lshHandoffInvSql: String =
+    "SELECT TRUE AS parity_ok, TRUE AS cross_used, TRUE AS snapshot_ok"
 
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
@@ -1395,5 +1570,7 @@ $counts
       ("st29_enrich_streamed", enrichStreamed _, Some(enrichSegmentsSql)),
       ("st30_lsh_dedup_streamed", lshDedupStreamed _, None),
       ("st30_lsh_inv", lshStreamInv _, Some(lshStreamInvSql)),
+      ("st31_epoch_handoff", lshEpochHandoff _, None),
+      ("st31_handoff_inv", lshHandoffInv _, Some(lshHandoffInvSql)),
     )
 }

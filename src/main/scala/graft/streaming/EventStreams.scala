@@ -868,11 +868,18 @@ object EventStreams {
     * entry — the [[graft.expr.GkSketch]] `GkStateCodec` discipline
     * applied to the LSH dedup state: a version-checked header followed
     * by flat longs, written through `Encoders.BINARY`. The state store
-    * IS the continuous dedup index at 100 TB/day, so its bytes are the
-    * product: this layout is 13 + 8k bytes per entry (269 for k=32)
-    * versus the several-fold overhead AND JVM-format coupling of
-    * `Encoders.javaSerialization` (a Spark/Scala upgrade invalidates
-    * Java-serialized checkpoints; this layout survives any JVM).
+    * IS the continuous dedup index at 100 TB/day, so its encoding is
+    * the product. Three wins over the `Encoders.javaSerialization`
+    * tuple layout this state shipped with in round 11, in honest
+    * order: (1) FORMAT STABILITY — Java serialization couples
+    * checkpoint bytes to the JVM/Scala serialVersionUID lattice, so a
+    * runtime upgrade can invalidate the whole index, while this
+    * layout survives any JVM; (2) per-value CPU — one ByteBuffer pass
+    * instead of an ObjectOutputStream allocating and emitting class
+    * descriptors per stored element; (3) bytes — 13 + 8k per entry
+    * (269 at k=32) vs 283 for the java-serialized long[32] alone
+    * before the tuple's extra row field (~10-15% measured, pinned in
+    * Round12Spec — a modest win; stability is the reason to switch).
     * A version mismatch rejects LOUDLY — the state-schema-evolution
     * contract; there is deliberately no silent migration path. */
   private[graft] object SigEntryCodec {
@@ -931,12 +938,13 @@ object EventStreams {
 
     // value codec: packed binary via [[SigEntryCodec]] (version-checked
     // header + flat longs) under Encoders.BINARY — stable bytes across
-    // JVM/Scala/Spark upgrades, ~3-5x smaller than the Java
-    // serialization this state shipped with in round 11 (a checkpoint
-    // written by that codec is structurally incompatible and is
-    // rejected by the state schema check on restart — pinned in
-    // Round12Spec; corpus state migrates by re-sharding epochs, the
-    // handoff st31 demonstrates, never by silent in-place decode)
+    // JVM/Scala/Spark upgrades, cheaper per value, ~10-15% smaller
+    // than the Java-serialization tuple this state shipped with in
+    // round 11 (a checkpoint written by that codec is structurally
+    // incompatible and is rejected by the state schema check on
+    // restart — pinned in Round12Spec; corpus state migrates by
+    // re-sharding epochs, the handoff st31 demonstrates, never by
+    // silent in-place decode)
     override def init(outputMode: OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
       docs = getHandle.getListState[Array[Byte]]("docs",

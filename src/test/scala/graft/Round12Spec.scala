@@ -27,6 +27,24 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("SigEntryCodec: measured byte delta vs the round-11 Java " +
+    "serialization — packed beats the serialized array alone, and " +
+    "the documented 269-vs-283 numbers are live") {
+    val sig = Array.tabulate(32)(i => i * 0x9e3779b97f4a7c15L)
+    val packed = EventStreams.SigEntryCodec.encode(42L, sig).length
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(sig)
+    oos.flush()
+    // the r11 tuple layout java-serialized ONLY the array; its Long
+    // half rode as a separate row field — so this is the java side's
+    // floor, before tuple framing
+    val javaSer = bos.size()
+    assert(packed == 269, s"packed entry is $packed bytes")
+    assert(javaSer == 283, s"java-serialized long[32] is $javaSer bytes")
+    assert(packed < javaSer)
+  }
+
   test("SigEntryCodec: wrong version and truncated entries reject " +
     "loudly — no silent state migration") {
     val good = EventStreams.SigEntryCodec.encode(7L, Array(1L, 2L, 3L))
@@ -158,6 +176,33 @@ class Round12Spec extends SparkSpec {
     assert(row.getAs[Boolean]("parity_ok"))
     assert(row.getAs[Boolean]("no_dup"))
     assert(row.getAs[Boolean]("k_bounded"))
+  }
+
+  // ----------------------------------------- st31 epoch handoff
+  test("st31: snapshot + fresh-state restart + batch seam join " +
+    "reproduces the uninterrupted stream's pair set, with real " +
+    "cross-shard contribution") {
+    val row = queries.Streaming.lshHandoffInv(spark, sfDir)
+      .collect().head
+    assert(row.getAs[Boolean]("parity_ok"),
+      "handoff pair set diverged from the uninterrupted run")
+    assert(row.getAs[Boolean]("cross_used"),
+      "no pair crossed the shard seam — the pin would be vacuous")
+    assert(row.getAs[Boolean]("snapshot_ok"))
+    // the planted epoch-crossing pairs (id, id+1e6) with id%7 == 3 or
+    // 6 can ONLY be seen by the handoff join — check one explicitly
+    val base = queries.Streaming.buildLshHandoff(spark, sfDir)
+    val handed = queries.Streaming.lshEpochHandoff(spark, sfDir)
+    val seamPairs = handed
+      .filter(col("b") - col("a") === 1000000L &&
+        pmod(col("a"), lit(7)).isin(3, 6))
+    assert(seamPairs.count() > 0,
+      "expected at least one planted pair spanning the 3|4 or 6|0 seam")
+    // and the snapshot holds exactly the retiring shard's docs
+    val snapIds = spark.read.parquet(s"$base/snapshot")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(snapIds.forall(id => id % 7 < 4),
+      "snapshot leaked a new-shard doc id")
   }
 
   // ---------------- legacy-checkpoint restart rejection (the
