@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo,
   Literal}
-import graft.expr.{CosineSimilarity, DeflateLength, GkCount, GkEstimate,
+import graft.expr.{CosineSimilarity, DeflateLength, GkCount, GkEstimate, GkRank,
   GkMergeAgg, GkSketchAgg, HyperplaneBuckets, IntDotProduct, KmvSketchAgg,
   MinHashSignature, MisraGriesTopK, NgramHashes, SimHash64, TopKPairs}
 
@@ -34,6 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.gkMergeFn)
     ext.injectFunction(GraftExtensions.gkEstimateFn)
     ext.injectFunction(GraftExtensions.gkCountFn)
+    ext.injectFunction(GraftExtensions.gkRankFn)
   }
 }
 
@@ -221,6 +222,15 @@ object GraftExtensions {
     GkCount(exprs.head)
   }
 
+  private def buildGkRank(exprs: Seq[Expression]): Expression = {
+    require(exprs.size == 2,
+      s"gk_rank takes (state, value), got ${exprs.size}")
+    // accept any numeric value like gk_estimate does with q
+    GkRank(exprs(0),
+      org.apache.spark.sql.catalyst.expressions.Cast(exprs(1),
+        org.apache.spark.sql.types.DoubleType))
+  }
+
   private[graft] val gkSketchFn = (
     FunctionIdentifier("gk_sketch"),
     new ExpressionInfo(classOf[GkSketchAgg].getName, "gk_sketch"),
@@ -240,6 +250,11 @@ object GraftExtensions {
     FunctionIdentifier("gk_count"),
     new ExpressionInfo(classOf[GkCount].getName, "gk_count"),
     (exprs: Seq[Expression]) => buildGkCount(exprs))
+
+  private[graft] val gkRankFn = (
+    FunctionIdentifier("gk_rank"),
+    new ExpressionInfo(classOf[GkRank].getName, "gk_rank"),
+    (exprs: Seq[Expression]) => buildGkRank(exprs))
 
   /** Register the engine's SQL functions on an existing session. */
   def register(spark: SparkSession): Unit = {
@@ -271,5 +286,7 @@ object GraftExtensions {
       "gk_estimate", buildGkEstimate, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "gk_count", buildGkCount, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "gk_rank", buildGkRank, "scala_udf")
   }
 }

@@ -236,6 +236,59 @@ case class GkEstimate(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `gk_rank(state, v)` — the CDF readout from a stored GK state: the
+  * estimated RANK of value `v` (≈ #input values ≤ v), the inverse of
+  * [[GkEstimate]]'s quantile query and the readout a cost-based
+  * optimizer needs for range-predicate SELECTIVITY (est rows in
+  * (lo, hi] = gk_rank(hi) − gk_rank(lo), error ≤ 2ε·n by the GK
+  * invariant). Standard GK rank query: for v bracketed by samples i
+  * and i+1, the true rank lies in [rmin_i, rmax_{i+1} − 1] where
+  * rmin_i = Σ_{j≤i} g_j and rmax_{i+1} = rmin_{i+1} + Δ_{i+1}; the
+  * estimate is the midpoint. CodegenFallback like the other GK
+  * readouts: runs on #predicates rows, never the corpus. */
+case class GkRank(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, DoubleType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary gk state, double value), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "gk_rank"
+
+  override protected def nullSafeEval(state: Any, v: Any): Any = {
+    val qs = GkStateCodec.deserialize(state.asInstanceOf[Array[Byte]])
+    val x = v.asInstanceOf[Double]
+    val s = qs.sampled
+    if (qs.count == 0 || s.isEmpty) 0.0
+    else if (x < s.head.value) 0.0
+    else if (x >= s.last.value) qs.count.toDouble
+    else {
+      // walk to the last sample ≤ x, tracking rmin = Σ g_j
+      var cum = 0L
+      var i = 0
+      var rmin = 0L
+      while (i < s.length && s(i).value <= x) {
+        cum += s(i).g
+        rmin = cum
+        i += 1
+      }
+      // i is now the first sample > x (exists: x < last value)
+      val rmaxNext = cum + s(i).g + s(i).delta
+      (rmin + rmaxNext - 1) / 2.0
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GkRank =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `gk_count(state)` — the input count a stored GK state summarizes
   * (the n that sizes its rank band). */
 case class GkCount(child: Expression)
@@ -282,4 +335,10 @@ object GkSketchAgg {
   /** Summarized-input count of a stored state (scalar). */
   def gkCount(state: Column): Column =
     ColumnBridge.column(GkCount(ColumnBridge.expression(state)))
+
+  /** Estimated rank of a value in a stored state (scalar; the CDF /
+    * selectivity readout). `v` may vary per row. */
+  def gkRank(state: Column, v: Column): Column =
+    ColumnBridge.column(GkRank(ColumnBridge.expression(state),
+      ColumnBridge.expression(v)))
 }

@@ -338,10 +338,7 @@ object Similarity {
   private[graft] def serveIvf(s: SparkSession, root: String,
       dir: String): DataFrame = {
     import s.implicits._
-    val cents = s.read
-      .parquet(new java.io.File(root, "centroids").getAbsolutePath)
-      .orderBy("cid").collect()
-      .map(r => r.getSeq[Float](1).toArray)
+    val cents = readCentroids(s, root)
     // serve-side request set: bounded (one row per query vector) —
     // the driver is where serve requests originate in a vector store
     val queries = Relational.table(s, dir, "embeddings")
@@ -415,6 +412,22 @@ object Similarity {
       .parquet(new java.io.File(root, "postings").getAbsolutePath)
   }
 
+  /** The stored k-row centroid table of an index root. */
+  private[graft] def readCentroids(s: SparkSession, root: String)
+      : Array[Array[Float]] =
+    s.read.parquet(new java.io.File(root, "centroids").getAbsolutePath)
+      .orderBy("cid").collect()
+      .map(_.getSeq[Float](1).toArray)
+
+  /** Build an index root training centroids on the given corpus
+    * (the s24 build, parameterized by corpus — st32's base build). */
+  private[graft] def writeIvfIndexTrained(s: SparkSession,
+      emb: DataFrame, root: java.io.File): Array[Array[Float]] = {
+    val cents = ivfCentroids(emb, IvfK, IvfIters, seed = 9000)
+    writeIvfIndex(s, emb, cents, root)
+    cents
+  }
+
   /** s25's mechanism — UPSERT a vector batch into a stored IVF index
     * WITHOUT rebuilding it: assign the batch against the STORED
     * centroids (k-row read, one broadcast pass over the batch), then
@@ -436,10 +449,7 @@ object Similarity {
     * is exactly what s25_ann_upsert_inv pins. */
   private[graft] def upsertIvfIndex(s: SparkSession, root: String,
       batch: DataFrame): Unit = {
-    val cents = s.read
-      .parquet(new java.io.File(root, "centroids").getAbsolutePath)
-      .orderBy("cid").collect()
-      .map(_.getSeq[Float](1).toArray)
+    val cents = readCentroids(s, root)
     val postingsPath = new java.io.File(root, "postings").getAbsolutePath
     val assigned = assignToLists(batch, cents)
     // bounded by k: the distinct partition ids the batch lands in

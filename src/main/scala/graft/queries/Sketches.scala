@@ -958,6 +958,107 @@ object Sketches {
       FROM n)
     ORDER BY pair"""
 
+  // -------- sk09 selectivity estimation from stored GK state (CBO)
+  private val SelAccuracy = 1000
+  /** (table, column, (lo, hi] ranges) audited by sk09 — also drives
+    * the generated oracle SQL so both sides stay in sync. */
+  private val SelSpecs: Seq[(String, String, Seq[(Double, Double)])] =
+    Seq(
+      ("orders", "o_totalprice",
+        Seq((0.0, 50000.0), (50000.0, 150000.0), (150000.0, 600000.0))),
+      ("lineitem", "l_extendedprice",
+        Seq((0.0, 20000.0), (20000.0, 50000.0), (50000.0, 100000.0))))
+
+  /** sk09 — range-predicate SELECTIVITY from stored statistics: the
+    * third leg of the CBO stool after join cardinality (sk05) and
+    * join strategy (sk07/sk08). The ANALYZE pass stores ONE GK
+    * quantile state (the sk04 artifact — a mergeable equi-depth
+    * histogram in ~KBs) per audited column; the estimator answers
+    * `count(lo < x ≤ hi)` for every predicate as
+    * `gk_rank(state, hi) − gk_rank(state, lo)` — the new native
+    * [[graft.expr.GkRank]] CDF readout, #predicates rows of work,
+    * ZERO data access. Exact counts ride along for the audit, each
+    * table's predicates folded into ONE conditional-aggregation scan.
+    * The band flag pins the GK rank invariant: each rank estimate is
+    * within ~2ε·n of truth post-merge, so the difference sits within
+    * 4ε·n (+1 discreteness slack).
+    *
+    * 100 TB shape: this is how a catalog answers "how many rows
+    * survive `price BETWEEN a AND b`" without touching the fact
+    * table — the histogram is built in the same single ANALYZE pass
+    * that collects counts (sk07) and NDV sketches (sk08), stored in
+    * KBs, and every optimizer costing question is a readout. Estimates
+    * are merge-tree-dependent (the sk03 caveat) → rows-only;
+    * [[selectivityInv]] ★ has DuckDB recompute n + exact counts and
+    * assert the band flags. */
+  def selectivityEstimation(s: SparkSession, dir: String): DataFrame = {
+    import graft.expr.GkSketchAgg._
+    import s.implicits._
+    val statsPath = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_sk09_${s.sparkContext.applicationId}").getAbsolutePath
+    // ANALYZE: one scan per table → (n, histogram state), persisted
+    SelSpecs.map { case (t, c, _) =>
+        Relational.table(s, dir, t)
+          .agg(count(lit(1)).as("n"),
+            gkSketch(col(c).cast("double"), SelAccuracy).as("state"))
+          .select(lit(t).as("tbl"), col("n"), col("state"))
+      }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(statsPath)
+    val stored = s.read.parquet(statsPath).collect()
+      .map(r => r.getString(0) -> (r.getLong(1),
+        r.getAs[Array[Byte]](2))).toMap
+    // estimation: pure readout over the #predicates-row frame
+    val predRows = SelSpecs.flatMap { case (t, _, preds) =>
+      val (n, state) = stored(t)
+      preds.map { case (lo, hi) => (t, lo, hi, n, state) }
+    }.toDF("tbl", "lo", "hi", "n", "state")
+    val est = predRows.select(col("tbl"), col("lo"), col("hi"), col("n"),
+      (gkRank(col("state"), col("hi")) -
+        gkRank(col("state"), col("lo"))).as("est_rows"))
+    // audit truth: each table's predicates in ONE conditional-agg scan
+    val exact = SelSpecs.map { case (t, c, preds) =>
+        val x = col(c).cast("double")
+        val counts = preds.zipWithIndex.map { case ((lo, hi), i) =>
+          sum(when(x > lo && x <= hi, 1L).otherwise(0L)).as(s"x$i") }
+        val entries = preds.zipWithIndex.map { case ((lo, hi), i) =>
+          struct(lit(lo).as("lo"), lit(hi).as("hi"),
+            col(s"x$i").as("exact_rows")) }
+        Relational.table(s, dir, t).agg(counts.head, counts.tail: _*)
+          .select(lit(t).as("tbl"), explode(array(entries: _*)).as("e"))
+          .select(col("tbl"), col("e.lo").as("lo"), col("e.hi").as("hi"),
+            col("e.exact_rows").as("exact_rows"))
+      }.reduce(_ unionAll _)
+    est.join(exact, Seq("tbl", "lo", "hi"))
+      .select(col("tbl"), col("lo"), col("hi"), col("n"),
+        col("exact_rows"), col("est_rows"),
+        (abs(col("est_rows") - col("exact_rows")) <=
+          lit(4.0) * col("n") / SelAccuracy + 1.0).as("ok"))
+      .orderBy("tbl", "lo")
+  }
+
+  /** Deterministic projection of sk09 (drops the merge-tree-dependent
+    * estimate; DuckDB recomputes n + exact counts, TRUE band flags
+    * make an out-of-band estimator hash-fail). */
+  def selectivityInv(s: SparkSession, dir: String): DataFrame =
+    selectivityEstimation(s, dir)
+      .select(col("tbl"), col("lo"), col("hi"), col("n"),
+        col("exact_rows"), col("ok"))
+
+  val selectivityInvSql: String = {
+    val rows = SelSpecs.flatMap { case (t, c, preds) =>
+      preds.map { case (lo, hi) =>
+        s"""SELECT '$t' AS tbl, $lo AS lo, $hi AS hi,
+          (SELECT count(*) FROM $t) AS n,
+          (SELECT count(*) FROM $t
+            WHERE CAST($c AS DOUBLE) > $lo
+              AND CAST($c AS DOUBLE) <= $hi) AS exact_rows,
+          TRUE AS ok"""
+      }
+    }
+    rows.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+      "\n) ORDER BY tbl, lo")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("t12_heavy_hitters", heavyHitters _, None),
@@ -978,5 +1079,8 @@ object Sketches {
       ("sk07_cbo_strategy", cboStrategy _, Some(cboStrategySql)),
       ("sk08_cbo_sketch", cboSketchStrategy _, None),
       ("sk08_cbo_sketch_inv", cboSketchStrategyInv _,
-        Some(cboSketchStrategyInvSql)))
+        Some(cboSketchStrategyInvSql)),
+      ("sk09_selectivity", selectivityEstimation _, None),
+      ("sk09_selectivity_inv", selectivityInv _,
+        Some(selectivityInvSql)))
 }

@@ -1524,6 +1524,136 @@ $counts
   val lshHandoffInvSql: String =
     "SELECT TRUE AS parity_ok, TRUE AS cross_used, TRUE AS snapshot_ok"
 
+  // ------- st32 streamed vector ingest into the stored IVF index
+  private val ivfIngestCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), String]()
+
+  /** Builds the st32 index once per (application, sf dir): base index
+    * from 1/5 of the corpus, then the remaining vectors STREAMED in
+    * as 4 checkpointed micro-batches, each upserted through the s25
+    * machinery inside `foreachBatch`. Returns the index root. */
+  private[graft] def buildIngestedIvfIndex(s: SparkSession, dir: String)
+      : String = {
+    ivfIngestCache.entrySet().removeIf(e =>
+      e.getKey._1 != s.sparkContext.applicationId ||
+        !new java.io.File(e.getValue).isDirectory)
+    ivfIngestCache.computeIfAbsent(
+      (s.sparkContext.applicationId, dir), _ => {
+        val baseDir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_st32_${s.sparkContext.applicationId}")
+        if (baseDir.exists())
+          org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
+        val root = new java.io.File(baseDir, "index")
+        val emb = Relational.table(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        // the index exists BEFORE the stream: centroids train on the
+        // initial corpus slice (the s25 contract — centroids are
+        // immutable under ingest; retraining is a rebuild)
+        Similarity.writeIvfIndexTrained(s,
+          emb.filter(pmod(col("vec_id"), lit(5)) === 0), root)
+        // stage the remaining vectors as 4 arrival epochs (the
+        // lshDocSrc staging discipline: one parquet file per slice)
+        val src = new java.io.File(baseDir, "src"); src.mkdirs()
+        (1 until 5).foreach { i =>
+          val stage = new java.io.File(baseDir, s"stage_$i")
+          emb.filter(pmod(col("vec_id"), lit(5)) === i)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(stage.getAbsolutePath)
+          val part = stage.listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(src, f"epoch-$i%03d.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          dst.setLastModified(1700000000000L + i * 60000L)
+          org.apache.commons.io.FileUtils.deleteDirectory(stage)
+        }
+        val embSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("embedding",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType))))
+        val doBatch: (org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], Long) => Unit =
+          (batch, _) => Similarity.upsertIvfIndex(
+            batch.sparkSession, root.getAbsolutePath,
+            batch.select(col("vec_id"), col("embedding")))
+        val q = s.readStream.schema(embSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(src.getAbsolutePath)
+          .writeStream
+          .foreachBatch(doBatch)
+          .option("checkpointLocation", s"$baseDir/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        root.getAbsolutePath
+      })
+  }
+
+  /** st32 — CONTINUOUS vector ingest: the s25 upsert path run as the
+    * sink of a checkpointed stream, the way a vector database's
+    * write path actually operates — an index built once on the
+    * initial corpus, then every arriving micro-batch assigned against
+    * the STORED (immutable) centroids and folded into only its
+    * affected posting lists via dynamic partition overwrite, inside
+    * `foreachBatch`. Replay safety comes from upsert idempotency
+    * (re-upserting a batch anti-joins its own ids out first —
+    * Round12Spec pins it), the same discipline as st17's foreachBatch
+    * upsert sink. After the 4-batch replay, serving the ingested
+    * index is pinned IDENTICAL to a one-shot build over the full
+    * corpus with the same centroid set (st32_ann_ingest_inv ★), and
+    * every query's k bound and the no-duplicate contract hold.
+    * Engine-specific ordering internals → rows-only.
+    *
+    * 100 TB shape: ingest cost per batch ∝ |batch| + affected lists;
+    * the corpus is never rescanned; the serve path stays the s24
+    * statically-pruned scan throughout — index availability is
+    * continuous, not rebuild-gated. */
+  def annIngestStreamed(s: SparkSession, dir: String): DataFrame =
+    Similarity.serveIvf(s, buildIngestedIvfIndex(s, dir), dir)
+
+  /** st32's oracle companion — the s25 inv contract carried to the
+    * streamed ingest: serve parity with a same-centroid one-shot
+    * build, no duplicate ids, k bound. */
+  def annIngestInv(s: SparkSession, dir: String): DataFrame = {
+    val root = buildIngestedIvfIndex(s, dir)
+    val emb = Relational.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // one-shot reference with the SAME stored centroids
+    val fullRoot = new java.io.File(
+      new java.io.File(root).getParentFile, "index_oneshot")
+    if (!fullRoot.isDirectory)
+      Similarity.writeIvfIndex(s, emb,
+        Similarity.readCentroids(s, root), fullRoot)
+    val ingested = annIngestStreamed(s, dir)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    val oneshot = Similarity.serveIvf(s, fullRoot.getAbsolutePath, dir)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    val union = ingested.join(oneshot,
+        Seq("query_id", "neighbor_id", "rank"), "full_outer")
+      .agg(count(lit(1)).as("n_union"))
+    val both = ingested.join(oneshot,
+        Seq("query_id", "neighbor_id", "rank"))
+      .agg(count(lit(1)).as("n_both"))
+    val postings = s.read
+      .parquet(new java.io.File(root, "postings").getAbsolutePath)
+    val dupes = postings.groupBy("vec_id").agg(count(lit(1)).as("c"))
+      .agg(sum((col("c") > 1).cast("long")).as("n_dup"),
+        count(lit(1)).as("n_ids"))
+    val corpus = emb.agg(count(lit(1)).as("n_corpus"))
+    val overK = ingested.groupBy("query_id").agg(count(lit(1)).as("k"))
+      .agg(sum((col("k") > 5).cast("long")).as("n_over"))
+    union.crossJoin(both).crossJoin(dupes).crossJoin(corpus)
+      .crossJoin(overK)
+      .select((col("n_union") === col("n_both")).as("parity_ok"),
+        (col("n_dup") === 0 && col("n_ids") === col("n_corpus"))
+          .as("no_dup"),
+        (col("n_over") === 0).as("k_bounded"))
+  }
+
+  val annIngestInvSql: String =
+    "SELECT TRUE AS parity_ok, TRUE AS no_dup, TRUE AS k_bounded"
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("st01_tumbling_window", tumblingWindow _, Some(tumblingWindowSql)),
@@ -1572,5 +1702,7 @@ $counts
       ("st30_lsh_inv", lshStreamInv _, Some(lshStreamInvSql)),
       ("st31_epoch_handoff", lshEpochHandoff _, None),
       ("st31_handoff_inv", lshHandoffInv _, Some(lshHandoffInvSql)),
+      ("st32_ann_ingest_streamed", annIngestStreamed _, None),
+      ("st32_ann_ingest_inv", annIngestInv _, Some(annIngestInvSql)),
     )
 }

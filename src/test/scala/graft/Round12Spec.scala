@@ -126,6 +126,57 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  // ----------------------------------------- gk_rank / sk09 pins
+  test("gk_rank: CDF readout on a known uniform distribution — " +
+    "band, boundaries, monotonicity, SQL surface") {
+    import graft.expr.GkSketchAgg._
+    val df = spark.range(10000)
+      .select(col("id").cast("double").as("x"))
+    val stateRow = df.agg(gkSketch(col("x"), 1000).as("st"))
+    stateRow.createOrReplaceTempView("gk_rank_probe")
+    def rank(v: Double): Double =
+      stateRow.select(gkRank(col("st"), lit(v))).collect().head.getDouble(0)
+    // exact boundaries
+    assert(rank(-1.0) == 0.0)
+    assert(rank(10000.0) == 10000.0)
+    assert(rank(99999.0) == 10000.0)
+    // interior: true rank of v is v+1 values ≤ v; band = 2εn = 20
+    Seq(100.0, 2500.0, 5000.0, 9000.0).foreach { v =>
+      assert(math.abs(rank(v) - (v + 1)) <= 20.0,
+        s"rank($v) = ${rank(v)}")
+    }
+    // monotone
+    val rs = (0 to 100).map(i => rank(i * 100.0))
+    assert(rs.zip(rs.tail).forall { case (a, b) => a <= b })
+    // SQL registration (the test session has no extensions conf —
+    // use the explicit register() surface, same as KmvSketchSpec)
+    graft.GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT gk_rank(st, 5000.0) FROM gk_rank_probe")
+      .collect().head.getDouble(0)
+    assert(viaSql == rank(5000.0))
+  }
+
+  test("sk09 on gate data: every selectivity estimate within the " +
+    "4-epsilon band, exact counts sane") {
+    val rows = queries.Sketches.selectivityEstimation(spark, sfDir)
+      .collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("ok"), r.toString)
+      assert(r.getAs[Long]("exact_rows") >= 0)
+    }
+    // the three orders ranges partition (0, 600000] — their exact
+    // counts must sum to the rows with 0 < price ≤ 600000 (all, for
+    // TPC-H totalprice)
+    val ordersSum = rows.filter(_.getAs[String]("tbl") == "orders")
+      .map(_.getAs[Long]("exact_rows")).sum
+    val n = rows.find(_.getAs[String]("tbl") == "orders").get
+      .getAs[Long]("n")
+    assert(ordersSum == n,
+      s"orders ranges should partition the domain: $ordersSum != $n")
+  }
+
   // ----------------------------------------- s25 upsert mechanics
   test("s25 upsert: only affected posting lists are rewritten (file " +
     "level), replaced vec_ids carry the new payload exactly once") {
@@ -172,6 +223,48 @@ class Round12Spec extends SparkSpec {
   test("s25 on gate data: upserted-index serve == full-rebuild serve, " +
     "no duplicates, k bounded") {
     val row = queries.Similarity.annUpsertIvfInv(spark, sfDir)
+      .collect().head
+    assert(row.getAs[Boolean]("parity_ok"))
+    assert(row.getAs[Boolean]("no_dup"))
+    assert(row.getAs[Boolean]("k_bounded"))
+  }
+
+  // ----------------------------------------- st32 streamed ingest
+  test("upsertIvfIndex is replay-idempotent: re-upserting the same " +
+    "batch leaves the postings row set unchanged") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_r12_replay").toFile
+    try {
+      val cents = Array(Array(1f, 0f), Array(0f, 1f))
+      val base = Seq((1L, Seq(1f, 0.01f)), (2L, Seq(0.01f, 1f)))
+        .toDF("vec_id", "embedding")
+      queries.Similarity.writeIvfIndex(spark, base, cents, root)
+      val batch = Seq((3L, Seq(0.02f, 1f)), (2L, Seq(0.03f, 1f)))
+        .toDF("vec_id", "embedding")
+      val postingsDir = new java.io.File(root, "postings")
+      def rowSet(): Set[(Long, Seq[Float], Int)] =
+        spark.read.parquet(postingsDir.getAbsolutePath).collect()
+          .map(r => (r.getLong(r.fieldIndex("vec_id")),
+            r.getSeq[Float](r.fieldIndex("embedding")),
+            r.getInt(r.fieldIndex("cid")))).toSet
+      queries.Similarity.upsertIvfIndex(spark, root.getAbsolutePath,
+        batch)
+      val after1 = rowSet()
+      // a foreachBatch replay re-delivers the SAME batch
+      queries.Similarity.upsertIvfIndex(spark, root.getAbsolutePath,
+        batch)
+      assert(rowSet() == after1,
+        "replayed upsert must be a no-op on the row set")
+      assert(after1.map(_._1) == Set(1L, 2L, 3L))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(root)
+    }
+  }
+
+  test("st32 on gate data: streamed 4-batch ingest serves identically " +
+    "to a one-shot same-centroid build") {
+    val row = queries.Streaming.annIngestInv(spark, sfDir)
       .collect().head
     assert(row.getAs[Boolean]("parity_ok"))
     assert(row.getAs[Boolean]("no_dup"))
