@@ -171,6 +171,7 @@ object Bench {
       // round-12 flagships
       "sk08_cbo_sketch", "s25_ann_upsert", "st31_epoch_handoff",
       "sk09_selectivity", "st32_ann_ingest_streamed",
+      "t41_lm_perplexity",
       "s01_ann_brute_force", "s02_ann_lsh_bucketed",
       "s04_ann_ivf", "s06_embedding_clusters", "t11_tfidf",
       "t14_quality_gate",

@@ -2138,6 +2138,8 @@ object TextAnalysis {
       ("t39_zipf_audit", zipfAudit _, Some(zipfAuditSql)),
       ("t40_compression_quality", compressionQuality _, None),
       ("t40_compression_inv", compressionInv _, Some(compressionInvSql)),
+      ("t41_lm_perplexity", lmPerplexity _, None),
+      ("t41_lm_inv", lmPerplexityInv _, Some(lmPerplexityInvSql)),
     )
 
   // --------------------------------------------- tokenizer fertility
@@ -2533,4 +2535,97 @@ object TextAnalysis {
     SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS no_expansion,
       TRUE AS ratio_positive, TRUE AS repeat_separates
     FROM documents"""
+
+  // ------------------- t41 n-gram LM perplexity (CCNet-style filter)
+  /** t41 — LANGUAGE-MODEL PERPLEXITY quality scoring, the CCNet/
+    * Gopher filter the quality family (t14 heuristics, t40
+    * compression ratio) was still missing: train a Laplace-smoothed
+    * bigram LM on the corpus, STORE it as an artifact, and score
+    * every document's cross-entropy under the STORED model —
+    * H(doc) = −(1/m)·Σ log2 P(w2|w1) over its m bigrams, with
+    * P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V).
+    *
+    * The ANALYZE/score split is executed for real (the sk04/sk05
+    * catalog discipline): the train pass is ONE scan — explode doc
+    * bigrams, two partial-agg'd counts (bigram + unigram tables,
+    * vocabulary-bounded by Heaps' law, NOT corpus-bounded) — and the
+    * tables are persisted to parquet; the score pass re-derives doc
+    * bigrams in-plan and joins the STORED model back (broadcast at
+    * gate scale; at 100 TB the LM is trained on a sample and pruned
+    * to the top-k bigrams, and the join stays broadcast because the
+    * MODEL is vocabulary-sized — this is why perplexity filtering is
+    * scan-speed in production pipelines). Emitted per language: doc
+    * and bigram totals (exact integers) and the entropy profile.
+    * log2 arithmetic is library-specific → rows-only;
+    * [[lmPerplexityInv]] ★ is the oracle companion. */
+  def lmPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+    val bigrams = docs.select(col("doc_id"), col("lang"),
+      explode(transform(sequence(lit(1), size(col("w")) - 1),
+        i => struct(element_at(col("w"), i).as("w1"),
+          element_at(col("w"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("lang"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // ANALYZE: train + persist the model (one scan, two partial aggs)
+    val lmPath = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_t41_${s.sparkContext.applicationId}").getAbsolutePath
+    bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .write.mode("overwrite").parquet(s"$lmPath/bigrams")
+    bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+      .write.mode("overwrite").parquet(s"$lmPath/unigrams")
+    val vocab = Relational.table(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .agg(count_distinct(col("word"))).collect()(0).getLong(0)
+    // score from the STORED model only
+    val lmB = s.read.parquet(s"$lmPath/bigrams")
+    val lmU = s.read.parquet(s"$lmPath/unigrams")
+    val scored = bigrams
+      .join(broadcast(lmB), Seq("w1", "w2"))
+      .join(broadcast(lmU), Seq("w1"))
+      .select(col("doc_id"), col("lang"),
+        (-log2((col("c12") + 1.0) / (col("c1") + lit(vocab.toDouble))))
+          .as("bits"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("m"), avg(col("bits")).as("h"))
+    scored.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("m")).as("n_bigrams"),
+        avg(col("h")).as("mean_h_bits"), max(col("h")).as("max_h_bits"))
+      .select(col("lang"), col("n_docs"), col("n_bigrams"),
+        lit(vocab).as("vocab"), col("mean_h_bits"), col("max_h_bits"))
+      .orderBy("lang")
+  }
+
+  /** t41's oracle companion: the exact integer frame of the LM —
+    * docs with ≥2 words, total bigrams (= spaces, single-space
+    * corpus), global vocabulary — plus the smoothing bound
+    * 0 < H ≤ log2(N + V) (P(w2|w1) ≥ 1/(c(w1)+V) ≥ 1/(N+V)), which a
+    * truncated count table, a broken join, or a sign slip all
+    * violate. */
+  def lmPerplexityInv(s: SparkSession, dir: String): DataFrame = {
+    val prof = lmPerplexity(s, dir)
+    val totals = prof.agg(sum(col("n_bigrams")).as("n_total"))
+    prof.crossJoin(broadcast(totals))
+      .select(col("lang"), col("n_docs"), col("n_bigrams"), col("vocab"),
+        (col("mean_h_bits") > 0.0 && col("max_h_bits") > 0.0 &&
+          col("max_h_bits") <=
+            log2(col("n_total") + col("vocab") + 1.0)).as("h_in_band"))
+      .orderBy("lang")
+  }
+
+  val lmPerplexityInvSql: String = """
+    WITH d AS (
+      SELECT lang,
+        length(text) - length(replace(text, ' ', '')) AS n_sp
+      FROM documents),
+    v AS (
+      SELECT count(DISTINCT word) AS vocab FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents))
+    SELECT lang, count(*) AS n_docs,
+      CAST(sum(n_sp) AS BIGINT) AS n_bigrams,
+      (SELECT vocab FROM v) AS vocab,
+      TRUE AS h_in_band
+    FROM d WHERE n_sp >= 1
+    GROUP BY lang ORDER BY lang"""
 }

@@ -177,6 +177,43 @@ class Round12Spec extends SparkSpec {
       s"orders ranges should partition the domain: $ordersSum != $n")
   }
 
+  // ----------------------------------------- t41 LM perplexity
+  test("t41: bigram-LM entropy hand-check on a constructed corpus — " +
+    "repetitive text scores exactly its closed-form entropy, " +
+    "diverse text scores higher") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_r12_t41").toFile
+    try {
+      // vocab V = 8 (a..h); the repetitive doc's only bigram (a,a)
+      // occurs 8 times, and a appears 10 times as w1 overall, so
+      // P(a|a) = (8+1)/(10+8) = 1/2 -> H(rep) = 1 bit exactly
+      val rep = "a a a a a a a a a"
+      val div = "a b c d e f g h a c e b"
+      Seq((1L, rep, "rep", "s", rep.length.toLong),
+        (2L, div, "div", "s", div.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite")
+        .parquet(s"${base.getAbsolutePath}/documents.parquet")
+      val rows = queries.TextAnalysis
+        .lmPerplexity(spark, base.getAbsolutePath)
+        .collect().map(r => r.getAs[String]("lang") -> r).toMap
+      assert(rows("rep").getAs[Long]("n_bigrams") == 8L)
+      assert(rows("div").getAs[Long]("n_bigrams") == 11L)
+      assert(rows("rep").getAs[Long]("vocab") == 8L)
+      assert(math.abs(rows("rep").getAs[Double]("mean_h_bits") - 1.0)
+        < 1e-9, s"H(rep) = ${rows("rep").getAs[Double]("mean_h_bits")}")
+      assert(rows("div").getAs[Double]("mean_h_bits") >
+        rows("rep").getAs[Double]("mean_h_bits"),
+        "diverse text must score higher cross-entropy")
+      val inv = queries.TextAnalysis
+        .lmPerplexityInv(spark, base.getAbsolutePath).collect()
+      assert(inv.forall(_.getAs[Boolean]("h_in_band")))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(base)
+    }
+  }
+
   // ----------------------------------------- s25 upsert mechanics
   test("s25 upsert: only affected posting lists are rewritten (file " +
     "level), replaced vec_ids carry the new payload exactly once") {
