@@ -269,18 +269,16 @@ case class GkRank(left: Expression, right: Expression)
     else if (x < s.head.value) 0.0
     else if (x >= s.last.value) qs.count.toDouble
     else {
-      // walk to the last sample ≤ x, tracking rmin = Σ g_j
+      // walk to the last sample ≤ x; cum = rmin of that sample
       var cum = 0L
       var i = 0
-      var rmin = 0L
       while (i < s.length && s(i).value <= x) {
         cum += s(i).g
-        rmin = cum
         i += 1
       }
       // i is now the first sample > x (exists: x < last value)
       val rmaxNext = cum + s(i).g + s(i).delta
-      (rmin + rmaxNext - 1) / 2.0
+      (cum + rmaxNext - 1) / 2.0
     }
   }
 

@@ -289,26 +289,16 @@ object Similarity {
         !new java.io.File(e.getValue).isDirectory)
     ivfIndexCache.computeIfAbsent(
       (s.sparkContext.applicationId, dir), _ => {
-        import s.implicits._
         val tag = java.security.MessageDigest.getInstance("SHA-256")
           .digest(dir.getBytes("UTF-8"))
           .take(8).map(b => f"$b%02x").mkString
         val root = new java.io.File(sys.props("java.io.tmpdir"),
           s"graft_s24_${tag}_${s.sparkContext.applicationId}")
-        if (root.exists())
-          org.apache.commons.io.FileUtils.deleteDirectory(root)
         val emb = Relational.table(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"))
-        val cents = ivfCentroids(emb, IvfK, IvfIters, seed = 9000)
-        cents.zipWithIndex
-          .map { case (c, i) => (i, c.toSeq) }.toSeq
-          .toDF("cid", "centroid")
-          .coalesce(1).write.mode("overwrite")
-          .parquet(new java.io.File(root, "centroids").getAbsolutePath)
-        emb.select(col("vec_id"), col("embedding"),
-            nearestCentroidCol(col("embedding"), cents).as("cid"))
-          .write.partitionBy("cid").mode("overwrite")
-          .parquet(new java.io.File(root, "postings").getAbsolutePath)
+        // shared writer (centroids + postings + idmap) — s24 indexes
+        // are upsertable with the s25 machinery out of the box
+        writeIvfIndexTrained(s, emb, root)
         root.getAbsolutePath
       })
   }
@@ -393,10 +383,23 @@ object Similarity {
     emb.select(col("vec_id"), col("embedding"),
       nearestCentroidCol(col("embedding"), cents).as("cid"))
 
-  /** Write an index root (centroids + `partitionBy(cid)` postings)
-    * from an already-assigned frame — the build step s24 does for the
-    * whole corpus, factored out so s25 can build a BASE index and
-    * grow it. */
+  /** Hash-bucket count of the id→list sidecar map (see
+    * [[writeIvfIndex]]): an upsert touches only its batch ids'
+    * buckets, so lookup and rewrite both prune statically. */
+  private val IdMapBuckets = 16
+
+  private def idBucket: org.apache.spark.sql.Column =
+    pmod(xxhash64(col("vec_id")), lit(IdMapBuckets)).cast("int")
+
+  /** Write an index root from an already-assigned frame — the build
+    * step s24 does for the whole corpus, factored out so s25 can
+    * build a BASE index and grow it. Layout: `centroids/` (k rows),
+    * `postings/` (`partitionBy(cid)` inverted lists), and `idmap/` —
+    * the (vec_id → cid) sidecar every real vector store keeps,
+    * `partitionBy(bucket)` on a hash of the id. The id map is what
+    * makes REPLACE correct when a new embedding assigns to a
+    * DIFFERENT list: without it, finding a vector's current list
+    * would take a full postings scan per upsert. */
   private[graft] def writeIvfIndex(s: SparkSession, emb: DataFrame,
       cents: Array[Array[Float]], root: java.io.File): Unit = {
     import s.implicits._
@@ -407,9 +410,12 @@ object Similarity {
       .toDF("cid", "centroid")
       .coalesce(1).write.mode("overwrite")
       .parquet(new java.io.File(root, "centroids").getAbsolutePath)
-    assignToLists(emb, cents)
-      .write.partitionBy("cid").mode("overwrite")
+    val assigned = assignToLists(emb, cents)
+    assigned.write.partitionBy("cid").mode("overwrite")
       .parquet(new java.io.File(root, "postings").getAbsolutePath)
+    assigned.select(col("vec_id"), col("cid"), idBucket.as("bucket"))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(new java.io.File(root, "idmap").getAbsolutePath)
   }
 
   /** The stored k-row centroid table of an index root. */
@@ -430,31 +436,52 @@ object Similarity {
 
   /** s25's mechanism — UPSERT a vector batch into a stored IVF index
     * WITHOUT rebuilding it: assign the batch against the STORED
-    * centroids (k-row read, one broadcast pass over the batch), then
-    * rewrite ONLY the affected posting lists via dynamic partition
-    * overwrite (the j08 machinery): merged = (existing rows of the
-    * affected lists MINUS rows whose vec_id the batch replaces) ∪
-    * batch, staged and written with `partitionOverwriteMode=dynamic`
-    * so Spark replaces exactly the `cid=` directories the batch
-    * touches — unaffected lists' files are never opened OR rewritten
-    * (Round12Spec pins both, file-listing-level).
+    * centroids (k-row read, one broadcast pass over the batch), look
+    * up replaced ids' CURRENT lists in the `idmap/` sidecar (pruned
+    * to the batch ids' hash buckets — a replace whose new embedding
+    * assigns to a DIFFERENT list must evict the old row from the list
+    * it actually lives in, which the batch's own assignments cannot
+    * reveal), then rewrite ONLY the affected posting lists via
+    * dynamic partition overwrite (the j08 machinery): merged =
+    * (existing rows of the affected lists MINUS rows whose vec_id the
+    * batch replaces) ∪ batch, staged and written with
+    * `partitionOverwriteMode=dynamic` so Spark replaces exactly the
+    * `cid=` directories involved — unaffected lists' files are never
+    * opened OR rewritten (Round12Spec pins both, file-listing-level,
+    * plus the cross-list replace). The id map's touched buckets are
+    * rewritten the same way. An empty batch is a no-op (a replayed
+    * empty micro-batch must not kill the st32 stream).
     *
     * This is the vector-database ingest path: at 100 TB the cost of
-    * an upsert is ∝ |batch| + |affected lists| (the isin on the
-    * partition column is static pruning, same as the s24 serve scan),
-    * never ∝ corpus. Centroids are intentionally immutable here —
-    * re-training is a rebuild, not an upsert (the same contract FAISS
-    * IVF exposes); served results therefore stay IDENTICAL to a full
-    * rebuild over the union corpus with the same centroid set, which
-    * is exactly what s25_ann_upsert_inv pins. */
+    * an upsert is ∝ |batch| + |affected lists| + |touched id-map
+    * buckets| (every read statically pruned), never ∝ corpus.
+    * Centroids are intentionally immutable here — re-training is a
+    * rebuild, not an upsert (the same contract FAISS IVF exposes);
+    * served results therefore stay IDENTICAL to a full rebuild over
+    * the union corpus with the same centroid set, which is exactly
+    * what s25_ann_upsert_inv pins. */
   private[graft] def upsertIvfIndex(s: SparkSession, root: String,
       batch: DataFrame): Unit = {
+    if (batch.isEmpty) return
+    val idmapPath = new java.io.File(root, "idmap")
+    require(idmapPath.isDirectory,
+      s"index at $root has no id map — rebuild it with this layout " +
+        "(upsert cannot locate replaced vectors' current lists)")
     val cents = readCentroids(s, root)
     val postingsPath = new java.io.File(root, "postings").getAbsolutePath
     val assigned = assignToLists(batch, cents)
-    // bounded by k: the distinct partition ids the batch lands in
-    val affected = assigned.select("cid").distinct().collect()
-      .map(_.getInt(0)).sorted
+    // batch ids' hash buckets: the only id-map partitions touched
+    val buckets = assigned.select(idBucket.as("bucket")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val idmapHit = s.read.parquet(idmapPath.getAbsolutePath)
+      .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
+    // affected lists = where the batch lands ∪ where replaced ids live
+    val newCids = assigned.select("cid").distinct().collect()
+      .map(_.getInt(0))
+    val oldCids = idmapHit
+      .join(assigned.select("vec_id"), Seq("vec_id"), "left_semi")
+      .select("cid").distinct().collect().map(_.getInt(0))
+    val affected = (newCids ++ oldCids).distinct.sorted
     val existing = s.read.parquet(postingsPath)
       .filter(col("cid").isin(affected.map(Integer.valueOf): _*))
       .join(assigned.select("vec_id"), Seq("vec_id"), "left_anti")
@@ -471,6 +498,20 @@ object Similarity {
       .option("partitionOverwriteMode", "dynamic")
       .parquet(postingsPath)
     org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    // id map: merge the touched buckets the same way
+    val idStage = new java.io.File(root, "idmap_stage")
+    idmapHit.join(assigned.select("vec_id"), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cid"), col("bucket"))
+      .unionByName(assigned.select(col("vec_id"), col("cid"),
+        idBucket.as("bucket")))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(idStage.getAbsolutePath)
+    s.read.parquet(idStage.getAbsolutePath)
+      .select("vec_id", "cid", "bucket")
+      .write.partitionBy("bucket").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(idmapPath.getAbsolutePath)
+    org.apache.commons.io.FileUtils.deleteDirectory(idStage)
   }
 
   /** Build-once memo for the s25 pair of roots: the INCREMENTAL index

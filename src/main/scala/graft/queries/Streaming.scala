@@ -1314,6 +1314,15 @@ $counts
     }
   }
 
+  /** 8-hex content tag of an sf dir for scratch-root names: roots
+    * memoized per (application, dir) MUST embed the dir identity, or
+    * a second sf dir in the same application would rebuild into the
+    * first's path and silently poison its still-cached entry. */
+  private def dirTag(dir: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+
   def lshDedupStreamed(s: SparkSession, dir: String): DataFrame = {
     lshSinkCache.entrySet().removeIf(e =>
       e.getKey._1 != s.sparkContext.applicationId ||
@@ -1322,7 +1331,7 @@ $counts
       (s.sparkContext.applicationId, dir), _ => {
         val src = lshDocSrc(s, dir)
         val baseDir = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_st30_${s.sparkContext.applicationId}")
+          s"graft_st30_${dirTag(dir)}_${s.sparkContext.applicationId}")
         if (baseDir.exists())
           org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
         val base = baseDir.getAbsolutePath
@@ -1379,7 +1388,7 @@ $counts
       (s.sparkContext.applicationId, dir), _ => {
         val src = lshDocSrc(s, dir)
         val baseDir = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_st31_${s.sparkContext.applicationId}")
+          s"graft_st31_${dirTag(dir)}_${s.sparkContext.applicationId}")
         if (baseDir.exists())
           org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
         val base = baseDir.getAbsolutePath
@@ -1540,7 +1549,7 @@ $counts
     ivfIngestCache.computeIfAbsent(
       (s.sparkContext.applicationId, dir), _ => {
         val baseDir = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_st32_${s.sparkContext.applicationId}")
+          s"graft_st32_${dirTag(dir)}_${s.sparkContext.applicationId}")
         if (baseDir.exists())
           org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
         val root = new java.io.File(baseDir, "index")

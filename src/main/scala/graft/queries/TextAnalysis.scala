@@ -2546,10 +2546,13 @@ object TextAnalysis {
     * P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V).
     *
     * The ANALYZE/score split is executed for real (the sk04/sk05
-    * catalog discipline): the train pass is ONE scan — explode doc
-    * bigrams, two partial-agg'd counts (bigram + unigram tables,
-    * vocabulary-bounded by Heaps' law, NOT corpus-bounded) — and the
-    * tables are persisted to parquet; the score pass re-derives doc
+    * catalog discipline): the train pass is one bigram scan (a
+    * partial-agg'd count whose output is vocabulary-bounded by
+    * Heaps' law, NOT corpus-bounded) plus one narrow vocabulary
+    * count; the UNIGRAM table never touches the corpus — c(w1) is
+    * exactly Σ c(w1 ·) over the stored bigram artifact, derived at
+    * vocabulary cost. Both tables persist to parquet; the score pass
+    * re-derives doc
     * bigrams in-plan and joins the STORED model back (broadcast at
     * gate scale; at 100 TB the LM is trained on a sample and pruned
     * to the top-k bigrams, and the join stays broadcast because the
@@ -2573,7 +2576,10 @@ object TextAnalysis {
       s"graft_t41_${s.sparkContext.applicationId}").getAbsolutePath
     bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       .write.mode("overwrite").parquet(s"$lmPath/bigrams")
-    bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // c(w1) = Σ_w2 c(w1, w2): derived from the STORED bigram table at
+    // vocabulary cost — no second corpus scan
+    s.read.parquet(s"$lmPath/bigrams")
+      .groupBy("w1").agg(sum(col("c12")).as("c1"))
       .write.mode("overwrite").parquet(s"$lmPath/unigrams")
     val vocab = Relational.table(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("word"))

@@ -308,6 +308,49 @@ class Round12Spec extends SparkSpec {
     assert(row.getAs[Boolean]("k_bounded"))
   }
 
+  test("s25 upsert: a replace whose new embedding moves to a " +
+    "DIFFERENT list evicts the old row via the id map, and an " +
+    "empty batch is a no-op") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_r12_xlist").toFile
+    try {
+      val cents = Array(Array(1f, 0f), Array(0f, 1f))
+      val base = Seq(
+        (1L, Seq(1f, 0.01f)), (4L, Seq(1f, 0.02f)), // both in cid=0
+        (5L, Seq(0.01f, 1f)))                       // cid=1
+        .toDF("vec_id", "embedding")
+      queries.Similarity.writeIvfIndex(spark, base, cents, root)
+      val postingsDir = new java.io.File(root, "postings")
+      def post() = spark.read.parquet(postingsDir.getAbsolutePath)
+      // id 4 moves from list 0 to list 1
+      val move = Seq((4L, Seq(0.05f, 1f))).toDF("vec_id", "embedding")
+      queries.Similarity.upsertIvfIndex(spark, root.getAbsolutePath,
+        move)
+      val four = post().filter(col("vec_id") === 4L).collect()
+      assert(four.length == 1,
+        s"moved id must exist exactly once, got ${four.length}")
+      assert(four.head.getInt(four.head.fieldIndex("cid")) == 1,
+        "moved id must live in its NEW list")
+      assert(four.head.getSeq[Float](
+        four.head.fieldIndex("embedding")) == Seq(0.05f, 1f))
+      assert(post().count() == 3)
+      // the id map followed the move
+      val m = spark.read
+        .parquet(new java.io.File(root, "idmap").getAbsolutePath)
+        .filter(col("vec_id") === 4L).collect()
+      assert(m.length == 1 && m.head.getInt(m.head.fieldIndex("cid")) == 1)
+      // empty batch: no crash, no change
+      val before = post().collect().map(_.toString).sorted.toSeq
+      queries.Similarity.upsertIvfIndex(spark, root.getAbsolutePath,
+        spark.emptyDataFrame.selectExpr("CAST(1 AS LONG) AS vec_id",
+          "array(CAST(0.0 AS FLOAT)) AS embedding").limit(0))
+      assert(post().collect().map(_.toString).sorted.toSeq == before)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(root)
+    }
+  }
+
   // ----------------------------------------- st31 epoch handoff
   test("st31: snapshot + fresh-state restart + batch seam join " +
     "reproduces the uninterrupted stream's pair set, with real " +
