@@ -351,6 +351,44 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("s25 id map: the replaced-id lookup prunes bucket partitions " +
+    "STATICALLY — untouched buckets' files are never opened") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_r12_idmap").toFile
+    try {
+      val cents = Array(Array(1f, 0f), Array(0f, 1f))
+      // enough ids to populate many id-map hash buckets
+      val base = (1L to 200L).map(i =>
+        (i, if (i % 2 == 0) Seq(1f, 0.01f) else Seq(0.01f, 1f)))
+        .toDF("vec_id", "embedding")
+      queries.Similarity.writeIvfIndex(spark, base, cents, root)
+      val idmapDir = new java.io.File(root, "idmap")
+      val totalBuckets = idmapDir.listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("bucket="))
+      assert(totalBuckets > 4, s"want many buckets, got $totalBuckets")
+      // the upsert path's lookup shape: idmap filtered to ONE id's bucket
+      val oneBucket = spark.read.parquet(idmapDir.getAbsolutePath)
+        .filter(col("bucket") === 3)
+      oneBucket.collect()
+      val plan = oneBucket.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val scans = plan.collect { case f: FileSourceScanExec => f }
+      assert(scans.nonEmpty)
+      assert(scans.head.partitionFilters.nonEmpty,
+        "bucket filter must be a partitionFilter (static pruning)")
+      assert(scans.head.selectedPartitions.partitionCount == 1,
+        s"one bucket of $totalBuckets must select exactly 1 dir, " +
+          s"got ${scans.head.selectedPartitions.partitionCount}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(root)
+    }
+  }
+
   // ----------------------------------------- st31 epoch handoff
   test("st31: snapshot + fresh-state restart + batch seam join " +
     "reproduces the uninterrupted stream's pair set, with real " +
