@@ -893,6 +893,87 @@ object Graph {
     ORDER BY u, v"""
   }
 
+  // --------------------------------------------- gr11 label propagation
+  private val LpRounds = 3
+
+  /** gr11 — community detection by synchronous label propagation over
+    * the supplier↔customer trade graph: every node starts as its own
+    * label; each superstep relabels a node to its neighbors' PLURALITY
+    * label (ties → smallest label — the determinism rule that makes
+    * LPA, normally run-order-dependent, bit-exactly replayable). Three
+    * unrolled supersteps, like gr01: labels are node ids (integers),
+    * the plurality count is an integer, so the full fixpoint prefix
+    * replays in DuckDB.
+    *
+    * Scale shape: a superstep is ONE edges⋈labels join on src + ONE
+    * (dst, label)-keyed count (map-side partial agg — per-edge traffic
+    * compresses to per-(node,label)) + ONE per-node plurality argmax
+    * expressed as max(struct(count, −label)) — an aggregation, NOT a
+    * window sort, so no per-node candidate list is ever materialized
+    * or sorted. Only (node, label) pairs move per round; the edge list
+    * is built once and persisted (bucketed by src at 100 TB).
+    * localCheckpoint truncates per-round lineage like gr01/d06. */
+  def labelPropagation(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir).persist()
+    val out = lpaOnEdges(e, LpRounds)
+    e.unpersist(false)
+    out
+  }
+
+  /** The LPA superstep loop on an arbitrary (src, dst) edge frame —
+    * split out so the spec can pin the closed-form fixpoint on a
+    * constructed graph. */
+  private[graft] def lpaOnEdges(e: DataFrame, rounds: Int): DataFrame = {
+    var labels = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lab"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val counts = e.join(labels, col("src") === col("node"))
+        .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("c"))
+      // plurality with min-label tie-break: max over (count, −label)
+      val picked = counts.groupBy("dst")
+        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("dst"), (-col("m.nl")).as("newlab"))
+      labels = labels
+        .join(picked, col("node") === col("dst"), "left")
+        .select(col("node"),
+          coalesce(col("newlab"), col("lab")).as("lab"))
+        .localCheckpoint()
+    }
+    labels.orderBy("node").select(col("node"), col("lab").as("community"))
+  }
+
+  val labelPropagationSql: String = {
+    def round(prev: String, out: String): String = s"""
+    c_$out AS (
+      SELECT e.dst AS node, p.lab AS lab, count(*) AS c
+      FROM edges e JOIN $prev p ON e.src = p.node
+      GROUP BY 1, 2),
+    p_$out AS (
+      SELECT node, lab FROM (
+        SELECT node, lab, row_number() OVER (PARTITION BY node
+          ORDER BY c DESC, lab) AS rn
+        FROM c_$out)
+      WHERE rn = 1),
+    $out AS (
+      SELECT q.node, COALESCE(p.lab, q.lab) AS lab
+      FROM $prev q LEFT JOIN p_$out p ON q.node = p.node)"""
+    s"""
+    WITH pairs AS (
+      SELECT DISTINCT l.l_suppkey AS supp,
+        o.o_custkey + $CustOffset AS cust
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    edges AS (
+      SELECT supp AS src, cust AS dst FROM pairs
+      UNION ALL
+      SELECT cust AS src, supp AS dst FROM pairs),
+    r0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges),
+    ${round("r0", "r1")},
+    ${round("r1", "r2")},
+    ${round("r2", "r3")}
+    SELECT node, lab AS community FROM r3 ORDER BY node"""
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame,
     Option[String])] =
     Seq(("gr01_pagerank", pagerank _, Some(pagerankSql)),
@@ -907,5 +988,7 @@ object Graph {
         Some(weightedPathsSql)),
       ("gr09_khop_features", khopFeatures _,
         Some(khopFeaturesSql)),
-      ("gr10_ktruss", ktruss _, Some(ktrussSql)))
+      ("gr10_ktruss", ktruss _, Some(ktrussSql)),
+      ("gr11_label_propagation", labelPropagation _,
+        Some(labelPropagationSql)))
 }

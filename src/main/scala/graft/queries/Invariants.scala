@@ -383,6 +383,42 @@ object Invariants {
         (col("n_over") === 0).as("k_bounded"))
   }
 
+  /** S27: the filtered-ANN post-filter serve path honors its contract —
+    * (a) every returned neighbor actually satisfies the per-query
+    * predicate (`label == query.label`; a post-filter bug would leak
+    * unfiltered candidates straight into results), (b) no query
+    * exceeds k=5 rows, and (c) recall vs the exact PRE-FILTER arm
+    * (s27_filtered_exact, itself a direct DuckDB oracle row) is
+    * >= 70% under the 2× over-probe (measured well above at sf0.01;
+    * seeded-deterministic centroids). */
+  def s27FilteredInv(s: SparkSession, dir: String): DataFrame = {
+    val exact = Similarity.annFilteredExact(s, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val served = Similarity.annFiltered(s, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val labels = Relational.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val hit = exact.join(served, Seq("query_id", "neighbor_id"),
+      "left_semi").agg(count(lit(1)).as("hit"))
+    val tot = exact.agg(count(lit(1)).as("tot"))
+    val overK = served.groupBy("query_id").agg(count(lit(1)).as("k"))
+      .agg(sum((col("k") > 5).cast("long")).as("n_over"))
+    val predBad = served
+      .join(labels.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("label", "qlabel"), Seq("query_id"))
+      .join(labels.withColumnRenamed("vec_id", "neighbor_id"),
+        Seq("neighbor_id"))
+      .agg(sum((col("label") =!= col("qlabel")).cast("long"))
+        .as("n_pred_bad"))
+    hit.crossJoin(tot).crossJoin(overK).crossJoin(predBad)
+      .select((col("hit") >= lit(0.7) * col("tot")).as("recall_ok"),
+        (col("n_over") === 0).as("k_bounded"),
+        (col("n_pred_bad") === 0).as("predicate_ok"))
+  }
+
+  val s27Sql: String =
+    "SELECT TRUE AS recall_ok, TRUE AS k_bounded, TRUE AS predicate_ok"
+
   /** S10: PQ ANN results are k-bounded and overlap the exact top-k by
     * >= 30% (deterministic codebooks; measured well above the bound —
     * the exact re-rank stage means misses can only come from the
@@ -565,6 +601,7 @@ object Invariants {
       ("s04_ann_inv", s04AnnInv _, Some(s02Sql)),
       ("s10_ann_inv", s10AnnInv _, Some(s02Sql)),
       ("s24_ann_inv", s24AnnInv _, Some(s24Sql)),
+      ("s27_filtered_inv", s27FilteredInv _, Some(s27Sql)),
       ("t22_heavy_inv", t22HeavyInv _, Some(t22Sql)),
       ("q18_error_inv", q18ErrorInv _, Some(q18ErrSql)),
       ("q20_error_inv", q20ErrorInv _, Some(q20ErrSql)),

@@ -1193,6 +1193,258 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  // ------------------------------------------- s26 hybrid retrieval (RRF)
+  private val HybridArmK = 20
+  private val HybridFinalK = 10
+  private val RrfC = 60L
+  /** 1e9 so the fused score is an exact integer both engines agree on:
+    * 1/(60+rank) scaled to nano-units under floor division. */
+  private val RrfScale = 1000000000L
+
+  /** s26 — hybrid lexical+vector retrieval fused with Reciprocal Rank
+    * Fusion (the production RAG retrieval shape: BM25 arm + embedding
+    * arm, fused as Σ 1/(c+rank) over each arm's top-k list). The query
+    * set is the first [[NumQueries]] documents — `doc_id` and `vec_id`
+    * are the SAME id space in the corpus (TESTDATA contract), so each
+    * query has both a term set (its distinct tokens) and an embedding.
+    *
+    * Both arms are integer-exact where scores decide ranks: the
+    * lexical arm is t19's milli-unit Okapi BM25 (same rational-to-
+    * integer rewrite, per-query term sets instead of one global set);
+    * the vector arm is s01's rank-only cosine ordering; fusion scores
+    * are RRF in exact nano-units (floor division), so the ENTIRE fused
+    * ranking replays bit-identically in DuckDB — a fully oracled
+    * hybrid retrieval stack.
+    *
+    * Scale shape: the query vocabulary (8 bounded docs' tokens) is
+    * broadcast, so the corpus token scan filters to query terms BEFORE
+    * any shuffle (t19's postings shape, per-query); the vector arm is
+    * the s01 broadcast-queries map-side scan. Each arm emits ≤
+    * [[HybridArmK]] rows per query, so the fusion join handles
+    * O(queries·k) rows — driver-trivial at any corpus size. At 100 TB
+    * each arm would be served from its own index (t19's posting lists,
+    * s24's stored IVF) and the fusion stage is UNCHANGED — that is the
+    * point of fusing on ranks, not scores. */
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.table(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+    // per-query term sets: distinct tokens of the 8 query documents
+    val qterms = toks.filter(col("doc_id") < NumQueries)
+      .select(col("doc_id").as("query_id"), col("token")).distinct()
+    val qvocab = qterms.select("token").distinct()
+    // postings restricted to the (broadcast) query vocabulary — tf/df
+    // never see non-query tokens, exactly t19's pre-shuffle filter
+    val hits = toks.join(broadcast(qvocab), Seq("token"))
+    val tf = hits.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = hits.groupBy("token")
+      .agg(count_distinct(col("doc_id")).as("df"))
+    val dl = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+    val totals = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("t_tokens"))
+    // t19's integer BM25: idf and tf-saturation in exact milli-units
+    val scored = tf.join(broadcast(dfreq), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      .withColumn("idf_milli",
+        expr("((2*n_docs - 2*df + 1) * 1000) div (2*df + 1)"))
+      .withColumn("sat_milli",
+        expr("(22 * t_tokens * tf * 1000) div " +
+          "(10 * t_tokens * tf + 3 * t_tokens + 9 * dl * n_docs)"))
+    val wl = Window.partitionBy(col("query_id"))
+      .orderBy(col("lex_micro").desc, col("doc_id"))
+    val lex = scored.join(broadcast(qterms), Seq("token"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("idf_milli") * col("sat_milli")).as("lex_micro"))
+      .withColumn("lex_rank", row_number().over(wl).cast("long"))
+      .filter(col("lex_rank") <= HybridArmK)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"))
+    // vector arm: s01's rank-only cosine top-k (same id space)
+    val emb = Relational.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val qe = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
+    val wv = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("doc_id"))
+    val vec = emb.crossJoin(broadcast(qe))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        graft.expr.CosineSimilarity.cosineSimilarity(
+          col("embedding"), col("qemb")).as("cos"))
+      .withColumn("vec_rank", row_number().over(wv).cast("long"))
+      .filter(col("vec_rank") <= HybridArmK)
+      .select(col("query_id"), col("doc_id"), col("vec_rank"))
+    // RRF fusion: absent-from-arm contributes 0 (standard top-k RRF)
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_nano").desc, col("doc_id"))
+    lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_nano",
+        coalesce(expr(s"$RrfScale div ($RrfC + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"$RrfScale div ($RrfC + vec_rank)"), lit(0L)))
+      .withColumn("fused_rank", row_number().over(wf).cast("long"))
+      .filter(col("fused_rank") <= HybridFinalK)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"),
+        col("vec_rank"), col("rrf_nano"), col("fused_rank"))
+      .orderBy("query_id", "fused_rank")
+  }
+
+  val hybridRrfSql: String = s"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    qterms AS (
+      SELECT DISTINCT doc_id AS query_id, token FROM toks
+      WHERE doc_id < $NumQueries),
+    hits AS (
+      SELECT t.doc_id, t.token FROM toks t
+      WHERE t.token IN (SELECT DISTINCT token FROM qterms)),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM hits GROUP BY 1, 2),
+    dfreq AS (
+      SELECT token, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
+    dl AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents),
+    tot AS (
+      SELECT count(*) AS n_docs,
+        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t_tokens
+      FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+        ((2*n_docs - 2*df + 1) * 1000) // (2*df + 1) AS idf_milli,
+        (22 * t_tokens * tf * 1000) //
+          (10 * t_tokens * tf + 3 * t_tokens + 9 * dl.dl * n_docs)
+          AS sat_milli
+      FROM tf JOIN dfreq USING (token) JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN tot),
+    lex AS (
+      SELECT query_id, doc_id, lex_rank FROM (
+        SELECT q.query_id, sc.doc_id,
+          row_number() OVER (PARTITION BY q.query_id
+            ORDER BY sum(sc.idf_milli * sc.sat_milli) DESC, sc.doc_id)
+            AS lex_rank
+        FROM scored sc JOIN qterms q USING (token)
+        WHERE sc.doc_id <> q.query_id
+        GROUP BY q.query_id, sc.doc_id)
+      WHERE lex_rank <= $HybridArmK),
+    vec AS (
+      SELECT query_id, doc_id, vec_rank FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+          row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(e.embedding, q.embedding)
+              DESC, e.vec_id) AS vec_rank
+        FROM embeddings e, embeddings q
+        WHERE q.vec_id < $NumQueries AND e.vec_id <> q.vec_id)
+      WHERE vec_rank <= $HybridArmK),
+    fused AS (
+      SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+        COALESCE(l.doc_id, v.doc_id) AS doc_id,
+        l.lex_rank AS lex_rank, v.vec_rank AS vec_rank,
+        COALESCE($RrfScale // ($RrfC + l.lex_rank), 0) +
+          COALESCE($RrfScale // ($RrfC + v.vec_rank), 0) AS rrf_nano
+      FROM lex l FULL JOIN vec v
+        ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+    SELECT query_id, doc_id, lex_rank, vec_rank,
+      CAST(rrf_nano AS BIGINT) AS rrf_nano, fused_rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY rrf_nano DESC, doc_id) AS fused_rank
+      FROM fused)
+    WHERE fused_rank <= $HybridFinalK
+    ORDER BY query_id, fused_rank"""
+
+  // ------------------------------------------- s27 filtered vector search
+  /** Over-probe factor for filtered search: the metadata filter thins
+    * every posting list (~10% survive the label predicate here), so
+    * the serve probes 2× the unfiltered list count to hold recall —
+    * the standard filtered-ANN over-fetch knob. */
+  private val FilteredProbe = 2 * IvfProbe
+
+  /** s27 — FILTERED vector search: top-k under a per-query metadata
+    * predicate (`candidate.label == query.label` — the tenant/language
+    * /license filter every production vector store must honor). This
+    * is the known-hard regime for IVF indexes: the filter thins each
+    * probed list, so an unfiltered-tuned probe count starves recall.
+    * The serve path answers it with POST-FILTERING + OVER-PROBE: probe
+    * [[FilteredProbe]] (2× the s04 count) lists, apply the predicate
+    * to candidates BEFORE the exact re-rank, keep top-k among
+    * survivors.
+    *
+    * Scale shape: identical to s04 — centroid assignment is one
+    * broadcast pass, candidates are a cid equi-join touching
+    * probe/k of the corpus, and the predicate lands on the candidate
+    * stream pre-shuffle (at 100 TB with a stored s24 index the label
+    * would be a postings column, so the filter pushes into the
+    * posting-partition scan itself). The alternative regime —
+    * PRE-FILTERING (scan the predicate's partition of the corpus
+    * exactly) — is what [[Invariants.s27FilteredInv]] measures this
+    * path against. */
+  def annFiltered(s: SparkSession, dir: String): DataFrame = {
+    val emb = Relational.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val cents = ivfCentroids(emb.select(col("vec_id"), col("embedding")),
+      IvfK, IvfIters, seed = 9000)
+    val lists = emb.select(col("vec_id"), col("embedding"), col("label"),
+      nearestCentroidCol(col("embedding"), cents).as("cid"))
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("label").as("qlabel"),
+        explode(nearestCentroidsCol(col("embedding"), cents,
+          FilteredProbe)).as("cid"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    lists.join(broadcast(queries), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id") &&
+        col("label") === col("qlabel"))
+      .select(col("query_id"), col("vec_id"),
+        graft.expr.CosineSimilarity.cosineSimilarity(
+          col("embedding"), col("qe")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The pre-filter exact ground truth s27 is measured against: filter
+    * the corpus to the predicate's exact survivor set, then brute-force
+    * within it (always-correct, cost ∝ survivors — the regime a vector
+    * store picks when the filter is SO selective the survivor set is
+    * small enough to scan). Fully SQL-expressible, so this arm is a
+    * direct DuckDB oracle row. */
+  def annFilteredExact(s: SparkSession, dir: String): DataFrame = {
+    val emb = Relational.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("label").as("qlabel"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id") &&
+        col("label") === col("qlabel"))
+      .select(col("query_id"), col("vec_id"),
+        graft.expr.CosineSimilarity.cosineSimilarity(
+          col("embedding"), col("qe")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  val annFilteredExactSql: String = s"""
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        row_number() OVER (PARTITION BY q.vec_id
+          ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+                   e.vec_id) AS rank
+      FROM embeddings e, embeddings q
+      WHERE q.vec_id < $NumQueries AND e.vec_id <> q.vec_id
+        AND e.label = q.label)
+    WHERE rank <= $TopK
+    ORDER BY query_id, rank"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("s01_ann_brute_force", annBruteForce _, Some(annBruteForceSql)),
@@ -1214,5 +1466,8 @@ object Similarity {
       ("s15_kcenter_coreset", kcenterCoreset _,
         Some(kcenterCoresetSql)),
       ("e03_hamming_ann", hammingAnn _, Some(hammingAnnSql)),
+      ("s26_hybrid_rrf", hybridRrf _, Some(hybridRrfSql)),
+      ("s27_ann_filtered", annFiltered _, None),
+      ("s27_filtered_exact", annFilteredExact _, Some(annFilteredExactSql)),
     )
 }

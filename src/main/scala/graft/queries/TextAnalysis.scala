@@ -2140,6 +2140,8 @@ object TextAnalysis {
       ("t40_compression_inv", compressionInv _, Some(compressionInvSql)),
       ("t41_lm_perplexity", lmPerplexity _, None),
       ("t41_lm_inv", lmPerplexityInv _, Some(lmPerplexityInvSql)),
+      ("t42_fuzzy_decontaminate", fuzzyDecontaminate _, None),
+      ("t42_decon_inv", fuzzyDeconInv _, Some(fuzzyDeconInvSql)),
     )
 
   // --------------------------------------------- tokenizer fertility
@@ -2634,4 +2636,104 @@ object TextAnalysis {
       TRUE AS h_in_band
     FROM d WHERE n_sp >= 1
     GROUP BY lang ORDER BY lang"""
+
+  // --------------------------------------------- t42 fuzzy decontamination
+  /** Signature-agreement threshold: estimated Jaccard >= 0.5 (d02's bar). */
+  private val FuzzyDeconTau = 0.5
+
+  /** t42 — FUZZY eval-set decontamination: flag training documents
+    * that are NEAR-duplicates of an evaluation document — the
+    * paraphrase-level contamination the exact 13-gram checks (t09 /
+    * t15 / t28) cannot see, caught with the d02 MinHash-LSH machinery
+    * pointed across the train×eval axis instead of train×train.
+    * Eval set = every 10th document (the ids
+    * [[Dedup.corpusWithNearDups]] plants corruptions of); train corpus
+    * = the remaining documents PLUS those planted near-copies, so the
+    * ground-truth contamination is the (orig + PlantOffset, orig)
+    * pair set and recall is measurable (t42_decon_inv).
+    *
+    * Scale shape: the eval side (an eval SUITE — thousands of docs,
+    * never billions) is signed + banded once and BROADCAST; the train
+    * corpus is signed in ONE scan (native [[graft.expr.MinHashSignature]]
+    * expression, whole-stage codegen) and band-joined against the
+    * broadcast buckets — NO train-corpus shuffle exists in the plan:
+    * only the candidate pairs (a few per contaminated doc) move, then
+    * the signature-estimated Jaccard filters and the pair set dedups
+    * across bands. At 100 TB this pass costs one corpus scan per
+    * eval-suite release; upstream exact-dedup staging (d01) keeps
+    * candidate multiplicity bounded exactly as in d02. */
+  def fuzzyDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.table(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val evalDocs = docs.filter(col("doc_id") % 10 === 0)
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+      .unionAll(Dedup.corpusWithNearDups(s, dir)
+        .filter(col("doc_id") >= Dedup.PlantOffset))
+    def banded(in: DataFrame): DataFrame = in
+      .select(col("doc_id"),
+        graft.expr.MinHashSignature.minhashSignature(
+          col("text"), Dedup.MinhashK).as("sig"))
+      .select(col("doc_id"), col("sig"),
+        explode(array(Dedup.bandStructs: _*)).as("bb"))
+    val evalB = banded(evalDocs).select(col("doc_id").as("eval_id"),
+      col("sig").as("esig"), col("bb"))
+    banded(train).select(col("doc_id").as("train_id"),
+        col("sig").as("tsig"), col("bb"))
+      .join(broadcast(evalB), Seq("bb"))
+      .select(col("train_id"), col("eval_id"),
+        Dedup.estJaccardCol(col("tsig"), col("esig")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= FuzzyDeconTau)
+      .dropDuplicates("train_id", "eval_id")
+      .orderBy("train_id", "eval_id")
+  }
+
+  /** t42's contract, surfaced to the driver gate: (a) >= 80% of the
+    * planted contamination pairs are flagged (d02's bound — same
+    * corpus, same bands), (b) every flagged pair has a real eval doc
+    * on the eval side and never an eval doc mislabeled as train, and
+    * (c) for EVERY flagged pair the signature-estimated Jaccard is
+    * within 0.35 (4σ at k=32) of the EXACT word-3-gram Jaccard
+    * recomputed from the texts — the estimates are measurements, not
+    * noise. */
+  def fuzzyDeconInv(s: SparkSession, dir: String): DataFrame = {
+    val flagged = fuzzyDecontaminate(s, dir)
+    val docs = Relational.table(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + Dedup.PlantOffset).as("train_id"),
+        col("doc_id").as("eval_id"))
+    val hit = planted.join(flagged.select("train_id", "eval_id"),
+        Seq("train_id", "eval_id"), "left_semi")
+      .agg(count(lit(1)).as("hit"))
+    val tot = planted.agg(count(lit(1)).as("tot"))
+    val sidesBad = flagged.agg(coalesce(sum(
+      (col("eval_id") % 10 =!= 0 ||
+        col("eval_id") >= Dedup.PlantOffset ||
+        (col("train_id") % 10 === 0 &&
+          col("train_id") < Dedup.PlantOffset)).cast("long")),
+      lit(0L)).as("n_sides_bad"))
+    // exact 3-gram Jaccard of the flagged pairs, from the texts
+    val texts = docs.unionAll(Dedup.corpusWithNearDups(s, dir)
+      .filter(col("doc_id") >= Dedup.PlantOffset))
+    val grams = texts.select(col("doc_id"), array_distinct(
+      graft.expr.NgramHashes.ngramHashes(col("text"), 3)).as("g"))
+    val bandBad = flagged
+      .join(grams.select(col("doc_id").as("train_id"),
+        col("g").as("tg")), Seq("train_id"))
+      .join(grams.select(col("doc_id").as("eval_id"),
+        col("g").as("eg")), Seq("eval_id"))
+      .select(col("est_jaccard"),
+        (size(array_intersect(col("tg"), col("eg"))).cast("double") /
+          greatest(size(array_union(col("tg"), col("eg"))), lit(1))
+          ).as("exact_jaccard"))
+      .agg(coalesce(sum((abs(col("est_jaccard") - col("exact_jaccard"))
+        > 0.35).cast("long")), lit(0L)).as("n_band_bad"))
+    hit.crossJoin(tot).crossJoin(sidesBad).crossJoin(bandBad)
+      .select((col("hit") >= lit(0.8) * col("tot")).as("recall_ok"),
+        (col("n_sides_bad") === 0).as("sides_ok"),
+        (col("n_band_bad") === 0).as("est_band_ok"))
+  }
+
+  val fuzzyDeconInvSql: String =
+    "SELECT TRUE AS recall_ok, TRUE AS sides_ok, TRUE AS est_band_ok"
 }

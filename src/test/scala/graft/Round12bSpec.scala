@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{Graph, Invariants, Similarity, TextAnalysis}
+
+/** Round-12 extension pins: hybrid RRF retrieval (s26), filtered
+  * vector search (s27), label-propagation communities (gr11), and
+  * fuzzy eval-set decontamination (t42). */
+class Round12bSpec extends SparkSpec {
+
+  // ----------------------------------------------- s26 hybrid RRF
+  test("s26: every fused score is exactly the RRF of its own emitted " +
+    "arm ranks, and the fused ordering is (rrf desc, doc_id)") {
+    val rows = Similarity.hybridRrf(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    def contrib(r: Any): Long = r match {
+      case null => 0L
+      case rank: Long => 1000000000L / (60L + rank)
+    }
+    rows.foreach { r =>
+      val expected = contrib(r.get(2)) + contrib(r.get(3))
+      assert(r.getLong(4) == expected,
+        s"rrf_nano mismatch on $r")
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (_, qs) =>
+      val sorted = qs.sortBy(_.getLong(5))
+      // fused_rank order must equal (rrf desc, doc_id asc) order
+      assert(sorted.map(r => (-r.getLong(4), r.getLong(1))).toSeq ==
+        sorted.map(r => (-r.getLong(4), r.getLong(1)))
+          .sorted.toSeq)
+      assert(sorted.map(_.getLong(5)).toSeq ==
+        (1L to sorted.length.toLong))
+    }
+  }
+
+  test("s26: the fusion is real — some top results carry BOTH arm " +
+    "ranks and some carry exactly one (absent arm contributes zero)") {
+    val rows = Similarity.hybridRrf(spark, sfDir).collect()
+    assert(rows.exists(r => !r.isNullAt(2) && !r.isNullAt(3)),
+      "no doc ranked by both arms — fusion degenerate")
+    assert(rows.exists(r => r.isNullAt(2) ^ r.isNullAt(3)),
+      "every doc ranked by both arms — arm top-k truncation untested")
+  }
+
+  // ----------------------------------------------- s27 filtered ANN
+  test("s27: post-filter serve honors the predicate, stays k-bounded, " +
+    "and holds >= 70% recall vs the exact pre-filter arm") {
+    val flags = Invariants.s27FilteredInv(spark, sfDir).collect()
+    assert(flags.length == 1)
+    val r = flags.head
+    assert(r.getBoolean(0), "recall_ok false")
+    assert(r.getBoolean(1), "k_bounded false")
+    assert(r.getBoolean(2), "predicate_ok false")
+  }
+
+  test("s27: the exact pre-filter arm only ever returns neighbors " +
+    "sharing the query's label, with contiguous ranks") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("label"))
+    val byId = emb.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Similarity.annFilteredExact(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(byId(r.getLong(1)) == byId(r.getLong(0)),
+        s"label predicate violated on $r")
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (_, qs) =>
+      assert(qs.map(_.getLong(2)).sorted.toSeq ==
+        (1L to qs.length.toLong), "ranks not contiguous")
+    }
+  }
+
+  // ----------------------------------------------- gr11 LPA
+  test("gr11: closed-form fixpoint — two disjoint triangles converge " +
+    "to their min-id communities in 3 synchronous rounds") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L))
+    val e = und.toDF("src", "dst")
+      .unionAll(und.map(_.swap).toDF("src", "dst"))
+    val got = Graph.lpaOnEdges(e, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L), s"got $got")
+  }
+
+  test("gr11: the trade-graph communities are a stable relabeling — " +
+    "every community label is itself a member node, and at least one " +
+    "community has > 1 member") {
+    val rows = Graph.labelPropagation(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val nodes = rows.map(_.getLong(0)).toSet
+    val labels = rows.map(_.getLong(1)).toSet
+    assert(labels.subsetOf(nodes), "a community label is not a node id")
+    assert(labels.size < nodes.size, "no label ever propagated")
+  }
+
+  // ----------------------------------------------- t42 fuzzy decon
+  test("t42: the decon contract flags hold at sf0.001 — planted " +
+    "recall, side discipline, est-vs-exact band") {
+    val r = TextAnalysis.fuzzyDeconInv(spark, sfDir).collect().head
+    assert(r.getBoolean(0), "recall_ok false")
+    assert(r.getBoolean(1), "sides_ok false")
+    assert(r.getBoolean(2), "est_band_ok false")
+  }
+
+  test("t42: a specific planted contamination pair is flagged, and " +
+    "no flagged pair ever sits inside the eval set itself") {
+    val rows = TextAnalysis.fuzzyDecontaminate(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // doc 0 is eval; its corrupted copy is planted at PlantOffset
+    assert(rows.exists(r =>
+      r.getLong(0) == 1000000L && r.getLong(1) == 0L),
+      "planted pair (1000000, 0) not flagged")
+    rows.foreach { r =>
+      assert(r.getLong(0) != r.getLong(1))
+      assert(r.getLong(1) % 10 == 0 && r.getLong(1) < 1000000L,
+        s"eval side is not an eval doc: $r")
+      assert(r.getDouble(2) >= 0.5)
+    }
+  }
+}
