@@ -172,6 +172,9 @@ object Bench {
       "sk08_cbo_sketch", "s25_ann_upsert", "st31_epoch_handoff",
       "sk09_selectivity", "st32_ann_ingest_streamed",
       "t41_lm_perplexity",
+      // round-12 extension flagships
+      "s26_hybrid_rrf", "s27_ann_filtered", "gr11_label_propagation",
+      "gr12_modularity", "t42_fuzzy_decontaminate", "st33_decon_streamed",
       "s01_ann_brute_force", "s02_ann_lsh_bucketed",
       "s04_ann_ivf", "s06_embedding_clusters", "t11_tfidf",
       "t14_quality_gate",

@@ -943,7 +943,9 @@ object Graph {
     labels.orderBy("node").select(col("node"), col("lab").as("community"))
   }
 
-  val labelPropagationSql: String = {
+  /** The LPA WITH-clause body (edges + 3 unrolled rounds ending at
+    * `r3(node, lab)`) — shared between gr11's oracle and gr12's. */
+  private val lpaCtes: String = {
     def round(prev: String, out: String): String = s"""
     c_$out AS (
       SELECT e.dst AS node, p.lab AS lab, count(*) AS c
@@ -958,8 +960,7 @@ object Graph {
     $out AS (
       SELECT q.node, COALESCE(p.lab, q.lab) AS lab
       FROM $prev q LEFT JOIN p_$out p ON q.node = p.node)"""
-    s"""
-    WITH pairs AS (
+    s"""pairs AS (
       SELECT DISTINCT l.l_suppkey AS supp,
         o.o_custkey + $CustOffset AS cust
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
@@ -970,9 +971,86 @@ object Graph {
     r0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges),
     ${round("r0", "r1")},
     ${round("r1", "r2")},
-    ${round("r2", "r3")}
-    SELECT node, lab AS community FROM r3 ORDER BY node"""
+    ${round("r2", "r3")}"""
   }
+
+  val labelPropagationSql: String = s"""
+    WITH $lpaCtes
+    SELECT node, lab AS community FROM r3 ORDER BY node"""
+
+  /** gr12 — modularity audit of gr11's communities, in EXACT integers
+    * (the quality score a community-detection pass is judged by,
+    * emitted per community so a bad partition is attributable). With
+    * the DIRECTED edge list (both directions, so |edges| = 2m), the
+    * per-community Newman modularity term e_c/m − (d_c/2m)² scales to
+    * the integer q_contrib_scaled = 2m·E2_c − D_c², where E2_c =
+    * directed intra-community edges and D_c = Σ out-degrees — total
+    * modularity Q = Σ_c contrib / (2m)². All counts are integers, so
+    * DuckDB replays the LPA fixpoint AND the audit bit-exactly
+    * (int64 holds to ~sf100; beyond that the same integers route
+    * through DECIMAL(38)).
+    *
+    * Scale shape: labels come from the gr11 loop (its cost profile);
+    * the audit itself is two label lookups on the edge list (at 100 TB
+    * the label table is node-sized — shuffle-join by node id, or
+    * broadcast below ~10 GB) + one per-community count and one
+    * per-community degree sum, both map-side partial-aggregated. */
+  def modularity(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir)
+    modularityOnEdges(e, LpRounds)
+  }
+
+  /** The audit on an arbitrary edge frame — spec hook (closed-form
+    * two-triangle fixture in Round12bSpec). */
+  private[graft] def modularityOnEdges(eIn: DataFrame,
+      rounds: Int): DataFrame = {
+    val e = eIn.persist()
+    val lab = lpaOnEdges(e, rounds)
+      .select(col("node"), col("community"))
+    val m2 = e.agg(count(lit(1)).as("m2"))
+    val dc = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .join(lab.withColumnRenamed("node", "src"), Seq("src"))
+      .groupBy("community").agg(sum(col("outdeg")).as("d_c"))
+    val e2 = e
+      .join(lab.select(col("node").as("src"),
+        col("community").as("c_src")), Seq("src"))
+      .join(lab.select(col("node").as("dst"),
+        col("community").as("c_dst")), Seq("dst"))
+      .filter(col("c_src") === col("c_dst"))
+      .groupBy(col("c_src").as("community"))
+      .agg(count(lit(1)).as("e2_c"))
+    val out = dc.join(e2, Seq("community"), "left")
+      .crossJoin(broadcast(m2))
+      .select(col("community"),
+        coalesce(col("e2_c"), lit(0L)).as("e2_c"), col("d_c"),
+        (col("m2") * coalesce(col("e2_c"), lit(0L)) -
+          col("d_c") * col("d_c")).as("q_contrib_scaled"))
+      .orderBy("community")
+    e.unpersist(false)
+    out
+  }
+
+  val modularitySql: String = s"""
+    WITH $lpaCtes,
+    m2 AS (SELECT count(*) AS m2 FROM edges),
+    dc AS (
+      SELECT r3.lab AS community, count(*) AS d_c
+      FROM edges e JOIN r3 ON e.src = r3.node
+      GROUP BY 1),
+    e2 AS (
+      SELECT a.lab AS community, count(*) AS e2_c
+      FROM edges e
+      JOIN r3 a ON e.src = a.node
+      JOIN r3 b ON e.dst = b.node
+      WHERE a.lab = b.lab
+      GROUP BY 1)
+    SELECT dc.community,
+      CAST(COALESCE(e2.e2_c, 0) AS BIGINT) AS e2_c,
+      CAST(dc.d_c AS BIGINT) AS d_c,
+      CAST(m2.m2 * COALESCE(e2.e2_c, 0) - dc.d_c * dc.d_c AS BIGINT)
+        AS q_contrib_scaled
+    FROM dc LEFT JOIN e2 USING (community) CROSS JOIN m2
+    ORDER BY dc.community"""
 
   val all: Seq[(String, (SparkSession, String) => DataFrame,
     Option[String])] =
@@ -990,5 +1068,6 @@ object Graph {
         Some(khopFeaturesSql)),
       ("gr10_ktruss", ktruss _, Some(ktrussSql)),
       ("gr11_label_propagation", labelPropagation _,
-        Some(labelPropagationSql)))
+        Some(labelPropagationSql)),
+      ("gr12_modularity", modularity _, Some(modularitySql)))
 }

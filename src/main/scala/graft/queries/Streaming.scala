@@ -1663,6 +1663,116 @@ $counts
   val annIngestInvSql: String =
     "SELECT TRUE AS parity_ok, TRUE AS no_dup, TRUE AS k_bounded"
 
+  // ---- st33 streamed fuzzy decontamination (t42 as the ingest gate)
+  private val deconSrcCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), String]()
+  private val deconSinkCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), String]()
+
+  /** Stage t42's train corpus (clean docs + planted near-copies of
+    * eval docs) into 5 epoch files — the arriving crawl batches. */
+  private[graft] def deconSrc(s: SparkSession, dir: String): String = {
+    deconSrcCache.entrySet().removeIf(e =>
+      e.getKey._1 != s.sparkContext.applicationId ||
+        !new java.io.File(e.getValue).isDirectory)
+    deconSrcCache.computeIfAbsent(
+      (s.sparkContext.applicationId, dir), _ => {
+        val baseDir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_st33src_${dirTag(dir)}_${s.sparkContext.applicationId}")
+        if (baseDir.exists())
+          org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
+        val src = new java.io.File(baseDir, "src")
+        src.mkdirs()
+        val train = TextAnalysis.deconTrain(s, dir)
+        (0 until 5).foreach { i =>
+          val stage = new java.io.File(baseDir, s"stage_$i")
+          train.filter(pmod(col("doc_id"), lit(5)) === i)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(stage.getAbsolutePath)
+          val part = stage.listFiles()
+            .filter(f => f.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(src, f"epoch-$i%03d.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          dst.setLastModified(1700000000000L + i * 60000L)
+          org.apache.commons.io.FileUtils.deleteDirectory(stage)
+        }
+        src.getAbsolutePath
+      })
+  }
+
+  /** st33 — t42's fuzzy eval-set decontamination run as the INGEST
+    * GATE of a checkpointed stream: crawl batches arrive as 5
+    * AvailableNow micro-batches; each batch is MinHash-signed + banded
+    * in-stream (the same native expression and [[Dedup.bandStructs]]
+    * keys as batch t42, via the shared [[TextAnalysis.deconCandidates]]
+    * arithmetic) and joined against the BROADCAST eval bucket table —
+    * a stream-static join with NO keyed state at all: the eval suite
+    * is the only "index", a static artifact rebuilt per suite release.
+    * Statelessness is the scale story: per-batch cost ∝ batch size,
+    * replay safety is free (re-emitted candidates collapse in the
+    * committed sink's pair-set dedup), and the stream needs no state
+    * store to shard — this is the shape a 100 TB/day crawl gate
+    * actually runs. st33_decon_inv pins the streamed pair set EQUAL
+    * to batch t42's. Signature values are engine-specific → rows-only;
+    * the inv is the oracle companion. */
+  def deconStreamed(s: SparkSession, dir: String): DataFrame = {
+    deconSinkCache.entrySet().removeIf(e =>
+      e.getKey._1 != s.sparkContext.applicationId ||
+        !new java.io.File(e.getValue).isDirectory)
+    val outDir = deconSinkCache.computeIfAbsent(
+      (s.sparkContext.applicationId, dir), _ => {
+        val src = deconSrc(s, dir)
+        val baseDir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_st33_${dirTag(dir)}_${s.sparkContext.applicationId}")
+        if (baseDir.exists())
+          org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
+        val base = baseDir.getAbsolutePath
+        val docSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType)))
+        val evalB = TextAnalysis.deconBanded(
+          TextAnalysis.deconEval(s, dir))
+        val stream = s.readStream.schema(docSchema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+        val q = TextAnalysis.deconCandidates(
+            TextAnalysis.deconBanded(stream), evalB)
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s"$base/out"
+      })
+    s.read.parquet(outDir)
+      .dropDuplicates("train_id", "eval_id")
+      .select(col("train_id"), col("eval_id"), col("est_jaccard"))
+      .orderBy("train_id", "eval_id")
+  }
+
+  /** st33's oracle companion: the streamed pair set (ids AND
+    * estimates) is EXACTLY batch t42's output — same corpus, same
+    * signatures, same buckets, different execution (micro-batched
+    * stream-static join vs one batch join). */
+  def deconStreamInv(s: SparkSession, dir: String): DataFrame = {
+    val streamed = deconStreamed(s, dir)
+    val batch = TextAnalysis.fuzzyDecontaminate(s, dir)
+    val cols = Seq("train_id", "eval_id", "est_jaccard")
+    val union = streamed.join(batch, cols, "full_outer")
+      .agg(count(lit(1)).as("n_union"))
+    val both = streamed.join(batch, cols)
+      .agg(count(lit(1)).as("n_both"))
+    val n = streamed.agg(count(lit(1)).as("n_pairs"))
+    union.crossJoin(both).crossJoin(n)
+      .select((col("n_union") === col("n_both")).as("parity_ok"),
+        (col("n_pairs") > 0).as("nonempty"))
+  }
+
+  val deconStreamInvSql: String =
+    "SELECT TRUE AS parity_ok, TRUE AS nonempty"
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("st01_tumbling_window", tumblingWindow _, Some(tumblingWindowSql)),
@@ -1713,5 +1823,7 @@ $counts
       ("st31_handoff_inv", lshHandoffInv _, Some(lshHandoffInvSql)),
       ("st32_ann_ingest_streamed", annIngestStreamed _, None),
       ("st32_ann_ingest_inv", annIngestInv _, Some(annIngestInvSql)),
+      ("st33_decon_streamed", deconStreamed _, None),
+      ("st33_decon_inv", deconStreamInv _, Some(deconStreamInvSql)),
     )
 }

@@ -2662,30 +2662,48 @@ object TextAnalysis {
     * across bands. At 100 TB this pass costs one corpus scan per
     * eval-suite release; upstream exact-dedup staging (d01) keeps
     * candidate multiplicity bounded exactly as in d02. */
-  def fuzzyDecontaminate(s: SparkSession, dir: String): DataFrame = {
-    val docs = Relational.table(s, dir, "documents")
+  /** MinHash-sign and band a (doc_id, text) frame — works on batch
+    * AND streaming frames (pure expressions), shared with st33. */
+  private[queries] def deconBanded(in: DataFrame): DataFrame = in
+    .select(col("doc_id"),
+      graft.expr.MinHashSignature.minhashSignature(
+        col("text"), Dedup.MinhashK).as("sig"))
+    .select(col("doc_id"), col("sig"),
+      explode(array(Dedup.bandStructs: _*)).as("bb"))
+
+  /** The eval suite: every 10th document. */
+  private[queries] def deconEval(s: SparkSession, dir: String): DataFrame =
+    Relational.table(s, dir, "documents")
       .select(col("doc_id"), col("text"))
-    val evalDocs = docs.filter(col("doc_id") % 10 === 0)
-    val train = docs.filter(col("doc_id") % 10 =!= 0)
+      .filter(col("doc_id") % 10 === 0)
+
+  /** The train corpus: the remaining documents plus the planted
+    * near-copies of the eval docs. */
+  private[queries] def deconTrain(s: SparkSession, dir: String): DataFrame =
+    Relational.table(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 10 =!= 0)
       .unionAll(Dedup.corpusWithNearDups(s, dir)
         .filter(col("doc_id") >= Dedup.PlantOffset))
-    def banded(in: DataFrame): DataFrame = in
-      .select(col("doc_id"),
-        graft.expr.MinHashSignature.minhashSignature(
-          col("text"), Dedup.MinhashK).as("sig"))
-      .select(col("doc_id"), col("sig"),
-        explode(array(Dedup.bandStructs: _*)).as("bb"))
-    val evalB = banded(evalDocs).select(col("doc_id").as("eval_id"),
-      col("sig").as("esig"), col("bb"))
-    banded(train).select(col("doc_id").as("train_id"),
+
+  /** The banded+renamed broadcast side, and the candidate scoring —
+    * factored so the streamed twin (st33) runs the IDENTICAL
+    * arithmetic per micro-batch. Input: a banded train frame. */
+  private[queries] def deconCandidates(trainBanded: DataFrame,
+      evalBanded: DataFrame): DataFrame =
+    trainBanded.select(col("doc_id").as("train_id"),
         col("sig").as("tsig"), col("bb"))
-      .join(broadcast(evalB), Seq("bb"))
+      .join(broadcast(evalBanded.select(col("doc_id").as("eval_id"),
+        col("sig").as("esig"), col("bb"))), Seq("bb"))
       .select(col("train_id"), col("eval_id"),
         Dedup.estJaccardCol(col("tsig"), col("esig")).as("est_jaccard"))
       .filter(col("est_jaccard") >= FuzzyDeconTau)
+
+  def fuzzyDecontaminate(s: SparkSession, dir: String): DataFrame =
+    deconCandidates(deconBanded(deconTrain(s, dir)),
+        deconBanded(deconEval(s, dir)))
       .dropDuplicates("train_id", "eval_id")
       .orderBy("train_id", "eval_id")
-  }
 
   /** t42's contract, surfaced to the driver gate: (a) >= 80% of the
     * planted contamination pairs are flagged (d02's bound — same

@@ -95,6 +95,44 @@ class Round12bSpec extends SparkSpec {
     assert(labels.size < nodes.size, "no label ever propagated")
   }
 
+  // ----------------------------------------------- gr12 modularity
+  test("gr12: closed-form — two disjoint triangles score exactly " +
+    "Q·(2m)² = 36 per community (total Q = 0.5)") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L))
+    val e = und.toDF("src", "dst")
+      .unionAll(und.map(_.swap).toDF("src", "dst"))
+    val rows = Graph.modularityOnEdges(e, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // each triangle: E2_c = 6 directed intra edges, D_c = 6, 2m = 12
+    assert(rows.toSeq == Seq((1L, 6L, 6L, 36L), (10L, 6L, 6L, 36L)),
+      s"got ${rows.toSeq}")
+  }
+
+  test("gr12: trade-graph audit identities — degrees and intra-edges " +
+    "partition the directed edge count") {
+    val rows = Graph.modularity(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val m2FromD = rows.map(_.getLong(2)).sum
+    val e2Sum = rows.map(_.getLong(1)).sum
+    assert(e2Sum <= m2FromD, "intra-community edges exceed all edges")
+    rows.foreach { r =>
+      assert(r.getLong(3) ==
+        m2FromD * r.getLong(1) - r.getLong(2) * r.getLong(2),
+        s"contribution arithmetic broken on $r")
+    }
+  }
+
+  // ----------------------------------------------- st33 streamed decon
+  test("st33: the streamed ingest gate's pair set equals batch t42's " +
+    "exactly (ids and estimates)") {
+    val r = graft.queries.Streaming.deconStreamInv(spark, sfDir)
+      .collect().head
+    assert(r.getBoolean(0), "parity_ok false")
+    assert(r.getBoolean(1), "nonempty false")
+  }
+
   // ----------------------------------------------- t42 fuzzy decon
   test("t42: the decon contract flags hold at sf0.001 — planted " +
     "recall, side discipline, est-vs-exact band") {
