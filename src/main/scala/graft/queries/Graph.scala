@@ -928,7 +928,13 @@ object Graph {
       .select(col("node"), col("node").as("lab"))
       .localCheckpoint()
     for (_ <- 1 to rounds) {
+      // one exchange per superstep: clustering by dst alone satisfies
+      // BOTH downstream aggs ((dst, lab) counts and the per-dst
+      // argmax — HashPartitioning(dst) ⊆ both clusterings), so the
+      // per-(dst,lab) count and the plurality pick run exchange-free
+      // on top of it; the labels join itself broadcasts (node-sized)
       val counts = e.join(labels, col("src") === col("node"))
+        .repartition(col("dst"))
         .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("c"))
       // plurality with min-label tie-break: max over (count, −label)
       val picked = counts.groupBy("dst")
