@@ -124,6 +124,50 @@ class Round12bSpec extends SparkSpec {
     }
   }
 
+  // ----------------------------------------------- q44 zone-map skipping
+  test("q44: the narrow predicate's serve scan prunes STATICALLY — " +
+    "one quarter's partition dir selected, the rest never opened") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val scan = graft.queries.Layout.zonemapServeScan(spark, sfDir,
+      "1996-03-01", "1996-03-31")
+    scan.collect()
+    val plan = scan.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, "expected a parquet file scan")
+    val f = scans.head
+    assert(f.partitionFilters.nonEmpty,
+      "shard IN (...) must land in partitionFilters, got " +
+        s"data filters only: ${f.dataFilters}")
+    assert(f.selectedPartitions.partitionCount == 1,
+      s"one month inside one quarter must select exactly 1 dir, " +
+        s"got ${f.selectedPartitions.partitionCount}")
+  }
+
+  test("q44: pruning loses nothing — every predicate's pruned count " +
+    "equals the unpruned full-table filter count") {
+    val rows = graft.queries.Layout.zonemapPruning(spark, sfDir)
+      .collect()
+    assert(rows.length == 3)
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(date_format(col("l_shipdate"), "yyyy-MM-dd").as("d"))
+    val bounds = Seq(("1996-03-01", "1996-03-31"),
+      ("1997-01-01", "1997-06-30"), ("1998-01-01", "1999-12-31"))
+    rows.sortBy(_.getLong(0)).zip(bounds).foreach { case (r, (lo, hi)) =>
+      val full = li.filter(col("d") >= lo && col("d") <= hi).count()
+      assert(r.getLong(3) == full, s"pruned scan lost rows on $r")
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+    // the narrow predicate must actually skip most of the corpus
+    val narrow = rows.minBy(_.getLong(0))
+    assert(narrow.getLong(2) * 4 <= narrow.getLong(1),
+      s"narrow predicate read ${narrow.getLong(2)} of " +
+        s"${narrow.getLong(1)} shards — no skipping happened")
+  }
+
   // ----------------------------------------------- st33 streamed decon
   test("st33: the streamed ingest gate's pair set equals batch t42's " +
     "exactly (ids and estimates)") {
