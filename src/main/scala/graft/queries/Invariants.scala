@@ -383,6 +383,25 @@ object Invariants {
         (col("n_over") === 0).as("k_bounded"))
   }
 
+  /** S28: the stored IVF-PQ two-phase serve is k-bounded and overlaps
+    * the exact top-k by >= 30% (seeded-deterministic coarse centroids
+    * and codebooks; candidates pass through an exact re-rank, so
+    * misses can only come from list probing or the ADC top-24 cut). */
+  def s28AnnInv(s: SparkSession, dir: String): DataFrame = {
+    val bf = Similarity.annBruteForce(s, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val pq = Similarity.annStoredIvfPq(s, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val hit = bf.join(pq, Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("hit"))
+    val tot = bf.agg(count(lit(1)).as("tot"))
+    val overK = pq.groupBy("query_id").agg(count(lit(1)).as("k"))
+      .agg(sum((col("k") > 5).cast("long")).as("n_over"))
+    hit.crossJoin(tot).crossJoin(overK)
+      .select((col("hit") >= lit(0.3) * col("tot")).as("recall_ok"),
+        (col("n_over") === 0).as("k_bounded"))
+  }
+
   /** S27: the filtered-ANN post-filter serve path honors its contract —
     * (a) every returned neighbor actually satisfies the per-query
     * predicate (`label == query.label`; a post-filter bug would leak
@@ -602,6 +621,7 @@ object Invariants {
       ("s10_ann_inv", s10AnnInv _, Some(s02Sql)),
       ("s24_ann_inv", s24AnnInv _, Some(s24Sql)),
       ("s27_filtered_inv", s27FilteredInv _, Some(s27Sql)),
+      ("s28_ann_inv", s28AnnInv _, Some(s02Sql)),
       ("t22_heavy_inv", t22HeavyInv _, Some(t22Sql)),
       ("q18_error_inv", q18ErrorInv _, Some(q18ErrSql)),
       ("q20_error_inv", q20ErrorInv _, Some(q20ErrSql)),

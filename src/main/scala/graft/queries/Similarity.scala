@@ -762,46 +762,57 @@ object Similarity {
     * builtin LUT lookups, map-side, with a per-query top-R window;
     * only R·queries rows ever rejoin the full vectors (broadcast-side)
     * for the exact re-rank. */
+  /** Per-query ADC lookup tables: lut(m)(k) = dot(query subvector m,
+    * codebook[m][k]) — shared by s10 (in-plan) and s28 (stored). */
+  private def pqLuts(queryRows: Map[Long, Array[Float]],
+      cbs: Array[Array[Array[Float]]]): Map[Long, Array[Array[Double]]] =
+    queryRows.map { case (qid, q) =>
+      qid -> Array.tabulate(PqM) { m =>
+        Array.tabulate(PqK) { k =>
+          var d = 0.0
+          var j = 0
+          while (j < PqSub) {
+            d += q(m * PqSub + j).toDouble * cbs(m)(k)(j); j += 1
+          }
+          d
+        }
+      }
+    }
+
+  /** The ADC score column over a `code` array + `query_id` column:
+    * builtin element_at lookups on the per-query LUT literals,
+    * dispatched by a when-chain over the tiny query set — UDF-free,
+    * summation order matches the imperative loop (m ascending). */
+  private def adcColumn(luts: Map[Long, Array[Array[Double]]])
+      : org.apache.spark.sql.Column = {
+    def adc(lut: Array[Array[Double]]): org.apache.spark.sql.Column =
+      (0 until PqM).map { m =>
+        element_at(typedLit(lut(m).toSeq),
+          element_at(col("code"), m + 1) + 1)
+      }.reduce(_ + _)
+    luts.keys.toSeq.sorted.foldLeft(lit(Double.MinValue)) {
+      (acc, qid) => when(col("query_id") === qid, adc(luts(qid)))
+        .otherwise(acc)
+    }
+  }
+
   def annPq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Relational.table(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
     val cbs = pqCodebooks(emb, seed = 11000)
 
-    // per-query LUT: lut(m)(k) = dot(query subvector m, codebook[m][k])
     val queryRows = emb.filter(col("vec_id") < NumQueries)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
-    val luts: Map[Long, Array[Array[Double]]] = queryRows.map {
-      case (qid, q) =>
-        qid -> Array.tabulate(PqM) { m =>
-          Array.tabulate(PqK) { k =>
-            var d = 0.0
-            var j = 0
-            while (j < PqSub) {
-              d += q(m * PqSub + j).toDouble * cbs(m)(k)(j); j += 1
-            }
-            d
-          }
-        }
-    }
+    val luts = pqLuts(queryRows, cbs)
 
     // both hot passes are UDF-free: codes via the native PqEncode
     // expression (codebooks ride into codegen as a reference object),
-    // ADC scores via builtin element_at lookups on the per-query LUT
-    // literals, dispatched by a when-chain over the tiny query set —
-    // summation order matches the imperative loop (m ascending)
+    // ADC scores via [[adcColumn]]
     val codes = emb.select(col("vec_id"),
       graft.expr.PqEncode.pqEncode(col("embedding"), cbs).as("code"))
-    def adc(lut: Array[Array[Double]]): org.apache.spark.sql.Column =
-      (0 until PqM).map { m =>
-        element_at(typedLit(lut(m).toSeq),
-          element_at(col("code"), m + 1) + 1)
-      }.reduce(_ + _)
-    val approx = luts.keys.toSeq.sorted.foldLeft(lit(Double.MinValue)) {
-      (acc, qid) => when(col("query_id") === qid, adc(luts(qid)))
-        .otherwise(acc)
-    }
+    val approx = adcColumn(luts)
     val qids = queryRows.keys.toSeq.sorted
       .toDF("query_id")
     val wApprox = Window.partitionBy(col("query_id"))
@@ -1445,6 +1456,166 @@ object Similarity {
     WHERE rank <= $TopK
     ORDER BY query_id, rank"""
 
+  // -------------------------------- s28 stored IVF-PQ index (serve)
+  private val ivfpqCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), String]()
+  /** Fetch-shard count for the refine sidecar (id-keyed full
+    * vectors): candidate ids are known driver-side after the ADC
+    * pass, and vbucket = vec_id % shards is driver-computable, so the
+    * refine read statically prunes to the candidates' buckets. */
+  private val VecBuckets = 16
+  /** IVFPQ probes WIDER and re-ranks DEEPER than IVF-flat (2× each):
+    * scanning a list costs ~17 B/vector instead of 256 B and the
+    * refine fetch is per-candidate, so widening the cheap tier to buy
+    * back the quantization recall loss is exactly the IVFPQ trade —
+    * measured 0.275 recall at the flat-index settings vs 0.525 here
+    * (sf0.01, vs the exact top-k). */
+  private val IvfPqProbe = 2 * IvfProbe
+  private val IvfPqRerank = 2 * PqRerank
+
+  /** Build-once: the FAISS IVFPQ ON-DISK LAYOUT — `centroids/` (the
+    * coarse quantizer, same seed as s24 ⇒ identical list membership),
+    * `codebooks/` (PqM×PqK sub-quantizer rows), `postings/`
+    * `partitionBy(cid)` holding (vec_id, code) — CODES ONLY, ~17 B
+    * per vector instead of 256 B of floats: the hot tier a 100 TB
+    * corpus can actually keep warm — and `vectors/` (full embeddings
+    * `partitionBy(vbucket)`), the cold refine sidecar touched only
+    * for re-rank candidates. */
+  private[graft] def buildIvfPqIndex(s: SparkSession, dir: String)
+      : String = {
+    ivfpqCache.entrySet().removeIf(e =>
+      e.getKey._1 != s.sparkContext.applicationId ||
+        !new java.io.File(e.getValue).isDirectory)
+    ivfpqCache.computeIfAbsent(
+      (s.sparkContext.applicationId, dir), _ => {
+        import s.implicits._
+        val tag = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(dir.getBytes("UTF-8"))
+          .take(8).map(b => f"$b%02x").mkString
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_s28_${tag}_${s.sparkContext.applicationId}")
+        if (root.exists())
+          org.apache.commons.io.FileUtils.deleteDirectory(root)
+        val emb = Relational.table(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val cents = ivfCentroids(emb, IvfK, IvfIters, seed = 9000)
+        val cbs = pqCodebooks(emb, seed = 11000)
+        cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+          .toDF("cid", "centroid").coalesce(1).write.mode("overwrite")
+          .parquet(new java.io.File(root, "centroids").getAbsolutePath)
+        (for (m <- 0 until PqM; k <- 0 until PqK)
+          yield (m, k, cbs(m)(k).toSeq)).toDF("m", "k", "sub")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(new java.io.File(root, "codebooks").getAbsolutePath)
+        // ONE corpus pass emits both tiers: coarse cid + PQ code for
+        // the hot postings, full vector into the bucketed cold tier
+        val assigned = emb.select(col("vec_id"), col("embedding"),
+          nearestCentroidCol(col("embedding"), cents).as("cid"),
+          graft.expr.PqEncode.pqEncode(col("embedding"), cbs).as("code"))
+          .persist()
+        assigned.select(col("vec_id"), col("cid"), col("code"))
+          .write.partitionBy("cid").mode("overwrite")
+          .parquet(new java.io.File(root, "postings").getAbsolutePath)
+        assigned.select(col("vec_id"), col("embedding"),
+            (col("vec_id") % VecBuckets).cast("int").as("vbucket"))
+          .write.partitionBy("vbucket").mode("overwrite")
+          .parquet(new java.io.File(root, "vectors").getAbsolutePath)
+        assigned.unpersist(false)
+        root.getAbsolutePath
+      })
+  }
+
+  private[graft] def readCodebooks(s: SparkSession, root: String)
+      : Array[Array[Array[Float]]] = {
+    val rows = s.read
+      .parquet(new java.io.File(root, "codebooks").getAbsolutePath)
+      .orderBy("m", "k").collect()
+    val out = Array.ofDim[Array[Float]](PqM, PqK)
+    rows.foreach(r =>
+      out(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).toArray)
+    out
+  }
+
+  /** Spec hook: the codes-tier scan for a fixed probe set. */
+  private[graft] def storedIvfPqCodesScan(s: SparkSession, dir: String)
+      : DataFrame = {
+    val root = buildIvfPqIndex(s, dir)
+    s.read.parquet(new java.io.File(root, "postings").getAbsolutePath)
+      .filter(col("cid").isin(0, 1))
+  }
+
+  /** s28 — ANN served from the STORED IVF-PQ index, the two-phase
+    * vector-database serve path end to end: (1) ADC phase — read the
+    * k-row centroid + KB codebook tables, compute probe lists
+    * driver-side, scan ONLY the probed posting partitions' CODES
+    * (static pruning, no embedding column anywhere in the hot scan)
+    * and score them with per-query lookup tables ([[adcColumn]] —
+    * pure builtin expressions); (2) REFINE phase — the top
+    * [[PqRerank]] candidate ids per query (a bounded per-request
+    * set, collected driver-side exactly like the probe lists) are
+    * fetched from the bucketed `vectors/` sidecar with vbucket-level
+    * static pruning and re-ranked with exact cosine.
+    *
+    * Scale shape: serve I/O = probed lists × ~17 B/vector for phase 1
+    * + |candidates| point-ish lookups for phase 2 — corpus floats are
+    * NEVER bulk-scanned at serve time. This is the memory-bound
+    * regime IVFPQ exists for: at 100 TB the codes tier is ~400×
+    * smaller than the float corpus. Engine-specific (seeded k-means,
+    * xxhash-free integer bucketing) → rows-only; s28_ann_inv is the
+    * oracle companion. */
+  def annStoredIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = buildIvfPqIndex(s, dir)
+    val cents = readCentroids(s, root)
+    val cbs = readCodebooks(s, root)
+    val queryRows = Relational.table(s, dir, "embeddings")
+      .filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val luts = pqLuts(queryRows, cbs)
+    val probeRows = queryRows.toSeq.flatMap { case (qid, qe) =>
+      nearestCentroids(qe.toSeq, cents, IvfPqProbe).map(cid => (qid, cid))
+    }
+    val probedCids = probeRows.map(_._2).distinct.sorted
+    val probeDf = probeRows.toDF("query_id", "cid")
+    // phase 1: ADC over the probed lists' codes
+    val codes = s.read
+      .parquet(new java.io.File(root, "postings").getAbsolutePath)
+      .filter(col("cid").isin(probedCids.map(Integer.valueOf): _*))
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("vec_id"))
+    val candidates = codes.join(broadcast(probeDf), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("approx", adcColumn(luts))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= IvfPqRerank)
+      .select(col("query_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // phase 2: refine — fetch ONLY the candidates' vector buckets
+    val candIds = candidates.map(_._2).distinct.sorted
+    val buckets = candIds.map(id => (id % VecBuckets).toInt)
+      .distinct.sorted
+    val candDf = candidates.toSeq.toDF("query_id", "vec_id")
+    val qe = queryRows.toSeq.map { case (qid, q) => (qid, q.toSeq) }
+      .toDF("query_id", "qe")
+    val fetched = s.read
+      .parquet(new java.io.File(root, "vectors").getAbsolutePath)
+      .filter(col("vbucket").isin(buckets.map(Integer.valueOf): _*) &&
+        col("vec_id").isin(candIds.map(java.lang.Long.valueOf): _*))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    fetched.join(broadcast(candDf), Seq("vec_id"))
+      .join(broadcast(qe), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.expr.CosineSimilarity.cosineSimilarity(
+          col("embedding"), col("qe")).as("cos"))
+      .withColumn("rank", row_number().over(wExact).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("s01_ann_brute_force", annBruteForce _, Some(annBruteForceSql)),
@@ -1467,6 +1638,7 @@ object Similarity {
         Some(kcenterCoresetSql)),
       ("e03_hamming_ann", hammingAnn _, Some(hammingAnnSql)),
       ("s26_hybrid_rrf", hybridRrf _, Some(hybridRrfSql)),
+      ("s28_ann_stored_ivfpq", annStoredIvfPq _, None),
       ("s27_ann_filtered", annFiltered _, None),
       ("s27_filtered_exact", annFilteredExact _, Some(annFilteredExactSql)),
     )

@@ -95,6 +95,41 @@ class Round12bSpec extends SparkSpec {
     assert(labels.size < nodes.size, "no label ever propagated")
   }
 
+  // ----------------------------------------------- s28 stored IVF-PQ
+  test("s28: the hot postings tier stores CODES ONLY — no float " +
+    "embedding column anywhere in the serve-path scan") {
+    val scan = graft.queries.Similarity
+      .storedIvfPqCodesScan(spark, sfDir)
+    val fields = scan.schema.fields.map(f =>
+      f.name -> f.dataType.simpleString).toMap
+    assert(!fields.contains("embedding"),
+      s"postings leaked the float tier: $fields")
+    assert(fields("code") == "array<int>", s"got $fields")
+  }
+
+  test("s28: the ADC phase prunes posting partitions statically, " +
+    "and the two-phase serve holds the recall/k contract") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val scan = graft.queries.Similarity
+      .storedIvfPqCodesScan(spark, sfDir)
+    scan.collect()
+    val plan = scan.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val f = plan.collect { case x: FileSourceScanExec => x }.head
+    assert(f.partitionFilters.nonEmpty,
+      "cid IN (...) must be a partition filter on the codes tier")
+    assert(f.selectedPartitions.partitionCount == 2,
+      s"probe of {0,1} must open exactly 2 list dirs, got " +
+        s"${f.selectedPartitions.partitionCount}")
+    val inv = graft.queries.Invariants.s28AnnInv(spark, sfDir)
+      .collect().head
+    assert(inv.getBoolean(0), "recall_ok false")
+    assert(inv.getBoolean(1), "k_bounded false")
+  }
+
   // ----------------------------------------------- gr12 modularity
   test("gr12: closed-form — two disjoint triangles score exactly " +
     "Q·(2m)² = 36 per community (total Q = 0.5)") {
