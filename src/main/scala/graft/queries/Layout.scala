@@ -133,11 +133,51 @@ object Layout {
   // --------------------------------------- q44 zone-map data skipping
   /** Fixed range predicates: narrow (one month), medium (half a
     * year), wide (two years) — the selectivity sweep a skipping
-    * layout is judged on. */
-  private val ZmPreds: Seq[(Int, String, String)] = Seq(
+    * layout is judged on. Shared with the streamed twin (st34). */
+  private[graft] val ZmPreds: Seq[(Int, String, String)] = Seq(
     (1, "1996-03-01", "1996-03-31"),
     (2, "1997-01-01", "1997-06-30"),
     (3, "1998-01-01", "1999-12-31"))
+
+  /** The lineitem projection every zone-mapped layout stores:
+    * (l_orderkey, ship_day, quarter shard) — deterministic, so batch
+    * build and streamed ingest land identical rows. */
+  private[graft] def zmProjected(s: SparkSession, dir: String)
+      : DataFrame =
+    Relational.table(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"),
+        ((year(col("l_shipdate")) - 1995) * 4 +
+          quarter(col("l_shipdate")) - 1).cast("int").as("shard"))
+
+  /** Per-shard zone rows of a projected frame. */
+  private[graft] def zmStats(df: DataFrame): DataFrame =
+    df.groupBy("shard").agg(min(col("ship_day")).as("lo"),
+      max(col("ship_day")).as("hi"), count(lit(1)).as("n"))
+
+  /** The serve pass shared by q44 (build-once manifest) and st34
+    * (union of per-batch manifests): consult the KB-sized zone map
+    * driver-side per predicate, scan only overlapping shards of the
+    * stored table (static pruning), emit decision + exact count. */
+  private[graft] def zmAnswer(s: SparkSession, tablePath: String,
+      manifest: DataFrame): DataFrame = {
+    import s.implicits._
+    val zones = manifest.groupBy("shard")
+      .agg(min(col("lo")).as("lo"), max(col("hi")).as("hi"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    val rows = ZmPreds.map { case (id, plo, phi) =>
+      val qual = zones.filter { case (_, lo, hi) =>
+        hi >= plo && lo <= phi
+      }.map(_._1).sorted
+      val n = s.read.parquet(tablePath)
+        .filter(col("shard").isin(qual.map(Integer.valueOf): _*) &&
+          col("ship_day") >= plo && col("ship_day") <= phi)
+        .count()
+      (id.toLong, zones.length.toLong, qual.length.toLong, n)
+    }
+    rows.toDF("pred_id", "shards_total", "shards_read", "n_rows")
+      .orderBy("pred_id")
+  }
 
   private val zmCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String), String]()
@@ -163,16 +203,10 @@ object Layout {
         if (root.exists())
           org.apache.commons.io.FileUtils.deleteDirectory(root)
         val base = root.getAbsolutePath
-        Relational.table(s, dir, "lineitem")
-          .select(col("l_orderkey"),
-            date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"),
-            ((year(col("l_shipdate")) - 1995) * 4 +
-              quarter(col("l_shipdate")) - 1).cast("int").as("shard"))
+        zmProjected(s, dir)
           .write.partitionBy("shard").mode("overwrite")
           .parquet(s"$base/table")
-        s.read.parquet(s"$base/table").groupBy("shard")
-          .agg(min(col("ship_day")).as("lo"),
-            max(col("ship_day")).as("hi"), count(lit(1)).as("n"))
+        zmStats(s.read.parquet(s"$base/table"))
           .coalesce(1).write.mode("overwrite").parquet(s"$base/manifest")
         base
       })
@@ -221,16 +255,8 @@ object Layout {
     * filter column is the knob (q22's Z-order generalizes it to two
     * columns). */
   def zonemapPruning(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val root = zmRoot(s, dir)
-    val shardsTotal = s.read.parquet(s"$root/manifest").count()
-    val rows = ZmPreds.map { case (id, lo, hi) =>
-      val nQual = zmQualifying(s, root, lo, hi).length.toLong
-      val n = zonemapServeScan(s, dir, lo, hi).count()
-      (id.toLong, shardsTotal, nQual, n)
-    }
-    rows.toDF("pred_id", "shards_total", "shards_read", "n_rows")
-      .orderBy("pred_id")
+    zmAnswer(s, s"$root/table", s.read.parquet(s"$root/manifest"))
   }
 
   val zonemapPruningSql: String = {

@@ -1773,6 +1773,105 @@ $counts
   val deconStreamInvSql: String =
     "SELECT TRUE AS parity_ok, TRUE AS nonempty"
 
+  // ---- st34 streamed zone-map maintenance (q44 under continuous append)
+  private val zmIngestCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), String]()
+
+  /** One ingest batch's writes — IDEMPOTENT by construction, factored
+    * out so the spec can replay a batch and pin the output unchanged:
+    * data lands under (shard, ingest_batch) with dynamic partition
+    * overwrite (a replayed batch overwrites exactly its own
+    * sub-directories), and the batch's zone stats land at
+    * `manifests/batch=<id>` (same idempotency). */
+  private[graft] def st34WriteBatch(batch: DataFrame, id: Long,
+      root: String): Unit = {
+    batch.withColumn("ingest_batch", lit(id))
+      .write.partitionBy("shard", "ingest_batch").mode("overwrite")
+      .parquet(s"$root/table")
+    Layout.zmStats(batch).coalesce(1).write.mode("overwrite")
+      .parquet(s"$root/manifests/batch=$id")
+  }
+
+  /** Spec hook: the built ingest root for this (application, dir). */
+  private[graft] def st34Root(s: SparkSession, dir: String)
+      : Option[String] =
+    Option(zmIngestCache.get((s.sparkContext.applicationId, dir)))
+
+  /** st34 — q44's zone-mapped layout MAINTAINED UNDER CONTINUOUS
+    * APPEND: lineitem arrives as 5 AvailableNow micro-batches; each
+    * batch `foreachBatch`-writes its rows into their quarter shards
+    * and its OWN per-batch zone manifest — the Iceberg shape, where
+    * stats ride with each snapshot's manifest and readers MERGE
+    * manifests instead of rewriting a global one (so ingest never
+    * read-modify-writes shared metadata, and replays are idempotent
+    * sub-directory overwrites). Serve = union the per-batch manifests
+    * (KBs), merge zones per shard driver-side, statically prune —
+    * [[Layout.zmAnswer]], the IDENTICAL serve pass as batch q44.
+    *
+    * The output is bit-identical to q44's (deterministic projection +
+    * exact zone merge), so this STREAMED operator carries q44's
+    * DIRECT DuckDB oracle — not just an inv companion. */
+  def zonemapIngestStreamed(s: SparkSession, dir: String): DataFrame = {
+    zmIngestCache.entrySet().removeIf(e =>
+      e.getKey._1 != s.sparkContext.applicationId ||
+        !new java.io.File(e.getValue).isDirectory)
+    val root = zmIngestCache.computeIfAbsent(
+      (s.sparkContext.applicationId, dir), _ => {
+        val baseDir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_st34_${dirTag(dir)}_${s.sparkContext.applicationId}")
+        if (baseDir.exists())
+          org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
+        val base = baseDir.getAbsolutePath
+        // stage the projected rows into 5 arrival epochs
+        val src = new java.io.File(baseDir, "src")
+        src.mkdirs()
+        val projected = Layout.zmProjected(s, dir)
+        (0 until 5).foreach { i =>
+          val stage = new java.io.File(baseDir, s"stage_$i")
+          projected.filter(pmod(col("l_orderkey"), lit(5)) === i)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(stage.getAbsolutePath)
+          val part = stage.listFiles()
+            .filter(f => f.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(src, f"epoch-$i%03d.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          dst.setLastModified(1700000000000L + i * 60000L)
+          org.apache.commons.io.FileUtils.deleteDirectory(stage)
+        }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("l_orderkey",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ship_day",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("shard",
+            org.apache.spark.sql.types.IntegerType)))
+        val confKey = "spark.sql.sources.partitionOverwriteMode"
+        val prev = s.conf.getOption(confKey)
+        s.conf.set(confKey, "dynamic")
+        try {
+          val q = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src.getAbsolutePath)
+            .writeStream
+            .foreachBatch { (batch: DataFrame, id: Long) =>
+              st34WriteBatch(batch, id, base)
+            }
+            .option("checkpointLocation", s"$base/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally {
+          prev match {
+            case Some(v) => s.conf.set(confKey, v)
+            case None => s.conf.unset(confKey)
+          }
+        }
+        base
+      })
+    Layout.zmAnswer(s, s"$root/table",
+      s.read.parquet(s"$root/manifests").drop("batch"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("st01_tumbling_window", tumblingWindow _, Some(tumblingWindowSql)),
@@ -1825,5 +1924,7 @@ $counts
       ("st32_ann_ingest_inv", annIngestInv _, Some(annIngestInvSql)),
       ("st33_decon_streamed", deconStreamed _, None),
       ("st33_decon_inv", deconStreamInv _, Some(deconStreamInvSql)),
+      ("st34_zonemap_ingest", zonemapIngestStreamed _,
+        Some(Layout.zonemapPruningSql)),
     )
 }

@@ -203,6 +203,38 @@ class Round12bSpec extends SparkSpec {
         s"${narrow.getLong(1)} shards — no skipping happened")
   }
 
+  // ----------------------------------------------- st34 zone-map ingest
+  test("st34: the streamed-maintained layout answers every predicate " +
+    "identically to the batch-built q44, and a replayed ingest batch " +
+    "changes nothing") {
+    import graft.queries.{Layout, Streaming}
+    val streamed = Streaming.zonemapIngestStreamed(spark, sfDir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val batch = Layout.zonemapPruning(spark, sfDir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(streamed == batch, s"streamed $streamed vs batch $batch")
+    // replay batch 2: same rows, same id → idempotent overwrite of
+    // exactly its own sub-directories and manifest
+    val root = Streaming.st34Root(spark, sfDir).get
+    val replay = Layout.zmProjected(spark, sfDir)
+      .filter(pmod(col("l_orderkey"), lit(5)) === 2)
+    val confKey = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, "dynamic")
+    try Streaming.st34WriteBatch(replay, 2L, root)
+    finally prev match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
+    }
+    val after = graft.queries.Layout.zmAnswer(spark, s"$root/table",
+      spark.read.parquet(s"$root/manifests").drop("batch"))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(after == batch, s"replay changed the answer: $after")
+  }
+
   // ----------------------------------------------- st33 streamed decon
   test("st33: the streamed ingest gate's pair set equals batch t42's " +
     "exactly (ids and estimates)") {
