@@ -924,7 +924,11 @@ object Graph {
     * split out so the spec can pin the closed-form fixpoint on a
     * constructed graph. */
   private[graft] def lpaOnEdges(e: DataFrame, rounds: Int): DataFrame = {
-    var labels = e.select(col("src").as("node")).distinct()
+    // seed from BOTH endpoints so a non-symmetric edge frame cannot
+    // silently drop sink-only nodes (identical on the symmetric trade
+    // graph, where src and dst node sets coincide)
+    var labels = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
       .select(col("node"), col("node").as("lab"))
       .localCheckpoint()
     for (_ <- 1 to rounds) {
@@ -1010,7 +1014,13 @@ object Graph {
     * two-triangle fixture in Round12bSpec). */
   private[graft] def modularityOnEdges(eIn: DataFrame,
       rounds: Int): DataFrame = {
-    val e = eIn.persist()
+    // localCheckpoint, not persist: the RETURNED frame still scans the
+    // edge list three times (m2/dc/e2), so an unpersist here would
+    // re-derive the join+distinct edge build per scan — the gr01
+    // release pattern only works when the returned frame no longer
+    // references the cache. The checkpoint materializes edges once
+    // and the audit scans read its blocks.
+    val e = eIn.localCheckpoint()
     val lab = lpaOnEdges(e, rounds)
       .select(col("node"), col("community"))
     val m2 = e.agg(count(lit(1)).as("m2"))
@@ -1032,7 +1042,6 @@ object Graph {
         (col("m2") * coalesce(col("e2_c"), lit(0L)) -
           col("d_c") * col("d_c")).as("q_contrib_scaled"))
       .orderBy("community")
-    e.unpersist(false)
     out
   }
 

@@ -332,7 +332,8 @@ object Invariants {
       .agg(count(lit(1)).as("hit"))
     val tot = bf.agg(count(lit(1)).as("tot"))
     val overK = lsh.groupBy("query_id").agg(count(lit(1)).as("k"))
-      .agg(sum((col("k") > 5).cast("long")).as("n_over"))
+      .agg(coalesce(sum((col("k") > 5).cast("long")), lit(0L))
+        .as("n_over"))
     hit.crossJoin(tot).crossJoin(overK)
       .select((col("hit") >= lit(0.3) * col("tot")).as("recall_ok"),
         (col("n_over") === 0).as("k_bounded"))
@@ -377,7 +378,8 @@ object Invariants {
       .agg(count(lit(1)).as("hit"))
     val tot = bf.agg(count(lit(1)).as("tot"))
     val overK = ivf.groupBy("query_id").agg(count(lit(1)).as("k"))
-      .agg(sum((col("k") > 5).cast("long")).as("n_over"))
+      .agg(coalesce(sum((col("k") > 5).cast("long")), lit(0L))
+        .as("n_over"))
     hit.crossJoin(tot).crossJoin(overK)
       .select((col("hit") >= lit(0.3) * col("tot")).as("recall_ok"),
         (col("n_over") === 0).as("k_bounded"))
@@ -396,7 +398,8 @@ object Invariants {
       .agg(count(lit(1)).as("hit"))
     val tot = bf.agg(count(lit(1)).as("tot"))
     val overK = pq.groupBy("query_id").agg(count(lit(1)).as("k"))
-      .agg(sum((col("k") > 5).cast("long")).as("n_over"))
+      .agg(coalesce(sum((col("k") > 5).cast("long")), lit(0L))
+        .as("n_over"))
     hit.crossJoin(tot).crossJoin(overK)
       .select((col("hit") >= lit(0.3) * col("tot")).as("recall_ok"),
         (col("n_over") === 0).as("k_bounded"))
@@ -421,7 +424,8 @@ object Invariants {
       "left_semi").agg(count(lit(1)).as("hit"))
     val tot = exact.agg(count(lit(1)).as("tot"))
     val overK = served.groupBy("query_id").agg(count(lit(1)).as("k"))
-      .agg(sum((col("k") > 5).cast("long")).as("n_over"))
+      .agg(coalesce(sum((col("k") > 5).cast("long")), lit(0L))
+        .as("n_over"))
     val predBad = served
       .join(labels.withColumnRenamed("vec_id", "query_id")
         .withColumnRenamed("label", "qlabel"), Seq("query_id"))
@@ -451,7 +455,8 @@ object Invariants {
       .agg(count(lit(1)).as("hit"))
     val tot = bf.agg(count(lit(1)).as("tot"))
     val overK = pq.groupBy("query_id").agg(count(lit(1)).as("k"))
-      .agg(sum((col("k") > 5).cast("long")).as("n_over"))
+      .agg(coalesce(sum((col("k") > 5).cast("long")), lit(0L))
+        .as("n_over"))
     hit.crossJoin(tot).crossJoin(overK)
       .select((col("hit") >= lit(0.3) * col("tot")).as("recall_ok"),
         (col("n_over") === 0).as("k_bounded"))
@@ -479,7 +484,8 @@ object Invariants {
       .agg(count(lit(1)).as("hit"))
     val tot = bf.agg(count(lit(1)).as("tot"))
     val overK = served.groupBy("query_id").agg(count(lit(1)).as("k"))
-      .agg(sum((col("k") > 5).cast("long")).as("n_over"))
+      .agg(coalesce(sum((col("k") > 5).cast("long")), lit(0L))
+        .as("n_over"))
     mism.crossJoin(both).crossJoin(hit).crossJoin(tot).crossJoin(overK)
       .select((col("n_union") === col("n_both")).as("parity_ok"),
         (col("hit") >= lit(0.3) * col("tot")).as("recall_ok"),

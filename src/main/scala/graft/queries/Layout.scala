@@ -159,15 +159,26 @@ object Layout {
     * (union of per-batch manifests): consult the KB-sized zone map
     * driver-side per predicate, scan only overlapping shards of the
     * stored table (static pruning), emit decision + exact count. */
+  /** Merged (shard, lo, hi) zones of a manifest frame, driver-side
+    * (KB-scale metadata). */
+  private def zmZones(manifest: DataFrame): Array[(Int, String, String)] =
+    manifest.groupBy("shard")
+      .agg(min(col("lo")).as("lo"), max(col("hi")).as("hi"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+
+  /** THE zone-overlap rule — the one definition both the served
+    * answer (zmAnswer) and the spec's pruning scan (zmQualifying)
+    * route through, so they cannot silently diverge. */
+  private def zmOverlaps(zlo: String, zhi: String,
+      plo: String, phi: String): Boolean = zhi >= plo && zlo <= phi
+
   private[graft] def zmAnswer(s: SparkSession, tablePath: String,
       manifest: DataFrame): DataFrame = {
     import s.implicits._
-    val zones = manifest.groupBy("shard")
-      .agg(min(col("lo")).as("lo"), max(col("hi")).as("hi"))
-      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    val zones = zmZones(manifest)
     val rows = ZmPreds.map { case (id, plo, phi) =>
       val qual = zones.filter { case (_, lo, hi) =>
-        hi >= plo && lo <= phi
+        zmOverlaps(lo, hi, plo, phi)
       }.map(_._1).sorted
       val n = s.read.parquet(tablePath)
         .filter(col("shard").isin(qual.map(Integer.valueOf): _*) &&
@@ -217,9 +228,9 @@ object Layout {
     * probe-list pattern: skipping decisions are metadata work). */
   private def zmQualifying(s: SparkSession, root: String,
       lo: String, hi: String): Array[Int] =
-    s.read.parquet(s"$root/manifest")
-      .filter(col("hi") >= lo && col("lo") <= hi)
-      .select("shard").collect().map(_.getInt(0))
+    zmZones(s.read.parquet(s"$root/manifest"))
+      .filter { case (_, zlo, zhi) => zmOverlaps(zlo, zhi, lo, hi) }
+      .map(_._1)
 
   /** The pruned serve scan for one predicate — the spec hook:
     * `shard IN (...)` over the hive layout is STATIC partition

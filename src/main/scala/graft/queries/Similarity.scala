@@ -1551,7 +1551,7 @@ object Similarity {
     * (static pruning, no embedding column anywhere in the hot scan)
     * and score them with per-query lookup tables ([[adcColumn]] —
     * pure builtin expressions); (2) REFINE phase — the top
-    * [[PqRerank]] candidate ids per query (a bounded per-request
+    * [[IvfPqRerank]] candidate ids per query (a bounded per-request
     * set, collected driver-side exactly like the probe lists) are
     * fetched from the bucketed `vectors/` sidecar with vbucket-level
     * static pruning and re-ranked with exact cosine.

@@ -787,27 +787,14 @@ $counts
           s"graft_stweeks_${tag}_${s.sparkContext.applicationId}")
         if (baseDir.exists())
           org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
-        val src = new java.io.File(baseDir, "src")
-        src.mkdirs()
         val ev = events(s, dir)
           .withColumn("wk", date_trunc("week", col("ts")))
         val weeks = ev.select("wk").distinct().orderBy("wk")
           .collect().map(_.getTimestamp(0))
-        weeks.zipWithIndex.foreach { case (wk, i) =>
-          val stage = new java.io.File(baseDir, s"stage_$i")
-          ev.filter(col("wk") === lit(wk)).drop("wk")
-            .coalesce(1).write.mode("overwrite")
-            .parquet(stage.getAbsolutePath)
-          val part = stage.listFiles()
-            .filter(f => f.getName.endsWith(".parquet")).head
-          val dst = new java.io.File(src, f"week-$i%03d.parquet")
-          java.nio.file.Files.move(part.toPath, dst.toPath)
-          // mtime drives FileStreamSource's processing order — set it
-          // explicitly (sub-second write bursts could otherwise tie)
-          dst.setLastModified(1700000000000L + i * 60000L)
-          org.apache.commons.io.FileUtils.deleteDirectory(stage)
-        }
-        src.getAbsolutePath
+        stageEpochFiles(baseDir,
+          weeks.zipWithIndex.toSeq.map { case (wk, i) =>
+            i -> ev.filter(col("wk") === lit(wk)).drop("wk")
+          }, prefix = "week")
       })
   }
 
@@ -1221,22 +1208,9 @@ $counts
           s"graft_st30src_${tag}_${s.sparkContext.applicationId}")
         if (baseDir.exists())
           org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
-        val src = new java.io.File(baseDir, "src")
-        src.mkdirs()
         val reps = Dedup.nearDupReps(s, dir)
-        (0 until 7).foreach { i =>
-          val stage = new java.io.File(baseDir, s"stage_$i")
-          reps.filter(pmod(col("doc_id"), lit(7)) === i)
-            .coalesce(1).write.mode("overwrite")
-            .parquet(stage.getAbsolutePath)
-          val part = stage.listFiles()
-            .filter(f => f.getName.endsWith(".parquet")).head
-          val dst = new java.io.File(src, f"epoch-$i%03d.parquet")
-          java.nio.file.Files.move(part.toPath, dst.toPath)
-          dst.setLastModified(1700000000000L + i * 60000L)
-          org.apache.commons.io.FileUtils.deleteDirectory(stage)
-        }
-        src.getAbsolutePath
+        stageEpochFiles(baseDir, (0 until 7).map(i =>
+          i -> reps.filter(pmod(col("doc_id"), lit(7)) === i)))
       })
   }
 
@@ -1322,6 +1296,30 @@ $counts
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(dir.getBytes("UTF-8"))
       .take(8).map(b => f"$b%02x").mkString
+
+  /** Stage pre-sliced arrival epochs as single parquet files with
+    * strictly increasing mtimes (mtime drives FileStreamSource's
+    * processing order; sub-second write bursts could otherwise tie) —
+    * the ONE staging discipline every streamed twin's source builder
+    * uses (st21-weekly, st30, st32, st33, st34). Returns the src
+    * dir. */
+  private def stageEpochFiles(baseDir: java.io.File,
+      slices: Seq[(Int, DataFrame)], prefix: String = "epoch"): String = {
+    val src = new java.io.File(baseDir, "src")
+    src.mkdirs()
+    slices.foreach { case (i, df) =>
+      val stage = new java.io.File(baseDir, s"stage_$i")
+      df.coalesce(1).write.mode("overwrite")
+        .parquet(stage.getAbsolutePath)
+      val part = stage.listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(src, f"$prefix%s-$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L)
+      org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    }
+    src.getAbsolutePath
+  }
 
   def lshDedupStreamed(s: SparkSession, dir: String): DataFrame = {
     lshSinkCache.entrySet().removeIf(e =>
@@ -1560,21 +1558,11 @@ $counts
         // immutable under ingest; retraining is a rebuild)
         Similarity.writeIvfIndexTrained(s,
           emb.filter(pmod(col("vec_id"), lit(5)) === 0), root)
-        // stage the remaining vectors as 4 arrival epochs (the
-        // lshDocSrc staging discipline: one parquet file per slice)
-        val src = new java.io.File(baseDir, "src"); src.mkdirs()
-        (1 until 5).foreach { i =>
-          val stage = new java.io.File(baseDir, s"stage_$i")
-          emb.filter(pmod(col("vec_id"), lit(5)) === i)
-            .coalesce(1).write.mode("overwrite")
-            .parquet(stage.getAbsolutePath)
-          val part = stage.listFiles()
-            .filter(_.getName.endsWith(".parquet")).head
-          val dst = new java.io.File(src, f"epoch-$i%03d.parquet")
-          java.nio.file.Files.move(part.toPath, dst.toPath)
-          dst.setLastModified(1700000000000L + i * 60000L)
-          org.apache.commons.io.FileUtils.deleteDirectory(stage)
-        }
+        // stage the remaining vectors as 4 arrival epochs (the shared
+        // staging discipline: one parquet file per slice)
+        val src = new java.io.File(stageEpochFiles(baseDir,
+          (1 until 5).map(i =>
+            i -> emb.filter(pmod(col("vec_id"), lit(5)) === i))))
         val embSchema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("vec_id",
             org.apache.spark.sql.types.LongType),
@@ -1681,22 +1669,9 @@ $counts
           s"graft_st33src_${dirTag(dir)}_${s.sparkContext.applicationId}")
         if (baseDir.exists())
           org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
-        val src = new java.io.File(baseDir, "src")
-        src.mkdirs()
         val train = TextAnalysis.deconTrain(s, dir)
-        (0 until 5).foreach { i =>
-          val stage = new java.io.File(baseDir, s"stage_$i")
-          train.filter(pmod(col("doc_id"), lit(5)) === i)
-            .coalesce(1).write.mode("overwrite")
-            .parquet(stage.getAbsolutePath)
-          val part = stage.listFiles()
-            .filter(f => f.getName.endsWith(".parquet")).head
-          val dst = new java.io.File(src, f"epoch-$i%03d.parquet")
-          java.nio.file.Files.move(part.toPath, dst.toPath)
-          dst.setLastModified(1700000000000L + i * 60000L)
-          org.apache.commons.io.FileUtils.deleteDirectory(stage)
-        }
-        src.getAbsolutePath
+        stageEpochFiles(baseDir, (0 until 5).map(i =>
+          i -> train.filter(pmod(col("doc_id"), lit(5)) === i)))
       })
   }
 
@@ -1732,18 +1707,23 @@ $counts
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("text",
             org.apache.spark.sql.types.StringType)))
+        // persist the static side: a stream-static join re-evaluates
+        // it per micro-batch — without this, the eval suite would be
+        // re-signed and re-banded on every one of the 5 batches
         val evalB = TextAnalysis.deconBanded(
-          TextAnalysis.deconEval(s, dir))
+          TextAnalysis.deconEval(s, dir)).persist()
         val stream = s.readStream.schema(docSchema)
           .option("maxFilesPerTrigger", "1").parquet(src)
-        val q = TextAnalysis.deconCandidates(
-            TextAnalysis.deconBanded(stream), evalB)
-          .writeStream.format("parquet")
-          .option("path", s"$base/out")
-          .option("checkpointLocation", s"$base/ckpt")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        try {
+          val q = TextAnalysis.deconCandidates(
+              TextAnalysis.deconBanded(stream), evalB)
+            .writeStream.format("parquet")
+            .option("path", s"$base/out")
+            .option("checkpointLocation", s"$base/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally evalB.unpersist(false)
         s"$base/out"
       })
     s.read.parquet(outDir)
@@ -1823,21 +1803,10 @@ $counts
           org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
         val base = baseDir.getAbsolutePath
         // stage the projected rows into 5 arrival epochs
-        val src = new java.io.File(baseDir, "src")
-        src.mkdirs()
         val projected = Layout.zmProjected(s, dir)
-        (0 until 5).foreach { i =>
-          val stage = new java.io.File(baseDir, s"stage_$i")
-          projected.filter(pmod(col("l_orderkey"), lit(5)) === i)
-            .coalesce(1).write.mode("overwrite")
-            .parquet(stage.getAbsolutePath)
-          val part = stage.listFiles()
-            .filter(f => f.getName.endsWith(".parquet")).head
-          val dst = new java.io.File(src, f"epoch-$i%03d.parquet")
-          java.nio.file.Files.move(part.toPath, dst.toPath)
-          dst.setLastModified(1700000000000L + i * 60000L)
-          org.apache.commons.io.FileUtils.deleteDirectory(stage)
-        }
+        val src = new java.io.File(stageEpochFiles(baseDir,
+          (0 until 5).map(i =>
+            i -> projected.filter(pmod(col("l_orderkey"), lit(5)) === i))))
         val schema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("l_orderkey",
             org.apache.spark.sql.types.LongType),
