@@ -176,6 +176,7 @@ object Bench {
       "s26_hybrid_rrf", "s27_ann_filtered", "gr11_label_propagation",
       "gr12_modularity", "t42_fuzzy_decontaminate", "st33_decon_streamed",
       "q44_zonemap_pruning", "s28_ann_stored_ivfpq", "st34_zonemap_ingest",
+      "sk10_cbo_join_order",
       "s01_ann_brute_force", "s02_ann_lsh_bucketed",
       "s04_ann_ivf", "s06_embedding_clusters", "t11_tfidf",
       "t14_quality_gate",

@@ -548,6 +548,20 @@ object Sketches {
     * sk05_join_card_inv recomputes exact truth (the self-join size
     * as Σc² over a groupBy — never materializing the join) and
     * asserts the flags TRUE. */
+  /** The sk05 product-form join-size estimator from two stored
+    * (row count, KMV sketch) stats entries: |A ⋈ B| ≈
+    * d_inter · (n_A/d_A) · (n_B/d_B) — shared by sk05 (cardinality
+    * audit) and sk10 (join ordering). */
+  private def estJoinFromStats(na: Long, a: Array[Long],
+      nb: Long, b: Array[Long]): Double = {
+    import graft.expr.KmvSketchAgg._
+    val da = estimateDistinct(a, JoinK)
+    val db = estimateDistinct(b, JoinK)
+    val du = estimateDistinct(unionSketch(a, b, JoinK), JoinK)
+    val di = math.max(0.0, da + db - du)
+    di * (na / da) * (nb / db)
+  }
+
   def joinCardinality(s: SparkSession, dir: String): DataFrame = {
     import graft.expr.KmvSketchAgg._
     import s.implicits._
@@ -574,16 +588,8 @@ object Sketches {
     val (nO, skO) = stored("orders")
     val (nL, skL) = stored("lineitem")
     val (nE, skE) = stored("events")
-    def estJoin(na: Long, a: Array[Long], nb: Long, b: Array[Long])
-        : Double = {
-      val da = estimateDistinct(a, JoinK)
-      val db = estimateDistinct(b, JoinK)
-      val du = estimateDistinct(unionSketch(a, b, JoinK), JoinK)
-      val di = math.max(0.0, da + db - du)
-      di * (na / da) * (nb / db)
-    }
-    val estOL = estJoin(nO, skO, nL, skL)
-    val estEE = estJoin(nE, skE, nE, skE) // self: inter = distinct
+    val estOL = estJoinFromStats(nO, skO, nL, skL)
+    val estEE = estJoinFromStats(nE, skE, nE, skE) // self: inter = distinct
     val exactOL = Relational.table(s, dir, "orders").select("o_orderkey")
       .join(Relational.table(s, dir, "lineitem").select("l_orderkey"),
         col("o_orderkey") === col("l_orderkey")).count()
@@ -1059,6 +1065,134 @@ object Sketches {
       "\n) ORDER BY tbl, lo")
   }
 
+  // ------------------- sk10 sketch-driven join ORDER (CBO capstone)
+  /** sk10 — the CBO stool's fourth leg, and the one the other three
+    * exist for: pick a JOIN ORDER from stored sketch statistics. For
+    * the left-deep 3-table chain customer ⋈ orders ⋈ lineitem, the
+    * optimizer's choice is which pairwise join runs FIRST — the one
+    * with the smaller estimated INTERMEDIATE. Both candidate sizes
+    * come from the sk05 product-form estimator over the SAME stored
+    * ANALYZE artifacts (row count + per-key KMV sketch, one scan per
+    * table — orders contributes both of its key sketches from a
+    * single scan), the chosen left-deep plan is EXECUTED, and the
+    * executed plan's innermost join is audited to actually be the
+    * chosen pair (the sk07 executed-vs-decided discipline, applied to
+    * order instead of strategy). Exact intermediate sizes ride along
+    * so the oracle replays the decision from truth — a flipped
+    * decision or a wrong final count hash-fails the inv.
+    *
+    * Estimates are engine-specific (xxhash64 KMV) → rows-only;
+    * sk10_cbo_order_inv is the oracle companion. At 100 TB this is
+    * the real regime: the optimizer never sees true intermediate
+    * sizes, only the catalog's sketches — and the cost of ordering
+    * wrong is the difference between shuffling |orders| and
+    * |lineitem| rows through the first join. */
+  def cboJoinOrder(s: SparkSession, dir: String): DataFrame = {
+    import graft.expr.KmvSketchAgg._
+    import s.implicits._
+    val statsPath = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_sk10_${s.sparkContext.applicationId}").getAbsolutePath
+    val cust = Relational.table(s, dir, "customer").select("c_custkey")
+    val ord = Relational.table(s, dir, "orders")
+      .select("o_custkey", "o_orderkey")
+    val line = Relational.table(s, dir, "lineitem").select("l_orderkey")
+    // ANALYZE: one scan per table; orders' two key sketches in one agg
+    cust.agg(count(lit(1)).as("n"),
+        kmvSketch(xxhash64(col("c_custkey")), JoinK).as("sk"))
+      .select(lit("customer.c_custkey").as("col"), col("n"), col("sk"))
+      .unionAll(ord.agg(count(lit(1)).as("n"),
+          kmvSketch(xxhash64(col("o_custkey")), JoinK).as("sk_ck"),
+          kmvSketch(xxhash64(col("o_orderkey")), JoinK).as("sk_ok"))
+        .select(explode(array(
+          struct(lit("orders.o_custkey").as("col"), col("n"),
+            col("sk_ck").as("sk")),
+          struct(lit("orders.o_orderkey").as("col"), col("n"),
+            col("sk_ok").as("sk")))).as("r"))
+        .select(col("r.col"), col("r.n"), col("r.sk")))
+      .unionAll(line.agg(count(lit(1)).as("n"),
+          kmvSketch(xxhash64(col("l_orderkey")), JoinK).as("sk"))
+        .select(lit("lineitem.l_orderkey").as("col"), col("n"),
+          col("sk")))
+      .write.mode("overwrite").parquet(statsPath)
+    // the decision reads ONLY the stored stats
+    val stored = s.read.parquet(statsPath).collect()
+      .map(r => r.getString(0) -> (r.getLong(1),
+        r.getSeq[Long](2).toArray)).toMap
+    val (nC, skC) = stored("customer.c_custkey")
+    val (nOc, skOc) = stored("orders.o_custkey")
+    val (nOo, skOo) = stored("orders.o_orderkey")
+    val (nL, skL) = stored("lineitem.l_orderkey")
+    val estCO = estJoinFromStats(nC, skC, nOc, skOc)
+    val estOL = estJoinFromStats(nOo, skOo, nL, skL)
+    val chosen =
+      if (estCO <= estOL) "customer-orders" else "orders-lineitem"
+    // execute the chosen left-deep order
+    val joined =
+      if (chosen == "customer-orders")
+        cust.join(ord, col("c_custkey") === col("o_custkey"))
+          .join(line, col("o_orderkey") === col("l_orderkey"))
+      else
+        ord.join(line, col("o_orderkey") === col("l_orderkey"))
+          .join(cust, col("c_custkey") === col("o_custkey"))
+    val finalRows = joined.count()
+    // executed-order audit: the INNERMOST join of the executed plan
+    // must join exactly the chosen pair — read its leaf scans' keys
+    val plan = joined.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val innermost = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.last
+    val innerCols = innermost.collectLeaves()
+      .flatMap(_.output.map(_.name)).toSet
+    val expectedCols: Set[String] =
+      if (chosen == "customer-orders") Set("c_custkey", "o_custkey")
+      else Set("o_orderkey", "l_orderkey")
+    val orderAudit = expectedCols.subsetOf(innerCols)
+    val exactCO = cust
+      .join(ord, col("c_custkey") === col("o_custkey")).count()
+    val exactOL = ord
+      .join(line, col("o_orderkey") === col("l_orderkey")).count()
+    Seq((chosen, estCO.toLong, estOL.toLong, exactCO, exactOL,
+        finalRows, orderAudit,
+        chosen == (if (exactCO <= exactOL) "customer-orders"
+          else "orders-lineitem")))
+      .toDF("chosen_first", "est_co", "est_ol", "exact_co", "exact_ol",
+        "final_rows", "order_audit", "decision_matches_exact")
+  }
+
+  /** sk10's oracle companion — exact truths + the contract flags
+    * (DuckDB recomputes both intermediate sizes, replays the choice
+    * from them, and recomputes the final 3-table join count; the
+    * est-dependent columns stay in the rows-only main query). */
+  def cboJoinOrderInv(s: SparkSession, dir: String): DataFrame =
+    cboJoinOrder(s, dir)
+      .select(
+        when(col("exact_co") <= col("exact_ol"), "customer-orders")
+          .otherwise("orders-lineitem").as("exact_choice"),
+        col("exact_co"), col("exact_ol"), col("final_rows"),
+        col("order_audit"), col("decision_matches_exact"))
+
+  val cboJoinOrderInvSql: String = """
+    SELECT
+      CASE WHEN
+        (SELECT count(*) FROM customer c JOIN orders o
+          ON c.c_custkey = o.o_custkey) <=
+        (SELECT count(*) FROM orders o JOIN lineitem l
+          ON o.o_orderkey = l.l_orderkey)
+      THEN 'customer-orders' ELSE 'orders-lineitem' END AS exact_choice,
+      (SELECT count(*) FROM customer c JOIN orders o
+        ON c.c_custkey = o.o_custkey) AS exact_co,
+      (SELECT count(*) FROM orders o JOIN lineitem l
+        ON o.o_orderkey = l.l_orderkey) AS exact_ol,
+      (SELECT count(*) FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey) AS final_rows,
+      TRUE AS order_audit,
+      TRUE AS decision_matches_exact"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("t12_heavy_hitters", heavyHitters _, None),
@@ -1082,5 +1216,8 @@ object Sketches {
         Some(cboSketchStrategyInvSql)),
       ("sk09_selectivity", selectivityEstimation _, None),
       ("sk09_selectivity_inv", selectivityInv _,
-        Some(selectivityInvSql)))
+        Some(selectivityInvSql)),
+      ("sk10_cbo_join_order", cboJoinOrder _, None),
+      ("sk10_cbo_order_inv", cboJoinOrderInv _,
+        Some(cboJoinOrderInvSql)))
 }

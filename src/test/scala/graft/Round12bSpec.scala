@@ -244,6 +244,29 @@ class Round12bSpec extends SparkSpec {
     assert(r.getBoolean(1), "nonempty false")
   }
 
+  // ----------------------------------------------- sk10 join order
+  test("sk10: the sketch-chosen join order is executed (innermost " +
+    "join audited), matches the exact-stats choice, and the final " +
+    "count is order-independent truth") {
+    val r = graft.queries.Sketches.cboJoinOrder(spark, sfDir)
+      .collect().head
+    assert(r.getBoolean(6), "executed innermost join is not the chosen pair")
+    assert(r.getBoolean(7), "sketch decision flipped vs exact stats")
+    // the chain join's truth, computed directly
+    val c = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey")
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_custkey", "o_orderkey")
+    val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey")
+    val truth = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(c, col("c_custkey") === col("o_custkey")).count()
+    assert(r.getLong(5) == truth,
+      s"chosen-order count ${r.getLong(5)} != other-order count $truth")
+    // TPC-H shape: the smaller intermediate is customer-orders
+    assert(r.getString(0) == "customer-orders")
+  }
+
   // ----------------------------------------------- t42 fuzzy decon
   test("t42: the decon contract flags hold at sf0.001 — planted " +
     "recall, side discipline, est-vs-exact band") {
