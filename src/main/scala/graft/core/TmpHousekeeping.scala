@@ -34,6 +34,12 @@ import java.io.File
   */
 object TmpHousekeeping {
   private val StaleAfterMs: Long = 2L * 60 * 60 * 1000
+  /** A dir whose owner cannot be resolved to any heartbeat file (a
+    * pre-heartbeat build, or an appId format the suffix match cannot
+    * pin) is UNKNOWN-owner, not known-dead: it may belong to a live
+    * sibling JVM that simply never wrote a heartbeat. Such dirs need
+    * a much larger quiet period before collection. */
+  private val UnknownOwnerAfterMs: Long = 24L * 60 * 60 * 1000
   private val HeartbeatMs: Long = 60 * 1000
   @volatile private var armedFor: String = null
   @volatile private var lastBeat: Long = 0L
@@ -53,6 +59,20 @@ object TmpHousekeeping {
     try org.apache.commons.io.FileUtils.deleteDirectory(f)
     catch { case _: java.io.IOException => () }
 
+  /** Newest mtime anywhere in the dir tree — a memoized artifact's
+    * ROOT keeps its creation mtime forever, but a dir a live app is
+    * still writing into (stream sinks, staged epochs) has fresh
+    * children; sweeping on the root mtime alone would collect it. */
+  private def treeMaxMtime(f: File): Long = {
+    var m = f.lastModified()
+    val fs = f.listFiles()
+    if (fs != null) fs.foreach { c =>
+      val cm = if (c.isDirectory) treeMaxMtime(c) else c.lastModified()
+      if (cm > m) m = cm
+    }
+    m
+  }
+
   /** Idempotent per application id and cheap on hot paths (one
     * volatile read once armed; a throttled touch of the heartbeat). */
   def arm(appId: String): Unit = {
@@ -62,15 +82,31 @@ object TmpHousekeeping {
       armedFor = appId
       beat(appId, force = true)
       val now = System.currentTimeMillis()
+      // Resolve each dir's owner against the EXISTING heartbeat files
+      // rather than parsing a token out of the dir name: appId formats
+      // with underscores (YARN `application_<ts>_<n>`) make the
+      // "substring after the last '_'" parse silently wrong, while a
+      // suffix match against known owner ids is exact by construction
+      // (dirs are named `graft_<kind>_…_<appId>`).
+      val hbIds = Option(tmpRoot.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.startsWith("graft_owner_"))
+        .map(_.getName.stripPrefix("graft_owner_"))
+        .sortBy(-_.length) // longest first: most specific suffix wins
       graftDirs().foreach { d =>
         if (!d.getName.endsWith(s"_$appId")) {
-          // owner app id = suffix after the last '_'
-          val owner = d.getName.substring(d.getName.lastIndexOf('_') + 1)
-          val hb = heartbeatFile(owner)
-          val ownerAlive =
-            hb.isFile && now - hb.lastModified() < StaleAfterMs
-          if (!ownerAlive && now - d.lastModified() >= StaleAfterMs)
-            deleteQuietly(d)
+          hbIds.find(id => d.getName.endsWith(s"_$id")) match {
+            case Some(id) =>
+              val hb = heartbeatFile(id)
+              val ownerDead = now - hb.lastModified() >= StaleAfterMs
+              if (ownerDead && now - treeMaxMtime(d) >= StaleAfterMs)
+                deleteQuietly(d)
+            case None =>
+              // no heartbeat at all: unknown owner, NOT known-dead —
+              // could be a live pre-heartbeat sibling. Collect only
+              // after a day of total quiet across the whole tree.
+              if (now - treeMaxMtime(d) >= UnknownOwnerAfterMs)
+                deleteQuietly(d)
+          }
         }
       }
       // collect dead apps' heartbeat files too

@@ -262,8 +262,12 @@ case class GkRank(left: Expression, right: Expression)
   override def prettyName: String = "gk_rank"
 
   override protected def nullSafeEval(state: Any, v: Any): Any = {
-    val qs = GkStateCodec.deserialize(state.asInstanceOf[Array[Byte]])
     val x = v.asInstanceOf[Double]
+    // NaN fails every ordering guard below and would fall into the
+    // bracket branch at i=0, returning a plausible-looking rank —
+    // poison for a selectivity estimate. No rank is defined for NaN.
+    if (x.isNaN) return null
+    val qs = GkStateCodec.deserialize(state.asInstanceOf[Array[Byte]])
     val s = qs.sampled
     if (qs.count == 0 || s.isEmpty) 0.0
     else if (x < s.head.value) 0.0

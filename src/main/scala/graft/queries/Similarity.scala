@@ -497,6 +497,19 @@ object Similarity {
       .write.partitionBy("cid").mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .parquet(postingsPath)
+    // Dynamic overwrite only replaces directories that RECEIVE rows:
+    // a list whose last vector was replaced away (and that got no new
+    // assignment) is absent from the merged frame, so its stale
+    // `cid=` directory would survive — leaving the replaced vec_id
+    // present twice (old payload in the old list, new in the new).
+    // Delete affected lists the merge emptied.
+    val mergedCids = s.read.parquet(stage.getAbsolutePath)
+      .select("cid").distinct().collect().map(_.getInt(0)).toSet
+    affected.filterNot(mergedCids.contains).foreach { cid =>
+      val d = new java.io.File(postingsPath, s"cid=$cid")
+      if (d.isDirectory)
+        org.apache.commons.io.FileUtils.deleteDirectory(d)
+    }
     org.apache.commons.io.FileUtils.deleteDirectory(stage)
     // id map: merge the touched buckets the same way
     val idStage = new java.io.File(root, "idmap_stage")

@@ -652,6 +652,57 @@ object Sketches {
       case p => p
     }).toString
 
+  /** Every BaseJoinExec in an EXECUTED DataFrame's post-AQE plan, in
+    * pre-order (outermost first, innermost `.last`). The finalized
+    * adaptive plan nests earlier joins inside materialized query
+    * stages, whose inner trees are not `children` — the walk must
+    * recurse through the stage wrappers explicitly. */
+  private[graft] def executedJoins(executed: DataFrame)
+      : Seq[org.apache.spark.sql.execution.joins.BaseJoinExec] = {
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.joins.BaseJoinExec] =
+      p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case r: org.apache.spark.sql.execution.exchange
+            .ReusedExchangeExec => walk(r.child)
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+          j +: j.children.flatMap(walk)
+        case other => other.children.flatMap(walk)
+      }
+    walk(executed.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    })
+  }
+
+  /** Leaf output column names of a physical subtree, recursing
+    * through query-stage wrappers (a stage's output preserves the
+    * attribute names of the subtree it materialized). */
+  private[graft] def leafCols(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[String] =
+    p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        leafCols(q.plan)
+      case l if l.children.isEmpty => l.output.map(_.name)
+      case other => other.children.flatMap(leafCols)
+    }
+
+  /** BroadcastHashJoin / SortMergeJoin / … classifier for one decided
+    * strategy string ('broadcast_*' or 'shuffle'). */
+  private def joinOpName(
+      j: org.apache.spark.sql.execution.joins.BaseJoinExec): String =
+    j match {
+      case _: org.apache.spark.sql.execution.joins
+          .BroadcastHashJoinExec => "BroadcastHashJoin"
+      case _: org.apache.spark.sql.execution.joins
+          .SortMergeJoinExec => "SortMergeJoin"
+      case _: org.apache.spark.sql.execution.joins
+          .ShuffledHashJoinExec => "ShuffledHashJoin"
+      case other => other.nodeName
+    }
+
   /** sk07 — the DECISION half of the CBO loop sk05 opened: sk05
     * showed join cardinality is estimable from stored per-table
     * statistics; this query closes the loop by letting the stored
@@ -1134,19 +1185,17 @@ object Sketches {
       else
         ord.join(line, col("o_orderkey") === col("l_orderkey"))
           .join(cust, col("c_custkey") === col("o_custkey"))
-    val finalRows = joined.count()
-    // executed-order audit: the INNERMOST join of the executed plan
-    // must join exactly the chosen pair — read its leaf scans' keys
-    val plan = joined.queryExecution.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive
-          .AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
-    val innermost = plan.collect {
-      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
-    }.last
-    val innerCols = innermost.collectLeaves()
-      .flatMap(_.output.map(_.name)).toSet
+    // executed-order audit on the plan that ACTUALLY ran: `joined
+    // .count()` executes its own QueryExecution, so inspecting
+    // `joined`'s executedPlan would read the never-executed sibling's
+    // INITIAL plan (the sk07/sk08 pitfall). Run the count as a
+    // DataFrame and walk ITS post-AQE plan — where the finalized tree
+    // nests earlier joins inside materialized query stages, so the
+    // walk must recurse through QueryStageExec wrappers.
+    val cnt = joined.groupBy().count()
+    val finalRows = cnt.collect().head.getLong(0)
+    val innermost = executedJoins(cnt).last
+    val innerCols = leafCols(innermost).toSet
     val expectedCols: Set[String] =
       if (chosen == "customer-orders") Set("c_custkey", "o_custkey")
       else Set("o_orderkey", "l_orderkey")
@@ -1193,6 +1242,292 @@ object Sketches {
       TRUE AS order_audit,
       TRUE AS decision_matches_exact"""
 
+  // ---------- sk11 the composed stats-driven planner (CBO capstone 2)
+  /** The two audited predicate scenarios on lineitem.l_extendedprice:
+    * `wide` keeps ~95% of lineitem (the join order stays
+    * customer-orders-first, as in unfiltered sk10), `narrow` keeps
+    * ~1% — few enough that the ESTIMATED orders⋈lineitem_filtered
+    * intermediate drops below customer⋈orders and the planner flips
+    * the join ORDER. The selectivity→order coupling is the row that
+    * proves the legs compose. */
+  private val Sk11Scenarios: Seq[(String, Double, Double)] =
+    Seq(("narrow", 0.0, 2000.0), ("wide", 0.0, 100000.0))
+
+  /** One sk11 output row (a case class because the column count
+    * exceeds Scala's 22-element tuple limit). */
+  private case class Sk11Row(
+    scenario: String, lo: Double, hi: Double,
+    n_cust: Long, n_ord: Long, n_line: Long,
+    est_line_f: Long, est_co: Long, est_ol: Long,
+    chosen_first: String, inner_strategy: String,
+    outer_strategy: String, executed_inner: String,
+    executed_outer: String, order_audit: Boolean,
+    strategy_audit: Boolean, exact_line_f: Long, exact_co: Long,
+    exact_ol: Long, exact_choice: String,
+    exact_inner_strategy: String, exact_outer_strategy: String,
+    decision_matches_exact: Boolean, final_rows: Long)
+
+  /** sk11 — the four CBO legs composed into ONE stats-driven planner
+    * pass over the customer ⋈ orders ⋈ lineitem DAG with a range
+    * predicate on lineitem: the single ANALYZE artifact per table
+    * (exact count + per-key KMV sketches + a GK histogram on the
+    * predicate column, ALL from one scan per table) feeds
+    *  - sk09's leg: predicate selectivity = a `gk_rank` CDF readout
+    *    from the stored histogram (zero data access),
+    *  - sk05's leg: candidate intermediate sizes from the KMV
+    *    product form, the filtered side SCALED by the estimated
+    *    selectivity (the textbook independence assumption),
+    *  - sk10's leg: join ORDER = the smaller estimated intermediate,
+    *  - sk08's leg: per-join broadcast/shuffle strategy from the
+    *    estimated input sizes vs [[BroadcastRowCap]] (including
+    *    broadcasting the estimated-small INTERMEDIATE, the decision
+    *    AQE makes at runtime — here made AHEAD of time from stats).
+    * The chosen plan is EXECUTED with Spark's size-based
+    * auto-broadcast disabled (static + adaptive thresholds −1), and
+    * the post-AQE executed plan audited decision by decision: the
+    * innermost join must be the chosen pair, and both executed join
+    * operators must match the decided strategies. Exact counts ride
+    * along so the oracle replays every decision — order, inner
+    * strategy, outer strategy — from truth; a flipped choice, an
+    * ignored hint, or a wrong final count hash-fails the inv.
+    *
+    * Estimates are engine-specific (xxhash64 KMV, merge-tree GK) →
+    * rows-only; [[cboPlannerInv]] ★ is the oracle companion. At
+    * 100 TB this single pass IS the optimizer: every number it
+    * consults is a stored-catalog readout, and the executed-vs-decided
+    * audit is the plan-stability regression a production deployment
+    * runs on every engine upgrade. */
+  def cboPlanner(s: SparkSession, dir: String): DataFrame = {
+    import graft.expr.KmvSketchAgg._
+    import graft.expr.GkSketchAgg._
+    import s.implicits._
+    val statsPath = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_sk11_${s.sparkContext.applicationId}").getAbsolutePath
+    val cust = Relational.table(s, dir, "customer").select("c_custkey")
+    val ord = Relational.table(s, dir, "orders")
+      .select("o_custkey", "o_orderkey")
+    val line = Relational.table(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        col("l_extendedprice").cast("double").as("price"))
+    // ANALYZE: one scan per table → every artifact that table
+    // contributes, persisted as the catalog row
+    cust.agg(count(lit(1)).as("n"),
+        kmvSketch(xxhash64(col("c_custkey")), JoinK).as("sk_a"))
+      .select(lit("customer").as("tbl"), col("n"), col("sk_a"),
+        lit(null).cast("array<long>").as("sk_b"),
+        lit(null).cast("binary").as("gk"))
+      .unionByName(ord.agg(count(lit(1)).as("n"),
+          kmvSketch(xxhash64(col("o_custkey")), JoinK).as("sk_a"),
+          kmvSketch(xxhash64(col("o_orderkey")), JoinK).as("sk_b"))
+        .select(lit("orders").as("tbl"), col("n"), col("sk_a"),
+          col("sk_b"), lit(null).cast("binary").as("gk")))
+      .unionByName(line.agg(count(lit(1)).as("n"),
+          kmvSketch(xxhash64(col("l_orderkey")), JoinK).as("sk_a"),
+          gkSketch(col("price"), SelAccuracy).as("gk"))
+        .select(lit("lineitem").as("tbl"), col("n"), col("sk_a"),
+          lit(null).cast("array<long>").as("sk_b"), col("gk")))
+      .write.mode("overwrite").parquet(statsPath)
+    // ---- the planner reads ONLY the stored stats ----
+    val stats = s.read.parquet(statsPath)
+    val stored = stats.collect().map(r => r.getString(0) -> r).toMap
+    val nC = stored("customer").getLong(1)
+    val skC = stored("customer").getSeq[Long](2).toArray
+    val nO = stored("orders").getLong(1)
+    val skOc = stored("orders").getSeq[Long](2).toArray
+    val skOo = stored("orders").getSeq[Long](3).toArray
+    val nL = stored("lineitem").getLong(1)
+    val skL = stored("lineitem").getSeq[Long](2).toArray
+    // selectivity leg: one gk_rank readout per scenario bound, a
+    // #scenarios-row frame over the stored histogram
+    val selRows = Sk11Scenarios.map { case (name, lo, hi) =>
+      (name, lo, hi) }.toDF("scenario", "lo", "hi")
+      .crossJoin(stats.filter(col("tbl") === "lineitem")
+        .select(col("gk")))
+      .select(col("scenario"),
+        (gkRank(col("gk"), col("hi")) - gkRank(col("gk"), col("lo")))
+          .as("est_f"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val estCoBase = estJoinFromStats(nC, skC, nO, skOc)
+    val estOlBase = estJoinFromStats(nO, skOo, nL, skL)
+    val overrides = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prevs = overrides.map { case (k, _) => k -> s.conf.getOption(k) }
+    overrides.foreach { case (k, v) => s.conf.set(k, v) }
+    val rows = try {
+      Sk11Scenarios.map { case (scenario, lo, hi) =>
+        val estF = selRows(scenario)
+        val sel = estF / nL
+        val estCo = estCoBase
+        val estOl = estOlBase * sel
+        val chosen =
+          if (estCo <= estOl) "customer-orders" else "orders-lineitem"
+        def strat(na: Double, aName: String, nb: Double, bName: String)
+            : String = {
+          val (small, sn) =
+            if (na <= nb) (aName, na) else (bName, nb)
+          if (sn <= BroadcastRowCap) s"broadcast_$small" else "shuffle"
+        }
+        val innerStrat =
+          if (chosen == "customer-orders")
+            strat(nC.toDouble, "customer", nO.toDouble, "orders")
+          else strat(nO.toDouble, "orders", estF, "lineitem")
+        val (interEst, thirdEst, thirdName) =
+          if (chosen == "customer-orders") (estCo, estF, "lineitem")
+          else (estOl, nC.toDouble, "customer")
+        val outerStrat = strat(interEst, "intermediate",
+          thirdEst, thirdName)
+        // ---- execute the decided plan ----
+        val lineF = line.filter(col("price") > lo && col("price") <= hi)
+          .select("l_orderkey")
+        def applyStrat(a: DataFrame, aName: String, b: DataFrame,
+            st: String, on: org.apache.spark.sql.Column): DataFrame =
+          st match {
+            case d if d == s"broadcast_$aName" =>
+              broadcast(a).join(b, on)
+            case "shuffle" => a.join(b, on)
+            case _ => a.join(broadcast(b), on) // broadcast the b side
+          }
+        val joined =
+          if (chosen == "customer-orders") {
+            val inner = applyStrat(cust, "customer", ord, innerStrat,
+              col("c_custkey") === col("o_custkey"))
+            applyStrat(inner, "intermediate", lineF, outerStrat,
+              col("o_orderkey") === col("l_orderkey"))
+          } else {
+            val inner = applyStrat(ord, "orders", lineF,
+              if (innerStrat == "broadcast_lineitem") "broadcast_other"
+              else innerStrat,
+              col("o_orderkey") === col("l_orderkey"))
+            applyStrat(inner, "intermediate", cust, outerStrat,
+              col("c_custkey") === col("o_custkey"))
+          }
+        val cnt = joined.groupBy().count()
+        val finalRows = cnt.collect().head.getLong(0)
+        // ---- audit the EXECUTED plan, decision by decision ----
+        val joins = executedJoins(cnt)
+        val execOuter = joinOpName(joins.head)
+        val execInner = joinOpName(joins.last)
+        val innerColsSet = leafCols(joins.last).toSet
+        val expectedCols: Set[String] =
+          if (chosen == "customer-orders") Set("c_custkey", "o_custkey")
+          else Set("o_orderkey", "l_orderkey")
+        val orderAudit = joins.size == 2 &&
+          expectedCols.subsetOf(innerColsSet)
+        def expectedOp(st: String): String =
+          if (st == "shuffle") "SortMergeJoin" else "BroadcastHashJoin"
+        val strategyAudit = execInner == expectedOp(innerStrat) &&
+          execOuter == expectedOp(outerStrat)
+        // ---- exact replay values ----
+        val exactF = line
+          .filter(col("price") > lo && col("price") <= hi).count()
+        val exactCo = cust
+          .join(ord, col("c_custkey") === col("o_custkey")).count()
+        val exactOl = ord.join(lineF,
+          col("o_orderkey") === col("l_orderkey")).count()
+        val exactChoice =
+          if (exactCo <= exactOl) "customer-orders"
+          else "orders-lineitem"
+        val exactInner =
+          if (exactChoice == "customer-orders")
+            strat(nC.toDouble, "customer", nO.toDouble, "orders")
+          else strat(nO.toDouble, "orders", exactF.toDouble, "lineitem")
+        val (interEx, thirdEx, thirdNameEx) =
+          if (exactChoice == "customer-orders")
+            (exactCo.toDouble, exactF.toDouble, "lineitem")
+          else (exactOl.toDouble, nC.toDouble, "customer")
+        val exactOuter = strat(interEx, "intermediate", thirdEx,
+          thirdNameEx)
+        Sk11Row(scenario, lo, hi, nC, nO, nL,
+          estF.toLong, estCo.toLong, estOl.toLong,
+          chosen, innerStrat, outerStrat, execInner, execOuter,
+          orderAudit, strategyAudit,
+          exactF, exactCo, exactOl, exactChoice, exactInner, exactOuter,
+          chosen == exactChoice && innerStrat == exactInner &&
+            outerStrat == exactOuter,
+          finalRows)
+      }
+    } finally {
+      prevs.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }
+    rows.toDF().orderBy("scenario")
+  }
+
+  /** sk11's oracle companion — every DECISION replayed by DuckDB from
+    * its own exact counts (order, inner strategy, outer strategy, the
+    * same cap rule), plus the exact filtered/intermediate/final
+    * counts; the audit flags as TRUE constants make an ignored hint or
+    * a flipped decision hash-fail. Est columns stay in the rows-only
+    * main query. */
+  def cboPlannerInv(s: SparkSession, dir: String): DataFrame =
+    cboPlanner(s, dir)
+      .select(col("scenario"), col("lo"), col("hi"),
+        col("n_cust"), col("n_ord"), col("n_line"),
+        col("exact_line_f"), col("exact_co"), col("exact_ol"),
+        col("exact_choice"), col("exact_inner_strategy"),
+        col("exact_outer_strategy"), col("final_rows"),
+        col("order_audit"), col("strategy_audit"),
+        col("decision_matches_exact"))
+
+  val cboPlannerInvSql: String = {
+    val blocks = Sk11Scenarios.map { case (name, lo, hi) =>
+      s"""SELECT scenario, lo, hi, n_cust, n_ord, n_line,
+        exact_line_f, exact_co, exact_ol,
+        CASE WHEN exact_co <= exact_ol THEN 'customer-orders'
+          ELSE 'orders-lineitem' END AS exact_choice,
+        CASE WHEN exact_co <= exact_ol THEN
+          (CASE WHEN least(n_cust, n_ord) <= $BroadcastRowCap THEN
+            'broadcast_' || (CASE WHEN n_cust <= n_ord THEN 'customer'
+              ELSE 'orders' END) ELSE 'shuffle' END)
+        ELSE
+          (CASE WHEN least(n_ord, exact_line_f) <= $BroadcastRowCap THEN
+            'broadcast_' || (CASE WHEN n_ord <= exact_line_f
+              THEN 'orders' ELSE 'lineitem' END) ELSE 'shuffle' END)
+        END AS exact_inner_strategy,
+        CASE WHEN exact_co <= exact_ol THEN
+          (CASE WHEN least(exact_co, exact_line_f) <= $BroadcastRowCap
+            THEN 'broadcast_' || (CASE WHEN exact_co <= exact_line_f
+              THEN 'intermediate' ELSE 'lineitem' END)
+            ELSE 'shuffle' END)
+        ELSE
+          (CASE WHEN least(exact_ol, n_cust) <= $BroadcastRowCap THEN
+            'broadcast_' || (CASE WHEN exact_ol <= n_cust
+              THEN 'intermediate' ELSE 'customer' END)
+            ELSE 'shuffle' END)
+        END AS exact_outer_strategy,
+        final_rows, TRUE AS order_audit, TRUE AS strategy_audit,
+        TRUE AS decision_matches_exact
+      FROM (
+        SELECT '$name' AS scenario,
+          CAST($lo AS DOUBLE) AS lo, CAST($hi AS DOUBLE) AS hi,
+          (SELECT count(*) FROM customer) AS n_cust,
+          (SELECT count(*) FROM orders) AS n_ord,
+          (SELECT count(*) FROM lineitem) AS n_line,
+          (SELECT count(*) FROM lineitem
+            WHERE CAST(l_extendedprice AS DOUBLE) > $lo
+              AND CAST(l_extendedprice AS DOUBLE) <= $hi)
+            AS exact_line_f,
+          (SELECT count(*) FROM customer c JOIN orders o
+            ON c.c_custkey = o.o_custkey) AS exact_co,
+          (SELECT count(*) FROM orders o JOIN lineitem l
+            ON o.o_orderkey = l.l_orderkey
+            WHERE CAST(l.l_extendedprice AS DOUBLE) > $lo
+              AND CAST(l.l_extendedprice AS DOUBLE) <= $hi)
+            AS exact_ol,
+          (SELECT count(*) FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE CAST(l.l_extendedprice AS DOUBLE) > $lo
+              AND CAST(l.l_extendedprice AS DOUBLE) <= $hi)
+            AS final_rows)"""
+    }
+    blocks.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+      "\n) ORDER BY scenario")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("t12_heavy_hitters", heavyHitters _, None),
@@ -1219,5 +1554,8 @@ object Sketches {
         Some(selectivityInvSql)),
       ("sk10_cbo_join_order", cboJoinOrder _, None),
       ("sk10_cbo_order_inv", cboJoinOrderInv _,
-        Some(cboJoinOrderInvSql)))
+        Some(cboJoinOrderInvSql)),
+      ("sk11_cbo_planner", cboPlanner _, None),
+      ("sk11_cbo_planner_inv", cboPlannerInv _,
+        Some(cboPlannerInvSql)))
 }
