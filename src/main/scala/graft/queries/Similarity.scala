@@ -326,7 +326,7 @@ object Similarity {
     * the bounded per-request query set, scans only probed posting
     * partitions, exact-cosine re-rank. */
   private[graft] def serveIvf(s: SparkSession, root: String,
-      dir: String): DataFrame = {
+      dir: String, k: Int = TopK): DataFrame = {
     import s.implicits._
     val cents = readCentroids(s, root)
     // serve-side request set: bounded (one row per query vector) —
@@ -351,7 +351,7 @@ object Similarity {
         graft.expr.CosineSimilarity.cosineSimilarity(
           col("embedding"), col("qe")).as("cos"))
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= TopK)
+      .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
       .orderBy("query_id", "rank")
   }
@@ -1249,7 +1249,15 @@ object Similarity {
     * each arm would be served from its own index (t19's posting lists,
     * s24's stored IVF) and the fusion stage is UNCHANGED — that is the
     * point of fusing on ranks, not scores. */
-  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+  def hybridRrf(s: SparkSession, dir: String): DataFrame =
+    rrfFuse(hybridLexArm(s, dir), hybridVecArm(s, dir))
+
+  /** s26's lexical arm — in-plan integer BM25 over the corpus,
+    * restricted to the broadcast query vocabulary. Factored out so
+    * s29 can pin rank-identity between this and its stored-postings
+    * serve. Returns (query_id, doc_id, lex_rank). */
+  private[graft] def hybridLexArm(s: SparkSession, dir: String)
+      : DataFrame = {
     val docs = Relational.table(s, dir, "documents")
       .select(col("doc_id"), col("text"))
     val toks = docs.select(col("doc_id"),
@@ -1279,21 +1287,26 @@ object Similarity {
           "(10 * t_tokens * tf + 3 * t_tokens + 9 * dl * n_docs)"))
     val wl = Window.partitionBy(col("query_id"))
       .orderBy(col("lex_micro").desc, col("doc_id"))
-    val lex = scored.join(broadcast(qterms), Seq("token"))
+    scored.join(broadcast(qterms), Seq("token"))
       .filter(col("doc_id") =!= col("query_id"))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("idf_milli") * col("sat_milli")).as("lex_micro"))
       .withColumn("lex_rank", row_number().over(wl).cast("long"))
       .filter(col("lex_rank") <= HybridArmK)
       .select(col("query_id"), col("doc_id"), col("lex_rank"))
-    // vector arm: s01's rank-only cosine top-k (same id space)
+  }
+
+  /** s26's vector arm — s01's rank-only EXACT cosine top-k (same id
+    * space). Returns (query_id, doc_id, vec_rank). */
+  private[graft] def hybridVecArm(s: SparkSession, dir: String)
+      : DataFrame = {
     val emb = Relational.table(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
     val qe = emb.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
     val wv = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("doc_id"))
-    val vec = emb.crossJoin(broadcast(qe))
+    emb.crossJoin(broadcast(qe))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("doc_id"),
         graft.expr.CosineSimilarity.cosineSimilarity(
@@ -1301,7 +1314,14 @@ object Similarity {
       .withColumn("vec_rank", row_number().over(wv).cast("long"))
       .filter(col("vec_rank") <= HybridArmK)
       .select(col("query_id"), col("doc_id"), col("vec_rank"))
-    // RRF fusion: absent-from-arm contributes 0 (standard top-k RRF)
+  }
+
+  /** The RRF fusion stage — SHARED between s26 (in-plan arms) and s29
+    * (stored-index arms), which is the point of fusing on ranks, not
+    * scores: the fusion is arm-source-agnostic. Absent-from-arm
+    * contributes 0 (standard top-k RRF). */
+  private[graft] def rrfFuse(lex: DataFrame, vec: DataFrame)
+      : DataFrame = {
     val wf = Window.partitionBy(col("query_id"))
       .orderBy(col("rrf_nano").desc, col("doc_id"))
     lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
@@ -1378,6 +1398,213 @@ object Similarity {
       FROM fused)
     WHERE fused_rank <= $HybridFinalK
     ORDER BY query_id, fused_rank"""
+
+  // --------------------------- s29 hybrid retrieval from STORED indexes
+  /** Token-hash bucket count of the stored BM25 postings layout: a
+    * serve call's query vocabulary maps to a handful of buckets, so
+    * the postings read prunes statically (the idmap/IdMapBuckets
+    * discipline applied to text). */
+  private val Bm25Buckets = 16
+
+  private def tokenBucket(t: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    pmod(xxhash64(t), lit(Bm25Buckets)).cast("int")
+
+  private val bm25IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  /** Builds and PERSISTS the BM25 lexical index for the documents
+    * corpus — the t19/s26 integer-BM25 arithmetic's stored artifact,
+    * laid out like a real search engine's segment files:
+    * `postings/` (token, doc_id, tf, dl — doc length DENORMALIZED
+    * into the posting row so a serve never joins the corpus-sized
+    * doclen table), `dict/` (token, df), both `partitionBy` a hash
+    * bucket of the token so a query-vocabulary lookup statically
+    * prunes to the touched buckets, and `totals/` (1 row: n_docs,
+    * t_tokens — BM25's global normalizers). Build cost: one tokenize
+    * pass + one (token, doc) aggregation — the same one-shuffle shape
+    * as the in-plan arm, paid once. */
+  private[graft] def buildBm25Index(s: SparkSession, dir: String)
+      : String = {
+    bm25IndexCache.entrySet().removeIf(e =>
+      e.getKey._1 != s.sparkContext.applicationId ||
+        !new java.io.File(e.getValue).isDirectory)
+    bm25IndexCache.computeIfAbsent(
+      (s.sparkContext.applicationId, dir), _ => {
+        val tag = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(dir.getBytes("UTF-8"))
+          .take(8).map(b => f"$b%02x").mkString
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_s29_${tag}_${s.sparkContext.applicationId}")
+        if (root.exists())
+          org.apache.commons.io.FileUtils.deleteDirectory(root)
+        val docs = Relational.table(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val toks = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("token"))
+        val dl = docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("dl"))
+        toks.groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+          .join(dl, Seq("doc_id"))
+          .withColumn("tb", tokenBucket(col("token")))
+          .write.partitionBy("tb").mode("overwrite")
+          .parquet(new java.io.File(root, "postings").getAbsolutePath)
+        toks.select("token", "doc_id").distinct()
+          .groupBy("token").agg(count(lit(1)).as("df"))
+          .withColumn("tb", tokenBucket(col("token")))
+          .write.partitionBy("tb").mode("overwrite")
+          .parquet(new java.io.File(root, "dict").getAbsolutePath)
+        docs.agg(count(lit(1)).as("n_docs"),
+            sum(size(split(col("text"), " ")).cast("long"))
+              .as("t_tokens"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(new java.io.File(root, "totals").getAbsolutePath)
+        root.getAbsolutePath
+      })
+  }
+
+  /** The lexical arm SERVED from the stored BM25 index: the bounded
+    * per-request query set (8 docs' texts) resolves to a vocabulary
+    * driver-side, the vocabulary's token-hash buckets statically
+    * prune `postings/` and `dict/`, and the t19 integer arithmetic
+    * runs over postings-touched rows only — cost ∝ postings of the
+    * query terms, never ∝ corpus. Rank-identical to [[hybridLexArm]]
+    * by construction (same tf/df/dl/totals values for every vocab
+    * token, same milli-unit arithmetic, same tie-breaks) —
+    * [[hybridStoredInv]] pins it. */
+  private[graft] def hybridLexArmStored(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    val root = buildBm25Index(s, dir)
+    // per-request input: the query docs' texts (bounded — 8 rows)
+    val qdocs = Relational.table(s, dir, "documents")
+      .filter(col("doc_id") < NumQueries)
+      .select(col("doc_id"), col("text")).collect()
+    val qtermPairs = qdocs.flatMap { r =>
+      r.getString(1).split(" ").distinct.map(t => (r.getLong(0), t))
+    }.distinct.toSeq
+    val vocab = qtermPairs.map(_._2).distinct
+    // the vocabulary's buckets, via the same expression the build used
+    // (a driver-side reimplementation of xxhash64 would be a parity
+    // bug waiting to happen)
+    val buckets = vocab.toDF("token")
+      .select(tokenBucket(col("token"))).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val postings = s.read
+      .parquet(new java.io.File(root, "postings").getAbsolutePath)
+      .filter(col("tb").isin(buckets.map(Integer.valueOf): _*))
+      .filter(col("token").isin(vocab: _*))
+    val dict = s.read
+      .parquet(new java.io.File(root, "dict").getAbsolutePath)
+      .filter(col("tb").isin(buckets.map(Integer.valueOf): _*))
+      .filter(col("token").isin(vocab: _*))
+      .select(col("token"), col("df"))
+    val totals = s.read
+      .parquet(new java.io.File(root, "totals").getAbsolutePath)
+    val qterms = qtermPairs.toDF("query_id", "token")
+    val scored = postings.join(broadcast(dict), Seq("token"))
+      .crossJoin(broadcast(totals))
+      .withColumn("idf_milli",
+        expr("((2*n_docs - 2*df + 1) * 1000) div (2*df + 1)"))
+      .withColumn("sat_milli",
+        expr("(22 * t_tokens * tf * 1000) div " +
+          "(10 * t_tokens * tf + 3 * t_tokens + 9 * dl * n_docs)"))
+    val wl = Window.partitionBy(col("query_id"))
+      .orderBy(col("lex_micro").desc, col("doc_id"))
+    scored.join(broadcast(qterms), Seq("token"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("idf_milli") * col("sat_milli")).as("lex_micro"))
+      .withColumn("lex_rank", row_number().over(wl).cast("long"))
+      .filter(col("lex_rank") <= HybridArmK)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"))
+  }
+
+  /** The vector arm served from the stored s24 IVF index at the
+    * hybrid arm depth. */
+  private[graft] def hybridVecArmStored(s: SparkSession, dir: String)
+      : DataFrame =
+    serveIvf(s, buildIvfIndex(s, dir), dir, k = HybridArmK)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("vec_rank"))
+
+  /** s29 — s26's hybrid retrieval served from the STORED indexes: the
+    * lexical arm from the persisted BM25 postings (t19's arithmetic
+    * over statically-pruned token buckets), the vector arm from the
+    * s24 IVF index (probed posting partitions), fused by the SAME
+    * [[rrfFuse]] stage s26 runs. This is the retrieval twin of what
+    * s24 did for s04 — the serve path a RAG system actually runs:
+    * NOTHING here scans the corpus; every input is an index readout.
+    * The lexical arm is rank-IDENTICAL to in-plan s26 (exact
+    * arithmetic over identical stored values); the vector arm is the
+    * honest IVF approximation (probe < nlist), so the fused ranking
+    * is rows-only with [[hybridStoredInv]] ★ pinning lex identity,
+    * vector recall vs the exact arm, the fusion arithmetic, and the
+    * k bound. */
+  def hybridStored(s: SparkSession, dir: String): DataFrame =
+    rrfFuse(hybridLexArmStored(s, dir), hybridVecArmStored(s, dir))
+
+  /** s29's contract flags: (1) stored-served lexical arm == in-plan
+    * lexical arm, rank for rank; (2) stored-IVF vector arm holds the
+    * house recall bound (≥ 0.3 overlap vs the exact arm — the s04
+    * contract at the arm depth); (3) every fused row's rrf_nano
+    * equals the integer formula applied to its carried ranks, and
+    * fused ranks are ≤ the final k; (4) every query answered. */
+  def hybridStoredInv(s: SparkSession, dir: String): DataFrame = {
+    val lexS = hybridLexArmStored(s, dir)
+    val lexP = hybridLexArm(s, dir)
+    val lexCmp = lexS.join(lexP, Seq("query_id", "doc_id", "lex_rank"),
+        "full_outer")
+      .agg(count(lit(1)).as("n_union"))
+      .crossJoin(lexS.join(lexP, Seq("query_id", "doc_id", "lex_rank"))
+        .agg(count(lit(1)).as("n_both")))
+    val vecS = hybridVecArmStored(s, dir)
+    val vecP = hybridVecArm(s, dir)
+    val recall = vecP.join(vecS, Seq("query_id", "doc_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+      .crossJoin(vecP.agg(count(lit(1)).as("n_exact")))
+    val fused = hybridStored(s, dir)
+    val fusionChk = fused.select(
+        ((coalesce(expr(s"$RrfScale div ($RrfC + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"$RrfScale div ($RrfC + vec_rank)"), lit(0L)))
+          === col("rrf_nano")).cast("long").as("arith_ok"),
+        (col("fused_rank") <= HybridFinalK).cast("long").as("k_ok"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("arith_ok")), lit(0L)).as("n_arith"),
+        coalesce(sum(col("k_ok")), lit(0L)).as("n_k"))
+    val nq = fused.agg(count_distinct(col("query_id")).as("n_q"))
+    lexCmp.crossJoin(recall).crossJoin(fusionChk).crossJoin(nq)
+      .select(
+        (col("n_union") === col("n_both")).as("lex_identical"),
+        (col("n_hit") * 10 >= col("n_exact") * 3).as("vec_recall_ok"),
+        (col("n_arith") === col("n_rows") &&
+          col("n_k") === col("n_rows")).as("fusion_ok"),
+        col("n_q").as("n_queries"))
+  }
+
+  val hybridStoredInvSql: String = s"""
+    SELECT TRUE AS lex_identical, TRUE AS vec_recall_ok,
+      TRUE AS fusion_ok,
+      (SELECT count(*) FROM documents WHERE doc_id < $NumQueries)
+        AS n_queries"""
+
+  /** Spec hook: bucket directories the stored lexical serve touches /
+    * total bucket directories — the static-pruning assertion's
+    * numerator and denominator. */
+  private[graft] def bm25BucketsTouched(s: SparkSession, dir: String)
+      : (Int, Int) = {
+    import s.implicits._
+    val root = buildBm25Index(s, dir)
+    val qdocs = Relational.table(s, dir, "documents")
+      .filter(col("doc_id") < NumQueries)
+      .select(col("text")).collect()
+    val vocab = qdocs.flatMap(_.getString(0).split(" ")).distinct.toSeq
+    val touched = vocab.toDF("token")
+      .select(tokenBucket(col("token"))).distinct().count().toInt
+    val total = new java.io.File(root, "postings").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("tb="))
+    (touched, total)
+  }
 
   // ------------------------------------------- s27 filtered vector search
   /** Over-probe factor for filtered search: the metadata filter thins
@@ -1651,6 +1878,9 @@ object Similarity {
         Some(kcenterCoresetSql)),
       ("e03_hamming_ann", hammingAnn _, Some(hammingAnnSql)),
       ("s26_hybrid_rrf", hybridRrf _, Some(hybridRrfSql)),
+      ("s29_hybrid_stored", hybridStored _, None),
+      ("s29_hybrid_stored_inv", hybridStoredInv _,
+        Some(hybridStoredInvSql)),
       ("s28_ann_stored_ivfpq", annStoredIvfPq _, None),
       ("s27_ann_filtered", annFiltered _, None),
       ("s27_filtered_exact", annFilteredExact _, Some(annFilteredExactSql)),

@@ -166,6 +166,31 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  // ------------------------------ s29 stored hybrid retrieval
+  test("s29: stored-served lexical arm is rank-identical to s26's, " +
+    "vector recall holds, fusion arithmetic exact") {
+    val row = queries.Similarity.hybridStoredInv(spark, sfDir)
+      .collect().head
+    assert(row.getAs[Boolean]("lex_identical"),
+      "stored BM25 serve must reproduce the in-plan arm rank for rank")
+    assert(row.getAs[Boolean]("vec_recall_ok"))
+    assert(row.getAs[Boolean]("fusion_ok"))
+    assert(row.getAs[Long]("n_queries") == 8L)
+  }
+
+  test("s29: lexical serve prunes postings buckets statically when " +
+    "the vocabulary misses buckets (and never exceeds the total)") {
+    val (touched, total) =
+      queries.Similarity.bm25BucketsTouched(spark, sfDir)
+    assert(touched >= 1 && touched <= total,
+      s"touched $touched of $total")
+    // the pruning MECHANISM is what matters: the serve filter lists
+    // exactly the touched buckets, so the scan opens at most that
+    // many partition directories (at tiny SF some of the 16 buckets
+    // hold no tokens at all and are never even written)
+    assert(total >= 1 && total <= 16, s"got $total tb= dirs")
+  }
+
   // --------------------------- sk10 audit reads the EXECUTED plan
   test("sk10: order audit holds on the count's own post-AQE plan") {
     val row = queries.Sketches.cboJoinOrder(spark, sfDir)
