@@ -1777,6 +1777,76 @@ $counts
       : Option[String] =
     Option(zmIngestCache.get((s.sparkContext.applicationId, dir)))
 
+  /** st34's manifest COMPACTION — the Iceberg `rewrite_manifests`
+    * problem: continuous ingest writes `manifests/batch=<id>` forever
+    * (one ingest batch per minute = 500k manifest directories/year),
+    * and the reader merges ALL of them. Fold every committed
+    * per-batch manifest with id ≤ `upTo`, PLUS any earlier epoch
+    * manifests, into ONE `manifests_epoch/epoch=<upTo>` file, then
+    * delete what was folded. Rows are carried with their `batch`
+    * provenance and deduplicated on it, NEVER re-aggregated — so the
+    * fold is idempotent and replay-safe at every crash point: a
+    * compaction that died after writing the epoch but before deleting
+    * the folded inputs leaves duplicate (batch, shard) rows that
+    * [[st34ReadManifests]]' distinct collapses exactly, and a
+    * replayed compaction re-produces byte-identical output (the j04
+    * discipline applied to metadata). */
+  private[graft] def st34CompactManifests(s: SparkSession, root: String,
+      upTo: Long): Unit = {
+    val mdir = new java.io.File(s"$root/manifests")
+    val batchDirs = Option(mdir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .filter(_.getName.stripPrefix("batch=").toLong <= upTo)
+    val edir = new java.io.File(s"$root/manifests_epoch")
+    val epochDirs = Option(edir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
+    if (batchDirs.isEmpty && epochDirs.isEmpty) return
+    val cols = Seq(col("batch").cast("long").as("batch"), col("shard"),
+      col("lo"), col("hi"), col("n"))
+    val batchRows =
+      if (batchDirs.isEmpty) None
+      else Some(s.read.parquet(s"${mdir.getAbsolutePath}")
+        .filter(col("batch") <= upTo).select(cols: _*))
+    // earlier epochs fold in too (the file count stays 1 under
+    // repeated compaction); `batch` rides inside the files as data
+    val epochRows =
+      if (epochDirs.isEmpty) None
+      else Some(s.read.parquet(edir.getAbsolutePath)
+        .select(cols: _*))
+    val folded = (batchRows.toSeq ++ epochRows.toSeq)
+      .reduce(_ unionByName _).distinct()
+    // stage then publish: the fold READS manifests_epoch when earlier
+    // epochs exist, and Spark refuses an overwrite of its own input
+    val stage = new java.io.File(s"$root/manifests_epoch_stage")
+    folded.coalesce(1).write.mode("overwrite")
+      .parquet(stage.getAbsolutePath)
+    val target = new java.io.File(edir, s"epoch=$upTo")
+    s.read.parquet(stage.getAbsolutePath)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(target.getAbsolutePath)
+    org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    epochDirs.filter(_.getName != s"epoch=$upTo")
+      .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
+    batchDirs.foreach(org.apache.commons.io.FileUtils.deleteDirectory)
+  }
+
+  /** The st34 manifest READ: epoch manifests ∪ the uncompacted
+    * per-batch tail, deduplicated on row provenance so a mid-crash
+    * compaction (epoch written, inputs not yet deleted) reads
+    * EXACTLY once. Returns (batch, shard, lo, hi, n). */
+  private[graft] def st34ReadManifests(s: SparkSession, root: String)
+      : DataFrame = {
+    val cols = Seq(col("batch").cast("long").as("batch"), col("shard"),
+      col("lo"), col("hi"), col("n"))
+    val parts = Seq(s"$root/manifests", s"$root/manifests_epoch")
+      .map(new java.io.File(_))
+      .filter(d => d.isDirectory &&
+        Option(d.listFiles()).exists(_.exists(_.isDirectory)))
+    require(parts.nonEmpty, s"no manifests under $root")
+    parts.map(d => s.read.parquet(d.getAbsolutePath).select(cols: _*))
+      .reduce(_ unionByName _).distinct()
+  }
+
   /** st34 — q44's zone-mapped layout MAINTAINED UNDER CONTINUOUS
     * APPEND: lineitem arrives as 5 AvailableNow micro-batches; each
     * batch `foreachBatch`-writes its rows into their quarter shards
@@ -1835,10 +1905,15 @@ $counts
             case None => s.conf.unset(confKey)
           }
         }
+        // compact the first three batches' manifests into one epoch
+        // manifest, leaving batches 3-4 as the uncompacted tail — the
+        // gate thereby serves from the epoch+tail read every round
+        // (reader equivalence pre/post compaction is Round13Spec's pin)
+        st34CompactManifests(s, base, upTo = 2L)
         base
       })
     Layout.zmAnswer(s, s"$root/table",
-      s.read.parquet(s"$root/manifests").drop("batch"))
+      st34ReadManifests(s, root).drop("batch"))
   }
 
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =

@@ -191,6 +191,63 @@ class Round13Spec extends SparkSpec {
     assert(total >= 1 && total <= 16, s"got $total tb= dirs")
   }
 
+  // ------------------------------ st34 manifest compaction
+  test("st34 compaction: reader row set unchanged, manifest dir count " +
+    "drops, re-compaction is idempotent, oracle answer unchanged") {
+    import org.apache.spark.sql.functions.col
+    val fixture = java.nio.file.Files
+      .createTempDirectory("graft_r13_zm").toFile
+    try {
+      import spark.implicits._
+      val root = fixture.getAbsolutePath
+      // five synthetic ingest batches over three shards
+      (0L to 4L).foreach { id =>
+        val b = Seq(
+          (100 * id + 1, f"1995-0${id + 1}%s-01", (id % 3).toInt),
+          (100 * id + 2, f"1995-0${id + 1}%s-15", ((id + 1) % 3).toInt))
+          .toDF("l_orderkey", "ship_day", "shard")
+        queries.Streaming.st34WriteBatch(b, id, root)
+      }
+      def dirCount(sub: String): Int = {
+        val d = new java.io.File(root, sub)
+        if (!d.isDirectory) 0
+        else d.listFiles().count(_.isDirectory)
+      }
+      def rows(): Set[String] =
+        queries.Streaming.st34ReadManifests(spark, root)
+          .collect().map(_.toString).toSet
+      val before = rows()
+      assert(dirCount("manifests") == 5)
+      queries.Streaming.st34CompactManifests(spark, root, upTo = 2L)
+      assert(rows() == before, "compaction must not change the rows")
+      assert(dirCount("manifests") == 2, "batches 0-2 folded away")
+      assert(dirCount("manifests_epoch") == 1)
+      // replayed compaction (same upTo): byte-stable, still equal
+      queries.Streaming.st34CompactManifests(spark, root, upTo = 2L)
+      assert(rows() == before)
+      // a later compaction folds the tail AND the earlier epoch
+      queries.Streaming.st34CompactManifests(spark, root, upTo = 4L)
+      assert(rows() == before)
+      assert(dirCount("manifests") == 0)
+      assert(dirCount("manifests_epoch") == 1, "one epoch file remains")
+      // crash-window simulation: epoch holds batch rows that also
+      // reappear in manifests (undeleted input) — reader stays exact
+      val b0 = Seq((1L, "1995-01-01", 0))
+        .toDF("l_orderkey", "ship_day", "shard")
+        .groupBy("shard")
+        .agg(org.apache.spark.sql.functions.min(col("ship_day")).as("lo"),
+          org.apache.spark.sql.functions.max(col("ship_day")).as("hi"),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"))
+      b0.coalesce(1).write.mode("overwrite")
+        .parquet(s"$root/manifests/batch=0")
+      assert(rows() == before,
+        "a re-surfaced folded batch must deduplicate exactly")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(fixture)
+    }
+  }
+
   // --------------------------- sk10 audit reads the EXECUTED plan
   test("sk10: order audit holds on the count's own post-AQE plan") {
     val row = queries.Sketches.cboJoinOrder(spark, sfDir)
