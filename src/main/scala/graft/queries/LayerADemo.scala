@@ -256,9 +256,10 @@ object LayerADemo {
       .orderBy("c_custkey")
 
   // ------------------------------------------- BASELINE.md targets
-  /** 1M rows × 6 string columns (G4+G5+G6 mix) — BASELINE target
-    * "≤ 60 s wall". */
-  def bench1mGenerate(s: SparkSession, dir: String): DataFrame = {
+  /** The bench generation recipe at an arbitrary row count — one fused
+    * zero-shuffle `range(n).select(...)` plan whatever `n` is. */
+  private[graft] def benchGenerate(s: SparkSession, dir: String,
+      rows: Long): DataFrame = {
     val freq = customers(s, dir).groupBy("c_mktsegment")
       .agg(count(lit(1)).cast("int").as("freq"))
     val n = Relational.table(s, dir, "nation")
@@ -273,13 +274,19 @@ object LayerADemo {
       (Seq("dob"), FromDatetimeRange("1940-01-01", "2005-12-31",
         "%Y-%m-%d", "d", seed = 303)),
       (Seq("score"), FromNormalDistribution(100, 15, 2, seed = 304)),
-      (Seq("u"), FromUniformDistribution(0, 1, 6, seed = 305))), 1000000L)
+      (Seq("u"), FromUniformDistribution(0, 1, 6, seed = 305))), rows)
   }
 
-  /** 1M rows through a 4-mutator spec (M4 inline OCR, M11, M5, M2) —
-    * BASELINE target "≤ 120 s wall". */
-  def bench1mMutate(s: SparkSession, dir: String): DataFrame = {
-    val base = bench1mGenerate(s, dir)
+  /** 1M rows × 6 string columns (G4+G5+G6 mix) — BASELINE target
+    * "≤ 60 s wall". */
+  def bench1mGenerate(s: SparkSession, dir: String): DataFrame =
+    benchGenerate(s, dir, 1000000L)
+
+  /** The 4-mutator bench spec (M4 inline OCR, M11, M5, M2) over the
+    * generated frame at an arbitrary row count. */
+  private[graft] def benchMutate(s: SparkSession, dir: String,
+      rows: Long): DataFrame = {
+    val base = benchGenerate(s, dir, rows)
     val ocr = graft.mut.RuleMutators.WithReplacementTable(Seq(
       ("0", "o"), ("1", "|"), ("5", "s"), ("2", "z"), ("g", "9")),
       inline = true, reverse = false, seed = 311)
@@ -297,6 +304,45 @@ object LayerADemo {
       (Seq("u"), Seq((0.1, miss: graft.mut.Mutator))),
       (Seq("nation"), Seq((0.2, cldr: graft.mut.Mutator)))))
   }
+
+  /** 1M rows through the 4-mutator spec — BASELINE target
+    * "≤ 120 s wall". */
+  def bench1mMutate(s: SparkSession, dir: String): DataFrame =
+    benchMutate(s, dir, 1000000L)
+
+  private[graft] val A03Rows = 100000000L
+
+  /** a03 — the a01+a02 pipeline at 100M rows (100× the 1M rows the
+    * BASELINE targets were set against, untouched since round 1): one
+    * fused zero-shuffle generate plan straight into the fused-stats
+    * 4-mutator spec. At this scale the GATE ARTIFACT must stay
+    * KB-sized, so the query emits the a02 domain-contract summary
+    * (every count must equal the row count) instead of the frame —
+    * which also makes it a DIRECT DuckDB oracle row (pure constants),
+    * not a rows-only demo: a dropped row, a broken format, or an
+    * out-of-set category at any of the 100M rows hash-fails the gate.
+    * The aggregation is map-side partial — the plan stays
+    * exchange-free end to end. Wall time vs a02 is the linearity
+    * check (BASELINE row; any superlinearity is a bug in the fused
+    * stats pass or the generator expressions). */
+  def bench100mGenerateMutate(s: SparkSession, dir: String): DataFrame = {
+    val segs = customers(s, dir).select("c_mktsegment").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq ++
+      Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    benchMutate(s, dir, A03Rows).agg(
+      count(lit(1)).as("n"),
+      sum(col("segment").isin(segs.distinct: _*).cast("long")).as("n_seg"),
+      sum((col("u") === "" || col("u").rlike("^\\d\\.\\d{6}$"))
+        .cast("long")).as("n_u"),
+      sum(col("score").rlike("^-?\\d+\\.\\d{2}$").cast("long"))
+        .as("n_score"))
+  }
+
+  val a03Sql: String = s"""
+    SELECT CAST($A03Rows AS BIGINT) AS n,
+      CAST($A03Rows AS BIGINT) AS n_seg,
+      CAST($A03Rows AS BIGINT) AS n_u,
+      CAST($A03Rows AS BIGINT) AS n_score"""
 
   /** name -> (query, optional oracle sql) */
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
@@ -333,5 +379,7 @@ object LayerADemo {
       ("m20_mutate_data_frame", m20MutateDataFrame _, None),
       ("a01_bench_generate_1m", bench1mGenerate _, None),
       ("a02_bench_mutate_1m", bench1mMutate _, None),
+      ("a03_bench_generate_mutate_100m", bench100mGenerateMutate _,
+        Some(a03Sql)),
     )
 }
