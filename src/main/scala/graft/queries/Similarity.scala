@@ -1413,6 +1413,54 @@ object Similarity {
   private val bm25IndexCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
+  /** Doc-hash bucket of the `docmap/` sidecar — the BM25 analog of
+    * the IVF `idmap/`: an upsert must evict a REPLACED document's old
+    * postings rows, which live scattered across the token buckets of
+    * its OLD text; the docmap records each doc's (dl, token buckets)
+    * so eviction prunes statically instead of scanning the index. */
+  private def docBucket: org.apache.spark.sql.Column =
+    pmod(xxhash64(col("doc_id")), lit(Bm25Buckets)).cast("int")
+
+  /** Write a BM25 index root for an arbitrary documents frame —
+    * factored out of [[buildBm25Index]] so the s30 upsert path can
+    * build a BASE index and grow it. Layout: `postings/` (token,
+    * doc_id, tf, dl; partitionBy token bucket), `dict/` (token, df;
+    * same bucketing), `totals/` (1 row), and `docmap/` (doc_id, dl,
+    * tbs — the doc's token buckets; partitionBy doc bucket). */
+  private[graft] def writeBm25Index(s: SparkSession, docs: DataFrame,
+      root: java.io.File): Unit = {
+    if (root.exists())
+      org.apache.commons.io.FileUtils.deleteDirectory(root)
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+    val dl = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+    val postings = toks.groupBy("token", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+      .join(dl, Seq("doc_id"))
+      .withColumn("tb", tokenBucket(col("token")))
+    postings.write.partitionBy("tb").mode("overwrite")
+      .parquet(new java.io.File(root, "postings").getAbsolutePath)
+    // dict + docmap derive from the written postings (one re-read of
+    // the index, not another corpus pass)
+    val stored = s.read
+      .parquet(new java.io.File(root, "postings").getAbsolutePath)
+    stored.groupBy("token").agg(count(lit(1)).as("df"))
+      .withColumn("tb", tokenBucket(col("token")))
+      .write.partitionBy("tb").mode("overwrite")
+      .parquet(new java.io.File(root, "dict").getAbsolutePath)
+    stored.groupBy("doc_id")
+      .agg(first(col("dl")).as("dl"),
+        sort_array(collect_set(col("tb"))).as("tbs"))
+      .withColumn("db", docBucket)
+      .write.partitionBy("db").mode("overwrite")
+      .parquet(new java.io.File(root, "docmap").getAbsolutePath)
+    docs.agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("t_tokens"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(new java.io.File(root, "totals").getAbsolutePath)
+  }
+
   /** Builds and PERSISTS the BM25 lexical index for the documents
     * corpus — the t19/s26 integer-BM25 arithmetic's stored artifact,
     * laid out like a real search engine's segment files:
@@ -1436,29 +1484,8 @@ object Similarity {
           .take(8).map(b => f"$b%02x").mkString
         val root = new java.io.File(sys.props("java.io.tmpdir"),
           s"graft_s29_${tag}_${s.sparkContext.applicationId}")
-        if (root.exists())
-          org.apache.commons.io.FileUtils.deleteDirectory(root)
-        val docs = Relational.table(s, dir, "documents")
-          .select(col("doc_id"), col("text"))
-        val toks = docs.select(col("doc_id"),
-          explode(split(col("text"), " ")).as("token"))
-        val dl = docs.select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("dl"))
-        toks.groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
-          .join(dl, Seq("doc_id"))
-          .withColumn("tb", tokenBucket(col("token")))
-          .write.partitionBy("tb").mode("overwrite")
-          .parquet(new java.io.File(root, "postings").getAbsolutePath)
-        toks.select("token", "doc_id").distinct()
-          .groupBy("token").agg(count(lit(1)).as("df"))
-          .withColumn("tb", tokenBucket(col("token")))
-          .write.partitionBy("tb").mode("overwrite")
-          .parquet(new java.io.File(root, "dict").getAbsolutePath)
-        docs.agg(count(lit(1)).as("n_docs"),
-            sum(size(split(col("text"), " ")).cast("long"))
-              .as("t_tokens"))
-          .coalesce(1).write.mode("overwrite")
-          .parquet(new java.io.File(root, "totals").getAbsolutePath)
+        writeBm25Index(s, Relational.table(s, dir, "documents")
+          .select(col("doc_id"), col("text")), root)
         root.getAbsolutePath
       })
   }
@@ -1473,9 +1500,14 @@ object Similarity {
     * token, same milli-unit arithmetic, same tie-breaks) —
     * [[hybridStoredInv]] pins it. */
   private[graft] def hybridLexArmStored(s: SparkSession, dir: String)
-      : DataFrame = {
+      : DataFrame =
+    hybridLexArmStoredAt(s, dir, buildBm25Index(s, dir))
+
+  /** The stored-lexical-arm serve against an ARBITRARY index root —
+    * shared by s29 (build-once index) and s30 (upserted index). */
+  private[graft] def hybridLexArmStoredAt(s: SparkSession, dir: String,
+      root: String): DataFrame = {
     import s.implicits._
-    val root = buildBm25Index(s, dir)
     // per-request input: the query docs' texts (bounded — 8 rows)
     val qdocs = Relational.table(s, dir, "documents")
       .filter(col("doc_id") < NumQueries)
@@ -1519,6 +1551,265 @@ object Similarity {
       .filter(col("lex_rank") <= HybridArmK)
       .select(col("query_id"), col("doc_id"), col("lex_rank"))
   }
+
+  /** s30's mechanism — UPSERT a document batch into a stored BM25
+    * index WITHOUT rebuilding it (the s25 treatment applied to the
+    * text index — together they make BOTH retrieval arms
+    * continuously ingestible): tokenize the batch once; look up
+    * replaced doc_ids' OLD (dl, token buckets) in the `docmap/`
+    * sidecar (pruned to the batch ids' doc buckets); the touched
+    * token buckets = the batch's new tokens' buckets ∪ the replaced
+    * docs' old buckets; merge = (touched buckets' postings MINUS
+    * batch doc_ids' rows) ∪ the batch's rows, staged and published
+    * via dynamic partition overwrite, emptied `tb=` dirs deleted
+    * explicitly (the s25 advice edge, same fix). `dict/` is
+    * RE-DERIVED per touched bucket from the merged postings (df of a
+    * token = its postings row count, a bucket-local aggregate — no
+    * global pass), `docmap/`'s touched doc buckets merge the same
+    * way, and `totals/` moves by the exact delta (− replaced docs'
+    * old (1, dl) + batch docs' new). Replay-idempotent: a replayed
+    * batch evicts its own previous rows and re-derives the identical
+    * totals delta from the docmap it itself wrote.
+    *
+    * Because every BM25 statistic is an EXACT aggregate (unlike
+    * IVF's approximate geometry), an upserted index is
+    * BIT-IDENTICAL to a full rebuild over the union corpus — s30's
+    * serve carries a DIRECT DuckDB oracle, not just a parity inv.
+    * Cost ∝ batch + touched token buckets + touched doc buckets;
+    * the corpus is never rescanned. */
+  private[graft] def upsertBm25Index(s: SparkSession, root: String,
+      batch: DataFrame): Unit = {
+    if (batch.isEmpty) return
+    val docmapPath = new java.io.File(root, "docmap")
+    require(docmapPath.isDirectory,
+      s"index at $root has no doc map — rebuild it with this layout " +
+        "(upsert cannot locate replaced docs' postings)")
+    val postingsPath = new java.io.File(root, "postings").getAbsolutePath
+    val dictPath = new java.io.File(root, "dict").getAbsolutePath
+    val toks = batch.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+    val bdl = batch.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+    val bPostings = toks.groupBy("token", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+      .join(bdl, Seq("doc_id"))
+      .withColumn("tb", tokenBucket(col("token")))
+      .persist()
+    // replaced docs' old footprint, from the docmap's touched buckets
+    val dbs = batch.select(docBucket.as("db")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val docmapHit = s.read.parquet(docmapPath.getAbsolutePath)
+      .filter(col("db").isin(dbs.map(Integer.valueOf): _*))
+      .join(batch.select("doc_id"), Seq("doc_id"), "left_semi")
+      .persist()
+    val oldTbs = docmapHit.select(explode(col("tbs")).as("tb"))
+      .distinct().collect().map(_.getInt(0))
+    val newTbs = bPostings.select("tb").distinct()
+      .collect().map(_.getInt(0))
+    val touched = (oldTbs ++ newTbs).distinct.sorted
+    // ---- postings: merge the touched token buckets ----
+    val existing = s.read.parquet(postingsPath)
+      .filter(col("tb").isin(touched.map(Integer.valueOf): _*))
+      .join(batch.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select("token", "doc_id", "tf", "dl", "tb")
+    val stage = new java.io.File(root, "postings_stage")
+    existing.unionByName(bPostings
+        .select("token", "doc_id", "tf", "dl", "tb"))
+      .write.partitionBy("tb").mode("overwrite")
+      .parquet(stage.getAbsolutePath)
+    val merged = s.read.parquet(stage.getAbsolutePath)
+    merged.select("token", "doc_id", "tf", "dl", "tb")
+      .write.partitionBy("tb").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(postingsPath)
+    val mergedTbs = merged.select("tb").distinct()
+      .collect().map(_.getInt(0)).toSet
+    // a bucket the merge emptied keeps its stale dir under dynamic
+    // overwrite — delete it (and its dict twin) explicitly
+    touched.filterNot(mergedTbs.contains).foreach { tb =>
+      Seq(postingsPath, dictPath).foreach { p =>
+        val d = new java.io.File(p, s"tb=$tb")
+        if (d.isDirectory)
+          org.apache.commons.io.FileUtils.deleteDirectory(d)
+      }
+    }
+    // ---- dict: re-derive the touched buckets from merged postings ----
+    val dictStage = new java.io.File(root, "dict_stage")
+    merged.groupBy("token").agg(count(lit(1)).as("df"))
+      .withColumn("tb", tokenBucket(col("token")))
+      .write.partitionBy("tb").mode("overwrite")
+      .parquet(dictStage.getAbsolutePath)
+    s.read.parquet(dictStage.getAbsolutePath)
+      .select("token", "df", "tb")
+      .write.partitionBy("tb").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(dictPath)
+    org.apache.commons.io.FileUtils.deleteDirectory(dictStage)
+    // ---- totals: exact delta from the docmap's old footprint ----
+    val totalsPath = new java.io.File(root, "totals").getAbsolutePath
+    val old = s.read.parquet(totalsPath).collect().head
+    val removed = docmapHit
+      .agg(coalesce(count(lit(1)), lit(0L)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("t")).collect().head
+    val added = bdl
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L))
+        .as("t")).collect().head
+    import s.implicits._
+    Seq((old.getLong(0) - removed.getLong(0) + added.getLong(0),
+        old.getLong(1) - removed.getLong(1) + added.getLong(1)))
+      .toDF("n_docs", "t_tokens")
+      .coalesce(1).write.mode("overwrite").parquet(totalsPath)
+    // ---- docmap: merge the touched doc buckets ----
+    val dmStage = new java.io.File(root, "docmap_stage")
+    val newDocmap = bPostings.groupBy("doc_id")
+      .agg(first(col("dl")).as("dl"),
+        sort_array(collect_set(col("tb"))).as("tbs"))
+      .withColumn("db", docBucket)
+    s.read.parquet(docmapPath.getAbsolutePath)
+      .filter(col("db").isin(dbs.map(Integer.valueOf): _*))
+      .join(batch.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select("doc_id", "dl", "tbs", "db")
+      .unionByName(newDocmap.select("doc_id", "dl", "tbs", "db"))
+      .write.partitionBy("db").mode("overwrite")
+      .parquet(dmStage.getAbsolutePath)
+    val dmMerged = s.read.parquet(dmStage.getAbsolutePath)
+    dmMerged.select("doc_id", "dl", "tbs", "db")
+      .write.partitionBy("db").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(docmapPath.getAbsolutePath)
+    val dmDbs = dmMerged.select("db").distinct()
+      .collect().map(_.getInt(0)).toSet
+    dbs.filterNot(dmDbs.contains).foreach { db =>
+      val d = new java.io.File(docmapPath, s"db=$db")
+      if (d.isDirectory)
+        org.apache.commons.io.FileUtils.deleteDirectory(d)
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(dmStage)
+    org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    docmapHit.unpersist(false)
+    bPostings.unpersist(false)
+    ()
+  }
+
+  /** Build-once memo for the s30 root pair: the base-plus-upsert
+    * index and the full-rebuild reference (same split as s25: base =
+    * 3/4 of the docs, delta = the rest PLUS identical-payload
+    * re-writes of every doc_id % 8 == 0 — the REPLACE half). */
+  private val bm25UpsertCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      (String, String)]()
+
+  private[graft] def buildUpsertedBm25Index(s: SparkSession,
+      dir: String): (String, String) = {
+    bm25UpsertCache.entrySet().removeIf(e =>
+      e.getKey._1 != s.sparkContext.applicationId ||
+        !new java.io.File(e.getValue._1).isDirectory ||
+        !new java.io.File(e.getValue._2).isDirectory)
+    bm25UpsertCache.computeIfAbsent(
+      (s.sparkContext.applicationId, dir), _ => {
+        val tag = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(dir.getBytes("UTF-8"))
+          .take(8).map(b => f"$b%02x").mkString
+        val docs = Relational.table(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val base = docs.filter(pmod(col("doc_id"), lit(4)) =!= 3)
+        val delta = docs.filter(pmod(col("doc_id"), lit(4)) === 3)
+          .unionByName(docs.filter(pmod(col("doc_id"), lit(8)) === 0))
+        val incRoot = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_s30inc_${tag}_${s.sparkContext.applicationId}")
+        val fullRoot = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_s30full_${tag}_${s.sparkContext.applicationId}")
+        writeBm25Index(s, base, incRoot)
+        upsertBm25Index(s, incRoot.getAbsolutePath, delta)
+        writeBm25Index(s, docs, fullRoot)
+        (incRoot.getAbsolutePath, fullRoot.getAbsolutePath)
+      })
+  }
+
+  /** s30 — the lexical retrieval arm served from the UPSERTED BM25
+    * index: built on 3/4 of the corpus, grown to the full corpus
+    * (plus replaces) through [[upsertBm25Index]]. Exact-aggregate
+    * statistics ⇒ the serve is bit-identical to s26's in-plan arm
+    * over the full corpus, so this carries a DIRECT DuckDB oracle —
+    * an approximation-free continuously-ingestible text index. */
+  def bm25Upserted(s: SparkSession, dir: String): DataFrame =
+    hybridLexArmStoredAt(s, dir, buildUpsertedBm25Index(s, dir)._1)
+      .orderBy("query_id", "lex_rank")
+
+  /** s30's structural contract beyond the direct oracle: (1) the
+    * upserted index's FILES serve identically to a full rebuild's;
+    * (2) no (token, doc) posting appears twice after the replace
+    * batch; (3) the stored totals row matches the corpus exactly
+    * (DuckDB recomputes both numbers). */
+  def bm25UpsertedInv(s: SparkSession, dir: String): DataFrame = {
+    val (incRoot, fullRoot) = buildUpsertedBm25Index(s, dir)
+    val inc = hybridLexArmStoredAt(s, dir, incRoot)
+    val full = hybridLexArmStoredAt(s, dir, fullRoot)
+    val parity = inc.join(full,
+        Seq("query_id", "doc_id", "lex_rank"), "full_outer")
+      .agg(count(lit(1)).as("n_union"))
+      .crossJoin(inc.join(full, Seq("query_id", "doc_id", "lex_rank"))
+        .agg(count(lit(1)).as("n_both")))
+    val postings = s.read
+      .parquet(new java.io.File(incRoot, "postings").getAbsolutePath)
+    val dupes = postings.groupBy("token", "doc_id")
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum((col("c") > 1).cast("long")), lit(0L))
+        .as("n_dup"))
+    val totals = s.read
+      .parquet(new java.io.File(incRoot, "totals").getAbsolutePath)
+    parity.crossJoin(dupes).crossJoin(totals)
+      .select((col("n_union") === col("n_both")).as("serve_parity"),
+        (col("n_dup") === 0).as("no_dup"),
+        col("n_docs"), col("t_tokens"))
+  }
+
+  val bm25UpsertedInvSql: String = """
+    SELECT TRUE AS serve_parity, TRUE AS no_dup,
+      (SELECT count(*) FROM documents) AS n_docs,
+      (SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        FROM documents) AS t_tokens"""
+
+  /** s30's direct oracle: s26's lexical-arm CTEs over the full
+    * corpus — what the upserted index must serve bit-identically. */
+  val bm25UpsertedSql: String = s"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    qterms AS (
+      SELECT DISTINCT doc_id AS query_id, token FROM toks
+      WHERE doc_id < $NumQueries),
+    hits AS (
+      SELECT t.doc_id, t.token FROM toks t
+      WHERE t.token IN (SELECT DISTINCT token FROM qterms)),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM hits GROUP BY 1, 2),
+    dfreq AS (
+      SELECT token, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
+    dl AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents),
+    tot AS (
+      SELECT count(*) AS n_docs,
+        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t_tokens
+      FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+        ((2*n_docs - 2*df + 1) * 1000) // (2*df + 1) AS idf_milli,
+        (22 * t_tokens * tf * 1000) //
+          (10 * t_tokens * tf + 3 * t_tokens + 9 * dl.dl * n_docs)
+          AS sat_milli
+      FROM tf JOIN dfreq USING (token) JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN tot)
+    SELECT query_id, doc_id, lex_rank FROM (
+      SELECT q.query_id, sc.doc_id,
+        row_number() OVER (PARTITION BY q.query_id
+          ORDER BY sum(sc.idf_milli * sc.sat_milli) DESC, sc.doc_id)
+          AS lex_rank
+      FROM scored sc JOIN qterms q USING (token)
+      WHERE sc.doc_id <> q.query_id
+      GROUP BY q.query_id, sc.doc_id)
+    WHERE lex_rank <= $HybridArmK
+    ORDER BY query_id, lex_rank"""
 
   /** The vector arm served from the stored s24 IVF index at the
     * hybrid arm depth. */
@@ -1881,6 +2172,9 @@ object Similarity {
       ("s29_hybrid_stored", hybridStored _, None),
       ("s29_hybrid_stored_inv", hybridStoredInv _,
         Some(hybridStoredInvSql)),
+      ("s30_bm25_upserted", bm25Upserted _, Some(bm25UpsertedSql)),
+      ("s30_bm25_upsert_inv", bm25UpsertedInv _,
+        Some(bm25UpsertedInvSql)),
       ("s28_ann_stored_ivfpq", annStoredIvfPq _, None),
       ("s27_ann_filtered", annFiltered _, None),
       ("s27_filtered_exact", annFilteredExact _, Some(annFilteredExactSql)),

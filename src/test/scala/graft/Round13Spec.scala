@@ -248,6 +248,73 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  // ------------------------------ s30 BM25 postings upsert
+  test("s30 upsert: a changed-text replace evicts the old postings " +
+    "via the docmap, drops a vanished token from the dict, moves " +
+    "totals by the exact delta, and replays idempotently") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_r13_bm25").toFile
+    try {
+      // 'zebra' occurs ONLY in doc 2 — replacing doc 2's text must
+      // remove it from postings AND dict entirely
+      val base = Seq(
+        (1L, "apple banana apple"),
+        (2L, "zebra cherry"),
+        (3L, "banana cherry date"))
+        .toDF("doc_id", "text")
+      queries.Similarity.writeBm25Index(spark, base, root)
+      def postings() = spark.read
+        .parquet(new java.io.File(root, "postings").getAbsolutePath)
+      def dict() = spark.read
+        .parquet(new java.io.File(root, "dict").getAbsolutePath)
+      def totals() = spark.read
+        .parquet(new java.io.File(root, "totals").getAbsolutePath)
+        .collect().head
+      assert(totals().getLong(0) == 3 && totals().getLong(1) == 8)
+      assert(dict().filter(col("token") === "zebra").count() == 1)
+      // replace doc 2 (zebra vanishes) + insert doc 4
+      val batch = Seq(
+        (2L, "apple elderberry"),
+        (4L, "fig"))
+        .toDF("doc_id", "text")
+      queries.Similarity.upsertBm25Index(spark,
+        root.getAbsolutePath, batch)
+      assert(postings().filter(col("token") === "zebra").count() == 0,
+        "replaced doc's old tokens must be evicted via the docmap")
+      assert(dict().filter(col("token") === "zebra").count() == 0,
+        "a vanished token must leave the dict")
+      // df('apple') now 2 (docs 1 and 2)
+      val apple = dict().filter(col("token") === "apple").collect()
+      assert(apple.length == 1 && apple.head.getAs[Long]("df") == 2)
+      // totals: 4 docs; tokens 3 + 2 + 3 + 1 = 9
+      assert(totals().getLong(0) == 4 && totals().getLong(1) == 9,
+        s"totals moved wrong: ${totals()}")
+      val rowSet = postings().collect().map(_.toString).toSet
+      // replay the same batch: byte-stable
+      queries.Similarity.upsertBm25Index(spark,
+        root.getAbsolutePath, batch)
+      assert(postings().collect().map(_.toString).toSet == rowSet,
+        "replayed upsert must be a no-op on the postings row set")
+      assert(totals().getLong(0) == 4 && totals().getLong(1) == 9,
+        "replayed upsert must not move totals")
+      // no (token, doc) duplicates anywhere
+      assert(postings().groupBy("token", "doc_id")
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1).count() == 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(root)
+    }
+  }
+
+  test("s30 on gate data: upserted BM25 serve == full-rebuild serve, " +
+    "stored totals exact") {
+    val row = queries.Similarity.bm25UpsertedInv(spark, sfDir)
+      .collect().head
+    assert(row.getAs[Boolean]("serve_parity"))
+    assert(row.getAs[Boolean]("no_dup"))
+    assert(row.getAs[Long]("n_docs") > 0)
+  }
+
   // --------------------------- sk10 audit reads the EXECUTED plan
   test("sk10: order audit holds on the count's own post-AQE plan") {
     val row = queries.Sketches.cboJoinOrder(spark, sfDir)
