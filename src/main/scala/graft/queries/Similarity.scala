@@ -1404,7 +1404,7 @@ object Similarity {
     * serve call's query vocabulary maps to a handful of buckets, so
     * the postings read prunes statically (the idmap/IdMapBuckets
     * discipline applied to text). */
-  private val Bm25Buckets = 16
+  private[graft] val Bm25Buckets = 16
 
   private def tokenBucket(t: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =
@@ -1425,8 +1425,13 @@ object Similarity {
     * factored out of [[buildBm25Index]] so the s30 upsert path can
     * build a BASE index and grow it. Layout: `postings/` (token,
     * doc_id, tf, dl; partitionBy token bucket), `dict/` (token, df;
-    * same bucketing), `totals/` (1 row), and `docmap/` (doc_id, dl,
-    * tbs — the doc's token buckets; partitionBy doc bucket). */
+    * same bucketing), `docmap/` (doc_id, dl, tbs — the doc's token
+    * buckets; partitionBy doc bucket), and `totals/` (per DOC-bucket
+    * subtotals (n_docs, t_tokens), partitionBy db — NOT a global
+    * row: a subtotal is a bucket-local aggregate of the docmap, so
+    * an upsert republishes only its touched buckets idempotently
+    * instead of read-modify-writing global state; [[readBm25Totals]]
+    * folds the ≤[[Bm25Buckets]] rows at serve time). */
   private[graft] def writeBm25Index(s: SparkSession, docs: DataFrame,
       root: java.io.File): Unit = {
     if (root.exists())
@@ -1455,11 +1460,22 @@ object Similarity {
       .withColumn("db", docBucket)
       .write.partitionBy("db").mode("overwrite")
       .parquet(new java.io.File(root, "docmap").getAbsolutePath)
-    docs.agg(count(lit(1)).as("n_docs"),
-        sum(size(split(col("text"), " ")).cast("long")).as("t_tokens"))
-      .coalesce(1).write.mode("overwrite")
+    // totals derive from the written docmap (KB-scale), NOT from a
+    // second tokenize pass over the corpus
+    s.read.parquet(new java.io.File(root, "docmap").getAbsolutePath)
+      .groupBy("db")
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tokens"))
+      .write.partitionBy("db").mode("overwrite")
       .parquet(new java.io.File(root, "totals").getAbsolutePath)
   }
+
+  /** The single-row (n_docs, t_tokens) BM25 global normalizers —
+    * the fold of the per-doc-bucket subtotal rows. */
+  private[graft] def readBm25Totals(s: SparkSession, root: String)
+      : DataFrame =
+    s.read.parquet(new java.io.File(root, "totals").getAbsolutePath)
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("t_tokens")).as("t_tokens"))
 
   /** Builds and PERSISTS the BM25 lexical index for the documents
     * corpus — the t19/s26 integer-BM25 arithmetic's stored artifact,
@@ -1468,8 +1484,9 @@ object Similarity {
     * into the posting row so a serve never joins the corpus-sized
     * doclen table), `dict/` (token, df), both `partitionBy` a hash
     * bucket of the token so a query-vocabulary lookup statically
-    * prunes to the touched buckets, and `totals/` (1 row: n_docs,
-    * t_tokens — BM25's global normalizers). Build cost: one tokenize
+    * prunes to the touched buckets, and `totals/` (per doc-bucket
+    * subtotals folding to n_docs, t_tokens — BM25's global
+    * normalizers). Build cost: one tokenize
     * pass + one (token, doc) aggregation — the same one-shuffle shape
     * as the in-plan arm, paid once. */
   private[graft] def buildBm25Index(s: SparkSession, dir: String)
@@ -1531,8 +1548,7 @@ object Similarity {
       .filter(col("tb").isin(buckets.map(Integer.valueOf): _*))
       .filter(col("token").isin(vocab: _*))
       .select(col("token"), col("df"))
-    val totals = s.read
-      .parquet(new java.io.File(root, "totals").getAbsolutePath)
+    val totals = readBm25Totals(s, root)
     val qterms = qtermPairs.toDF("query_id", "token")
     val scored = postings.join(broadcast(dict), Seq("token"))
       .crossJoin(broadcast(totals))
@@ -1566,10 +1582,12 @@ object Similarity {
     * RE-DERIVED per touched bucket from the merged postings (df of a
     * token = its postings row count, a bucket-local aggregate — no
     * global pass), `docmap/`'s touched doc buckets merge the same
-    * way, and `totals/` moves by the exact delta (− replaced docs'
-    * old (1, dl) + batch docs' new). Replay-idempotent: a replayed
-    * batch evicts its own previous rows and re-derives the identical
-    * totals delta from the docmap it itself wrote.
+    * way, and `totals/`'s touched subtotal rows are re-derived from
+    * the merged docmap buckets. Replay-idempotent INCLUDING every
+    * crash window: each artifact is re-derived from (current stored
+    * state MINUS batch ids) ∪ batch — never read-modify-written — so
+    * a batch replayed after a partial publish converges to the same
+    * bytes instead of double-counting a delta.
     *
     * Because every BM25 statistic is an EXACT aggregate (unlike
     * IVF's approximate geometry), an upserted index is
@@ -1645,20 +1663,6 @@ object Similarity {
       .option("partitionOverwriteMode", "dynamic")
       .parquet(dictPath)
     org.apache.commons.io.FileUtils.deleteDirectory(dictStage)
-    // ---- totals: exact delta from the docmap's old footprint ----
-    val totalsPath = new java.io.File(root, "totals").getAbsolutePath
-    val old = s.read.parquet(totalsPath).collect().head
-    val removed = docmapHit
-      .agg(coalesce(count(lit(1)), lit(0L)).as("n"),
-        coalesce(sum(col("dl")), lit(0L)).as("t")).collect().head
-    val added = bdl
-      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L))
-        .as("t")).collect().head
-    import s.implicits._
-    Seq((old.getLong(0) - removed.getLong(0) + added.getLong(0),
-        old.getLong(1) - removed.getLong(1) + added.getLong(1)))
-      .toDF("n_docs", "t_tokens")
-      .coalesce(1).write.mode("overwrite").parquet(totalsPath)
     // ---- docmap: merge the touched doc buckets ----
     val dmStage = new java.io.File(root, "docmap_stage")
     val newDocmap = bPostings.groupBy("doc_id")
@@ -1677,13 +1681,18 @@ object Similarity {
       .write.partitionBy("db").mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .parquet(docmapPath.getAbsolutePath)
-    val dmDbs = dmMerged.select("db").distinct()
-      .collect().map(_.getInt(0)).toSet
-    dbs.filterNot(dmDbs.contains).foreach { db =>
-      val d = new java.io.File(docmapPath, s"db=$db")
-      if (d.isDirectory)
-        org.apache.commons.io.FileUtils.deleteDirectory(d)
-    }
+    // (a touched doc bucket can never empty: every batch doc yields
+    // ≥1 posting and upsert has no delete path — no dir cleanup here)
+    // ---- totals: re-derive the touched doc buckets' subtotals from
+    // the merged docmap (bucket-local, published idempotently via
+    // dynamic overwrite — NOT a read-modify-write of a global row, so
+    // a crash-replayed batch cannot double-count the delta; any crash
+    // window re-derives the same subtotals from the same merge) ----
+    dmMerged.groupBy("db")
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tokens"))
+      .write.partitionBy("db").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(new java.io.File(root, "totals").getAbsolutePath)
     org.apache.commons.io.FileUtils.deleteDirectory(dmStage)
     org.apache.commons.io.FileUtils.deleteDirectory(stage)
     docmapHit.unpersist(false)
@@ -1756,8 +1765,7 @@ object Similarity {
       .agg(count(lit(1)).as("c"))
       .agg(coalesce(sum((col("c") > 1).cast("long")), lit(0L))
         .as("n_dup"))
-    val totals = s.read
-      .parquet(new java.io.File(incRoot, "totals").getAbsolutePath)
+    val totals = readBm25Totals(s, incRoot)
     parity.crossJoin(dupes).crossJoin(totals)
       .select((col("n_union") === col("n_both")).as("serve_parity"),
         (col("n_dup") === 0).as("no_dup"),

@@ -643,6 +643,18 @@ object Sketches {
     * routes the join to shuffle. */
   private val BroadcastRowCap = 10000L
 
+  /** The ONE broadcast/shuffle cap rule every CBO leg (sk07/sk08/
+    * sk11) executes and every DuckDB oracle replay encodes: broadcast
+    * the smaller side when its (stored, sketched, or estimated) row
+    * count is ≤ [[BroadcastRowCap]], else shuffle. Shared so the
+    * legs cannot silently desynchronize from each other or from the
+    * oracles if the rule ever changes (e.g. byte-based sizing). */
+  private def capRule(na: Double, aName: String, nb: Double,
+      bName: String): String = {
+    val (small, sn) = if (na <= nb) (aName, na) else (bName, nb)
+    if (sn <= BroadcastRowCap) s"broadcast_$small" else "shuffle"
+  }
+
   /** Final physical plan string AFTER execution (AQE unwrapped — the
     * re-optimized plan, not the initial guess). */
   private def finalPlanString(df: DataFrame): String =
@@ -758,10 +770,7 @@ object Sketches {
     overrides.foreach { case (k, v) => s.conf.set(k, v) }
     val rows = try {
       pairs.map { case (pair, ta, tb, ka, kb) =>
-        val (small, smallN) =
-          if (n(ta) <= n(tb)) (ta, n(ta)) else (tb, n(tb))
-        val decision =
-          if (smallN <= BroadcastRowCap) s"broadcast_$small" else "shuffle"
+        val decision = capRule(n(ta).toDouble, ta, n(tb).toDouble, tb)
         val dfa = Relational.table(s, dir, ta).select(col(ka))
         val dfb = Relational.table(s, dir, tb).select(col(kb))
         val joined = decision match {
@@ -1348,6 +1357,10 @@ object Sketches {
           .as("est_f"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     val estCoBase = estJoinFromStats(nC, skC, nO, skOc)
+    // scenario-invariant exact replay value: ONE customer⋈orders
+    // count for the whole scenario sweep, not one per scenario
+    val exactCo = cust
+      .join(ord, col("c_custkey") === col("o_custkey")).count()
     val estOlBase = estJoinFromStats(nO, skOo, nL, skL)
     val overrides = Seq(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
@@ -1362,20 +1375,14 @@ object Sketches {
         val estOl = estOlBase * sel
         val chosen =
           if (estCo <= estOl) "customer-orders" else "orders-lineitem"
-        def strat(na: Double, aName: String, nb: Double, bName: String)
-            : String = {
-          val (small, sn) =
-            if (na <= nb) (aName, na) else (bName, nb)
-          if (sn <= BroadcastRowCap) s"broadcast_$small" else "shuffle"
-        }
         val innerStrat =
           if (chosen == "customer-orders")
-            strat(nC.toDouble, "customer", nO.toDouble, "orders")
-          else strat(nO.toDouble, "orders", estF, "lineitem")
+            capRule(nC.toDouble, "customer", nO.toDouble, "orders")
+          else capRule(nO.toDouble, "orders", estF, "lineitem")
         val (interEst, thirdEst, thirdName) =
           if (chosen == "customer-orders") (estCo, estF, "lineitem")
           else (estOl, nC.toDouble, "customer")
-        val outerStrat = strat(interEst, "intermediate",
+        val outerStrat = capRule(interEst, "intermediate",
           thirdEst, thirdName)
         // ---- execute the decided plan ----
         val lineF = line.filter(col("price") > lo && col("price") <= hi)
@@ -1395,9 +1402,9 @@ object Sketches {
             applyStrat(inner, "intermediate", lineF, outerStrat,
               col("o_orderkey") === col("l_orderkey"))
           } else {
-            val inner = applyStrat(ord, "orders", lineF,
-              if (innerStrat == "broadcast_lineitem") "broadcast_other"
-              else innerStrat,
+            // "broadcast_lineitem" falls through to applyStrat's
+            // default broadcast-b case (b IS the filtered lineitem)
+            val inner = applyStrat(ord, "orders", lineF, innerStrat,
               col("o_orderkey") === col("l_orderkey"))
             applyStrat(inner, "intermediate", cust, outerStrat,
               col("c_custkey") === col("o_custkey"))
@@ -1421,8 +1428,6 @@ object Sketches {
         // ---- exact replay values ----
         val exactF = line
           .filter(col("price") > lo && col("price") <= hi).count()
-        val exactCo = cust
-          .join(ord, col("c_custkey") === col("o_custkey")).count()
         val exactOl = ord.join(lineF,
           col("o_orderkey") === col("l_orderkey")).count()
         val exactChoice =
@@ -1430,13 +1435,14 @@ object Sketches {
           else "orders-lineitem"
         val exactInner =
           if (exactChoice == "customer-orders")
-            strat(nC.toDouble, "customer", nO.toDouble, "orders")
-          else strat(nO.toDouble, "orders", exactF.toDouble, "lineitem")
+            capRule(nC.toDouble, "customer", nO.toDouble, "orders")
+          else capRule(nO.toDouble, "orders", exactF.toDouble,
+            "lineitem")
         val (interEx, thirdEx, thirdNameEx) =
           if (exactChoice == "customer-orders")
             (exactCo.toDouble, exactF.toDouble, "lineitem")
           else (exactOl.toDouble, nC.toDouble, "customer")
-        val exactOuter = strat(interEx, "intermediate", thirdEx,
+        val exactOuter = capRule(interEx, "intermediate", thirdEx,
           thirdNameEx)
         Sk11Row(scenario, lo, hi, nC, nO, nL,
           estF.toLong, estCo.toLong, estOl.toLong,

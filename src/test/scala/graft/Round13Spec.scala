@@ -268,8 +268,8 @@ class Round13Spec extends SparkSpec {
         .parquet(new java.io.File(root, "postings").getAbsolutePath)
       def dict() = spark.read
         .parquet(new java.io.File(root, "dict").getAbsolutePath)
-      def totals() = spark.read
-        .parquet(new java.io.File(root, "totals").getAbsolutePath)
+      def totals() = queries.Similarity
+        .readBm25Totals(spark, root.getAbsolutePath)
         .collect().head
       assert(totals().getLong(0) == 3 && totals().getLong(1) == 8)
       assert(dict().filter(col("token") === "zebra").count() == 1)
@@ -301,6 +301,27 @@ class Round13Spec extends SparkSpec {
       // no (token, doc) duplicates anywhere
       assert(postings().groupBy("token", "doc_id")
         .agg(count(lit(1)).as("c")).filter(col("c") > 1).count() == 0)
+      // crash-window discipline: totals are DERIVED per doc bucket,
+      // never read-modify-written — corrupt a touched bucket's
+      // subtotal (the state a crash between publishes could leave)
+      // and a replay must heal it rather than compound it
+      val tDir = new java.io.File(root, "totals")
+      // a bucket the batch touches (doc 4's), via the same hash
+      val corruptDb = Seq(4L).toDF("doc_id")
+        .select(org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64(col("doc_id")),
+          org.apache.spark.sql.functions.lit(
+            queries.Similarity.Bm25Buckets)).cast("int"))
+        .collect().head.getInt(0)
+      Seq((999L, 999L)).toDF("n_docs", "t_tokens")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(new java.io.File(tDir, s"db=$corruptDb")
+          .getAbsolutePath)
+      assert(totals().getLong(0) != 4, "corruption visible pre-replay")
+      queries.Similarity.upsertBm25Index(spark,
+        root.getAbsolutePath, batch)
+      assert(totals().getLong(0) == 4 && totals().getLong(1) == 9,
+        "replay must re-derive touched subtotals, not add a delta")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(root)
     }
