@@ -879,6 +879,162 @@ object Curation {
       .orderBy("status")
   }
 
+  /** c16 — RETRACTION-aware incremental view maintenance: c08 folds
+    * an append-only delta into a stored rollup, but a real CDC feed
+    * carries deletes and updates too, and those break the two kinds
+    * of aggregate differently. The view here is per (o_orderpriority,
+    * month): n_orders, cents, cents_min, cents_max over base-era
+    * orders, maintained under a deterministic CDC batch derived from
+    * the data itself (so DuckDB replays the NET state exactly):
+    * post-split rows are INSERTS, base rows with o_orderkey%7==0 are
+    * DELETES, base rows with %7!=0 && %11==3 are UPDATES (retract old
+    * cents, insert cents+10000).
+    *
+    *  - count/sum are ABELIAN-GROUP aggregates: the delta folds in as
+    *    signed (±1, ±cents) partial rows — one delta-sized
+    *    aggregation joined to the view, the base is never touched; a
+    *    group whose count reaches 0 leaves the view.
+    *  - min/max are only SEMIGROUP aggregates — a retraction is not
+    *    invertible. The maintenance rule: if no retracted value in a
+    *    group EQUALS the stored extremum, the new extremum is
+    *    least/greatest(stored, inserted values); otherwise the group
+    *    is flagged and recomputed from the base facts GROUP-PRUNED to
+    *    the flagged keys (a semi-join, never a full rescan; at 100 TB
+    *    the flagged-group scan partition-prunes on the view key).
+    *    Equality is conservative: a retracted duplicate of the min
+    *    flags the group even when another copy survives — correctness
+    *    over thrift.
+    *
+    * The emitted view is the exact net state (all integer cents), so
+    * the whole maintenance dance carries a DIRECT DuckDB oracle; the
+    * group-pruned-recompute claim is Round13Spec's closed-form pin
+    * (exactly the constructed fixture's min-retracted group
+    * recomputes, and only it). */
+  def retractableMv(s: SparkSession, dir: String): DataFrame =
+    retractableMvWithAudit(s, dir)
+      .select("o_orderpriority", "month", "n_orders", "cents",
+        "cents_min", "cents_max")
+      .orderBy("o_orderpriority", "month")
+
+  /** The maintenance pass with its audit column (`recomputed` — did
+    * this group take the group-pruned rescan path). The gate projects
+    * the audit away; the spec pins it. */
+  private[graft] def retractableMvWithAudit(s: SparkSession,
+      dir: String): DataFrame = {
+    val split = lit("1997-01-01").cast("timestamp")
+    val facts = Relational.table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"),
+        col("o_orderdate"))
+    val base = facts.filter(col("o_orderdate") < split)
+    // ---- the stored view (c08's discipline: write, read back) ----
+    val stateDir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_c16_mv_${s.sparkContext.applicationId}").getAbsolutePath
+    base.groupBy("o_orderpriority", "month")
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"),
+        min(col("cents")).as("cents_min"),
+        max(col("cents")).as("cents_max"))
+      .write.mode("overwrite").parquet(stateDir)
+    val state = s.read.parquet(stateDir)
+    // ---- the CDC batch, as signed rows ----
+    val deletes = base.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+      .select(col("o_orderpriority"), col("month"), col("cents"),
+        lit(-1L).as("sign"))
+    val updated = base.filter(pmod(col("o_orderkey"), lit(7)) =!= 0 &&
+      pmod(col("o_orderkey"), lit(11)) === 3)
+    val updOld = updated.select(col("o_orderpriority"), col("month"),
+      col("cents"), lit(-1L).as("sign"))
+    val updNew = updated.select(col("o_orderpriority"), col("month"),
+      (col("cents") + 10000L).as("cents"), lit(1L).as("sign"))
+    val inserts = facts.filter(col("o_orderdate") >= split)
+      .select(col("o_orderpriority"), col("month"), col("cents"),
+        lit(1L).as("sign"))
+    val delta = deletes.unionByName(updOld).unionByName(updNew)
+      .unionByName(inserts)
+    // ---- one delta-sized aggregation: signed folds + the per-group
+    // inserted/retracted extremes the min/max rule needs ----
+    val dAgg = delta.groupBy("o_orderpriority", "month")
+      .agg(sum(col("sign")).as("dn"),
+        sum(col("sign") * col("cents")).as("dc"),
+        min(when(col("sign") > 0, col("cents"))).as("ins_min"),
+        max(when(col("sign") > 0, col("cents"))).as("ins_max"),
+        min(when(col("sign") < 0, col("cents"))).as("del_min"),
+        max(when(col("sign") < 0, col("cents"))).as("del_max"))
+    val keys = Seq("o_orderpriority", "month")
+    val merged = state.join(dAgg, keys, "full_outer")
+      .withColumn("n_new",
+        coalesce(col("n_orders"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+      .withColumn("c_new",
+        coalesce(col("cents"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+      .withColumn("recomputed",
+        // a retracted value equal to the stored extremum invalidates
+        // it (a retraction below the min is impossible — it was in
+        // the base); insert-only and untouched groups never flag
+        col("del_min") === col("cents_min") ||
+          col("del_max") === col("cents_max"))
+      .withColumn("recomputed",
+        coalesce(col("recomputed"), lit(false)))
+      .filter(col("n_new") > 0)
+    // ---- the cheap path: extremes from stored ⊕ inserted ----
+    val cheap = merged.filter(!col("recomputed"))
+      .select(col("o_orderpriority"), col("month"),
+        col("n_new").as("n_orders"), col("c_new").as("cents"),
+        least(col("cents_min"), col("ins_min")).as("cents_min"),
+        greatest(col("cents_max"), col("ins_max")).as("cents_max"),
+        col("recomputed"))
+    // ---- the rescan path, GROUP-PRUNED to the flagged keys: the
+    // surviving base rows (deletes dropped, updates applied) plus the
+    // inserts, extremes only — count/sum stay the folded values ----
+    val flaggedKeys = merged.filter(col("recomputed"))
+      .select(keys.map(col): _*)
+    val survivors = base
+      .filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+      .withColumn("cents",
+        when(pmod(col("o_orderkey"), lit(11)) === 3,
+          col("cents") + 10000L).otherwise(col("cents")))
+      .select(col("o_orderpriority"), col("month"), col("cents"))
+      .unionByName(inserts.select("o_orderpriority", "month", "cents"))
+      .join(flaggedKeys, keys, "left_semi")
+    val rescanned = survivors.groupBy("o_orderpriority", "month")
+      .agg(min(col("cents")).as("cents_min"),
+        max(col("cents")).as("cents_max"))
+      .join(merged.filter(col("recomputed"))
+        .select(col("o_orderpriority"), col("month"),
+          col("n_new").as("n_orders"), col("c_new").as("cents"),
+          col("recomputed")), keys)
+      .select(col("o_orderpriority"), col("month"), col("n_orders"),
+        col("cents"), col("cents_min"), col("cents_max"),
+        col("recomputed"))
+    cheap.unionByName(rescanned)
+  }
+
+  val retractableMvSql: String = """
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority,
+        strftime(o_orderdate, '%Y-%m') AS month,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+          AS cents
+      FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+    final AS (
+      SELECT o_orderpriority, month,
+        CASE WHEN o_orderkey % 11 = 3 THEN cents + 10000
+          ELSE cents END AS cents
+      FROM base WHERE o_orderkey % 7 <> 0
+      UNION ALL
+      SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS month,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+          AS cents
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01')
+    SELECT o_orderpriority, month,
+      CAST(count(*) AS BIGINT) AS n_orders,
+      CAST(sum(cents) AS BIGINT) AS cents,
+      min(cents) AS cents_min, max(cents) AS cents_max
+    FROM final
+    GROUP BY o_orderpriority, month
+    ORDER BY o_orderpriority, month"""
+
   val labelAgreementSql: String = """
     WITH labeled AS (
       SELECT o_orderstatus AS status,
@@ -933,5 +1089,7 @@ object Curation {
       ("c14_reconciliation", reconciliation _,
         Some(reconciliationSql)),
       ("c15_label_agreement", labelAgreement _,
-        Some(labelAgreementSql)))
+        Some(labelAgreementSql)),
+      ("c16_retractable_mv", retractableMv _,
+        Some(retractableMvSql)))
 }

@@ -292,8 +292,140 @@ object Layout {
     FROM preds p ORDER BY p.pred_id"""
   }
 
+  // ----------------------------------- q45 time-travel snapshot reads
+  private val ttCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), String]()
+
+  /** Builds the versioned layout once per (application, sf dir):
+    * `base/` (the version-0 snapshot of orders as (k, cents)) plus
+    * delta dirs `deltas/v=1..3`, each a CDC batch of (k, cents, op)
+    * rows — the Delta-Lake shape where a snapshot is base + the
+    * ordered log of row-level changes. The batches are DERIVED from
+    * the data (so DuckDB replays each version exactly): v1 updates
+    * every k%10==1 row to cents+5; v2 deletes every k%10==2 row; v3
+    * re-updates k%10==1 to cents+12 (last-writer-wins across
+    * versions) and RE-INSERTS k%20==2 at cents+1 (an upsert must
+    * override an earlier tombstone). */
+  private[graft] def buildVersionedOrders(s: SparkSession, dir: String)
+      : String = {
+    ttCache.entrySet().removeIf(e =>
+      e.getKey._1 != s.sparkContext.applicationId ||
+        !new java.io.File(e.getValue).isDirectory)
+    ttCache.computeIfAbsent(
+      (s.sparkContext.applicationId, dir), _ => {
+        val tag = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(dir.getBytes("UTF-8"))
+          .take(8).map(b => f"$b%02x").mkString
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_q45_${tag}_${s.sparkContext.applicationId}")
+        if (root.exists())
+          org.apache.commons.io.FileUtils.deleteDirectory(root)
+        val o = Relational.table(s, dir, "orders")
+          .select(col("o_orderkey").as("k"),
+            (col("o_totalprice").cast("decimal(18,2)") * 100)
+              .cast("long").as("cents"))
+        o.write.parquet(new java.io.File(root, "base").getAbsolutePath)
+        val m10 = pmod(col("k"), lit(10))
+        val deltas = Seq(
+          1 -> o.filter(m10 === 1)
+            .select(col("k"), (col("cents") + 5).as("cents"),
+              lit("U").as("op")),
+          2 -> o.filter(m10 === 2)
+            .select(col("k"), lit(0L).as("cents"), lit("D").as("op")),
+          3 -> o.filter(m10 === 1)
+            .select(col("k"), (col("cents") + 12).as("cents"),
+              lit("U").as("op"))
+            .unionByName(o.filter(pmod(col("k"), lit(20)) === 2)
+              .select(col("k"), (col("cents") + 1).as("cents"),
+                lit("U").as("op"))))
+        deltas.foreach { case (v, df) =>
+          df.write.parquet(
+            new java.io.File(root, s"deltas/v=$v").getAbsolutePath)
+        }
+        root.getAbsolutePath
+      })
+  }
+
+  /** The AS-OF-version read: base ∪ the delta log STATICALLY pruned
+    * to v ≤ `version` — only those `deltas/v=` directories are ever
+    * listed or opened (the s24/q44 stored-layout discipline:
+    * pruning by construction, not by optimizer grace; Round13bSpec
+    * pins it on inputFiles), folded last-writer-wins per key with
+    * delete tombstones honored at the winning version. One window
+    * over (key; version desc) — the c04 CDC fold with the version
+    * axis made explicit. */
+  private[graft] def readOrdersAsOf(s: SparkSession, root: String,
+      version: Int): DataFrame = {
+    val base = s.read
+      .parquet(new java.io.File(root, "base").getAbsolutePath)
+      .select(col("k"), col("cents"), lit("U").as("op"),
+        lit(0).as("v"))
+    val log = (1 to version)
+      .map(v => v -> new java.io.File(root, s"deltas/v=$v"))
+      .filter(_._2.isDirectory)
+      .map { case (v, d) =>
+        s.read.parquet(d.getAbsolutePath)
+          .select(col("k"), col("cents"), col("op"), lit(v).as("v"))
+      }
+      .foldLeft(base)(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(col("v").desc)
+    log.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("k"), col("cents"))
+  }
+
+  /** q45 — TIME TRAVEL over the versioned layout: one consistent
+    * aggregate of the orders state AS OF each version 0..3. Every
+    * snapshot is read through [[readOrdersAsOf]]; nothing is ever
+    * rewritten in place, so historical reads are reproducible — the
+    * lakehouse audit/debug/ML-reproducibility primitive. All integer
+    * cents ⇒ DIRECT DuckDB oracle replaying all four versions. */
+  def timeTravel(s: SparkSession, dir: String): DataFrame = {
+    val root = buildVersionedOrders(s, dir)
+    (0 to 3).map { v =>
+      readOrdersAsOf(s, root, v)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("cents")).as("total_cents"))
+        .select(lit(v).as("version"), col("n_rows"),
+          col("total_cents"))
+    }.reduce(_ unionByName _).orderBy("version")
+  }
+
+  val timeTravelSql: String = """
+    WITH o AS (
+      SELECT o_orderkey AS k,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+          AS cents
+      FROM orders),
+    v0 AS (SELECT k, cents FROM o),
+    v1 AS (SELECT k,
+        CASE WHEN k % 10 = 1 THEN cents + 5 ELSE cents END AS cents
+      FROM o),
+    v2 AS (SELECT k, cents FROM v1 WHERE k % 10 <> 2),
+    v3 AS (
+      SELECT k, CASE WHEN k % 10 = 1 THEN cents + 12 ELSE cents END
+        AS cents
+      FROM o WHERE k % 10 <> 2
+      UNION ALL
+      SELECT k, cents + 1 AS cents FROM o WHERE k % 20 = 2)
+    SELECT * FROM (
+      SELECT 0 AS version, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(cents) AS BIGINT) AS total_cents FROM v0
+      UNION ALL
+      SELECT 1, CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+        FROM v1
+      UNION ALL
+      SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+        FROM v2
+      UNION ALL
+      SELECT 3, CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+        FROM v3)
+    ORDER BY version"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(("q22_zorder_layout", zorderLayout _, Some(zorderLayoutSql)),
       ("q23_range_shards", rangeShards _, Some(rangeShardsSql)),
-      ("q44_zonemap_pruning", zonemapPruning _, Some(zonemapPruningSql)))
+      ("q44_zonemap_pruning", zonemapPruning _, Some(zonemapPruningSql)),
+      ("q45_time_travel", timeTravel _, Some(timeTravelSql)))
 }

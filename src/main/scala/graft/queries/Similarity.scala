@@ -617,6 +617,192 @@ object Similarity {
   val annUpsertIvfInvSql: String =
     "SELECT TRUE AS parity_ok, TRUE AS no_dup, TRUE AS k_bounded"
 
+  // --------------------------- s31 IVF hot-list rebalance (split)
+  /** s31's mechanism — split an index's hottest posting lists IN
+    * PLACE, the maintenance op the s25/st32 write path eventually
+    * forces: under continuous ingest the largest lists grow without
+    * bound while serve cost is ∝ the probed lists' sizes, so one hot
+    * list throttles every query that probes it (the "hot shard
+    * split" every production vector store ships). Each of the
+    * `splits` largest lists (size desc, cid tie-break, ≥4 rows) is
+    * re-clustered into TWO sub-lists by the SAME deterministic
+    * k-means the build uses (k=2, seed derived from the cid):
+    * sub-list 0 keeps the old cid under its REFINED centroid,
+    * sub-list 1 becomes a fresh cid appended to the centroid table.
+    * Rewrite cost = the split lists' rows + the moved ids' idmap
+    * buckets, published via dynamic partition overwrite — every
+    * other list's files are untouched (Round13bSpec pins it at file
+    * granularity). Other lists' historical assignments are NOT
+    * re-evaluated: assignment is frozen at write time and probes
+    * always use the current centroid table — the standard IVF
+    * contract. Publish order matters: postings and idmap first,
+    * the centroid table LAST as the commit point (a crash before it
+    * leaves fresh-cid rows unreachable — a recall dip, never a wrong
+    * or duplicate answer — and a re-run converges).
+    *
+    * Returns the split cids. */
+  private[graft] def rebalanceIvfIndex(s: SparkSession, root: String,
+      splits: Int = 2): Seq[Int] = {
+    import s.implicits._
+    val postingsPath = new java.io.File(root, "postings").getAbsolutePath
+    val sizes = s.read.parquet(postingsPath)
+      .groupBy("cid").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    val hot = sizes.filter(_._2 >= 4)
+      .sortBy { case (cid, n) => (-n, cid) }.take(splits).map(_._1)
+    if (hot.isEmpty) return Seq.empty
+    val cents = readCentroids(s, root)
+    val newCents = scala.collection.mutable.ArrayBuffer(cents: _*)
+    var nextCid = cents.length
+    val rewrittenParts = hot.map { cid =>
+      // one statically-selected partition dir per hot list
+      val listVecs = s.read.parquet(postingsPath)
+        .filter(col("cid") === cid)
+        .select(col("vec_id"), col("embedding"))
+      val sub = ivfCentroids(listVecs, 2, IvfIters, seed = 7700L + cid)
+      newCents(cid) = sub(0)
+      val fresh = nextCid
+      nextCid += 1
+      newCents += sub(1)
+      listVecs.select(col("vec_id"), col("embedding"),
+        when(nearestCentroidCol(col("embedding"), sub) === 0, lit(cid))
+          .otherwise(lit(fresh)).as("cid"))
+    }
+    // snapshot the re-clustered rows to a stage dir BEFORE touching
+    // postings/: the publish below refreshes (and so invalidates) any
+    // cached plan that reads postingsPath — a persist() here would
+    // silently recompute from the OVERWRITTEN dir and lose the moved
+    // rows for the idmap merge (the s30 stage discipline, same reason)
+    val stage = new java.io.File(root, "postings_rebal_stage")
+    rewrittenParts.reduce(_ unionByName _)
+      .write.partitionBy("cid").mode("overwrite")
+      .parquet(stage.getAbsolutePath)
+    val rewritten = s.read.parquet(stage.getAbsolutePath)
+      .select(col("vec_id"), col("embedding"),
+        col("cid").cast("int").as("cid"))
+    rewritten.write.partitionBy("cid").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(postingsPath)
+    // a hot list whose vectors ALL moved to the fresh sub-list keeps
+    // its stale dir under dynamic overwrite — delete it (the s25
+    // emptied-list edge, same fix)
+    val keptCids = rewritten.select("cid").distinct()
+      .collect().map(_.getInt(0)).toSet
+    hot.filterNot(keptCids.contains).foreach { cid =>
+      val d = new java.io.File(postingsPath, s"cid=$cid")
+      if (d.isDirectory)
+        org.apache.commons.io.FileUtils.deleteDirectory(d)
+    }
+    // idmap: only ids that moved to a FRESH list change buckets
+    val moved = rewritten.filter(col("cid") >= cents.length)
+      .select(col("vec_id"), col("cid"), idBucket.as("bucket"))
+    val movedBuckets = moved.select("bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (movedBuckets.nonEmpty) {
+      val idmapPath = new java.io.File(root, "idmap").getAbsolutePath
+      val idStage = new java.io.File(root, "idmap_rebal_stage")
+      s.read.parquet(idmapPath)
+        .filter(col("bucket").isin(movedBuckets.map(Integer.valueOf): _*))
+        .join(moved.select("vec_id"), Seq("vec_id"), "left_anti")
+        .select("vec_id", "cid", "bucket")
+        .unionByName(moved.select("vec_id", "cid", "bucket"))
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(idStage.getAbsolutePath)
+      s.read.parquet(idStage.getAbsolutePath)
+        .select("vec_id", "cid", "bucket")
+        .write.partitionBy("bucket").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(idmapPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(idStage)
+    }
+    // centroid table LAST — the commit point (KB-scale)
+    newCents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "centroid")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(new java.io.File(root, "centroids").getAbsolutePath)
+    org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    hot.toSeq
+  }
+
+  private val ivfRebalCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  /** Build-once memo for the s31 root: the s24 build, then a
+    * top-2-list rebalance applied in place. */
+  private[graft] def buildRebalancedIvfIndex(s: SparkSession,
+      dir: String): String = {
+    ivfRebalCache.entrySet().removeIf(e =>
+      e.getKey._1 != s.sparkContext.applicationId ||
+        !new java.io.File(e.getValue).isDirectory)
+    ivfRebalCache.computeIfAbsent(
+      (s.sparkContext.applicationId, dir), _ => {
+        val tag = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(dir.getBytes("UTF-8"))
+          .take(8).map(b => f"$b%02x").mkString
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_s31_${tag}_${s.sparkContext.applicationId}")
+        val emb = Relational.table(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        writeIvfIndexTrained(s, emb, root)
+        rebalanceIvfIndex(s, root.getAbsolutePath)
+        root.getAbsolutePath
+      })
+  }
+
+  /** s31 — ANN served from the REBALANCED index: the unchanged s24
+    * serve path over an index whose two hottest lists were split in
+    * place, completing the stored-index lifecycle (build s24 →
+    * upsert s25 → streamed ingest st32 → REBALANCE s31). Engine-
+    * specific ordering internals → rows-only; [[annRebalancedInv]] ★
+    * pins the recall contract vs the exact arm, no-dup/coverage,
+    * idmap↔postings consistency, and that the split actually
+    * happened (k+2 centroids). */
+  def annRebalanced(s: SparkSession, dir: String): DataFrame =
+    serveIvf(s, buildRebalancedIvfIndex(s, dir), dir)
+
+  def annRebalancedInv(s: SparkSession, dir: String): DataFrame = {
+    val root = buildRebalancedIvfIndex(s, dir)
+    val served = annRebalanced(s, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = annBruteForce(s, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val nHit = served.join(exact, Seq("query_id", "neighbor_id"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val postings = s.read
+      .parquet(new java.io.File(root, "postings").getAbsolutePath)
+    val dupes = postings.groupBy("vec_id").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum((col("c") > 1).cast("long")), lit(0L))
+        .as("n_dup"), count(lit(1)).as("n_ids"))
+    val corpus = Relational.table(s, dir, "embeddings")
+      .agg(count(lit(1)).as("n_corpus"))
+    // idmap must agree with postings for EVERY id after the moves
+    val idmap = s.read
+      .parquet(new java.io.File(root, "idmap").getAbsolutePath)
+      .select(col("vec_id"), col("cid").as("map_cid"))
+    val mapChk = postings.select(col("vec_id"), col("cid"))
+      .join(idmap, Seq("vec_id"), "full_outer")
+      .agg(coalesce(sum((col("cid").isNull || col("map_cid").isNull ||
+        col("cid") =!= col("map_cid")).cast("long")), lit(0L))
+        .as("n_mismatch"))
+    val nLists = s.read
+      .parquet(new java.io.File(root, "centroids").getAbsolutePath)
+      .agg(count(lit(1)).as("n_cents"))
+    nHit.crossJoin(nExact).crossJoin(dupes).crossJoin(corpus)
+      .crossJoin(mapChk).crossJoin(nLists)
+      .select(
+        (col("n_hit") * 10 >= col("n_exact") * 3).as("recall_ok"),
+        (col("n_dup") === 0 && col("n_ids") === col("n_corpus"))
+          .as("no_dup"),
+        (col("n_mismatch") === 0).as("idmap_consistent"),
+        (col("n_cents") === IvfK + 2).as("split_done"))
+  }
+
+  val annRebalancedInvSql: String =
+    "SELECT TRUE AS recall_ok, TRUE AS no_dup, " +
+      "TRUE AS idmap_consistent, TRUE AS split_done"
+
   // ------------------------------------------- int8 quantization
   /** Symmetric int8 quantization of the embedding column — the
     * standard 4× memory compression before an ANN index is built at
@@ -2167,6 +2353,9 @@ object Similarity {
       ("s25_ann_upsert", annUpsertIvf _, None),
       ("s25_ann_upsert_inv", annUpsertIvfInv _,
         Some(annUpsertIvfInvSql)),
+      ("s31_ann_rebalanced", annRebalanced _, None),
+      ("s31_rebalance_inv", annRebalancedInv _,
+        Some(annRebalancedInvSql)),
       ("s06_embedding_clusters", embeddingClusters _, None),
       ("s06_cluster_inv", clusterInv _, Some(clusterInvSql)),
       ("s10_ann_pq", annPq _, None),

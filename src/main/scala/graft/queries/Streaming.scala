@@ -1916,6 +1916,83 @@ $counts
       st34ReadManifests(s, root).drop("batch"))
   }
 
+  // ------- st35 streamed TEXT ingest into the stored BM25 index
+  private val bm25IngestCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), String]()
+
+  /** Builds the st35 index once per (application, sf dir): base BM25
+    * index from 1/5 of the documents, the remaining docs STREAMED in
+    * as 4 checkpointed micro-batches through the s30 upsert inside
+    * `foreachBatch`; the last batch also RE-writes every slice-1 doc
+    * (an idempotent replace — the eviction path runs in-stream while
+    * the final state stays the full corpus, preserving the direct
+    * oracle). Returns the index root. */
+  private[graft] def buildIngestedBm25Index(s: SparkSession, dir: String)
+      : String = {
+    bm25IngestCache.entrySet().removeIf(e =>
+      e.getKey._1 != s.sparkContext.applicationId ||
+        !new java.io.File(e.getValue).isDirectory)
+    bm25IngestCache.computeIfAbsent(
+      (s.sparkContext.applicationId, dir), _ => {
+        val baseDir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_st35_${dirTag(dir)}_${s.sparkContext.applicationId}")
+        if (baseDir.exists())
+          org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
+        val root = new java.io.File(baseDir, "index")
+        val docs = Relational.table(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        Similarity.writeBm25Index(s,
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0), root)
+        val slices = (1 until 5).map { i =>
+          val sl = docs.filter(pmod(col("doc_id"), lit(5)) === i)
+          // batch 4 carries replaces of slice 1 (ingested 3 batches
+          // earlier): the docmap eviction runs against STORED state
+          i -> (if (i == 4)
+            sl.unionByName(docs.filter(pmod(col("doc_id"), lit(5)) === 1))
+          else sl)
+        }
+        val src = new java.io.File(stageEpochFiles(baseDir, slices))
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType)))
+        val doBatch: (org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], Long) => Unit =
+          (batch, _) => Similarity.upsertBm25Index(
+            batch.sparkSession, root.getAbsolutePath,
+            batch.select(col("doc_id"), col("text")))
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(src.getAbsolutePath)
+          .writeStream
+          .foreachBatch(doBatch)
+          .option("checkpointLocation", s"$baseDir/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        root.getAbsolutePath
+      })
+  }
+
+  /** st35 — CONTINUOUS text ingest: the s30 BM25 upsert run as the
+    * sink of a checkpointed stream — st32's vector-ingest twin, so
+    * BOTH arms of the s29 stored-retrieval stack are now maintained
+    * by streams. Each arriving micro-batch folds into only its
+    * touched token/doc buckets (cost ∝ batch + buckets touched, the
+    * corpus is never rescanned); replay safety is the s30 contract —
+    * every index artifact is re-derived from (stored MINUS batch) ∪
+    * batch, never read-modify-written, so crash-replayed batches
+    * converge bit-exactly (Round13Spec pins the healing).
+    *
+    * Because BM25 statistics are EXACT aggregates, the streamed index
+    * serves BIT-IDENTICALLY to a one-shot build over the full corpus
+    * — this streamed operator carries s30's DIRECT DuckDB oracle. */
+  def bm25IngestStreamed(s: SparkSession, dir: String): DataFrame =
+    Similarity.hybridLexArmStoredAt(s, dir,
+        buildIngestedBm25Index(s, dir))
+      .orderBy("query_id", "lex_rank")
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("st01_tumbling_window", tumblingWindow _, Some(tumblingWindowSql)),
@@ -1970,5 +2047,7 @@ $counts
       ("st33_decon_inv", deconStreamInv _, Some(deconStreamInvSql)),
       ("st34_zonemap_ingest", zonemapIngestStreamed _,
         Some(Layout.zonemapPruningSql)),
+      ("st35_bm25_ingest_streamed", bm25IngestStreamed _,
+        Some(Similarity.bm25UpsertedSql)),
     )
 }
