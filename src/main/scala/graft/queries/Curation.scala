@@ -916,18 +916,83 @@ object Curation {
         "cents_min", "cents_max")
       .orderBy("o_orderpriority", "month")
 
-  /** The maintenance pass with its audit column (`recomputed` — did
-    * this group take the group-pruned rescan path). The gate projects
-    * the audit away; the spec pins it. */
-  private[graft] def retractableMvWithAudit(s: SparkSession,
-      dir: String): DataFrame = {
-    val split = lit("1997-01-01").cast("timestamp")
-    val facts = Relational.table(s, dir, "orders")
+  /** The c16/st36 fact projection: every order as (key, view key,
+    * integer cents, date) — shared so the streamed twin's CDC feed
+    * and the batch pass agree cell-exactly. */
+  private[graft] def c16Facts(s: SparkSession, dir: String): DataFrame =
+    Relational.table(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderpriority"),
         date_format(col("o_orderdate"), "yyyy-MM").as("month"),
         (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
           .as("cents"),
         col("o_orderdate"))
+
+  private[graft] val C16Split = "1997-01-01"
+
+  /** The RETRACTION FOLD shared by c16 (one batch) and st36 (every
+    * micro-batch): merge a stored view with a SIGNED delta —
+    * count/sum fold additively; min/max flag any group whose stored
+    * extremum was retracted and repair ONLY those groups from
+    * `survivors` (the caller's view of the CURRENT leaf rows; the
+    * fold group-prunes it with a semi-join, so the caller passes the
+    * whole frame, never a pre-filtered one). Emits the new view rows
+    * with the `recomputed` audit column. */
+  private[graft] def foldRetractions(state: DataFrame, delta: DataFrame,
+      survivors: DataFrame): DataFrame = {
+    val keys = Seq("o_orderpriority", "month")
+    val dAgg = delta.groupBy("o_orderpriority", "month")
+      .agg(sum(col("sign")).as("dn"),
+        sum(col("sign") * col("cents")).as("dc"),
+        min(when(col("sign") > 0, col("cents"))).as("ins_min"),
+        max(when(col("sign") > 0, col("cents"))).as("ins_max"),
+        min(when(col("sign") < 0, col("cents"))).as("del_min"),
+        max(when(col("sign") < 0, col("cents"))).as("del_max"))
+    val merged = state.join(dAgg, keys, "full_outer")
+      .withColumn("n_new",
+        coalesce(col("n_orders"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+      .withColumn("c_new",
+        coalesce(col("cents"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+      .withColumn("recomputed",
+        // a retracted value equal to the stored extremum invalidates
+        // it (a retraction below the min is impossible — it was in
+        // the base); insert-only and untouched groups never flag
+        col("del_min") === col("cents_min") ||
+          col("del_max") === col("cents_max"))
+      .withColumn("recomputed",
+        coalesce(col("recomputed"), lit(false)))
+      .filter(col("n_new") > 0)
+    // ---- the cheap path: extremes from stored ⊕ inserted ----
+    val cheap = merged.filter(!col("recomputed"))
+      .select(col("o_orderpriority"), col("month"),
+        col("n_new").as("n_orders"), col("c_new").as("cents"),
+        least(col("cents_min"), col("ins_min")).as("cents_min"),
+        greatest(col("cents_max"), col("ins_max")).as("cents_max"),
+        col("recomputed"))
+    // ---- the rescan path, GROUP-PRUNED to the flagged keys ----
+    val flaggedKeys = merged.filter(col("recomputed"))
+      .select(keys.map(col): _*)
+    val rescanned = survivors
+      .join(flaggedKeys, keys, "left_semi")
+      .groupBy("o_orderpriority", "month")
+      .agg(min(col("cents")).as("cents_min"),
+        max(col("cents")).as("cents_max"))
+      .join(merged.filter(col("recomputed"))
+        .select(col("o_orderpriority"), col("month"),
+          col("n_new").as("n_orders"), col("c_new").as("cents"),
+          col("recomputed")), keys)
+      .select(col("o_orderpriority"), col("month"), col("n_orders"),
+        col("cents"), col("cents_min"), col("cents_max"),
+        col("recomputed"))
+    cheap.unionByName(rescanned)
+  }
+
+  /** The maintenance pass with its audit column (`recomputed` — did
+    * this group take the group-pruned rescan path). The gate projects
+    * the audit away; the spec pins it. */
+  private[graft] def retractableMvWithAudit(s: SparkSession,
+      dir: String): DataFrame = {
+    val split = lit(C16Split).cast("timestamp")
+    val facts = c16Facts(s, dir)
     val base = facts.filter(col("o_orderdate") < split)
     // ---- the stored view (c08's discipline: write, read back) ----
     val stateDir = new java.io.File(sys.props("java.io.tmpdir"),
@@ -953,42 +1018,8 @@ object Curation {
         lit(1L).as("sign"))
     val delta = deletes.unionByName(updOld).unionByName(updNew)
       .unionByName(inserts)
-    // ---- one delta-sized aggregation: signed folds + the per-group
-    // inserted/retracted extremes the min/max rule needs ----
-    val dAgg = delta.groupBy("o_orderpriority", "month")
-      .agg(sum(col("sign")).as("dn"),
-        sum(col("sign") * col("cents")).as("dc"),
-        min(when(col("sign") > 0, col("cents"))).as("ins_min"),
-        max(when(col("sign") > 0, col("cents"))).as("ins_max"),
-        min(when(col("sign") < 0, col("cents"))).as("del_min"),
-        max(when(col("sign") < 0, col("cents"))).as("del_max"))
-    val keys = Seq("o_orderpriority", "month")
-    val merged = state.join(dAgg, keys, "full_outer")
-      .withColumn("n_new",
-        coalesce(col("n_orders"), lit(0L)) + coalesce(col("dn"), lit(0L)))
-      .withColumn("c_new",
-        coalesce(col("cents"), lit(0L)) + coalesce(col("dc"), lit(0L)))
-      .withColumn("recomputed",
-        // a retracted value equal to the stored extremum invalidates
-        // it (a retraction below the min is impossible — it was in
-        // the base); insert-only and untouched groups never flag
-        col("del_min") === col("cents_min") ||
-          col("del_max") === col("cents_max"))
-      .withColumn("recomputed",
-        coalesce(col("recomputed"), lit(false)))
-      .filter(col("n_new") > 0)
-    // ---- the cheap path: extremes from stored ⊕ inserted ----
-    val cheap = merged.filter(!col("recomputed"))
-      .select(col("o_orderpriority"), col("month"),
-        col("n_new").as("n_orders"), col("c_new").as("cents"),
-        least(col("cents_min"), col("ins_min")).as("cents_min"),
-        greatest(col("cents_max"), col("ins_max")).as("cents_max"),
-        col("recomputed"))
-    // ---- the rescan path, GROUP-PRUNED to the flagged keys: the
-    // surviving base rows (deletes dropped, updates applied) plus the
-    // inserts, extremes only — count/sum stay the folded values ----
-    val flaggedKeys = merged.filter(col("recomputed"))
-      .select(keys.map(col): _*)
+    // the CURRENT leaf rows for extremum repair: surviving base rows
+    // (deletes dropped, updates applied) plus the inserts
     val survivors = base
       .filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
       .withColumn("cents",
@@ -996,18 +1027,7 @@ object Curation {
           col("cents") + 10000L).otherwise(col("cents")))
       .select(col("o_orderpriority"), col("month"), col("cents"))
       .unionByName(inserts.select("o_orderpriority", "month", "cents"))
-      .join(flaggedKeys, keys, "left_semi")
-    val rescanned = survivors.groupBy("o_orderpriority", "month")
-      .agg(min(col("cents")).as("cents_min"),
-        max(col("cents")).as("cents_max"))
-      .join(merged.filter(col("recomputed"))
-        .select(col("o_orderpriority"), col("month"),
-          col("n_new").as("n_orders"), col("c_new").as("cents"),
-          col("recomputed")), keys)
-      .select(col("o_orderpriority"), col("month"), col("n_orders"),
-        col("cents"), col("cents_min"), col("cents_max"),
-        col("recomputed"))
-    cheap.unionByName(rescanned)
+    foldRetractions(state, delta, survivors)
   }
 
   val retractableMvSql: String = """

@@ -306,6 +306,36 @@ object Layout {
     * re-updates k%10==1 to cents+12 (last-writer-wins across
     * versions) and RE-INSERTS k%20==2 at cents+1 (an upsert must
     * override an earlier tombstone). */
+  /** The unmemoized layout writer — shared by q45's root, q46's
+    * compaction root, and the spec's throwaway fixtures. */
+  private[graft] def writeVersionedOrders(s: SparkSession, dir: String,
+      root: java.io.File): Unit = {
+    if (root.exists())
+      org.apache.commons.io.FileUtils.deleteDirectory(root)
+    val o = Relational.table(s, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+    o.write.parquet(new java.io.File(root, "base").getAbsolutePath)
+    val m10 = pmod(col("k"), lit(10))
+    val deltas = Seq(
+      1 -> o.filter(m10 === 1)
+        .select(col("k"), (col("cents") + 5).as("cents"),
+          lit("U").as("op")),
+      2 -> o.filter(m10 === 2)
+        .select(col("k"), lit(0L).as("cents"), lit("D").as("op")),
+      3 -> o.filter(m10 === 1)
+        .select(col("k"), (col("cents") + 12).as("cents"),
+          lit("U").as("op"))
+        .unionByName(o.filter(pmod(col("k"), lit(20)) === 2)
+          .select(col("k"), (col("cents") + 1).as("cents"),
+            lit("U").as("op"))))
+    deltas.foreach { case (v, df) =>
+      df.write.parquet(
+        new java.io.File(root, s"deltas/v=$v").getAbsolutePath)
+    }
+  }
+
   private[graft] def buildVersionedOrders(s: SparkSession, dir: String)
       : String = {
     ttCache.entrySet().removeIf(e =>
@@ -318,32 +348,24 @@ object Layout {
           .take(8).map(b => f"$b%02x").mkString
         val root = new java.io.File(sys.props("java.io.tmpdir"),
           s"graft_q45_${tag}_${s.sparkContext.applicationId}")
-        if (root.exists())
-          org.apache.commons.io.FileUtils.deleteDirectory(root)
-        val o = Relational.table(s, dir, "orders")
-          .select(col("o_orderkey").as("k"),
-            (col("o_totalprice").cast("decimal(18,2)") * 100)
-              .cast("long").as("cents"))
-        o.write.parquet(new java.io.File(root, "base").getAbsolutePath)
-        val m10 = pmod(col("k"), lit(10))
-        val deltas = Seq(
-          1 -> o.filter(m10 === 1)
-            .select(col("k"), (col("cents") + 5).as("cents"),
-              lit("U").as("op")),
-          2 -> o.filter(m10 === 2)
-            .select(col("k"), lit(0L).as("cents"), lit("D").as("op")),
-          3 -> o.filter(m10 === 1)
-            .select(col("k"), (col("cents") + 12).as("cents"),
-              lit("U").as("op"))
-            .unionByName(o.filter(pmod(col("k"), lit(20)) === 2)
-              .select(col("k"), (col("cents") + 1).as("cents"),
-                lit("U").as("op"))))
-        deltas.foreach { case (v, df) =>
-          df.write.parquet(
-            new java.io.File(root, s"deltas/v=$v").getAbsolutePath)
-        }
+        writeVersionedOrders(s, dir, root)
         root.getAbsolutePath
       })
+  }
+
+  /** The layout's commit pointer — (base_version, base dir name),
+    * defaulting to (0, "base") when no compaction has run. The meta
+    * swap is the single commit point of [[compactVersions]]; on an
+    * object store this is the atomic `_last_checkpoint`-style
+    * pointer write. */
+  private[graft] def ttMeta(s: SparkSession, root: String)
+      : (Int, String) = {
+    val m = new java.io.File(root, "meta")
+    if (!m.isDirectory) (0, "base")
+    else {
+      val r = s.read.parquet(m.getAbsolutePath).collect().head
+      (r.getInt(0), r.getString(1))
+    }
   }
 
   /** The AS-OF-version read: base ∪ the delta log STATICALLY pruned
@@ -356,11 +378,17 @@ object Layout {
     * axis made explicit. */
   private[graft] def readOrdersAsOf(s: SparkSession, root: String,
       version: Int): DataFrame = {
+    val (baseV, baseName) = ttMeta(s, root)
+    // a vacuumed version is GONE — fail loudly, never reconstruct a
+    // wrong answer from a post-horizon snapshot
+    require(version >= baseV,
+      s"version $version predates the compaction horizon $baseV " +
+        "(vacuumed)")
     val base = s.read
-      .parquet(new java.io.File(root, "base").getAbsolutePath)
+      .parquet(new java.io.File(root, baseName).getAbsolutePath)
       .select(col("k"), col("cents"), lit("U").as("op"),
-        lit(0).as("v"))
-    val log = (1 to version)
+        lit(baseV).as("v"))
+    val log = (baseV + 1 to version)
       .map(v => v -> new java.io.File(root, s"deltas/v=$v"))
       .filter(_._2.isDirectory)
       .map { case (v, d) =>
@@ -391,6 +419,113 @@ object Layout {
           col("total_cents"))
     }.reduce(_ unionByName _).orderBy("version")
   }
+
+  /** q46's mechanism — version-log COMPACTION (the Delta
+    * checkpoint + vacuum pair): fold base ∪ deltas ≤ `upTo` into ONE
+    * snapshot at version `upTo`, publish it by swapping the `meta/`
+    * commit pointer, then vacuum the folded inputs. As-of reads at
+    * v ≥ upTo are pinned unchanged; versions before the horizon are
+    * INTENTIONALLY unreadable afterwards ([[readOrdersAsOf]] rejects
+    * them loudly) — the retention trade every log-structured table
+    * ships, made explicit. Crash-ordering: snapshot dir first, meta
+    * swap second (the commit point — readers switch atomically from
+    * (old base, all deltas) to (snapshot, tail deltas); the snapshot
+    * carries version `upTo`, so any not-yet-vacuumed folded delta
+    * can never override it), cleanup last (idempotent re-run). */
+  /** Delete everything the meta pointer no longer references: stale
+    * base dirs and delta dirs at or below the horizon. Idempotent —
+    * a crash mid-cleanup leaves orphans the next run sweeps. */
+  private def ttVacuum(root: String, horizon: Int, baseName: String)
+      : Unit = {
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("base") &&
+        f.getName != baseName)
+      .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
+    val dd = new java.io.File(root, "deltas")
+    Option(dd.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v=") &&
+        f.getName.stripPrefix("v=").toInt <= horizon)
+      .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
+  }
+
+  private[graft] def compactVersions(s: SparkSession, root: String,
+      upTo: Int): Unit = {
+    import s.implicits._
+    val (baseV, baseName) = ttMeta(s, root)
+    if (upTo <= baseV) {
+      // already at or past this horizon: the re-run after a crash
+      // mid-cleanup — just finish the vacuum
+      ttVacuum(root, baseV, baseName)
+      return
+    }
+    val target = new java.io.File(root, s"base_v$upTo")
+    readOrdersAsOf(s, root, upTo)
+      .write.mode("overwrite").parquet(target.getAbsolutePath)
+    // the COMMIT POINT: readers switch atomically from (old base,
+    // all deltas) to (snapshot, tail deltas)
+    Seq((upTo, s"base_v$upTo")).toDF("base_version", "base_dir")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(new java.io.File(root, "meta").getAbsolutePath)
+    ttVacuum(root, upTo, s"base_v$upTo")
+  }
+
+  private val ttCompactCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), String]()
+
+  /** q46 — the layout of q45 COMPACTED to horizon v=2 and served for
+    * the still-live versions: reads at v ∈ {2, 3} come from the
+    * snapshot + the v=3 tail delta and must equal the uncompacted
+    * layout's answers exactly (the direct oracle replays both
+    * versions; Round13bSpec pins pre/post equality, the vacuumed-
+    * version rejection, and the crash window where the meta swap
+    * landed but cleanup did not). */
+  def timeTravelCompacted(s: SparkSession, dir: String): DataFrame = {
+    ttCompactCache.entrySet().removeIf(e =>
+      e.getKey._1 != s.sparkContext.applicationId ||
+        !new java.io.File(e.getValue).isDirectory)
+    val root = ttCompactCache.computeIfAbsent(
+      (s.sparkContext.applicationId, dir), _ => {
+        val tag = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(dir.getBytes("UTF-8"))
+          .take(8).map(b => f"$b%02x").mkString
+        val r = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_q46_${tag}_${s.sparkContext.applicationId}")
+        writeVersionedOrders(s, dir, r)
+        compactVersions(s, r.getAbsolutePath, upTo = 2)
+        r.getAbsolutePath
+      })
+    (2 to 3).map { v =>
+      readOrdersAsOf(s, root, v)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("cents")).as("total_cents"))
+        .select(lit(v).as("version"), col("n_rows"),
+          col("total_cents"))
+    }.reduce(_ unionByName _).orderBy("version")
+  }
+
+  val timeTravelCompactedSql: String = """
+    WITH o AS (
+      SELECT o_orderkey AS k,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+          AS cents
+      FROM orders),
+    v1 AS (SELECT k,
+        CASE WHEN k % 10 = 1 THEN cents + 5 ELSE cents END AS cents
+      FROM o),
+    v2 AS (SELECT k, cents FROM v1 WHERE k % 10 <> 2),
+    v3 AS (
+      SELECT k, CASE WHEN k % 10 = 1 THEN cents + 12 ELSE cents END
+        AS cents
+      FROM o WHERE k % 10 <> 2
+      UNION ALL
+      SELECT k, cents + 1 AS cents FROM o WHERE k % 20 = 2)
+    SELECT * FROM (
+      SELECT 2 AS version, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(cents) AS BIGINT) AS total_cents FROM v2
+      UNION ALL
+      SELECT 3, CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+        FROM v3)
+    ORDER BY version"""
 
   val timeTravelSql: String = """
     WITH o AS (
@@ -427,5 +562,7 @@ object Layout {
     Seq(("q22_zorder_layout", zorderLayout _, Some(zorderLayoutSql)),
       ("q23_range_shards", rangeShards _, Some(rangeShardsSql)),
       ("q44_zonemap_pruning", zonemapPruning _, Some(zonemapPruningSql)),
-      ("q45_time_travel", timeTravel _, Some(timeTravelSql)))
+      ("q45_time_travel", timeTravel _, Some(timeTravelSql)),
+      ("q46_time_travel_compacted", timeTravelCompacted _,
+        Some(timeTravelCompactedSql)))
 }

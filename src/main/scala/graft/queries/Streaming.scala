@@ -1993,6 +1993,188 @@ $counts
         buildIngestedBm25Index(s, dir))
       .orderBy("query_id", "lex_rank")
 
+  // ------- st36 streamed retraction-aware MV maintenance (c16's twin)
+  private val retractMvCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), String]()
+  private val C16Buckets = 16
+
+  /** Runs the st36 pipeline once per (application, sf dir): the
+    * base-era orders become a maintained BASE TABLE (key-hash
+    * bucketed) plus an initial view epoch; c16's CDC feed — with
+    * Debezium-style BEFORE-IMAGES on every delete/update, the thing
+    * that makes streamed retraction folds replay-safe without a
+    * pre-apply state lookup — arrives as 4 checkpointed micro-batches
+    * (keys sliced by pmod 4, so each key's op lives in exactly one
+    * batch). Each `foreachBatch`: (1) applies the batch to the base
+    * table idempotently ((touched buckets MINUS batch keys) ∪ the
+    * batch's I/U rows, stage→dynamic overwrite — the s30 merge
+    * discipline on a TABLE instead of an index); (2) folds the
+    * signed delta into the view with the SHARED
+    * [[Curation.foldRetractions]] — count/sum additive, extremum
+    * repair group-pruned against the just-applied base — writing the
+    * result as view epoch id+1. Epochs are never rewritten, so the
+    * replay streaming can actually produce — the UNCOMMITTED TAIL
+    * batch re-fired after a crash (committed batches never re-fire)
+    * — re-reads its own pre-state epoch against the same base state
+    * and re-derives identical bytes; view time travel falls out for
+    * free. Returns the pipeline root. */
+  private[graft] def buildRetractMvStream(s: SparkSession, dir: String)
+      : String = {
+    retractMvCache.entrySet().removeIf(e =>
+      e.getKey._1 != s.sparkContext.applicationId ||
+        !new java.io.File(e.getValue).isDirectory)
+    retractMvCache.computeIfAbsent(
+      (s.sparkContext.applicationId, dir), _ => {
+        val baseDir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_st36_${dirTag(dir)}_${s.sparkContext.applicationId}")
+        if (baseDir.exists())
+          org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
+        val basePath = new java.io.File(baseDir, "base").getAbsolutePath
+        val viewPath = new java.io.File(baseDir, "view").getAbsolutePath
+        val kb = pmod(xxhash64(col("o_orderkey")), lit(C16Buckets))
+          .cast("int").as("kb")
+        val facts = Curation.c16Facts(s, dir)
+        val split = lit(Curation.C16Split).cast("timestamp")
+        val basePart = facts.filter(col("o_orderdate") < split)
+        basePart.select(col("o_orderkey"), col("o_orderpriority"),
+            col("month"), col("cents"), kb)
+          .write.partitionBy("kb").mode("overwrite").parquet(basePath)
+        basePart.groupBy("o_orderpriority", "month")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("cents")).as("cents"),
+            min(col("cents")).as("cents_min"),
+            max(col("cents")).as("cents_max"))
+          .write.mode("overwrite").parquet(s"$viewPath/epoch=0")
+        // the CDC feed, before-imaged (c16's deterministic rules)
+        val km7 = pmod(col("o_orderkey"), lit(7))
+        val km11 = pmod(col("o_orderkey"), lit(11))
+        val del = basePart.filter(km7 === 0)
+          .select(lit("D").as("op"), col("o_orderkey"),
+            col("o_orderpriority"), col("month"),
+            col("cents").as("cents_old"), lit(0L).as("cents_new"))
+        val upd = basePart.filter(km7 =!= 0 && km11 === 3)
+          .select(lit("U").as("op"), col("o_orderkey"),
+            col("o_orderpriority"), col("month"),
+            col("cents").as("cents_old"),
+            (col("cents") + 10000L).as("cents_new"))
+        val ins = facts.filter(col("o_orderdate") >= split)
+          .select(lit("I").as("op"), col("o_orderkey"),
+            col("o_orderpriority"), col("month"),
+            lit(0L).as("cents_old"), col("cents").as("cents_new"))
+        val cdc = del.unionByName(upd).unionByName(ins)
+        val src = new java.io.File(stageEpochFiles(baseDir,
+          (0 until 4).map(i =>
+            i -> cdc.filter(pmod(col("o_orderkey"), lit(4)) === i))))
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("op",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("o_orderkey",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("o_orderpriority",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("month",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("cents_old",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cents_new",
+            org.apache.spark.sql.types.LongType)))
+        val doBatch: (org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], Long) => Unit = (batch, id) => {
+          val s2 = batch.sparkSession
+          st36ApplyBatch(s2, batch.toDF(), id, basePath, viewPath)
+        }
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(src.getAbsolutePath)
+          .writeStream
+          .foreachBatch(doBatch)
+          .option("checkpointLocation", s"$baseDir/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        baseDir.getAbsolutePath
+      })
+  }
+
+  /** One st36 micro-batch: idempotent base-table merge, then the
+    * shared retraction fold into the next view epoch. Split out so
+    * Round13bSpec can replay a single batch and pin byte-stability. */
+  private[graft] def st36ApplyBatch(s2: SparkSession, batch: DataFrame,
+      id: Long, basePath: String, viewPath: String): Unit = {
+    if (batch.isEmpty) return
+    val kbOf = pmod(xxhash64(col("o_orderkey")), lit(C16Buckets))
+      .cast("int")
+    val kbs = batch.select(kbOf.as("kb")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val bKeys = batch.select("o_orderkey")
+    val kept = s2.read.parquet(basePath)
+      .filter(col("kb").isin(kbs.map(Integer.valueOf): _*))
+      .join(bKeys, Seq("o_orderkey"), "left_anti")
+      .select("o_orderkey", "o_orderpriority", "month", "cents", "kb")
+    val adds = batch.filter(col("op") =!= "D")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("month"),
+        col("cents_new").as("cents"))
+      .withColumn("kb", kbOf)
+    // stage→publish: the merge READS base/ and must not overwrite
+    // its own input mid-plan
+    val stage = new java.io.File(new java.io.File(basePath)
+      .getParentFile, "base_stage")
+    kept.unionByName(adds)
+      .write.partitionBy("kb").mode("overwrite")
+      .parquet(stage.getAbsolutePath)
+    val merged = s2.read.parquet(stage.getAbsolutePath)
+    merged.select("o_orderkey", "o_orderpriority", "month", "cents",
+        "kb")
+      .write.partitionBy("kb").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(basePath)
+    // a bucket whose keys were all deleted keeps a stale dir under
+    // dynamic overwrite — delete it explicitly
+    val keptKbs = merged.select("kb").distinct()
+      .collect().map(_.getInt(0)).toSet
+    kbs.filterNot(keptKbs.contains).foreach { b =>
+      val d = new java.io.File(basePath, s"kb=$b")
+      if (d.isDirectory)
+        org.apache.commons.io.FileUtils.deleteDirectory(d)
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    // ---- the retraction fold into the next epoch ----
+    val retr = batch.filter(col("op").isin("D", "U"))
+      .select(col("o_orderpriority"), col("month"),
+        col("cents_old").as("cents"), lit(-1L).as("sign"))
+    val add = batch.filter(col("op").isin("I", "U"))
+      .select(col("o_orderpriority"), col("month"),
+        col("cents_new").as("cents"), lit(1L).as("sign"))
+    val state = s2.read.parquet(s"$viewPath/epoch=$id")
+    val survivors = s2.read.parquet(basePath)
+      .select("o_orderpriority", "month", "cents")
+    Curation.foldRetractions(state, retr.unionByName(add), survivors)
+      .drop("recomputed")
+      .write.mode("overwrite").parquet(s"$viewPath/epoch=${id + 1}")
+  }
+
+  /** st36 — c16's retraction-aware view maintenance run CONTINUOUSLY:
+    * a checkpointed CDC stream (before-imaged deletes/updates/
+    * inserts) maintains BOTH the base table (idempotent bucketed
+    * merges) and the rollup view (signed folds + group-pruned
+    * extremum repair against the just-applied base) — the streaming
+    * IVM pipeline a warehouse actually runs, with every epoch of the
+    * view kept as its own immutable artifact. The final epoch is the
+    * exact net state, so this streamed operator carries c16's DIRECT
+    * DuckDB oracle. */
+  def retractMvStreamed(s: SparkSession, dir: String): DataFrame = {
+    val root = buildRetractMvStream(s, dir)
+    val viewDir = new java.io.File(root, "view")
+    val last = viewDir.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
+      .map(_.getName.stripPrefix("epoch=").toInt).max
+    s.read.parquet(new java.io.File(viewDir, s"epoch=$last")
+        .getAbsolutePath)
+      .select("o_orderpriority", "month", "n_orders", "cents",
+        "cents_min", "cents_max")
+      .orderBy("o_orderpriority", "month")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("st01_tumbling_window", tumblingWindow _, Some(tumblingWindowSql)),
@@ -2049,5 +2231,7 @@ $counts
         Some(Layout.zonemapPruningSql)),
       ("st35_bm25_ingest_streamed", bm25IngestStreamed _,
         Some(Similarity.bm25UpsertedSql)),
+      ("st36_retract_mv_streamed", retractMvStreamed _,
+        Some(Curation.retractableMvSql)),
     )
 }

@@ -176,6 +176,109 @@ class Round13bSpec extends SparkSpec {
     }
   }
 
+  // ------------- q46 version-log compaction: equivalence + vacuum
+  test("q46 compaction: reads at v >= horizon are unchanged, " +
+    "vacuumed versions are rejected loudly, and the crash window " +
+    "(meta swapped, cleanup pending) reads identically") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_r13_tt").toFile
+    try {
+      queries.Layout.writeVersionedOrders(spark, sfDir, root)
+      def snap(v: Int): Set[String] =
+        queries.Layout.readOrdersAsOf(spark, root.getAbsolutePath, v)
+          .collect().map(_.toString).toSet
+      val v2Before = snap(2)
+      val v3Before = snap(3)
+      // crash window FIRST: snapshot + meta written, cleanup not run
+      // — simulate by compacting then re-creating the folded deltas
+      queries.Layout.compactVersions(spark, root.getAbsolutePath, 2)
+      assert(snap(2) == v2Before, "post-compaction v2 must be exact")
+      assert(snap(3) == v3Before, "post-compaction v3 must be exact")
+      // folded inputs are vacuumed
+      assert(!new java.io.File(root, "base").isDirectory)
+      assert(!new java.io.File(root, "deltas/v=1").isDirectory)
+      assert(!new java.io.File(root, "deltas/v=2").isDirectory)
+      assert(new java.io.File(root, "deltas/v=3").isDirectory)
+      assert(new java.io.File(root, "base_v2").isDirectory)
+      // versions behind the horizon are gone BY CONTRACT
+      val e = intercept[IllegalArgumentException](snap(1))
+      assert(e.getMessage.contains("vacuumed"))
+      // crash window: re-surface a folded delta (v=1) as if cleanup
+      // died — the snapshot carries version 2, so the stale delta
+      // can never override it and reads stay identical
+      val o = queries.Relational.table(spark, sfDir, "orders")
+        .select(col("o_orderkey").as("k"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+      o.filter(pmod(col("k"), lit(10)) === 1)
+        .select(col("k"), (col("cents") + 5).as("cents"),
+          lit("U").as("op"))
+        .write.parquet(new java.io.File(root, "deltas/v=1")
+          .getAbsolutePath)
+      assert(snap(2) == v2Before,
+        "a not-yet-vacuumed folded delta must not override the snapshot")
+      assert(snap(3) == v3Before)
+      // a re-run at the same horizon is the crash-recovery path: it
+      // finishes the vacuum (the orphan goes) and changes no read
+      queries.Layout.compactVersions(spark, root.getAbsolutePath, 2)
+      assert(!new java.io.File(root, "deltas/v=1").isDirectory,
+        "the re-run must sweep the resurfaced folded delta")
+      assert(snap(2) == v2Before && snap(3) == v3Before)
+      // compact to 3: a delta-free log
+      queries.Layout.compactVersions(spark, root.getAbsolutePath, 3)
+      assert(snap(3) == v3Before)
+      assert(!new java.io.File(root, "deltas/v=3").isDirectory)
+      assert(!new java.io.File(root, "base_v2").isDirectory,
+        "the superseded snapshot is vacuumed")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(root)
+    }
+  }
+
+  // ---------- st36 streamed retraction MV: replay + state invariants
+  test("st36: a replayed micro-batch re-derives identical base and " +
+    "view bytes (before-images make the fold state-lookup-free), and " +
+    "the maintained base equals the net CDC state") {
+    val root = queries.Streaming.buildRetractMvStream(spark, sfDir)
+    val basePath = new java.io.File(root, "base").getAbsolutePath
+    val viewPath = new java.io.File(root, "view").getAbsolutePath
+    def rows(p: String): Set[String] =
+      spark.read.parquet(p).collect().map(_.toString).toSet
+    val baseBefore = rows(basePath)
+    val epoch4Before = rows(s"$viewPath/epoch=4")
+    // replay the LAST batch verbatim from its staged source file —
+    // the only replay checkpointed streaming can produce (a crash
+    // re-runs the uncommitted tail batch; earlier batches are
+    // committed and never re-fire), so the base state the replay
+    // sees is exactly the state the original run left
+    val b3 = spark.read.parquet(
+      new java.io.File(root, "src/epoch-003.parquet").getAbsolutePath)
+    queries.Streaming.st36ApplyBatch(spark, b3, 3L, basePath, viewPath)
+    assert(rows(basePath) == baseBefore,
+      "replayed batch must leave the base table byte-identical")
+    assert(rows(s"$viewPath/epoch=4") == epoch4Before,
+      "replayed batch must re-derive the identical view epoch")
+    // the maintained base == the net CDC state (deletes gone,
+    // updates applied, inserts present)
+    val split = lit(queries.Curation.C16Split).cast("timestamp")
+    val facts = queries.Curation.c16Facts(spark, sfDir)
+    val expect = facts.filter(col("o_orderdate") < split)
+      .filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+      .withColumn("cents",
+        when(pmod(col("o_orderkey"), lit(11)) === 3,
+          col("cents") + 10000L).otherwise(col("cents")))
+      .unionByName(facts.filter(col("o_orderdate") >= split))
+      .select("o_orderkey", "cents")
+    val got = spark.read.parquet(basePath).select("o_orderkey", "cents")
+    assert(got.count() == expect.count())
+    assert(got.join(expect, Seq("o_orderkey", "cents")).count() ==
+      expect.count(), "maintained base must equal the net CDC state")
+    // all five epochs kept — the view is time-travelable
+    val epochs = new java.io.File(root, "view").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("epoch="))
+    assert(epochs == 5)
+  }
+
   // ------------------- st35 streamed BM25 ingest: index state checks
   test("st35: the stream-built index has no duplicate postings and " +
     "its totals match the corpus exactly (replaces folded in-stream)") {
