@@ -994,9 +994,11 @@ object Curation {
     val split = lit(C16Split).cast("timestamp")
     val facts = c16Facts(s, dir)
     val base = facts.filter(col("o_orderdate") < split)
-    // ---- the stored view (c08's discipline: write, read back) ----
-    val stateDir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_c16_mv_${s.sparkContext.applicationId}").getAbsolutePath
+    // ---- the stored view (c08's discipline: write, read back; the
+    // dir is TAGGED by sf dir so a second dir in the same application
+    // cannot overwrite state a still-lazy first plan will re-read) ----
+    val stateDir = graft.core.Scratch.root("c16_mv", dir,
+      s.sparkContext.applicationId).getAbsolutePath
     base.groupBy("o_orderpriority", "month")
       .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"),
         min(col("cents")).as("cents_min"),

@@ -937,9 +937,7 @@ object Graph {
         !new java.io.File(e.getValue).isDirectory)
     val path = lpaLabelsCache.computeIfAbsent(
       (s.sparkContext.applicationId, dir, cap), _ => {
-        val tag = java.security.MessageDigest.getInstance("SHA-256")
-          .digest(dir.getBytes("UTF-8"))
-          .take(8).map(b => f"$b%02x").mkString
+        val tag = graft.core.Scratch.dirTag(dir)
         val out = new java.io.File(sys.props("java.io.tmpdir"),
           s"graft_gr11lab_${tag}_c${cap}_" +
             s.sparkContext.applicationId)

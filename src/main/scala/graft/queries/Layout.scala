@@ -206,9 +206,7 @@ object Layout {
         !new java.io.File(e.getValue).isDirectory)
     zmCache.computeIfAbsent(
       (s.sparkContext.applicationId, dir), _ => {
-        val tag = java.security.MessageDigest.getInstance("SHA-256")
-          .digest(dir.getBytes("UTF-8"))
-          .take(8).map(b => f"$b%02x").mkString
+        val tag = graft.core.Scratch.dirTag(dir)
         val root = new java.io.File(sys.props("java.io.tmpdir"),
           s"graft_q44_${tag}_${s.sparkContext.applicationId}")
         if (root.exists())
@@ -343,9 +341,7 @@ object Layout {
         !new java.io.File(e.getValue).isDirectory)
     ttCache.computeIfAbsent(
       (s.sparkContext.applicationId, dir), _ => {
-        val tag = java.security.MessageDigest.getInstance("SHA-256")
-          .digest(dir.getBytes("UTF-8"))
-          .take(8).map(b => f"$b%02x").mkString
+        val tag = graft.core.Scratch.dirTag(dir)
         val root = new java.io.File(sys.props("java.io.tmpdir"),
           s"graft_q45_${tag}_${s.sparkContext.applicationId}")
         writeVersionedOrders(s, dir, root)
@@ -485,9 +481,7 @@ object Layout {
         !new java.io.File(e.getValue).isDirectory)
     val root = ttCompactCache.computeIfAbsent(
       (s.sparkContext.applicationId, dir), _ => {
-        val tag = java.security.MessageDigest.getInstance("SHA-256")
-          .digest(dir.getBytes("UTF-8"))
-          .take(8).map(b => f"$b%02x").mkString
+        val tag = graft.core.Scratch.dirTag(dir)
         val r = new java.io.File(sys.props("java.io.tmpdir"),
           s"graft_q46_${tag}_${s.sparkContext.applicationId}")
         writeVersionedOrders(s, dir, r)

@@ -289,9 +289,7 @@ object Similarity {
         !new java.io.File(e.getValue).isDirectory)
     ivfIndexCache.computeIfAbsent(
       (s.sparkContext.applicationId, dir), _ => {
-        val tag = java.security.MessageDigest.getInstance("SHA-256")
-          .digest(dir.getBytes("UTF-8"))
-          .take(8).map(b => f"$b%02x").mkString
+        val tag = graft.core.Scratch.dirTag(dir)
         val root = new java.io.File(sys.props("java.io.tmpdir"),
           s"graft_s24_${tag}_${s.sparkContext.applicationId}")
         val emb = Relational.table(s, dir, "embeddings")
@@ -543,9 +541,7 @@ object Similarity {
         !new java.io.File(e.getValue._2).isDirectory)
     ivfUpsertCache.computeIfAbsent(
       (s.sparkContext.applicationId, dir), _ => {
-        val tag = java.security.MessageDigest.getInstance("SHA-256")
-          .digest(dir.getBytes("UTF-8"))
-          .take(8).map(b => f"$b%02x").mkString
+        val tag = graft.core.Scratch.dirTag(dir)
         val emb = Relational.table(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"))
         // base corpus = 3/4 of the vectors; the delta batch is the
@@ -638,7 +634,11 @@ object Similarity {
     * contract. Publish order matters: postings and idmap first,
     * the centroid table LAST as the commit point (a crash before it
     * leaves fresh-cid rows unreachable — a recall dip, never a wrong
-    * or duplicate answer — and a re-run converges).
+    * or duplicate answer), and the next run ROLLS the interrupted
+    * commit forward before doing its own work: orphan posting lists
+    * (cid without a centroid row) are adopted by appending their
+    * mean vector as the missing centroid, so re-running after any
+    * crash converges (Round13bSpec pins the window).
     *
     * Returns the split cids. */
   private[graft] def rebalanceIvfIndex(s: SparkSession, root: String,
@@ -648,6 +648,42 @@ object Similarity {
     val sizes = s.read.parquet(postingsPath)
       .groupBy("cid").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1))
+    // roll FORWARD a crashed predecessor: a posting dir whose cid has
+    // no centroid row means a previous rebalance died between the
+    // postings publish and the centroid commit — those rows exist but
+    // are unreachable (no probe can select them). Adopt each orphan
+    // list by appending its vectors' mean as the missing centroid
+    // (the refined sub-0 centroid of the crashed run is lost — only
+    // probe QUALITY, never correctness, depends on it), completing
+    // the interrupted commit before this run allocates fresh cids.
+    locally {
+      val nCents0 = readCentroids(s, root).length
+      val orphans = sizes.map(_._1).filter(_ >= nCents0).sorted
+      if (orphans.nonEmpty) {
+        require(orphans.toSeq ==
+          (nCents0 until nCents0 + orphans.length).toSeq,
+          s"orphan posting lists $orphans are not contiguous from " +
+            s"$nCents0 — index corrupt beyond roll-forward, rebuild it")
+        val means = s.read.parquet(postingsPath)
+          .filter(col("cid").isin(orphans.map(Integer.valueOf): _*))
+          .select(col("cid"),
+            posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
+          .collect()
+        val dim = means.map(_.getInt(1)).max + 1
+        val adopted = orphans.map { cid =>
+          val c = new Array[Float](dim)
+          means.filter(_.getInt(0) == cid)
+            .foreach(r => c(r.getInt(1)) = r.getDouble(2).toFloat)
+          c
+        }
+        (readCentroids(s, root) ++ adopted).zipWithIndex
+          .map { case (c, i) => (i, c.toSeq) }.toSeq
+          .toDF("cid", "centroid")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(new java.io.File(root, "centroids").getAbsolutePath)
+      }
+    }
     val hot = sizes.filter(_._2 >= 4)
       .sortBy { case (cid, n) => (-n, cid) }.take(splits).map(_._1)
     if (hot.isEmpty) return Seq.empty
@@ -736,9 +772,7 @@ object Similarity {
         !new java.io.File(e.getValue).isDirectory)
     ivfRebalCache.computeIfAbsent(
       (s.sparkContext.applicationId, dir), _ => {
-        val tag = java.security.MessageDigest.getInstance("SHA-256")
-          .digest(dir.getBytes("UTF-8"))
-          .take(8).map(b => f"$b%02x").mkString
+        val tag = graft.core.Scratch.dirTag(dir)
         val root = new java.io.File(sys.props("java.io.tmpdir"),
           s"graft_s31_${tag}_${s.sparkContext.applicationId}")
         val emb = Relational.table(s, dir, "embeddings")
@@ -1682,9 +1716,7 @@ object Similarity {
         !new java.io.File(e.getValue).isDirectory)
     bm25IndexCache.computeIfAbsent(
       (s.sparkContext.applicationId, dir), _ => {
-        val tag = java.security.MessageDigest.getInstance("SHA-256")
-          .digest(dir.getBytes("UTF-8"))
-          .take(8).map(b => f"$b%02x").mkString
+        val tag = graft.core.Scratch.dirTag(dir)
         val root = new java.io.File(sys.props("java.io.tmpdir"),
           s"graft_s29_${tag}_${s.sparkContext.applicationId}")
         writeBm25Index(s, Relational.table(s, dir, "documents")
@@ -1902,9 +1934,7 @@ object Similarity {
         !new java.io.File(e.getValue._2).isDirectory)
     bm25UpsertCache.computeIfAbsent(
       (s.sparkContext.applicationId, dir), _ => {
-        val tag = java.security.MessageDigest.getInstance("SHA-256")
-          .digest(dir.getBytes("UTF-8"))
-          .take(8).map(b => f"$b%02x").mkString
+        val tag = graft.core.Scratch.dirTag(dir)
         val docs = Relational.table(s, dir, "documents")
           .select(col("doc_id"), col("text"))
         val base = docs.filter(pmod(col("doc_id"), lit(4)) =!= 3)
@@ -2214,9 +2244,7 @@ object Similarity {
     ivfpqCache.computeIfAbsent(
       (s.sparkContext.applicationId, dir), _ => {
         import s.implicits._
-        val tag = java.security.MessageDigest.getInstance("SHA-256")
-          .digest(dir.getBytes("UTF-8"))
-          .take(8).map(b => f"$b%02x").mkString
+        val tag = graft.core.Scratch.dirTag(dir)
         val root = new java.io.File(sys.props("java.io.tmpdir"),
           s"graft_s28_${tag}_${s.sparkContext.applicationId}")
         if (root.exists())

@@ -780,9 +780,7 @@ $counts
       (s.sparkContext.applicationId, dir), _ => {
         // collision-resistant dir tag: two sf dirs in one application
         // must never share a staging root (String.hashCode collides)
-        val tag = java.security.MessageDigest.getInstance("SHA-256")
-          .digest(dir.getBytes("UTF-8"))
-          .take(8).map(b => f"$b%02x").mkString
+        val tag = graft.core.Scratch.dirTag(dir)
         val baseDir = new java.io.File(sys.props("java.io.tmpdir"),
           s"graft_stweeks_${tag}_${s.sparkContext.applicationId}")
         if (baseDir.exists())
@@ -1201,9 +1199,7 @@ $counts
         !new java.io.File(e.getValue).isDirectory)
     lshSrcCache.computeIfAbsent(
       (s.sparkContext.applicationId, dir), _ => {
-        val tag = java.security.MessageDigest.getInstance("SHA-256")
-          .digest(dir.getBytes("UTF-8"))
-          .take(8).map(b => f"$b%02x").mkString
+        val tag = graft.core.Scratch.dirTag(dir)
         val baseDir = new java.io.File(sys.props("java.io.tmpdir"),
           s"graft_st30src_${tag}_${s.sparkContext.applicationId}")
         if (baseDir.exists())
@@ -1293,9 +1289,7 @@ $counts
     * a second sf dir in the same application would rebuild into the
     * first's path and silently poison its still-cached entry. */
   private def dirTag(dir: String): String =
-    java.security.MessageDigest.getInstance("SHA-256")
-      .digest(dir.getBytes("UTF-8"))
-      .take(8).map(b => f"$b%02x").mkString
+    graft.core.Scratch.dirTag(dir)
 
   /** Stage pre-sliced arrival epochs as single parquet files with
     * strictly increasing mtimes (mtime drives FileStreamSource's
@@ -2101,7 +2095,14 @@ $counts
     * Round13bSpec can replay a single batch and pin byte-stability. */
   private[graft] def st36ApplyBatch(s2: SparkSession, batch: DataFrame,
       id: Long, basePath: String, viewPath: String): Unit = {
-    if (batch.isEmpty) return
+    if (batch.isEmpty) {
+      // an empty micro-batch must still ADVANCE the epoch chain — a
+      // bare return would leave epoch id+1 unwritten, and the next
+      // batch (or the final reader) would fail or serve a stale view
+      s2.read.parquet(s"$viewPath/epoch=$id")
+        .write.mode("overwrite").parquet(s"$viewPath/epoch=${id + 1}")
+      return
+    }
     val kbOf = pmod(xxhash64(col("o_orderkey")), lit(C16Buckets))
       .cast("int")
     val kbs = batch.select(kbOf.as("kb")).distinct()

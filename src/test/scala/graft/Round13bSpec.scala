@@ -176,6 +176,48 @@ class Round13bSpec extends SparkSpec {
     }
   }
 
+  // ------- s31 crash recovery: orphan lists roll forward on re-run
+  test("s31: a rebalance crashed before the centroid commit is " +
+    "rolled forward by the next run — orphan lists get adopted " +
+    "centroids, nothing is lost or duplicated") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_r13_rollfwd").toFile
+    try {
+      val cents = Array(Array(1f, 0f), Array(0f, 1f))
+      val base = Seq(
+        (1L, Seq(1f, 0.01f)), (2L, Seq(1f, 0.02f)),
+        (3L, Seq(1f, 0.40f)), (4L, Seq(1f, 0.41f)),
+        (5L, Seq(1f, 0.42f)), (6L, Seq(1f, 0.03f)),
+        (7L, Seq(0.01f, 1f)), (8L, Seq(0.02f, 1f)))
+        .toDF("vec_id", "embedding")
+      queries.Similarity.writeIvfIndex(spark, base, cents, root)
+      queries.Similarity.rebalanceIvfIndex(spark,
+        root.getAbsolutePath, splits = 1)
+      // simulate the crash window: postings split committed, centroid
+      // table NOT — revert centroids to the pre-split 2-row table
+      val cDir = new java.io.File(root, "centroids")
+      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cid", "centroid").coalesce(1)
+        .write.mode("overwrite").parquet(cDir.getAbsolutePath)
+      // the re-run rolls the commit forward (and finds nothing hot
+      // enough to split afterwards — every list is now < 4 rows)
+      val split2 = queries.Similarity.rebalanceIvfIndex(spark,
+        root.getAbsolutePath, splits = 1)
+      assert(split2.isEmpty)
+      val nCents = spark.read.parquet(cDir.getAbsolutePath).count()
+      assert(nCents == 3, s"orphan list must be adopted, got $nCents")
+      val post = spark.read
+        .parquet(new java.io.File(root, "postings").getAbsolutePath)
+      assert(post.count() == 8 &&
+        post.select("vec_id").distinct().count() == 8)
+      assert(post.agg(max("cid")).collect().head.getInt(0) < nCents,
+        "every posting list must be reachable through a centroid row")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(root)
+    }
+  }
+
   // ------------- q46 version-log compaction: equivalence + vacuum
   test("q46 compaction: reads at v >= horizon are unchanged, " +
     "vacuumed versions are rejected loudly, and the crash window " +
