@@ -506,7 +506,7 @@ object Sketches {
     ORDER BY event_type"""
 
   // ----------------------- sk05 sketch-based join cardinality (CBO)
-  private val JoinK = 1024
+  private[graft] val JoinK = 1024
   /** |est − exact| bound for the FK-join estimate: KMV at k=1024 is
     * ~3% σ per distinct estimate; the product-form estimator
     * compounds three of them plus the (here exact) uniformity
@@ -552,7 +552,7 @@ object Sketches {
     * (row count, KMV sketch) stats entries: |A ⋈ B| ≈
     * d_inter · (n_A/d_A) · (n_B/d_B) — shared by sk05 (cardinality
     * audit) and sk10 (join ordering). */
-  private def estJoinFromStats(na: Long, a: Array[Long],
+  private[graft] def estJoinFromStats(na: Long, a: Array[Long],
       nb: Long, b: Array[Long]): Double = {
     import graft.expr.KmvSketchAgg._
     val da = estimateDistinct(a, JoinK)
@@ -641,7 +641,7 @@ object Sketches {
     * tables' ~0.1–1 KB rows, 10k rows ≈ the 10 MB default broadcast
     * threshold a production config expresses in bytes. Exceeding it
     * routes the join to shuffle. */
-  private val BroadcastRowCap = 10000L
+  private[graft] val BroadcastRowCap = 10000L
 
   /** The ONE broadcast/shuffle cap rule every CBO leg (sk07/sk08/
     * sk11) executes and every DuckDB oracle replay encodes: broadcast
@@ -649,7 +649,7 @@ object Sketches {
     * count is ≤ [[BroadcastRowCap]], else shuffle. Shared so the
     * legs cannot silently desynchronize from each other or from the
     * oracles if the rule ever changes (e.g. byte-based sizing). */
-  private def capRule(na: Double, aName: String, nb: Double,
+  private[graft] def capRule(na: Double, aName: String, nb: Double,
       bName: String): String = {
     val (small, sn) = if (na <= nb) (aName, na) else (bName, nb)
     if (sn <= BroadcastRowCap) s"broadcast_$small" else "shuffle"
@@ -1025,7 +1025,7 @@ object Sketches {
     ORDER BY pair"""
 
   // -------- sk09 selectivity estimation from stored GK state (CBO)
-  private val SelAccuracy = 1000
+  private[graft] val SelAccuracy = 1000
   /** (table, column, (lo, hi] ranges) audited by sk09 — also drives
     * the generated oracle SQL so both sides stay in sync. */
   private val SelSpecs: Seq[(String, String, Seq[(Double, Double)])] =

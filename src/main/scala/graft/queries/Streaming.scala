@@ -2176,6 +2176,155 @@ $counts
       .orderBy("o_orderpriority", "month")
   }
 
+  // ------- st37 streamed ANALYZE: the CBO catalog maintained by the stream
+  private val analyzeCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), String]()
+
+  /** The two range scenarios st37's decision parity runs — chosen
+    * far from the broadcast cap at every gate SF so an in-band
+    * estimate can never flip the decision (the sk08 boundary
+    * behavior is pinned separately, in its own spec). */
+  private[graft] val St37Preds: Seq[(String, Double, Double)] =
+    Seq(("narrow", 900.0, 1500.0), ("wide", 900.0, 55000.0))
+
+  /** Builds the st37 stats store once per (application, sf dir):
+    * lineitem arrives as 4 checkpointed micro-batches; each batch
+    * writes ITS OWN catalog row — (n, KMV state of the join key, GK
+    * state of the price column) — to `stats/batch=<id>`. Nothing
+    * shared is read-modify-written (the st34 per-batch-manifest
+    * discipline applied to the ANALYZE catalog), so a replayed batch
+    * overwrites its own row idempotently; the READER folds: exact n
+    * by sum, KMV by union (bit-identical to a one-shot sketch — the
+    * global k smallest hashes are a subset of the per-batch k
+    * smallest), GK by `gk_merge`. */
+  private[graft] def buildStreamedAnalyze(s: SparkSession, dir: String)
+      : String = {
+    analyzeCache.entrySet().removeIf(e =>
+      e.getKey._1 != s.sparkContext.applicationId ||
+        !new java.io.File(e.getValue).isDirectory)
+    analyzeCache.computeIfAbsent(
+      (s.sparkContext.applicationId, dir), _ => {
+        val baseDir = graft.core.Scratch.root("st37", dir,
+          s.sparkContext.applicationId)
+        if (baseDir.exists())
+          org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
+        val line = Relational.table(s, dir, "lineitem")
+          .select(col("l_orderkey"),
+            col("l_extendedprice").cast("double").as("price"))
+        val src = new java.io.File(stageEpochFiles(baseDir,
+          (0 until 4).map(i =>
+            i -> line.filter(pmod(col("l_orderkey"), lit(4)) === i))))
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("l_orderkey",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("price",
+            org.apache.spark.sql.types.DoubleType)))
+        val statsRoot = new java.io.File(baseDir, "stats")
+        val doBatch: (org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], Long) => Unit = (batch, id) => {
+          batch.agg(count(lit(1)).as("n"),
+              graft.expr.KmvSketchAgg.kmvSketch(
+                xxhash64(col("l_orderkey")), Sketches.JoinK).as("sk"),
+              graft.expr.GkSketchAgg.gkSketch(col("price"),
+                Sketches.SelAccuracy).as("gk"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(new java.io.File(statsRoot, s"batch=$id")
+              .getAbsolutePath)
+          ()
+        }
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(src.getAbsolutePath)
+          .writeStream
+          .foreachBatch(doBatch)
+          .option("checkpointLocation", s"$baseDir/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        baseDir.getAbsolutePath
+      })
+  }
+
+  /** st37 — STREAMED ANALYZE: the statistics the CBO stool (sk05–
+    * sk11) decides from, maintained BY THE INGEST STREAM instead of
+    * a periodic batch ANALYZE — how a catalog keeps its stats fresh
+    * without rescanning the table. Exact counts fold exactly; the
+    * KMV join-key sketch folds BIT-IDENTICALLY to a one-shot build
+    * (k-smallest-hash union — pinned); the GK histogram folds within
+    * the doubled merge band. The query then runs the sk08-style
+    * broadcast decision for two range scenarios FROM the
+    * stream-maintained stats and pins it against the exact-count
+    * replay DuckDB recomputes — stale-stats-free planning under
+    * continuous ingest. */
+  def analyzeStreamed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = buildStreamedAnalyze(s, dir)
+    val stats = s.read
+      .parquet(new java.io.File(root, "stats").getAbsolutePath)
+    val parts = stats.select("n", "sk").collect()
+    val nStream = parts.map(_.getLong(0)).sum
+    val kmvStream = parts.map(_.getSeq[Long](1).toArray)
+      .reduce((a, b) =>
+        graft.expr.KmvSketchAgg.unionSketch(a, b, Sketches.JoinK))
+    val gkStream = stats
+      .agg(graft.expr.GkSketchAgg.gkMerge(col("gk")).as("gk"))
+      .collect().head.getAs[Array[Byte]](0)
+    // the one-shot reference ANALYZE (what a batch job would build)
+    val line = Relational.table(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        col("l_extendedprice").cast("double").as("price"))
+    val ref = line.agg(count(lit(1)).as("n"),
+        graft.expr.KmvSketchAgg.kmvSketch(
+          xxhash64(col("l_orderkey")), Sketches.JoinK).as("sk"))
+      .collect().head
+    val nMatch = nStream == ref.getLong(0)
+    val refSk: Array[Long] = ref.getSeq[Long](1).toArray
+    val kmvMatch = java.util.Arrays.equals(kmvStream, refSk)
+    val nOrders = Relational.table(s, dir, "orders").count()
+    val rows = St37Preds.map { case (scenario, lo, hi) =>
+      val est = Seq((gkStream, lo, hi)).toDF("gk", "lo", "hi")
+        .select((graft.expr.GkSketchAgg.gkRank(col("gk"), col("hi")) -
+          graft.expr.GkSketchAgg.gkRank(col("gk"), col("lo")))
+          .as("est_f"))
+        .collect().head.getDouble(0)
+      val exactF = line
+        .filter(col("price") > lo && col("price") <= hi).count()
+      // merged-state band: 2× sk09's 4ε single-state bound (the
+      // sk04 merge-headroom discipline)
+      val bandOk = math.abs(est - exactF) <=
+        8.0 * nStream / Sketches.SelAccuracy + 1.0
+      val decision = Sketches.capRule(nOrders.toDouble, "orders",
+        est, "lineitem")
+      val exactDecision = Sketches.capRule(nOrders.toDouble, "orders",
+        exactF.toDouble, "lineitem")
+      (scenario, lo, hi, nStream, nMatch, kmvMatch, bandOk,
+        decision, decision == exactDecision)
+    }
+    rows.toDF("scenario", "lo", "hi", "n_line", "n_match",
+        "kmv_match", "gk_band_ok", "decision",
+        "decision_matches_exact")
+      .orderBy("scenario")
+  }
+
+  val analyzeStreamedSql: String = {
+    val rows = St37Preds.map { case (scenario, lo, hi) =>
+      val f = s"""(SELECT count(*) FROM lineitem
+          WHERE CAST(l_extendedprice AS DOUBLE) > $lo
+            AND CAST(l_extendedprice AS DOUBLE) <= $hi)"""
+      s"""SELECT '$scenario' AS scenario, $lo AS lo, $hi AS hi,
+        (SELECT count(*) FROM lineitem) AS n_line,
+        TRUE AS n_match, TRUE AS kmv_match, TRUE AS gk_band_ok,
+        (CASE WHEN least((SELECT count(*) FROM orders), $f)
+            <= ${Sketches.BroadcastRowCap}
+          THEN (CASE WHEN (SELECT count(*) FROM orders) <= $f
+            THEN 'broadcast_orders' ELSE 'broadcast_lineitem' END)
+          ELSE 'shuffle' END) AS decision,
+        TRUE AS decision_matches_exact"""
+    }
+    rows.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+      "\n) ORDER BY scenario")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("st01_tumbling_window", tumblingWindow _, Some(tumblingWindowSql)),
@@ -2234,5 +2383,7 @@ $counts
         Some(Similarity.bm25UpsertedSql)),
       ("st36_retract_mv_streamed", retractMvStreamed _,
         Some(Curation.retractableMvSql)),
+      ("st37_analyze_streamed", analyzeStreamed _,
+        Some(analyzeStreamedSql)),
     )
 }

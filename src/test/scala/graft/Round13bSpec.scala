@@ -321,6 +321,45 @@ class Round13bSpec extends SparkSpec {
     assert(epochs == 5)
   }
 
+  // ---------- st37 streamed ANALYZE: catalog parity + replay
+  test("st37: stream-maintained stats fold to an exact count and a " +
+    "BIT-identical KMV state, the GK merge stays in band, the " +
+    "decisions match the exact replay, and a replayed batch row is " +
+    "byte-stable") {
+    val rows = queries.Streaming.analyzeStreamed(spark, sfDir).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("n_match"), "exact count must fold exactly")
+      assert(r.getAs[Boolean]("kmv_match"),
+        "per-batch KMV union must equal the one-shot sketch bit-for-bit")
+      assert(r.getAs[Boolean]("gk_band_ok"))
+      assert(r.getAs[Boolean]("decision_matches_exact"))
+    }
+    val root = queries.Streaming.buildStreamedAnalyze(spark, sfDir)
+    val statsDir = new java.io.File(root, "stats")
+    assert(statsDir.listFiles().count(_.getName.startsWith("batch=")) == 4)
+    // replay: re-derive batch 2's catalog row from its staged slice
+    // and overwrite — the row set must not move (idempotent, the
+    // st34 per-batch-artifact discipline)
+    def statRows(): Set[String] = spark.read
+      .parquet(statsDir.getAbsolutePath)
+      .selectExpr("n", "xxhash64(cast(sk as string)) as skh",
+        "xxhash64(cast(gk as string)) as gkh", "batch")
+      .collect().map(_.toString).toSet
+    val before = statRows()
+    val slice = spark.read.parquet(
+      new java.io.File(root, "src/epoch-002.parquet").getAbsolutePath)
+    slice.agg(count(lit(1)).as("n"),
+        graft.expr.KmvSketchAgg.kmvSketch(
+          xxhash64(col("l_orderkey")), queries.Sketches.JoinK).as("sk"),
+        graft.expr.GkSketchAgg.gkSketch(col("price"),
+          queries.Sketches.SelAccuracy).as("gk"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(new java.io.File(statsDir, "batch=2").getAbsolutePath)
+    assert(statRows() == before,
+      "a replayed per-batch catalog row must be byte-stable")
+  }
+
   // ------------------- st35 streamed BM25 ingest: index state checks
   test("st35: the stream-built index has no duplicate postings and " +
     "its totals match the corpus exactly (replaces folded in-stream)") {
