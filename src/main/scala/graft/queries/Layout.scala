@@ -357,10 +357,27 @@ object Layout {
   private[graft] def ttMeta(s: SparkSession, root: String)
       : (Int, String) = {
     val m = new java.io.File(root, "meta")
-    if (!m.isDirectory) (0, "base")
-    else {
+    // meta/ missing or partial = a crash mid-swap (the local-FS
+    // rename pair below is not one atomic op). Recover from the
+    // newest COMPLETE snapshot dir (_SUCCESS present): the writer
+    // only swaps the pointer after its snapshot is complete, so that
+    // snapshot is always a committed state — never fall back to the
+    // original "base", which a finished vacuum may have deleted.
+    def fallback: (Int, String) = {
+      val bases = Option(new java.io.File(root).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("base_v") &&
+          new java.io.File(f, "_SUCCESS").exists())
+        .map(_.getName.stripPrefix("base_v").toInt)
+      if (bases.isEmpty) (0, "base")
+      else { val v = bases.max; (v, s"base_v$v") }
+    }
+    if (!m.isDirectory) fallback
+    else try {
       val r = s.read.parquet(m.getAbsolutePath).collect().head
       (r.getInt(0), r.getString(1))
+    } catch {
+      case scala.util.control.NonFatal(_) => fallback
     }
   }
 
@@ -458,10 +475,29 @@ object Layout {
     readOrdersAsOf(s, root, upTo)
       .write.mode("overwrite").parquet(target.getAbsolutePath)
     // the COMMIT POINT: readers switch atomically from (old base,
-    // all deltas) to (snapshot, tail deltas)
+    // all deltas) to (snapshot, tail deltas). Spark's mode(overwrite)
+    // is delete-then-recreate on a local FS — NOT atomic — so the new
+    // pointer is staged and rename()d into place (rename IS atomic on
+    // a local FS; on an object store this would be the conditional
+    // pointer PUT). The one residual window — old meta renamed aside,
+    // new one not yet in — leaves no meta/ at all, which ttMeta
+    // recovers from via the newest complete snapshot dir.
+    val metaDir = new java.io.File(root, "meta")
+    val metaStage = new java.io.File(root, "meta_stage")
+    val metaOld = new java.io.File(root, "meta_old")
+    Seq(metaStage, metaOld).filter(_.exists())
+      .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
     Seq((upTo, s"base_v$upTo")).toDF("base_version", "base_dir")
       .coalesce(1).write.mode("overwrite")
-      .parquet(new java.io.File(root, "meta").getAbsolutePath)
+      .parquet(metaStage.getAbsolutePath)
+    if (metaDir.exists())
+      require(metaDir.renameTo(metaOld),
+        s"meta swap: renaming the old pointer aside failed at $root")
+    require(metaStage.renameTo(metaDir),
+      s"meta swap: renaming the staged pointer into place failed " +
+        s"at $root")
+    if (metaOld.exists())
+      org.apache.commons.io.FileUtils.deleteDirectory(metaOld)
     ttVacuum(root, upTo, s"base_v$upTo")
   }
 

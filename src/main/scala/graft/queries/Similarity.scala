@@ -636,9 +636,13 @@ object Similarity {
     * leaves fresh-cid rows unreachable — a recall dip, never a wrong
     * or duplicate answer), and the next run ROLLS the interrupted
     * commit forward before doing its own work: orphan posting lists
-    * (cid without a centroid row) are adopted by appending their
-    * mean vector as the missing centroid, so re-running after any
-    * crash converges (Round13bSpec pins the window).
+    * (cid without a centroid row) first get their ids' idmap buckets
+    * republished from the orphan postings (the ground truth — covers
+    * the postings-published-idmap-not window, where a stale idmap row
+    * would send a later upsert's eviction to the wrong list), then
+    * are adopted by appending their mean vector as the missing
+    * centroid, so re-running after any crash converges (Round13bSpec
+    * pins the centroid window, Round14Spec the idmap window).
     *
     * Returns the split cids. */
   private[graft] def rebalanceIvfIndex(s: SparkSession, root: String,
@@ -664,6 +668,43 @@ object Similarity {
           (nCents0 until nCents0 + orphans.length).toSeq,
           s"orphan posting lists $orphans are not contiguous from " +
             s"$nCents0 — index corrupt beyond roll-forward, rebuild it")
+        // the crash may equally have landed BETWEEN the postings
+        // publish and the idmap publish: a moved vec_id's idmap row
+        // then still points at its OLD cid, and a later s25-style
+        // upsert of that id would evict from the wrong list and leave
+        // a duplicate. The orphan postings are the ground truth —
+        // republish their ids' idmap buckets from them (same
+        // stage→dynamic-overwrite discipline as the main path; a
+        // no-op rewrite when the idmap publish DID land, so the
+        // roll-forward stays idempotent).
+        locally {
+          val orphanAssign = s.read.parquet(postingsPath)
+            .filter(col("cid").isin(orphans.map(Integer.valueOf): _*))
+            .select(col("vec_id"), col("cid"), idBucket.as("bucket"))
+          val oBuckets = orphanAssign.select("bucket").distinct()
+            .collect().map(_.getInt(0)).sorted
+          if (oBuckets.nonEmpty) {
+            val idmapPath = new java.io.File(root, "idmap")
+              .getAbsolutePath
+            val idStage = new java.io.File(root, "idmap_rollfwd_stage")
+            s.read.parquet(idmapPath)
+              .filter(col("bucket")
+                .isin(oBuckets.map(Integer.valueOf): _*))
+              .join(orphanAssign.select("vec_id"), Seq("vec_id"),
+                "left_anti")
+              .select("vec_id", "cid", "bucket")
+              .unionByName(orphanAssign
+                .select("vec_id", "cid", "bucket"))
+              .write.partitionBy("bucket").mode("overwrite")
+              .parquet(idStage.getAbsolutePath)
+            s.read.parquet(idStage.getAbsolutePath)
+              .select("vec_id", "cid", "bucket")
+              .write.partitionBy("bucket").mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .parquet(idmapPath)
+            org.apache.commons.io.FileUtils.deleteDirectory(idStage)
+          }
+        }
         val means = s.read.parquet(postingsPath)
           .filter(col("cid").isin(orphans.map(Integer.valueOf): _*))
           .select(col("cid"),
@@ -1656,6 +1697,17 @@ object Similarity {
       root: java.io.File): Unit = {
     if (root.exists())
       org.apache.commons.io.FileUtils.deleteDirectory(root)
+    // precondition, asserted not assumed: every doc must yield ≥1
+    // posting row, because docmap and totals DERIVE from postings —
+    // a null-text doc would silently vanish from n_docs (and so from
+    // BM25's IDF normalizer), a data-dependent divergence from any
+    // oracle that counts all documents. (Empty-STRING text is fine:
+    // split("", " ") yields one "" token, so the doc still posts.)
+    val nNull = docs.filter(col("text").isNull).count()
+    require(nNull == 0,
+      s"BM25 index build: $nNull null-text document(s) — the index " +
+        "derives n_docs/docmap from postings, so null-text docs " +
+        "would silently drop out; filter or default them upstream")
     val toks = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("token"))
     val dl = docs.select(col("doc_id"),
@@ -1816,6 +1868,11 @@ object Similarity {
   private[graft] def upsertBm25Index(s: SparkSession, root: String,
       batch: DataFrame): Unit = {
     if (batch.isEmpty) return
+    // same precondition as the build (see writeBm25Index): a
+    // null-text batch doc would evict the old rows and post nothing
+    val nNull = batch.filter(col("text").isNull).count()
+    require(nNull == 0,
+      s"BM25 upsert: $nNull null-text document(s) in the batch")
     val docmapPath = new java.io.File(root, "docmap")
     require(docmapPath.isDirectory,
       s"index at $root has no doc map — rebuild it with this layout " +

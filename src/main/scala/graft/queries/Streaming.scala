@@ -2181,11 +2181,19 @@ $counts
     (String, String), String]()
 
   /** The two range scenarios st37's decision parity runs — chosen
-    * far from the broadcast cap at every gate SF so an in-band
+    * far from every decision boundary at every gate SF so an in-band
     * estimate can never flip the decision (the sk08 boundary
-    * behavior is pinned separately, in its own spec). */
+    * behavior is pinned separately, in its own spec). "Far" is not
+    * taken on faith: [[analyzeStreamed]] asserts per scenario that
+    * the exact count sits more than the full GK merge band
+    * (8·n/SelAccuracy) away from BOTH boundaries the decision reads
+    * — the broadcast cap and the orders count — so a regenerated
+    * test table that drifts into a boundary fails loudly instead of
+    * flaking. Measured margins at the gate SFs (narrow, sf0.001/
+    * 0.01/0.1): exactF 16/121/1158 vs band 49/481/4801 against cap
+    * 10000 and n_orders 150/1500/15000 — min margin ≥ 1.8× band. */
   private[graft] val St37Preds: Seq[(String, Double, Double)] =
-    Seq(("narrow", 900.0, 1500.0), ("wide", 900.0, 55000.0))
+    Seq(("narrow", 900.0, 1100.0), ("wide", 900.0, 55000.0))
 
   /** Builds the st37 stats store once per (application, sf dir):
     * lineitem arrives as 4 checkpointed micro-batches; each batch
@@ -2291,8 +2299,19 @@ $counts
         .filter(col("price") > lo && col("price") <= hi).count()
       // merged-state band: 2× sk09's 4ε single-state bound (the
       // sk04 merge-headroom discipline)
-      val bandOk = math.abs(est - exactF) <=
-        8.0 * nStream / Sketches.SelAccuracy + 1.0
+      val band = 8.0 * nStream / Sketches.SelAccuracy + 1.0
+      val bandOk = math.abs(est - exactF) <= band
+      // no-flip guarantee, asserted rather than assumed: any in-band
+      // estimate must land on the same side as the exact count of
+      // both boundaries capRule reads — min(n_orders, est) vs the
+      // broadcast cap, and est vs n_orders (which side is smaller)
+      require(math.abs(exactF - Sketches.BroadcastRowCap) > band &&
+        math.abs(exactF.toDouble - nOrders) > band,
+        s"st37 scenario '$scenario' sits within the GK band ($band) " +
+          s"of a decision boundary (exactF=$exactF, " +
+          s"cap=${Sketches.BroadcastRowCap}, n_orders=$nOrders) — " +
+          "an in-band estimate could flip the decision; widen or " +
+          "shrink the scenario bounds")
       val decision = Sketches.capRule(nOrders.toDouble, "orders",
         est, "lineitem")
       val exactDecision = Sketches.capRule(nOrders.toDouble, "orders",
