@@ -20,6 +20,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // left-predicate pushdown rule)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.AsofPushdown)
+    // stats-driven join order + strategy from the stored ANALYZE
+    // catalog (sk12) — in the pre-CBO slot: after operator
+    // optimization (legs are in final shape), before Spark's own
+    // join-reorder batch. Inert unless every leg is analyzed.
+    ext.injectPreCBORule(_ => graft.plans.CboReorder)
     ext.injectFunction(GraftExtensions.minhashSignatureFn)
     ext.injectFunction(GraftExtensions.cosineSimilarityFn)
     ext.injectFunction(GraftExtensions.ngramHashesFn)

@@ -1,0 +1,316 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+  LogicalRelation}
+import org.apache.spark.sql.types.BinaryType
+
+/** The optimizer's statistics catalog — the driver-side registry the
+  * [[CboReorder]] rule reads. Entries are keyed by a table's storage
+  * path (the one identity a parquet scan carries in the logical plan)
+  * and hold exactly the artifacts the engine's ANALYZE pass persists:
+  * the exact row count, a KMV distinct-value sketch per join column,
+  * and a GK rank histogram per predicate column. Population happens
+  * FROM the stored ANALYZE parquet
+  * ([[graft.queries.Sketches.analyzeForCbo]]) — the catalog is a
+  * cache of the stored artifact, never a side computation, so the
+  * planner's inputs are exactly what a production deployment would
+  * read from its metastore. */
+object CboCatalog {
+
+  /** One analyzed table: exact count + per-column sketch states. */
+  case class TableStats(
+      table: String,
+      n: Long,
+      kmv: Map[String, Array[Long]],
+      gk: Map[String, Array[Byte]])
+
+  private val byPath = new ConcurrentHashMap[String, TableStats]()
+
+  /** Scheme-insensitive path key: `file:/x/y` and `/x/y` are the
+    * same table. */
+  private def norm(path: String): String =
+    (try {
+      Option(new java.net.URI(path).getPath).getOrElse(path)
+    } catch { case _: java.net.URISyntaxException => path })
+      .stripSuffix("/")
+
+  def register(path: String, st: TableStats): Unit = {
+    byPath.put(norm(path), st); ()
+  }
+
+  def lookup(path: String): Option[TableStats] =
+    Option(byPath.get(norm(path)))
+
+  def clear(): Unit = byPath.clear()
+
+  /** Session flag gating [[CboReorder]]; the rule is additionally
+    * inert for any join whose legs are not all analyzed. */
+  val EnabledKey = "spark.graft.cbo.enabled"
+}
+
+/** Stats-driven join order + strategy selection, applied INSIDE the
+  * optimizer — the closing of the engine's CBO loop. sk05–sk11 built
+  * and audited the decisions (selectivity from stored GK histograms,
+  * join cardinality from stored KMV sketches, order from the smaller
+  * estimated intermediate, broadcast-vs-shuffle from the row cap);
+  * this rule makes the same decisions CHANGE the plan of a query the
+  * user wrote with no hints, the way a real engine's statistics do.
+  *
+  * Scope (deliberately narrow, the shape the decision theory covers):
+  * a left-deep pair of hint-free INNER equi-joins over three scans of
+  * ANALYZED tables, each leg a Project/Filter stack over one parquet
+  * relation. For the matched shape the rule
+  *  1. estimates each leg's post-filter cardinality from the stored
+  *     GK histogram (rank(hi) − rank(lo), the sk09 readout;
+  *     unrecognized predicates contribute selectivity 1 — an
+  *     overestimate can only make the rule more conservative),
+  *  2. estimates both candidate first-join cardinalities with the
+  *     sk05 KMV product form scaled by leg selectivities (sk10/sk11),
+  *  3. rotates the join tree iff the alternative first join is
+  *     strictly smaller, and
+  *  4. pins every join's strategy via an explicit [[JoinHint]] —
+  *     BROADCAST on the side the sk08 row cap chooses, SHUFFLE_MERGE
+  *     otherwise — so the executed plan is the decided plan
+  *     regardless of size-threshold configs.
+  * A rewritten tree is wrapped in a Project restoring the original
+  * output, and carries non-empty hints — which the match guard
+  * rejects, so the rule is idempotent under the optimizer's
+  * fixed-point driver. Joins with existing hints are the user's to
+  * keep; the rule never overrides them.
+  *
+  * Cluster registration: `spark.sql.extensions=graft.GraftExtensions`
+  * (injected as a pre-CBO rule — after operator optimization, in the
+  * slot Spark reserves for exactly this); for an already-built
+  * session, append to `spark.experimental.extraOptimizations`.
+  * sk12_cbo_applied is the gate: executed-plan equality with the
+  * sk11-audited decision, with a rule-off run proving the rule is
+  * load-bearing. */
+object CboReorder extends Rule[LogicalPlan] with PredicateHelper {
+  import CboCatalog._
+
+  private def cap: Long = graft.queries.Sketches.BroadcastRowCap
+
+  /** One analyzed leg: its full subtree (Projects/Filters intact),
+    * the catalog entry behind it, and the estimated post-filter row
+    * count. */
+  private case class Leg(plan: LogicalPlan, stats: TableStats,
+      estRows: Double) {
+    def sel: Double = if (stats.n == 0) 1.0 else estRows / stats.n
+  }
+
+  private def stripCast(e: Expression): Expression = e match {
+    case c: Cast => stripCast(c.child)
+    case other => other
+  }
+
+  private def litDouble(e: Expression): Option[Double] = e match {
+    case Literal(v, _) => v match {
+      case d: Double => Some(d)
+      case f: Float => Some(f.toDouble)
+      case i: Int => Some(i.toDouble)
+      case l: Long => Some(l.toDouble)
+      case s: Short => Some(s.toDouble)
+      case b: Byte => Some(b.toDouble)
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def rankOf(state: Array[Byte], v: Double): Double =
+    graft.expr.GkRank(Literal(state, BinaryType), Literal(v))
+      .eval(null) match {
+      case d: Double => d
+      case _ => 0.0
+    }
+
+  /** Estimated fraction of rows a conjunction keeps, from the stored
+    * GK histograms: recognized range predicates turn into CDF
+    * readouts; anything else (IsNotNull, unknown shapes, columns
+    * without a histogram) contributes 1.0. */
+  private def selectivity(st: TableStats, conds: Seq[Expression])
+      : Double = {
+    val lo = scala.collection.mutable.Map[String, Double]()
+    val hi = scala.collection.mutable.Map[String, Double]()
+    def attrOf(e: Expression): Option[String] = stripCast(e) match {
+      case a: Attribute => Some(a.name)
+      case _ => None
+    }
+    def tighten(m: scala.collection.mutable.Map[String, Double],
+        a: String, v: Double, takeMax: Boolean): Unit = {
+      val cur = m.get(a)
+      m(a) = cur match {
+        case Some(c) => if (takeMax) math.max(c, v) else math.min(c, v)
+        case None => v
+      }
+    }
+    conds.foreach { c =>
+      (c match {
+        case GreaterThan(l, r) => Some((l, r, true))
+        case GreaterThanOrEqual(l, r) => Some((l, r, true))
+        case LessThan(l, r) => Some((l, r, false))
+        case LessThanOrEqual(l, r) => Some((l, r, false))
+        case _ => None
+      }) match {
+        case Some((l, r, isLower)) =>
+          (attrOf(l), litDouble(r), attrOf(r), litDouble(l)) match {
+            case (Some(a), Some(v), _, _) => // attr OP lit
+              tighten(if (isLower) lo else hi, a, v, takeMax = isLower)
+            case (_, _, Some(a), Some(v)) => // lit OP attr (flipped)
+              tighten(if (isLower) hi else lo, a, v, takeMax = !isLower)
+            case _ => ()
+          }
+        case None => ()
+      }
+    }
+    (lo.keySet ++ hi.keySet).foldLeft(1.0) { (acc, a) =>
+      st.gk.get(a) match {
+        case Some(state) if st.n > 0 =>
+          val rh = hi.get(a).map(rankOf(state, _))
+            .getOrElse(st.n.toDouble)
+          val rl = lo.get(a).map(rankOf(state, _)).getOrElse(0.0)
+          acc * math.min(1.0, math.max(0.0, (rh - rl) / st.n))
+        case _ => acc
+      }
+    }
+  }
+
+  /** Peel a leg down to its single analyzed parquet relation,
+    * collecting Filter conjuncts on the way; None when the leg is
+    * anything else (another join, an unanalyzed table, a non-file
+    * source) — the rule then leaves the whole tree alone. */
+  private def legOf(p: LogicalPlan): Option[Leg] = {
+    @scala.annotation.tailrec
+    def peel(cur: LogicalPlan, conds: Seq[Expression])
+        : (LogicalPlan, Seq[Expression]) = cur match {
+      case Project(_, child) => peel(child, conds)
+      case Filter(cond, child) =>
+        peel(child, conds ++ splitConjunctivePredicates(cond))
+      case other => (other, conds)
+    }
+    val (base, conds) = peel(p, Seq.empty)
+    base match {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.toSeq match {
+            case Seq(single) => lookup(single.toString).map { st =>
+              Leg(p, st, st.n * selectivity(st, conds))
+            }
+            case _ => None
+          }
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  private def eqKeys(cond: Expression): Option[(Attribute, Attribute)] =
+    cond match {
+      case EqualTo(l, r) => (stripCast(l), stripCast(r)) match {
+        case (a: Attribute, b: Attribute) => Some((a, b))
+        case _ => None
+      }
+      case _ => None
+    }
+
+  /** The sk05 product-form join estimate between two analyzed legs,
+    * scaled by both legs' filter selectivities (sk11's composition);
+    * None when either join column lacks a stored KMV sketch. */
+  private def estPair(a: Leg, ka: Attribute, b: Leg, kb: Attribute)
+      : Option[Double] =
+    for {
+      skA <- a.stats.kmv.get(ka.name)
+      skB <- b.stats.kmv.get(kb.name)
+    } yield graft.queries.Sketches.estJoinFromStats(
+      a.stats.n, skA, b.stats.n, skB) * a.sel * b.sel
+
+  /** The sk08 cap rule as a [[JoinHint]]: broadcast the smaller side
+    * when it clears the row cap, pin shuffle-merge otherwise (so the
+    * decided strategy executes regardless of auto-broadcast
+    * thresholds). Ties broadcast the left side, matching capRule. */
+  private def pairHint(estL: Double, estR: Double): JoinHint = {
+    val bc = HintInfo(strategy = Some(BROADCAST))
+    val smj = HintInfo(strategy = Some(SHUFFLE_MERGE))
+    if (math.min(estL, estR) <= cap) {
+      if (estL <= estR) JoinHint(Some(bc), None)
+      else JoinHint(None, Some(bc))
+    } else JoinHint(Some(smj), None)
+  }
+
+  private def rewrite(j: Join, innerJoin: Join, outerRight: LogicalPlan,
+      outerCond: Expression): Option[LogicalPlan] =
+    for {
+      innerCond <- innerJoin.condition
+      if innerJoin.joinType == Inner && innerJoin.hint == JoinHint.NONE
+      (ia, ib) <- eqKeys(innerCond)
+      (oa, ob) <- eqKeys(outerCond)
+      legA <- legOf(innerJoin.left)
+      legB <- legOf(innerJoin.right)
+      legC <- legOf(outerRight)
+      // resolve which attribute of the outer condition lives in C and
+      // which in the middle leg (A or B)
+      (cKey, midKey) <- {
+        val cOut = outerRight.outputSet
+        if (cOut.contains(oa) && !cOut.contains(ob)) Some((oa, ob))
+        else if (cOut.contains(ob) && !cOut.contains(oa)) Some((ob, oa))
+        else None
+      }
+      // resolve each inner-condition attribute to its leg (the user
+      // may have written either `a.k = b.k` or `b.k = a.k`)
+      (kaA, kaB) <- {
+        val aOut = innerJoin.left.outputSet
+        val bOut = innerJoin.right.outputSet
+        if (aOut.contains(ia) && bOut.contains(ib)) Some((ia, ib))
+        else if (aOut.contains(ib) && bOut.contains(ia)) Some((ib, ia))
+        else None
+      }
+      (midLeg, otherLeg) <- {
+        if (innerJoin.left.outputSet.contains(midKey))
+          Some((legA, legB))
+        else if (innerJoin.right.outputSet.contains(midKey))
+          Some((legB, legA))
+        else None
+      }
+      estCurr <- estPair(legA, kaA, legB, kaB)
+      estAlt <- estPair(midLeg, midKey, legC, cKey)
+    } yield {
+      if (estAlt < estCurr) {
+        // rotate: (mid ⋈ C) first, then the remaining leg
+        val inner = Join(midLeg.plan, legC.plan, Inner, Some(outerCond),
+          pairHint(midLeg.estRows, legC.estRows))
+        val outer = Join(inner, otherLeg.plan, Inner, Some(innerCond),
+          pairHint(estAlt, otherLeg.estRows))
+        // restore the original output (the rotation may have dropped
+        // a pruning Project between the joins)
+        Project(j.output, outer)
+      } else {
+        // keep the user's order; pin the decided strategies
+        val inner = innerJoin.copy(
+          hint = pairHint(legA.estRows, legB.estRows))
+        val newLeft = j.left match {
+          case p @ Project(_, _: Join) => p.copy(child = inner)
+          case _ => inner
+        }
+        j.copy(left = newLeft,
+          hint = pairHint(estCurr, legC.estRows))
+      }
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString(EnabledKey, "true").toBoolean) return plan
+    plan.transform {
+      case j @ Join(l, r, Inner, Some(outerCond), JoinHint.NONE) =>
+        (l match {
+          case ij: Join => Some(ij)
+          case Project(_, ij: Join) => Some(ij)
+          case _ => None
+        }).flatMap(ij => rewrite(j, ij, r, outerCond)).getOrElse(j)
+    }
+  }
+}

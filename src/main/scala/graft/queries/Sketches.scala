@@ -1534,6 +1534,368 @@ object Sketches {
       "\n) ORDER BY scenario")
   }
 
+  // --------------- sk12: the CBO decisions APPLIED by the optimizer
+  private val cboAnalyzeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  /** sk12's ANALYZE: one scan per table builds every catalog artifact
+    * that table contributes — exact count, a KMV sketch per join
+    * column, a GK histogram per predicate column — persists them as
+    * the stats store, then registers
+    * [[graft.plans.CboCatalog]] entries FROM the stored parquet (the
+    * sk11 discipline: the optimizer's inputs are catalog readouts,
+    * never side computations). Idempotent per (application, dir). */
+  private[graft] def analyzeForCbo(s: SparkSession, dir: String)
+      : String = {
+    import graft.expr.KmvSketchAgg._
+    import graft.expr.GkSketchAgg._
+    cboAnalyzeCache.entrySet().removeIf(e =>
+      e.getKey._1 != s.sparkContext.applicationId ||
+        !new java.io.File(e.getValue).isDirectory)
+    cboAnalyzeCache.computeIfAbsent(
+      (s.sparkContext.applicationId, dir), _ => {
+        val tag = graft.core.Scratch.dirTag(dir)
+        val statsPath = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_sk12_${tag}_${s.sparkContext.applicationId}")
+          .getAbsolutePath
+        // one scan per table → one row per (table, column, artifact)
+        Relational.table(s, dir, "customer")
+          .agg(count(lit(1)).as("n"),
+            kmvSketch(xxhash64(col("c_custkey")), JoinK).as("k1"))
+          .select(lit("customer").as("tbl"), col("n"),
+            array(struct(lit("c_custkey").as("col"), col("k1").as("sk")))
+              .as("kmv"),
+            array().cast("array<struct<col:string,gk:binary>>").as("gk"))
+          .unionByName(Relational.table(s, dir, "orders")
+            .agg(count(lit(1)).as("n"),
+              kmvSketch(xxhash64(col("o_custkey")), JoinK).as("k1"),
+              kmvSketch(xxhash64(col("o_orderkey")), JoinK).as("k2"))
+            .select(lit("orders").as("tbl"), col("n"),
+              array(
+                struct(lit("o_custkey").as("col"), col("k1").as("sk")),
+                struct(lit("o_orderkey").as("col"), col("k2").as("sk")))
+                .as("kmv"),
+              array().cast("array<struct<col:string,gk:binary>>")
+                .as("gk")))
+          .unionByName(Relational.table(s, dir, "lineitem")
+            .agg(count(lit(1)).as("n"),
+              kmvSketch(xxhash64(col("l_orderkey")), JoinK).as("k1"),
+              gkSketch(col("l_extendedprice").cast("double"),
+                SelAccuracy).as("g1"))
+            .select(lit("lineitem").as("tbl"), col("n"),
+              array(struct(lit("l_orderkey").as("col"),
+                col("k1").as("sk"))).as("kmv"),
+              array(struct(lit("l_extendedprice").as("col"),
+                col("g1").as("gk"))).as("gk")))
+          .write.mode("overwrite").parquet(statsPath)
+        statsPath
+      })
+  }
+
+  /** Populate the optimizer catalog FROM the stored ANALYZE parquet.
+    * Kept separate from [[analyzeForCbo]] (and re-run on every sk12
+    * invocation) because the gate UNREGISTERS the tables afterwards:
+    * a populated catalog makes the rule rewrite every later session
+    * query joining these tables — the production opt-in, but not the
+    * gate's business (every other audited query must keep its own
+    * plan). */
+  private def registerCboStats(s: SparkSession, statsPath: String,
+      dir: String): Unit =
+    s.read.parquet(statsPath).collect().foreach { r =>
+      val tbl = r.getString(0)
+      val kmv = r.getSeq[org.apache.spark.sql.Row](2)
+        .map(e => e.getString(0) -> e.getSeq[Long](1).toArray)
+        .toMap
+      val gk = r.getSeq[org.apache.spark.sql.Row](3)
+        .map(e => e.getString(0) -> e.getAs[Array[Byte]](1))
+        .toMap
+      graft.plans.CboCatalog.register(s"$dir/$tbl.parquet",
+        graft.plans.CboCatalog.TableStats(tbl, r.getLong(1),
+          kmv, gk))
+    }
+
+  /** One sk12 output row. 30 columns — beyond what the case-class
+    * encoder generates clean code for (Janino falls back to the
+    * interpreter with a logged stack trace), so [[cboApplied]] builds
+    * the frame from explicit Rows + schema instead of `.toDF()`. */
+  private case class Sk12Row(
+    scenario: String, lo: Double, hi: Double,
+    n_cust: Long, n_ord: Long, n_line: Long,
+    est_line_f: Long, est_co: Long, est_ol: Long,
+    chosen_first: String, inner_strategy: String, outer_strategy: String,
+    executed_first: String, executed_inner: String,
+    executed_outer: String, order_audit: Boolean,
+    strategy_audit: Boolean,
+    ruleoff_first: String, ruleoff_inner: String, ruleoff_outer: String,
+    rule_load_bearing: Boolean, ruleoff_audit: Boolean,
+    exact_line_f: Long, exact_co: Long, exact_ol: Long,
+    exact_choice: String, exact_inner_strategy: String,
+    exact_outer_strategy: String, decision_matches_exact: Boolean,
+    final_rows: Long)
+
+  /** sk12 — the sk11 decisions APPLIED: the same hint-free
+    * customer ⋈ orders ⋈ lineitem query sk11 audits, written in a
+    * FIXED user order (customer-orders first) with no hints, executed
+    * with [[graft.plans.CboReorder]] reading the stored ANALYZE
+    * catalog ([[analyzeForCbo]]). The rule — not the query — decides
+    * join order and per-join strategy, so the post-AQE executed plan
+    * must equal the stats-chosen plan decision for decision
+    * (`order_audit`/`strategy_audit`), the `narrow` scenario's ~1%
+    * predicate must FLIP the executed order away from the order the
+    * user wrote, and a rule-off replay of the identical query must
+    * execute the user's order with unhinted shuffle joins
+    * (`ruleoff_audit`) — proving the rule is load-bearing
+    * (`rule_load_bearing`, replayed by the oracle from exact counts).
+    * Auto-broadcast is disabled (static + adaptive −1) exactly as in
+    * sk11, so every strategy in the executed plan traces to a hint
+    * the rule injected.
+    *
+    * Estimates are engine-specific → rows-only; [[cboAppliedInv]] ★
+    * is the oracle companion. At 100 TB this is the difference
+    * between an advisory EXPLAIN and a real optimizer: stale or
+    * missing stats change PLANS, not dashboards, and the rule-off
+    * audit is the regression a production engine runs before turning
+    * a new CBO loose. */
+  def cboApplied(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    registerCboStats(s, analyzeForCbo(s, dir), dir)
+    // sessions built without spark.sql.extensions=graft.GraftExtensions
+    // (tests, foreign notebooks) attach the rule post-hoc; harmless
+    // when the extension slot already runs it (a decided tree carries
+    // hints, which the rule's match guard rejects)
+    if (!s.experimental.extraOptimizations.contains(
+        graft.plans.CboReorder))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.CboReorder
+    val stored = s.read.parquet(analyzeForCbo(s, dir)).collect()
+      .map(r => r.getString(0) -> r).toMap
+    def kmvOf(tbl: String, c: String): Array[Long] =
+      stored(tbl).getSeq[org.apache.spark.sql.Row](2)
+        .find(_.getString(0) == c).get.getSeq[Long](1).toArray
+    val nC = stored("customer").getLong(1)
+    val nO = stored("orders").getLong(1)
+    val nL = stored("lineitem").getLong(1)
+    val gkLine = stored("lineitem").getSeq[org.apache.spark.sql.Row](3)
+      .head.getAs[Array[Byte]](1)
+    val estCoBase = estJoinFromStats(nC, kmvOf("customer", "c_custkey"),
+      nO, kmvOf("orders", "o_custkey"))
+    val estOlBase = estJoinFromStats(nO, kmvOf("orders", "o_orderkey"),
+      nL, kmvOf("lineitem", "l_orderkey"))
+    val cust = Relational.table(s, dir, "customer").select("c_custkey")
+    val ord = Relational.table(s, dir, "orders")
+      .select("o_custkey", "o_orderkey")
+    val line = Relational.table(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        col("l_extendedprice").cast("double").as("price"))
+    val exactCo = cust
+      .join(ord, col("c_custkey") === col("o_custkey")).count()
+    val overrides = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prevs = overrides.map { case (k, _) => k -> s.conf.getOption(k) }
+    overrides.foreach { case (k, v) => s.conf.set(k, v) }
+    val rows = try {
+      Sk11Scenarios.map { case (scenario, lo, hi) =>
+        // ---- the HINT-FREE user query, fixed user order ----
+        def userQuery(): DataFrame =
+          cust.join(ord, col("c_custkey") === col("o_custkey"))
+            .join(line.filter(col("price") > lo && col("price") <= hi)
+              .select("l_orderkey"),
+              col("o_orderkey") === col("l_orderkey"))
+            .groupBy().count()
+        def audit(cnt: DataFrame): (Long, String, String, String) = {
+          val finalRows = cnt.collect().head.getLong(0)
+          val joins = executedJoins(cnt)
+          require(joins.size == 2,
+            s"expected 2 executed joins, got ${joins.size}")
+          val innerCols = leafCols(joins.last).toSet
+          val first =
+            if (Set("c_custkey", "o_custkey").subsetOf(innerCols))
+              "customer-orders"
+            else if (Set("o_orderkey", "l_orderkey").subsetOf(innerCols))
+              "orders-lineitem"
+            else s"unrecognized:${innerCols.mkString(",")}"
+          (finalRows, first, joinOpName(joins.last),
+            joinOpName(joins.head))
+        }
+        // ---- expected decisions, replayed from the SAME stored stats
+        val estF = Seq((gkLine, lo, hi)).toDF("gk", "lo", "hi")
+          .select((graft.expr.GkSketchAgg.gkRank(col("gk"), col("hi")) -
+            graft.expr.GkSketchAgg.gkRank(col("gk"), col("lo")))
+            .as("est_f"))
+          .collect().head.getDouble(0)
+        val estOl = estOlBase * (estF / nL)
+        val chosen =
+          if (estOl < estCoBase) "orders-lineitem" else "customer-orders"
+        val innerStrat =
+          if (chosen == "customer-orders")
+            capRule(nC.toDouble, "customer", nO.toDouble, "orders")
+          else capRule(nO.toDouble, "orders", estF, "lineitem")
+        val (interEst, thirdEst, thirdName) =
+          if (chosen == "customer-orders") (estCoBase, estF, "lineitem")
+          else (estOl, nC.toDouble, "customer")
+        val outerStrat = capRule(interEst, "intermediate", thirdEst,
+          thirdName)
+        def expectedOp(st: String): String =
+          if (st == "shuffle") "SortMergeJoin" else "BroadcastHashJoin"
+        // ---- rule ON ----
+        s.conf.set(graft.plans.CboCatalog.EnabledKey, "true")
+        val (finalRows, execFirst, execInner, execOuter) =
+          audit(userQuery())
+        // ---- rule OFF: same query, user order, no hints ----
+        s.conf.set(graft.plans.CboCatalog.EnabledKey, "false")
+        val (offRows, offFirst, offInner, offOuter) = audit(userQuery())
+        s.conf.set(graft.plans.CboCatalog.EnabledKey, "true")
+        // ---- exact replays for the oracle ----
+        val lineF = line.filter(col("price") > lo && col("price") <= hi)
+          .select("l_orderkey")
+        val exactF = lineF.count()
+        val exactOl = ord.join(lineF,
+          col("o_orderkey") === col("l_orderkey")).count()
+        val exactChoice =
+          if (exactCo <= exactOl) "customer-orders" else "orders-lineitem"
+        val exactInner =
+          if (exactChoice == "customer-orders")
+            capRule(nC.toDouble, "customer", nO.toDouble, "orders")
+          else capRule(nO.toDouble, "orders", exactF.toDouble,
+            "lineitem")
+        val (interEx, thirdEx, thirdNameEx) =
+          if (exactChoice == "customer-orders")
+            (exactCo.toDouble, exactF.toDouble, "lineitem")
+          else (exactOl.toDouble, nC.toDouble, "customer")
+        val exactOuter = capRule(interEx, "intermediate", thirdEx,
+          thirdNameEx)
+        Sk12Row(scenario, lo, hi, nC, nO, nL,
+          estF.toLong, estCoBase.toLong, estOl.toLong,
+          chosen, innerStrat, outerStrat,
+          execFirst, execInner, execOuter,
+          execFirst == chosen,
+          execInner == expectedOp(innerStrat) &&
+            execOuter == expectedOp(outerStrat),
+          offFirst, offInner, offOuter,
+          chosen != offFirst,
+          offFirst == "customer-orders" &&
+            offInner == "SortMergeJoin" && offOuter == "SortMergeJoin" &&
+            offRows == finalRows,
+          exactF, exactCo, exactOl, exactChoice, exactInner, exactOuter,
+          chosen == exactChoice && innerStrat == exactInner &&
+            outerStrat == exactOuter,
+          finalRows)
+      }
+    } finally {
+      prevs.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+      // confine the rewrite to this gate: with the catalog empty the
+      // rule is inert for every subsequent session query (production
+      // keeps the registrations — that is the whole point there)
+      graft.plans.CboCatalog.clear()
+    }
+    import org.apache.spark.sql.types._
+    val sk12Schema = StructType(
+      Seq("scenario" -> StringType, "lo" -> DoubleType,
+        "hi" -> DoubleType, "n_cust" -> LongType, "n_ord" -> LongType,
+        "n_line" -> LongType, "est_line_f" -> LongType,
+        "est_co" -> LongType, "est_ol" -> LongType,
+        "chosen_first" -> StringType, "inner_strategy" -> StringType,
+        "outer_strategy" -> StringType, "executed_first" -> StringType,
+        "executed_inner" -> StringType, "executed_outer" -> StringType,
+        "order_audit" -> BooleanType, "strategy_audit" -> BooleanType,
+        "ruleoff_first" -> StringType, "ruleoff_inner" -> StringType,
+        "ruleoff_outer" -> StringType,
+        "rule_load_bearing" -> BooleanType,
+        "ruleoff_audit" -> BooleanType, "exact_line_f" -> LongType,
+        "exact_co" -> LongType, "exact_ol" -> LongType,
+        "exact_choice" -> StringType,
+        "exact_inner_strategy" -> StringType,
+        "exact_outer_strategy" -> StringType,
+        "decision_matches_exact" -> BooleanType,
+        "final_rows" -> LongType)
+        .map { case (n, t) => StructField(n, t, nullable = false) })
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(
+      rows.map(r => org.apache.spark.sql.Row
+        .fromSeq(r.productIterator.toSeq)).asJava,
+      sk12Schema).orderBy("scenario")
+  }
+
+  /** sk12's oracle companion — every decision replayed by DuckDB from
+    * exact counts (the cboPlannerInv discipline), PLUS the
+    * load-bearing flag: `rule_load_bearing` must equal
+    * `exact_choice <> 'customer-orders'` — the oracle itself asserts
+    * that the rule changed the plan precisely when the statistics
+    * said it should. The audit flags ride as TRUE constants so a
+    * flipped executed plan or a hinted rule-off run hash-fails. */
+  def cboAppliedInv(s: SparkSession, dir: String): DataFrame =
+    cboApplied(s, dir)
+      .select(col("scenario"), col("lo"), col("hi"),
+        col("n_cust"), col("n_ord"), col("n_line"),
+        col("exact_line_f"), col("exact_co"), col("exact_ol"),
+        col("exact_choice"), col("exact_inner_strategy"),
+        col("exact_outer_strategy"), col("ruleoff_first"),
+        col("rule_load_bearing"), col("final_rows"),
+        col("order_audit"), col("strategy_audit"),
+        col("ruleoff_audit"), col("decision_matches_exact"))
+
+  val cboAppliedInvSql: String = {
+    val blocks = Sk11Scenarios.map { case (name, lo, hi) =>
+      s"""SELECT scenario, lo, hi, n_cust, n_ord, n_line,
+        exact_line_f, exact_co, exact_ol,
+        CASE WHEN exact_co <= exact_ol THEN 'customer-orders'
+          ELSE 'orders-lineitem' END AS exact_choice,
+        CASE WHEN exact_co <= exact_ol THEN
+          (CASE WHEN least(n_cust, n_ord) <= $BroadcastRowCap THEN
+            'broadcast_' || (CASE WHEN n_cust <= n_ord THEN 'customer'
+              ELSE 'orders' END) ELSE 'shuffle' END)
+        ELSE
+          (CASE WHEN least(n_ord, exact_line_f) <= $BroadcastRowCap THEN
+            'broadcast_' || (CASE WHEN n_ord <= exact_line_f
+              THEN 'orders' ELSE 'lineitem' END) ELSE 'shuffle' END)
+        END AS exact_inner_strategy,
+        CASE WHEN exact_co <= exact_ol THEN
+          (CASE WHEN least(exact_co, exact_line_f) <= $BroadcastRowCap
+            THEN 'broadcast_' || (CASE WHEN exact_co <= exact_line_f
+              THEN 'intermediate' ELSE 'lineitem' END)
+            ELSE 'shuffle' END)
+        ELSE
+          (CASE WHEN least(exact_ol, n_cust) <= $BroadcastRowCap THEN
+            'broadcast_' || (CASE WHEN exact_ol <= n_cust
+              THEN 'intermediate' ELSE 'customer' END)
+            ELSE 'shuffle' END)
+        END AS exact_outer_strategy,
+        'customer-orders' AS ruleoff_first,
+        (exact_co > exact_ol) AS rule_load_bearing,
+        final_rows, TRUE AS order_audit, TRUE AS strategy_audit,
+        TRUE AS ruleoff_audit, TRUE AS decision_matches_exact
+      FROM (
+        SELECT '$name' AS scenario,
+          CAST($lo AS DOUBLE) AS lo, CAST($hi AS DOUBLE) AS hi,
+          (SELECT count(*) FROM customer) AS n_cust,
+          (SELECT count(*) FROM orders) AS n_ord,
+          (SELECT count(*) FROM lineitem) AS n_line,
+          (SELECT count(*) FROM lineitem
+            WHERE CAST(l_extendedprice AS DOUBLE) > $lo
+              AND CAST(l_extendedprice AS DOUBLE) <= $hi)
+            AS exact_line_f,
+          (SELECT count(*) FROM customer c JOIN orders o
+            ON c.c_custkey = o.o_custkey) AS exact_co,
+          (SELECT count(*) FROM orders o JOIN lineitem l
+            ON o.o_orderkey = l.l_orderkey
+            WHERE CAST(l.l_extendedprice AS DOUBLE) > $lo
+              AND CAST(l.l_extendedprice AS DOUBLE) <= $hi)
+            AS exact_ol,
+          (SELECT count(*) FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE CAST(l.l_extendedprice AS DOUBLE) > $lo
+              AND CAST(l.l_extendedprice AS DOUBLE) <= $hi)
+            AS final_rows)"""
+    }
+    blocks.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+      "\n) ORDER BY scenario")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
       ("t12_heavy_hitters", heavyHitters _, None),
@@ -1563,5 +1925,8 @@ object Sketches {
         Some(cboJoinOrderInvSql)),
       ("sk11_cbo_planner", cboPlanner _, None),
       ("sk11_cbo_planner_inv", cboPlannerInv _,
-        Some(cboPlannerInvSql)))
+        Some(cboPlannerInvSql)),
+      ("sk12_cbo_applied", cboApplied _, None),
+      ("sk12_cbo_applied_inv", cboAppliedInv _,
+        Some(cboAppliedInvSql)))
 }

@@ -130,6 +130,42 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  // ---- sk12: the CBO loop closed into Catalyst
+  test("sk12: the optimizer rule rewrites the hint-free query to the " +
+    "stats-chosen plan (order flip on narrow, user order on wide) " +
+    "and the rule-off replay runs the user's unhinted plan") {
+    val rows = queries.Sketches.cboApplied(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("narrow", "wide"))
+    rows.foreach { case (scenario, r) =>
+      def b(n: String) = r.getBoolean(r.fieldIndex(n))
+      def s(n: String) = r.getString(r.fieldIndex(n))
+      assert(b("order_audit"),
+        s"$scenario: executed first join ${s("executed_first")} != " +
+          s"chosen ${s("chosen_first")}")
+      assert(b("strategy_audit"),
+        s"$scenario: executed ops (${s("executed_inner")}, " +
+          s"${s("executed_outer")}) != decided " +
+          s"(${s("inner_strategy")}, ${s("outer_strategy")})")
+      assert(b("ruleoff_audit"),
+        s"$scenario: rule-off run was not the user's unhinted plan " +
+          s"(${s("ruleoff_first")}, ${s("ruleoff_inner")}, " +
+          s"${s("ruleoff_outer")})")
+      assert(b("decision_matches_exact"), s"$scenario: est decision " +
+        "diverged from the exact replay")
+    }
+    // the flip: narrow's ~1% predicate must move the executed order
+    // away from the order the user wrote — the rule is load-bearing
+    assert(rows("narrow").getBoolean(
+      rows("narrow").fieldIndex("rule_load_bearing")),
+      "narrow must flip the join order away from the user's")
+    assert(rows("narrow").getString(
+      rows("narrow").fieldIndex("executed_first")) == "orders-lineitem")
+    assert(!rows("wide").getBoolean(
+      rows("wide").fieldIndex("rule_load_bearing")),
+      "wide must keep the user's order")
+  }
+
   // ---- BM25 no-null-text precondition: loud, not silent
   test("BM25 build and upsert reject null-text documents loudly " +
     "(a silent drop would diverge n_docs from an all-docs oracle)") {
