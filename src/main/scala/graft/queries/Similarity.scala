@@ -878,6 +878,372 @@ object Similarity {
     "SELECT TRUE AS recall_ok, TRUE AS no_dup, " +
       "TRUE AS idmap_consistent, TRUE AS split_done"
 
+  // --------------------------- s32 right-to-erasure in the stored indexes
+  /** s32's IVF mechanism — DELETE a set of vec_ids from a stored IVF
+    * index without rebuilding it (the erasure half of the s25 upsert:
+    * together they complete the index's write lifecycle, and close
+    * the GDPR gap where c13 purges the fact tables but the vector
+    * index keeps serving the deleted embeddings). The ids' CURRENT
+    * lists come from the `idmap/` sidecar (pruned to the ids' hash
+    * buckets); only those posting lists are rewritten (existing rows
+    * MINUS the ids) via staged dynamic partition overwrite, lists the
+    * delete emptied get their stale dirs removed (the s25 edge), and
+    * the touched idmap buckets merge the same way — with buckets the
+    * delete emptied removed too (a delete, unlike an upsert, CAN
+    * empty a bucket). Centroids are untouched: erasure never retrains
+    * (probing a shrunken or vanished list just reads fewer rows —
+    * the FAISS `remove_ids` contract). Ids not present in the index
+    * are a no-op, which makes a crash-replay of the whole delete
+    * idempotent: every artifact is re-derived as (stored MINUS ids),
+    * and the second run finds nothing to touch and rewrites NOTHING
+    * (Round14Spec pins both windows at file level). Cost ∝ |ids| +
+    * |their lists| + |their idmap buckets| — never ∝ corpus. */
+  /** A staged parquet dir is unreadable when the write that produced
+    * it emitted zero rows (no part files → no schema) — which a
+    * delete, unlike an upsert, can legitimately do to every touched
+    * partition at once. */
+  private def stageHasRows(stage: java.io.File): Boolean = {
+    def walk(f: java.io.File): Boolean =
+      if (f.isFile) f.getName.endsWith(".parquet")
+      else Option(f.listFiles()).getOrElse(Array.empty).exists(walk)
+    walk(stage)
+  }
+
+  private[graft] def deleteFromIvfIndex(s: SparkSession, root: String,
+      ids: DataFrame): Unit = {
+    if (ids.isEmpty) return
+    val idmapPath = new java.io.File(root, "idmap")
+    require(idmapPath.isDirectory,
+      s"index at $root has no id map — rebuild it with this layout " +
+        "(erasure cannot locate the deleted vectors' lists)")
+    val postingsPath = new java.io.File(root, "postings").getAbsolutePath
+    val buckets = ids.select(idBucket.as("bucket")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val idmapHit = s.read.parquet(idmapPath.getAbsolutePath)
+      .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
+    val hit = idmapHit
+      .join(ids.select("vec_id"), Seq("vec_id"), "left_semi")
+    val affected = hit.select("cid").distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (affected.isEmpty) return // nothing stored — replayed delete
+    // ---- postings: rewrite only the ids' lists, minus the ids ----
+    val stage = new java.io.File(root, "postings_erase_stage")
+    s.read.parquet(postingsPath)
+      .filter(col("cid").isin(affected.map(Integer.valueOf): _*))
+      .join(ids.select("vec_id"), Seq("vec_id"), "left_anti")
+      .select("vec_id", "embedding", "cid")
+      .write.partitionBy("cid").mode("overwrite")
+      .parquet(stage.getAbsolutePath)
+    val keptCids =
+      if (stageHasRows(stage)) {
+        val kept = s.read.parquet(stage.getAbsolutePath)
+        kept.select("vec_id", "embedding", "cid")
+          .write.partitionBy("cid").mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .parquet(postingsPath)
+        kept.select("cid").distinct()
+          .collect().map(_.getInt(0)).toSet
+      } else Set.empty[Int]
+    affected.filterNot(keptCids.contains).foreach { cid =>
+      val d = new java.io.File(postingsPath, s"cid=$cid")
+      if (d.isDirectory)
+        org.apache.commons.io.FileUtils.deleteDirectory(d)
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    // ---- idmap: merge the touched buckets, minus the ids ----
+    val hitBuckets = hit.select("bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val idStage = new java.io.File(root, "idmap_erase_stage")
+    s.read.parquet(idmapPath.getAbsolutePath)
+      .filter(col("bucket").isin(hitBuckets.map(Integer.valueOf): _*))
+      .join(ids.select("vec_id"), Seq("vec_id"), "left_anti")
+      .select("vec_id", "cid", "bucket")
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(idStage.getAbsolutePath)
+    val keptBuckets =
+      if (stageHasRows(idStage)) {
+        val keptMap = s.read.parquet(idStage.getAbsolutePath)
+        keptMap.select("vec_id", "cid", "bucket")
+          .write.partitionBy("bucket").mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .parquet(idmapPath.getAbsolutePath)
+        keptMap.select("bucket").distinct()
+          .collect().map(_.getInt(0)).toSet
+      } else Set.empty[Int]
+    hitBuckets.filterNot(keptBuckets.contains).foreach { b =>
+      val d = new java.io.File(idmapPath, s"bucket=$b")
+      if (d.isDirectory)
+        org.apache.commons.io.FileUtils.deleteDirectory(d)
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(idStage)
+  }
+
+  /** s32's BM25 mechanism — DELETE a set of doc_ids from a stored
+    * BM25 index (the erasure half of the s30 upsert). The docs' token
+    * footprint comes from the `docmap/` sidecar (pruned to the ids'
+    * doc buckets); the touched token buckets' postings are rewritten
+    * MINUS the docs, `dict/` is re-derived per touched bucket from
+    * the merged postings (df drops, tokens the delete orphaned
+    * disappear), the touched docmap buckets merge minus the docs, and
+    * their `totals/` subtotals are re-derived from the merged docmap
+    * — so n_docs/t_tokens (BM25's IDF and length normalizers) are
+    * exactly the surviving corpus's. Buckets a delete emptied are
+    * removed dir-by-dir (postings+dict twins, docmap+totals twins).
+    * Absent ids are a no-op; replay is idempotent and rewrites
+    * nothing. Because every statistic is an exact aggregate, the
+    * erased index serves BIT-IDENTICALLY to a rebuild without the
+    * docs — s32's serve carries a DIRECT DuckDB oracle. */
+  private[graft] def deleteFromBm25Index(s: SparkSession, root: String,
+      docIds: DataFrame): Unit = {
+    if (docIds.isEmpty) return
+    val docmapPath = new java.io.File(root, "docmap")
+    require(docmapPath.isDirectory,
+      s"index at $root has no doc map — rebuild it with this layout " +
+        "(erasure cannot locate the deleted docs' postings)")
+    val postingsPath = new java.io.File(root, "postings").getAbsolutePath
+    val dictPath = new java.io.File(root, "dict").getAbsolutePath
+    val dbs = docIds.select(docBucket.as("db")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val docmapHit = s.read.parquet(docmapPath.getAbsolutePath)
+      .filter(col("db").isin(dbs.map(Integer.valueOf): _*))
+      .join(docIds.select("doc_id"), Seq("doc_id"), "left_semi")
+      .persist()
+    val touched = docmapHit.select(explode(col("tbs")).as("tb"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) { docmapHit.unpersist(false); return }
+    // ---- postings: rewrite the touched token buckets, minus the docs
+    val stage = new java.io.File(root, "postings_erase_stage")
+    s.read.parquet(postingsPath)
+      .filter(col("tb").isin(touched.map(Integer.valueOf): _*))
+      .join(docIds.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select("token", "doc_id", "tf", "dl", "tb")
+      .write.partitionBy("tb").mode("overwrite")
+      .parquet(stage.getAbsolutePath)
+    val mergedTbs =
+      if (stageHasRows(stage)) {
+        val merged = s.read.parquet(stage.getAbsolutePath)
+        merged.select("token", "doc_id", "tf", "dl", "tb")
+          .write.partitionBy("tb").mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .parquet(postingsPath)
+        // dict: re-derive the touched buckets from merged postings
+        val dictStage = new java.io.File(root, "dict_erase_stage")
+        merged.groupBy("token").agg(count(lit(1)).as("df"))
+          .withColumn("tb", tokenBucket(col("token")))
+          .write.partitionBy("tb").mode("overwrite")
+          .parquet(dictStage.getAbsolutePath)
+        s.read.parquet(dictStage.getAbsolutePath)
+          .select("token", "df", "tb")
+          .write.partitionBy("tb").mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .parquet(dictPath)
+        org.apache.commons.io.FileUtils.deleteDirectory(dictStage)
+        merged.select("tb").distinct()
+          .collect().map(_.getInt(0)).toSet
+      } else Set.empty[Int]
+    touched.filterNot(mergedTbs.contains).foreach { tb =>
+      Seq(postingsPath, dictPath).foreach { p =>
+        val d = new java.io.File(p, s"tb=$tb")
+        if (d.isDirectory)
+          org.apache.commons.io.FileUtils.deleteDirectory(d)
+      }
+    }
+    // ---- docmap + totals: merge the touched doc buckets, minus docs
+    val dmStage = new java.io.File(root, "docmap_erase_stage")
+    s.read.parquet(docmapPath.getAbsolutePath)
+      .filter(col("db").isin(dbs.map(Integer.valueOf): _*))
+      .join(docIds.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select("doc_id", "dl", "tbs", "db")
+      .write.partitionBy("db").mode("overwrite")
+      .parquet(dmStage.getAbsolutePath)
+    val keptDbs =
+      if (stageHasRows(dmStage)) {
+        val dmMerged = s.read.parquet(dmStage.getAbsolutePath)
+        dmMerged.select("doc_id", "dl", "tbs", "db")
+          .write.partitionBy("db").mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .parquet(docmapPath.getAbsolutePath)
+        dmMerged.groupBy("db")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("dl")).as("t_tokens"))
+          .write.partitionBy("db").mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .parquet(new java.io.File(root, "totals").getAbsolutePath)
+        dmMerged.select("db").distinct()
+          .collect().map(_.getInt(0)).toSet
+      } else Set.empty[Int]
+    dbs.filterNot(keptDbs.contains).foreach { db =>
+      Seq(docmapPath.getAbsolutePath,
+        new java.io.File(root, "totals").getAbsolutePath).foreach { p =>
+        val d = new java.io.File(p, s"db=$db")
+        if (d.isDirectory)
+          org.apache.commons.io.FileUtils.deleteDirectory(d)
+      }
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(dmStage)
+    docmapHit.unpersist(false)
+    ()
+  }
+
+  /** The s32 erasure set: a ~1/7 slice of each corpus, EXCLUDING the
+    * serve paths' query ids so the request sets stay comparable
+    * before and after erasure. */
+  private def erasurePred(idCol: String) =
+    pmod(col(idCol), lit(7)) === 3 && col(idCol) >= NumQueries
+
+  /** Build-once memo for the s32 root quartet: (BM25 erased, BM25
+    * rebuilt-without-the-docs, IVF erased, IVF rebuilt-without — the
+    * IVF pair sharing one full-corpus-trained centroid set, the s25
+    * immutable-centroid contract). The erase legs build the FULL
+    * index first, then delete — and replay the delete a second time,
+    * which must be a no-op (Round14Spec pins it at file level). */
+  private val erasureCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      (String, String, String, String)]()
+
+  private[graft] def buildErasedIndexes(s: SparkSession, dir: String)
+      : (String, String, String, String) = {
+    erasureCache.entrySet().removeIf(e =>
+      e.getKey._1 != s.sparkContext.applicationId ||
+        !new java.io.File(e.getValue._1).isDirectory ||
+        !new java.io.File(e.getValue._2).isDirectory ||
+        !new java.io.File(e.getValue._3).isDirectory ||
+        !new java.io.File(e.getValue._4).isDirectory)
+    erasureCache.computeIfAbsent(
+      (s.sparkContext.applicationId, dir), _ => {
+        val tag = graft.core.Scratch.dirTag(dir)
+        def root(kind: String) = new java.io.File(
+          sys.props("java.io.tmpdir"),
+          s"graft_s32${kind}_${tag}_${s.sparkContext.applicationId}")
+        val docs = Relational.table(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val bmErased = root("bm")
+        val bmRef = root("bmref")
+        writeBm25Index(s, docs, bmErased)
+        val delDocs = docs.filter(erasurePred("doc_id"))
+          .select("doc_id")
+        deleteFromBm25Index(s, bmErased.getAbsolutePath, delDocs)
+        deleteFromBm25Index(s, bmErased.getAbsolutePath, delDocs) // replay
+        writeBm25Index(s, docs.filter(!erasurePred("doc_id")), bmRef)
+        val emb = Relational.table(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val cents = ivfCentroids(emb, IvfK, IvfIters, seed = 9000)
+        val ivfErased = root("ivf")
+        val ivfRef = root("ivfref")
+        writeIvfIndex(s, emb, cents, ivfErased)
+        val delVecs = emb.filter(erasurePred("vec_id"))
+          .select("vec_id")
+        deleteFromIvfIndex(s, ivfErased.getAbsolutePath, delVecs)
+        deleteFromIvfIndex(s, ivfErased.getAbsolutePath, delVecs) // replay
+        writeIvfIndex(s, emb.filter(!erasurePred("vec_id")), cents,
+          ivfRef)
+        (bmErased.getAbsolutePath, bmRef.getAbsolutePath,
+          ivfErased.getAbsolutePath, ivfRef.getAbsolutePath)
+      })
+  }
+
+  /** s32 — the lexical arm served from the ERASED BM25 index: every
+    * BM25 statistic (tf, df, dl, n_docs, t_tokens) must reflect
+    * exactly the surviving corpus, so the serve carries a DIRECT
+    * DuckDB oracle over `documents` minus the erased slice — the
+    * right-to-erasure proof a stored text index owes its operator
+    * (the deleted docs are gone from results AND from every
+    * normalizer they used to weight). */
+  def bm25Erased(s: SparkSession, dir: String): DataFrame =
+    hybridLexArmStoredAt(s, dir, buildErasedIndexes(s, dir)._1)
+      .orderBy("query_id", "lex_rank")
+
+  lazy val bm25ErasedSql: String = s"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      WHERE NOT (doc_id % 7 = 3 AND doc_id >= $NumQueries)),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM corpus),
+    qterms AS (
+      SELECT DISTINCT doc_id AS query_id,
+        unnest(string_split(text, ' ')) AS token FROM documents
+      WHERE doc_id < $NumQueries),
+    hits AS (
+      SELECT t.doc_id, t.token FROM toks t
+      WHERE t.token IN (SELECT DISTINCT token FROM qterms)),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM hits GROUP BY 1, 2),
+    dfreq AS (
+      SELECT token, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
+    dl AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM corpus),
+    tot AS (
+      SELECT count(*) AS n_docs,
+        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t_tokens
+      FROM corpus),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+        ((2*n_docs - 2*df + 1) * 1000) // (2*df + 1) AS idf_milli,
+        (22 * t_tokens * tf * 1000) //
+          (10 * t_tokens * tf + 3 * t_tokens + 9 * dl.dl * n_docs)
+          AS sat_milli
+      FROM tf JOIN dfreq USING (token) JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN tot)
+    SELECT query_id, doc_id, lex_rank FROM (
+      SELECT q.query_id, sc.doc_id,
+        row_number() OVER (PARTITION BY q.query_id
+          ORDER BY sum(sc.idf_milli * sc.sat_milli) DESC, sc.doc_id)
+          AS lex_rank
+      FROM scored sc JOIN qterms q USING (token)
+      WHERE sc.doc_id <> q.query_id
+      GROUP BY q.query_id, sc.doc_id)
+    WHERE lex_rank <= $HybridArmK
+    ORDER BY query_id, lex_rank"""
+
+  /** s32's structural contract beyond the direct oracle: (1) not one
+    * artifact row — IVF postings, idmap, BM25 postings, docmap —
+    * still references an erased id; (2) the erased IVF index serves
+    * bit-identically to a rebuild without the docs under the same
+    * centroid set (the s25 parity discipline); (3) the stored BM25
+    * totals match the surviving corpus exactly (DuckDB recomputes
+    * both numbers). */
+  def indexErasureInv(s: SparkSession, dir: String): DataFrame = {
+    val (bmErased, _, ivfErased, ivfRef) = buildErasedIndexes(s, dir)
+    def remnants(path: String, idCol: String): DataFrame =
+      s.read.parquet(path).filter(erasurePred(idCol))
+        .agg(count(lit(1)).as("n"))
+    val rem = remnants(new java.io.File(ivfErased, "postings")
+        .getAbsolutePath, "vec_id")
+      .unionByName(remnants(new java.io.File(ivfErased, "idmap")
+        .getAbsolutePath, "vec_id"))
+      .unionByName(remnants(new java.io.File(bmErased, "postings")
+        .getAbsolutePath, "doc_id"))
+      .unionByName(remnants(new java.io.File(bmErased, "docmap")
+        .getAbsolutePath, "doc_id"))
+      .agg(sum(col("n")).as("n_remnants"))
+    val servedE = serveIvf(s, ivfErased, dir)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    val servedR = serveIvf(s, ivfRef, dir)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    val union = servedE.join(servedR,
+        Seq("query_id", "neighbor_id", "rank"), "full_outer")
+      .agg(count(lit(1)).as("n_union"))
+    val both = servedE.join(servedR,
+        Seq("query_id", "neighbor_id", "rank"))
+      .agg(count(lit(1)).as("n_both"))
+    val totals = readBm25Totals(s, bmErased)
+    rem.crossJoin(union).crossJoin(both).crossJoin(totals)
+      .select((col("n_remnants") === 0).as("erased_everywhere"),
+        (col("n_union") === col("n_both")).as("ivf_serve_parity"),
+        col("n_docs"), col("t_tokens"))
+  }
+
+  val indexErasureInvSql: String = s"""
+    SELECT TRUE AS erased_everywhere, TRUE AS ivf_serve_parity,
+      (SELECT count(*) FROM documents
+        WHERE NOT (doc_id % 7 = 3 AND doc_id >= $NumQueries))
+        AS n_docs,
+      (SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        FROM documents
+        WHERE NOT (doc_id % 7 = 3 AND doc_id >= $NumQueries))
+        AS t_tokens"""
+
   // ------------------------------------------- int8 quantization
   /** Symmetric int8 quantization of the embedding column — the
     * standard 4× memory compression before an ANN index is built at
@@ -2441,6 +2807,9 @@ object Similarity {
       ("s31_ann_rebalanced", annRebalanced _, None),
       ("s31_rebalance_inv", annRebalancedInv _,
         Some(annRebalancedInvSql)),
+      ("s32_index_erasure", bm25Erased _, Some(bm25ErasedSql)),
+      ("s32_index_erasure_inv", indexErasureInv _,
+        Some(indexErasureInvSql)),
       ("s06_embedding_clusters", embeddingClusters _, None),
       ("s06_cluster_inv", clusterInv _, Some(clusterInvSql)),
       ("s10_ann_pq", annPq _, None),

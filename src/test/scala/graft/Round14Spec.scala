@@ -166,6 +166,122 @@ class Round14Spec extends SparkSpec {
       "wide must keep the user's order")
   }
 
+  // ---- s32 erasure: file-level rewrite scope + replay no-op
+  test("s32 IVF erasure: only the deleted ids' lists and idmap " +
+    "buckets are rewritten, an emptied list's dir is removed, and a " +
+    "replayed delete rewrites nothing at all") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_r14_erase_ivf").toFile
+    try {
+      val cents = Array(Array(1f, 0f), Array(0f, 1f))
+      val base = Seq(
+        (1L, Seq(1f, 0.01f)), (2L, Seq(1f, 0.02f)),
+        (3L, Seq(1f, 0.40f)), (4L, Seq(1f, 0.41f)),
+        (5L, Seq(1f, 0.42f)), (6L, Seq(1f, 0.03f)),
+        (7L, Seq(0.01f, 1f)), (8L, Seq(0.02f, 1f)))
+        .toDF("vec_id", "embedding")
+      queries.Similarity.writeIvfIndex(spark, base, cents, root)
+      def mtimes(sub: String): Map[String, Long] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(root, sub))
+          .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+      }
+      val cold = mtimes("postings/cid=1")
+      // delete two of cid=0's six vectors
+      queries.Similarity.deleteFromIvfIndex(spark,
+        root.getAbsolutePath, Seq(3L, 4L).toDF("vec_id"))
+      assert(mtimes("postings/cid=1") == cold,
+        "the untouched list's files must stay byte-identical")
+      val post = spark.read
+        .parquet(new java.io.File(root, "postings").getAbsolutePath)
+      assert(post.count() == 6 &&
+        post.filter(col("vec_id").isin(3L, 4L)).count() == 0)
+      val im = spark.read
+        .parquet(new java.io.File(root, "idmap").getAbsolutePath)
+      assert(im.count() == 6 &&
+        im.filter(col("vec_id").isin(3L, 4L)).count() == 0)
+      // replay: byte-identical everything (early-return no-op)
+      val all1 = mtimes("postings") ++ mtimes("idmap") ++
+        mtimes("centroids")
+      queries.Similarity.deleteFromIvfIndex(spark,
+        root.getAbsolutePath, Seq(3L, 4L).toDF("vec_id"))
+      assert(mtimes("postings") ++ mtimes("idmap") ++
+        mtimes("centroids") == all1,
+        "a replayed delete must rewrite nothing")
+      // empty a whole list: cid=1 loses both its vectors
+      queries.Similarity.deleteFromIvfIndex(spark,
+        root.getAbsolutePath, Seq(7L, 8L).toDF("vec_id"))
+      assert(!new java.io.File(root, "postings/cid=1").exists(),
+        "an emptied list's stale dir must be removed")
+      assert(spark.read.parquet(
+        new java.io.File(root, "postings").getAbsolutePath)
+        .count() == 4)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(root)
+    }
+  }
+
+  test("s32 BM25 erasure: untouched token buckets stay byte-" +
+    "identical, stats reflect only the survivors, replay is a no-op") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_r14_erase_bm").toFile
+    try {
+      val docs = Seq((1L, "a b"), (2L, "c d"), (3L, "a e"))
+        .toDF("doc_id", "text")
+      queries.Similarity.writeBm25Index(spark, docs, root)
+      def mtimes(sub: String): Map[String, Long] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+          else Seq(f)
+        walk(new java.io.File(root, sub))
+          .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+      }
+      // doc 2's token buckets, from the docmap (what the delete reads)
+      val doc2Tbs = spark.read
+        .parquet(new java.io.File(root, "docmap").getAbsolutePath)
+        .filter(col("doc_id") === 2L)
+        .select(explode(col("tbs"))).collect().map(_.getInt(0)).toSet
+      val untouched = new java.io.File(root, "postings").listFiles()
+        .filter(d => d.isDirectory &&
+          !doc2Tbs.contains(d.getName.stripPrefix("tb=").toInt))
+        .map(_.getName)
+      val before = untouched.map(n => n -> mtimes(s"postings/$n")).toMap
+      queries.Similarity.deleteFromBm25Index(spark,
+        root.getAbsolutePath, Seq(2L).toDF("doc_id"))
+      untouched.foreach { n =>
+        assert(mtimes(s"postings/$n") == before(n),
+          s"posting bucket $n holds no deleted doc and must be " +
+            "byte-identical")
+      }
+      val post = spark.read
+        .parquet(new java.io.File(root, "postings").getAbsolutePath)
+      assert(post.filter(col("doc_id") === 2L).count() == 0)
+      val totals = queries.Similarity
+        .readBm25Totals(spark, root.getAbsolutePath).collect().head
+      assert(totals.getLong(0) == 2 && totals.getLong(1) == 4,
+        s"totals must be survivors-only, got $totals")
+      // df of a token only doc 2 had must be gone from the dict
+      val dict = spark.read
+        .parquet(new java.io.File(root, "dict").getAbsolutePath)
+      assert(dict.filter(col("token").isin("c", "d")).count() == 0)
+      assert(dict.filter(col("token") === "a")
+        .collect().head.getAs[Long]("df") == 2)
+      // replay: byte-identical everything
+      val all1 = Seq("postings", "dict", "docmap", "totals")
+        .map(mtimes).reduce(_ ++ _)
+      queries.Similarity.deleteFromBm25Index(spark,
+        root.getAbsolutePath, Seq(2L).toDF("doc_id"))
+      assert(Seq("postings", "dict", "docmap", "totals")
+        .map(mtimes).reduce(_ ++ _) == all1,
+        "a replayed delete must rewrite nothing")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(root)
+    }
+  }
+
   // ---- BM25 no-null-text precondition: loud, not silent
   test("BM25 build and upsert reject null-text documents loudly " +
     "(a silent drop would diverge n_docs from an all-docs oracle)") {
