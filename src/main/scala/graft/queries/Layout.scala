@@ -403,7 +403,13 @@ object Layout {
         lit(baseV).as("v"))
     val log = (baseV + 1 to version)
       .map(v => v -> new java.io.File(root, s"deltas/v=$v"))
-      .filter(_._2.isDirectory)
+      // a delta dir without _SUCCESS is an unpublished OCC claim (a
+      // writer died between claiming the version id and publishing
+      // its files — see commitDeltaOcc): never a committed version,
+      // so readers skip it the way Delta readers skip an uncommitted
+      // transaction log entry
+      .filter { case (_, d) => d.isDirectory &&
+        new java.io.File(d, "_SUCCESS").exists() }
       .map { case (v, d) =>
         s.read.parquet(d.getAbsolutePath)
           .select(col("k"), col("cents"), col("op"), lit(v).as("v"))
@@ -588,11 +594,196 @@ object Layout {
         FROM v3)
     ORDER BY version"""
 
+  // ----------------- q47 optimistic concurrency for the version log
+  /** The newest COMMITTED version: the compaction horizon or any
+    * published (`_SUCCESS`-carrying) delta above it. Unpublished OCC
+    * claims don't count — they are invisible to readers too. */
+  private[graft] def currentVersion(s: SparkSession, root: String)
+      : Int = {
+    val (baseV, _) = ttMeta(s, root)
+    val dd = new java.io.File(root, "deltas")
+    val committed = Option(dd.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v=") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .map(_.getName.stripPrefix("v=").toInt)
+    (committed :+ baseV).max
+  }
+
+  /** q47's mechanism — OPTIMISTIC CONCURRENCY CONTROL for the version
+    * log (the Delta/Iceberg commit protocol on a filesystem): without
+    * it, two writers that both read version v and both write
+    * `deltas/v=<v+1>` silently lose one update. The protocol:
+    *  1. read the latest committed version; compute the delta FROM
+    *     that state (`deltaOf` receives it — read-modify-write
+    *     semantics rebase correctly on retry) and stage it;
+    *  2. CLAIM the next version id by atomic `mkdir` of the target
+    *     dir — the filesystem's create-if-absent, the commit point's
+    *     conditional PUT. Exactly one concurrent writer wins a slot;
+    *  3. the winner publishes by renaming the staged files in,
+    *     `_SUCCESS` LAST — readers ([[readOrdersAsOf]]) and
+    *     [[currentVersion]] ignore the claim until it appears;
+    *  4. a loser detects the conflict, WAITS for the claimant's
+    *     publish (or, past `claimWaitMs`, sweeps the dead claim of a
+    *     crashed writer and retries the same slot), then REBASES:
+    *     re-reads the new latest state, recomputes its delta, and
+    *     claims the next id. The serialized result equals the
+    *     sequential order of the commit claims — no lost update.
+    * Crash windows: die before the claim → nothing visible; after
+    * the claim, before `_SUCCESS` → an unpublished claim that readers
+    * skip and a later writer sweeps; after `_SUCCESS` → committed.
+    * Returns the committed version id.
+    *
+    * `beforeClaim(attempt, version)` / `beforePublish(version)` are
+    * coordination hooks: the gate uses a barrier to force a
+    * deterministic two-writer race, Round14Spec a throw to pin the
+    * unpublished-claim window. */
+  private[graft] def commitDeltaOcc(s: SparkSession, root: String,
+      writerId: String, deltaOf: DataFrame => DataFrame,
+      maxAttempts: Int = 5, claimWaitMs: Long = 30000,
+      beforeClaim: (Int, Int) => Unit = (_, _) => (),
+      beforePublish: Int => Unit = _ => ()): Int = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val latest = currentVersion(s, root)
+      val delta = deltaOf(readOrdersAsOf(s, root, latest))
+        .select(col("k"), col("cents"), col("op"))
+      val stage = new java.io.File(root, s"deltas_stage/$writerId")
+      if (stage.exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(stage)
+      delta.write.parquet(stage.getAbsolutePath)
+      val target = new java.io.File(root, s"deltas/v=${latest + 1}")
+      target.getParentFile.mkdirs()
+      beforeClaim(attempt, latest + 1)
+      if (target.mkdir()) {
+        beforePublish(latest + 1)
+        stage.listFiles().filter(_.getName != "_SUCCESS").foreach { f =>
+          require(f.renameTo(new java.io.File(target, f.getName)),
+            s"publish: moving ${f.getName} into $target failed")
+        }
+        require(new java.io.File(stage, "_SUCCESS")
+          .renameTo(new java.io.File(target, "_SUCCESS")),
+          s"publish: moving _SUCCESS into $target failed")
+        org.apache.commons.io.FileUtils.deleteDirectory(stage)
+        return latest + 1
+      }
+      // conflict — wait out the claimant, then rebase
+      val deadline = System.currentTimeMillis() + claimWaitMs
+      var resolved = false
+      while (!resolved) {
+        if (new java.io.File(target, "_SUCCESS").exists())
+          resolved = true // published: rebase onto it
+        else if (System.currentTimeMillis() > deadline) {
+          // a dead claim (crashed writer): sweep and retry the slot
+          org.apache.commons.io.FileUtils.deleteDirectory(target)
+          resolved = true
+        } else Thread.sleep(10)
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"writer $writerId: gave up after $maxAttempts OCC attempts")
+  }
+
+  private val occCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), String]()
+
+  /** Build-once memo for q47: the q45 fixture plus a DETERMINISTIC
+    * two-writer race — both writers stage from the same v3 snapshot
+    * and meet at a barrier immediately before the claim, so exactly
+    * one wins v4 and the other provably conflicts, rebases onto the
+    * winner's state, and commits v5. Writer effects are
+    * order-commutative BY CONSTRUCTION of the rebase (each recomputes
+    * from current state), so the final table is deterministic and
+    * directly oracle-checkable even though the winner is not. */
+  private[graft] def buildOccOrders(s: SparkSession, dir: String)
+      : String = {
+    occCache.entrySet().removeIf(e =>
+      e.getKey._1 != s.sparkContext.applicationId ||
+        !new java.io.File(e.getValue).isDirectory)
+    occCache.computeIfAbsent(
+      (s.sparkContext.applicationId, dir), _ => {
+        val tag = graft.core.Scratch.dirTag(dir)
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_q47_${tag}_${s.sparkContext.applicationId}")
+        writeVersionedOrders(s, dir, root)
+        val barrier = new java.util.concurrent.CyclicBarrier(2)
+        val meet: (Int, Int) => Unit = (attempt, _) =>
+          if (attempt == 0) {
+            barrier.await(60, java.util.concurrent.TimeUnit.SECONDS)
+            ()
+          }
+        // writer A: erase k%20==5 and bump k%20==7 by 100 (read-
+        // modify-write); writer B: bump k%20==7 by 3. A lost update
+        // would make the final bump 100 or 3 instead of 103.
+        def bump(state: DataFrame, by: Long): DataFrame =
+          state.filter(pmod(col("k"), lit(20)) === 7)
+            .select(col("k"), (col("cents") + by).as("cents"),
+              lit("U").as("op"))
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        try {
+          val fa = pool.submit(new java.util.concurrent.Callable[Int] {
+            def call(): Int = commitDeltaOcc(s, root.getAbsolutePath,
+              "A", st => st.filter(pmod(col("k"), lit(20)) === 5)
+                .select(col("k"), lit(0L).as("cents"),
+                  lit("D").as("op"))
+                .unionByName(bump(st, 100)), beforeClaim = meet)
+          })
+          val fb = pool.submit(new java.util.concurrent.Callable[Int] {
+            def call(): Int = commitDeltaOcc(s, root.getAbsolutePath,
+              "B", st => bump(st, 3), beforeClaim = meet)
+          })
+          val committed = Seq(fa.get(), fb.get()).sorted
+          require(committed == Seq(4, 5),
+            s"the race must commit exactly v4 and v5, got $committed")
+        } finally pool.shutdown()
+        root.getAbsolutePath
+      })
+  }
+
+  /** q47 — CONCURRENT COMMITS serialized by optimistic concurrency:
+    * two writers race from the same snapshot (barrier-pinned, so the
+    * conflict always happens); the loser rebases and both land. The
+    * final state must show BOTH effects composed — k%20==5 erased,
+    * k%20==7 bumped by exactly 103 — whichever writer won, and the
+    * log must hold exactly two new committed versions. All integer
+    * cents ⇒ DIRECT DuckDB oracle. */
+  def concurrentCommit(s: SparkSession, dir: String): DataFrame = {
+    val root = buildOccOrders(s, dir)
+    val latest = currentVersion(s, root)
+    readOrdersAsOf(s, root, latest)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("cents")).as("total_cents"))
+      .select(lit(latest).as("final_version"), col("n_rows"),
+        col("total_cents"))
+  }
+
+  val concurrentCommitSql: String = """
+    WITH o AS (
+      SELECT o_orderkey AS k,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+          AS cents
+      FROM orders),
+    v3 AS (
+      SELECT k, CASE WHEN k % 10 = 1 THEN cents + 12 ELSE cents END
+        AS cents
+      FROM o WHERE k % 10 <> 2
+      UNION ALL
+      SELECT k, cents + 1 AS cents FROM o WHERE k % 20 = 2),
+    final AS (
+      SELECT k,
+        CASE WHEN k % 20 = 7 THEN cents + 103 ELSE cents END AS cents
+      FROM v3 WHERE k % 20 <> 5)
+    SELECT 5 AS final_version, CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM final"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(("q22_zorder_layout", zorderLayout _, Some(zorderLayoutSql)),
       ("q23_range_shards", rangeShards _, Some(rangeShardsSql)),
       ("q44_zonemap_pruning", zonemapPruning _, Some(zonemapPruningSql)),
       ("q45_time_travel", timeTravel _, Some(timeTravelSql)),
       ("q46_time_travel_compacted", timeTravelCompacted _,
-        Some(timeTravelCompactedSql)))
+        Some(timeTravelCompactedSql)),
+      ("q47_concurrent_commit", concurrentCommit _,
+        Some(concurrentCommitSql)))
 }

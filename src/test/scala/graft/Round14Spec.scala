@@ -166,6 +166,63 @@ class Round14Spec extends SparkSpec {
       "wide must keep the user's order")
   }
 
+  // ---- q47 OCC: crash windows + serialization
+  test("q47 OCC: an unpublished claim is invisible to readers, a " +
+    "later writer sweeps it and commits; sequential read-modify-" +
+    "write commits compose with no lost update") {
+    import org.apache.spark.sql.DataFrame
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_r14_occ").toFile
+    try {
+      queries.Layout.writeVersionedOrders(spark, sfDir, root)
+      val rootP = root.getAbsolutePath
+      assert(queries.Layout.currentVersion(spark, rootP) == 3)
+      val v3 = queries.Layout.readOrdersAsOf(spark, rootP, 3)
+        .collect().map(_.toString).toSet
+      // crash AFTER the claim, BEFORE the publish
+      val boom = intercept[RuntimeException] {
+        queries.Layout.commitDeltaOcc(spark, rootP, "crasher",
+          st => st.filter(pmod(col("k"), lit(20)) === 9)
+            .select(col("k"), lit(0L).as("cents"), lit("D").as("op")),
+          beforePublish = _ => throw new RuntimeException("crash"))
+      }
+      assert(boom.getMessage == "crash")
+      assert(new java.io.File(root, "deltas/v=4").isDirectory &&
+        !new java.io.File(root, "deltas/v=4/_SUCCESS").exists())
+      // the dead claim is invisible: version still 3, reads intact
+      assert(queries.Layout.currentVersion(spark, rootP) == 3)
+      assert(queries.Layout.readOrdersAsOf(spark, rootP, 3)
+        .collect().map(_.toString).toSet == v3)
+      // a new writer sweeps the dead claim (claimWaitMs=0) and lands
+      def bump(by: Long)(st: DataFrame): DataFrame =
+        st.filter(pmod(col("k"), lit(20)) === 7)
+          .select(col("k"), (col("cents") + by).as("cents"),
+            lit("U").as("op"))
+      val v4 = queries.Layout.commitDeltaOcc(spark, rootP, "w1",
+        bump(100), claimWaitMs = 0)
+      assert(v4 == 4)
+      // read-modify-write sequential commit: +3 lands on TOP of +100
+      val v5 = queries.Layout.commitDeltaOcc(spark, rootP, "w2",
+        bump(3), claimWaitMs = 0)
+      assert(v5 == 5)
+      val base7 = queries.Layout.readOrdersAsOf(spark, rootP, 3)
+        .filter(pmod(col("k"), lit(20)) === 7)
+        .agg(sum("cents")).collect().head.getLong(0)
+      val fin7 = queries.Layout.readOrdersAsOf(spark, rootP, 5)
+        .filter(pmod(col("k"), lit(20)) === 7)
+        .agg(sum("cents")).collect().head.getLong(0)
+      val n7 = queries.Layout.readOrdersAsOf(spark, rootP, 3)
+        .filter(pmod(col("k"), lit(20)) === 7).count()
+      assert(fin7 == base7 + 103 * n7,
+        s"composed bump must be +103/row: base=$base7 fin=$fin7 n=$n7")
+      // historic reads unchanged by the new commits
+      assert(queries.Layout.readOrdersAsOf(spark, rootP, 3)
+        .collect().map(_.toString).toSet == v3)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(root)
+    }
+  }
+
   // ---- s32 erasure: file-level rewrite scope + replay no-op
   test("s32 IVF erasure: only the deleted ids' lists and idmap " +
     "buckets are rewritten, an emptied list's dir is removed, and a " +
