@@ -136,7 +136,7 @@ object Similarity {
   }
 
   // ------------------------------------------------------------ IVF
-  private val IvfK = 16
+  private[graft] val IvfK = 16
   private val IvfProbe = 4
   private val IvfIters = 2
   private val IvfTrainCap = 2000

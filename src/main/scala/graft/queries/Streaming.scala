@@ -1645,6 +1645,193 @@ $counts
   val annIngestInvSql: String =
     "SELECT TRUE AS parity_ok, TRUE AS no_dup, TRUE AS k_bounded"
 
+  // ------- st38 IVF rebalance UNDER the ingest stream
+  private val rebalIngestCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      String]()
+
+  /** Builds the st38 index once per (application, sf dir): the st32
+    * ingest pipeline with the s31 REBALANCE dropped into the middle
+    * of it — inside micro-batch 2's `foreachBatch`, before that
+    * batch's rows are applied, while the stream owns the index. The
+    * coordination story a real vector store needs (both ops rewrite
+    * postings/idmap dirs) falls out of the existing disciplines
+    * composed:
+    *  - rebalance and upsert never run concurrently — `foreachBatch`
+    *    serializes them on the stream's own thread;
+    *  - a REPLAY of the straddling batch (checkpoint lost after the
+    *    rebalance, batch re-delivered) must not re-run the rebalance:
+    *    an exactly-once marker (atomic mkdir, written right after the
+    *    centroid commit) guards it, so the replayed batch takes the
+    *    plain upsert path against the post-rebalance centroids — the
+    *    same path it originally took, hence row-identical (pinned by
+    *    st38's inv). The residual window — crash between the centroid
+    *    commit and the marker — re-runs the rebalance on re-delivery,
+    *    which SPLITS A SECOND LIST: never wrong or duplicated (the
+    *    s31 invariants hold after any number of splits), one list
+    *    smaller than strictly needed;
+    *  - a crash INSIDE the rebalance is s31's own crash story: the
+    *    next run rolls the interrupted commit forward (idmap buckets
+    *    first, centroid adoption last) before upserting.
+    * The builder also replays the straddling batch explicitly after
+    * the stream completes and snapshots postings+idmap before it, so
+    * the inv can pin row-identity. Returns the index root. */
+  private[graft] def buildRebalanceUnderIngest(s: SparkSession,
+      dir: String): String = {
+    rebalIngestCache.entrySet().removeIf(e =>
+      e.getKey._1 != s.sparkContext.applicationId ||
+        !new java.io.File(e.getValue).isDirectory)
+    rebalIngestCache.computeIfAbsent(
+      (s.sparkContext.applicationId, dir), _ => {
+        val baseDir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_st38_${dirTag(dir)}_${s.sparkContext.applicationId}")
+        if (baseDir.exists())
+          org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
+        val root = new java.io.File(baseDir, "index")
+        val emb = Relational.table(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        Similarity.writeIvfIndexTrained(s,
+          emb.filter(pmod(col("vec_id"), lit(5)) === 0), root)
+        val src = new java.io.File(stageEpochFiles(baseDir,
+          (1 until 5).map(i =>
+            i -> emb.filter(pmod(col("vec_id"), lit(5)) === i))))
+        val embSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("embedding",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType))))
+        val marker = new java.io.File(baseDir, "rebalanced_once")
+        val straddle = new java.io.File(baseDir, "straddling_batch")
+        val doBatch: (org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], Long) => Unit = (batch, id) => {
+          if (id == 2) {
+            if (!marker.exists()) {
+              Similarity.rebalanceIvfIndex(batch.sparkSession,
+                root.getAbsolutePath, splits = 1)
+              require(marker.mkdirs(),
+                s"st38: rebalance marker create failed at $marker")
+            }
+            // keep the straddling batch's rows for the explicit
+            // replay below (overwrite = replay-safe)
+            batch.select(col("vec_id"), col("embedding"))
+              .write.mode("overwrite")
+              .parquet(straddle.getAbsolutePath)
+          }
+          Similarity.upsertIvfIndex(batch.sparkSession,
+            root.getAbsolutePath,
+            batch.select(col("vec_id"), col("embedding")))
+        }
+        val q = s.readStream.schema(embSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(src.getAbsolutePath)
+          .writeStream
+          .foreachBatch(doBatch)
+          .option("checkpointLocation", s"$baseDir/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // snapshot, then REPLAY the straddling batch: the marker
+        // makes it take the plain upsert path, which must be
+        // row-identical (the inv compares against these snapshots)
+        s.read.parquet(new java.io.File(root, "postings")
+            .getAbsolutePath)
+          .select("vec_id", "embedding", "cid")
+          .write.mode("overwrite").parquet(
+            new java.io.File(baseDir, "postings_snapshot")
+              .getAbsolutePath)
+        s.read.parquet(new java.io.File(root, "idmap")
+            .getAbsolutePath)
+          .select("vec_id", "cid", "bucket")
+          .write.mode("overwrite").parquet(
+            new java.io.File(baseDir, "idmap_snapshot")
+              .getAbsolutePath)
+        Similarity.upsertIvfIndex(s, root.getAbsolutePath,
+          s.read.parquet(straddle.getAbsolutePath))
+        root.getAbsolutePath
+      })
+  }
+
+  /** st38 — the s31 REBALANCE run while the st32 ingest stream owns
+    * the index: maintenance and ingest both rewrite postings/idmap,
+    * so a real vector store must order them — here the stream's own
+    * `foreachBatch` serializes the rebalance between two committed
+    * micro-batches, an exactly-once marker keeps a replayed batch
+    * from re-splitting, and the straddling batch replays
+    * row-identically (see [[buildRebalanceUnderIngest]]). Serve of
+    * the final index; engine-specific ordering → rows-only,
+    * [[rebalanceUnderIngestInv]] ★ is the oracle companion. */
+  def rebalanceUnderIngest(s: SparkSession, dir: String): DataFrame =
+    Similarity.serveIvf(s, buildRebalanceUnderIngest(s, dir), dir)
+
+  /** st38's contract: the s31 flags on the final index (recall floor,
+    * no duplicate ids with full corpus coverage, idmap↔postings
+    * agreement, exactly one split) PLUS replay idempotence — the
+    * explicit post-stream replay of the straddling batch left
+    * postings and idmap row-identical to the pre-replay snapshots. */
+  def rebalanceUnderIngestInv(s: SparkSession, dir: String)
+      : DataFrame = {
+    val root = buildRebalanceUnderIngest(s, dir)
+    val baseDir = new java.io.File(root).getParentFile
+    val served = rebalanceUnderIngest(s, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = Similarity.annBruteForce(s, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val nHit = served.join(exact, Seq("query_id", "neighbor_id"),
+        "left_semi").agg(count(lit(1)).as("n_hit"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val postings = s.read
+      .parquet(new java.io.File(root, "postings").getAbsolutePath)
+    val dupes = postings.groupBy("vec_id").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum((col("c") > 1).cast("long")), lit(0L))
+        .as("n_dup"), count(lit(1)).as("n_ids"))
+    val corpus = Relational.table(s, dir, "embeddings")
+      .agg(count(lit(1)).as("n_corpus"))
+    val idmap = s.read
+      .parquet(new java.io.File(root, "idmap").getAbsolutePath)
+      .select(col("vec_id"), col("cid").as("map_cid"))
+    val mapChk = postings.select(col("vec_id"), col("cid"))
+      .join(idmap, Seq("vec_id"), "full_outer")
+      .agg(coalesce(sum((col("cid").isNull || col("map_cid").isNull ||
+        col("cid") =!= col("map_cid")).cast("long")), lit(0L))
+        .as("n_mismatch"))
+    val nLists = s.read
+      .parquet(new java.io.File(root, "centroids").getAbsolutePath)
+      .agg(count(lit(1)).as("n_cents"))
+    def setDelta(current: DataFrame, snapName: String,
+        keys: Seq[String], alias: String): DataFrame = {
+      val snap = s.read.parquet(
+        new java.io.File(baseDir, snapName).getAbsolutePath)
+      current.select(keys.map(col): _*)
+        .join(snap.select(keys.map(col): _*), keys, "full_outer")
+        .agg(count(lit(1)).as(s"${alias}_union"))
+        .crossJoin(current.select(keys.map(col): _*)
+          .join(snap.select(keys.map(col): _*), keys)
+          .agg(count(lit(1)).as(s"${alias}_both")))
+    }
+    val postDelta = setDelta(postings, "postings_snapshot",
+      Seq("vec_id", "cid"), "p")
+    val mapDelta = setDelta(s.read.parquet(
+        new java.io.File(root, "idmap").getAbsolutePath),
+      "idmap_snapshot", Seq("vec_id", "cid", "bucket"), "m")
+    nHit.crossJoin(nExact).crossJoin(dupes).crossJoin(corpus)
+      .crossJoin(mapChk).crossJoin(nLists)
+      .crossJoin(postDelta).crossJoin(mapDelta)
+      .select(
+        (col("n_hit") * 10 >= col("n_exact") * 3).as("recall_ok"),
+        (col("n_dup") === 0 && col("n_ids") === col("n_corpus"))
+          .as("no_dup"),
+        (col("n_mismatch") === 0).as("idmap_consistent"),
+        (col("n_cents") === Similarity.IvfK + 1).as("split_done"),
+        (col("p_union") === col("p_both") &&
+          col("m_union") === col("m_both")).as("replay_idempotent"))
+  }
+
+  val rebalanceUnderIngestInvSql: String =
+    "SELECT TRUE AS recall_ok, TRUE AS no_dup, " +
+      "TRUE AS idmap_consistent, TRUE AS split_done, " +
+      "TRUE AS replay_idempotent"
+
   // ---- st33 streamed fuzzy decontamination (t42 as the ingest gate)
   private val deconSrcCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String), String]()
@@ -2404,5 +2591,8 @@ $counts
         Some(Curation.retractableMvSql)),
       ("st37_analyze_streamed", analyzeStreamed _,
         Some(analyzeStreamedSql)),
+      ("st38_rebalance_under_ingest", rebalanceUnderIngest _, None),
+      ("st38_rebalance_ingest_inv", rebalanceUnderIngestInv _,
+        Some(rebalanceUnderIngestInvSql)),
     )
 }
