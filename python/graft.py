@@ -448,3 +448,53 @@ def mutate_data_frame(df, spec):
         for c in cols:
             out = m._apply(out, c, p)
     return out
+
+
+# --------------------------------------------------------------------
+# Layer B: the engine's data-curation / retrieval operators.
+#
+# The reference's audience is Python-first; these expose the engine's
+# flagship LLM-pipeline operators to that audience. Every function is
+# CONFIG-ONLY — a gate-query key plus an sf-layout table directory
+# (``<dir>/documents.parquet`` etc.), no Python callables — so nothing
+# crosses py4j per row and the returned DataFrame is the same fused
+# JVM plan the Scala gate runs (scripts/py_layerb_test.py pins
+# byte-parity against the Scala dumps).
+
+
+def run_query(spark, name, table_dir):
+    """Run any gate query by its ``SparkEntry.queries`` key."""
+    return DataFrame(_jvm(spark).runQuery(spark._jsparkSession, name,
+                                          table_dir), spark)
+
+
+def dedup_exact(spark, table_dir):
+    """Exact duplicate groups over ``documents`` (hash group-by)."""
+    return run_query(spark, "d01_dedup_exact", table_dir)
+
+
+def dedup_minhash_lsh(spark, table_dir):
+    """MinHash+LSH near-duplicate pairs over ``documents`` (banded,
+    never all-pairs)."""
+    return run_query(spark, "d02_dedup_minhash_lsh", table_dir)
+
+
+def token_count(spark, table_dir):
+    """Per-document token statistics over ``documents``."""
+    return run_query(spark, "t01_token_count", table_dir)
+
+
+def quality_score(spark, table_dir):
+    """Length/punctuation/stopword quality scores over ``documents``."""
+    return run_query(spark, "t02_quality_score", table_dir)
+
+
+def bm25_topk(spark, table_dir):
+    """Integer-BM25 top-k lexical retrieval over ``documents``."""
+    return run_query(spark, "t19_bm25_topk", table_dir)
+
+
+def hybrid_stored(spark, table_dir):
+    """Hybrid (BM25 + ANN, RRF-fused) retrieval served from the
+    STORED indexes (builds them on first call per session)."""
+    return run_query(spark, "s29_hybrid_stored", table_dir)

@@ -280,7 +280,15 @@ object Bench {
     }
 
     // stop Spark BEFORE the JSON lines so no executor-shutdown noise
-    // lands after them — the compact JSON must be the last stdout line
+    // lands after them — the compact JSON must be the last stdout line.
+    // That alone was not enough in r13: a maintenance-thread WARN
+    // (StateStore) fired from a JVM shutdown hook AFTER the last
+    // println and broke the driver's tail parse — so force every
+    // logger silent first (shutdown hooks run with the root logger's
+    // level; OFF means nothing can land after our line).
+    spark.sparkContext.setLogLevel("OFF")
+    org.apache.logging.log4j.core.config.Configurator.setRootLevel(
+      org.apache.logging.log4j.Level.OFF)
     spark.stop()
     System.out.flush()
     println(json)

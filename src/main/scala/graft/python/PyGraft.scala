@@ -193,4 +193,21 @@ object PyGraft {
     }
     MutateDataFrame(df, spec)
   }
+
+  // ----------------------------------------- Layer B (config-only ops)
+  /** Layer B bridge for the Python wrapper: run a gate query by its
+    * `SparkEntry.queries` key against an sf-layout table directory.
+    * Config-only, no Python callables cross py4j — the returned
+    * handle is a plain DataFrame the Python side wraps. The named
+    * python functions (`graft.dedup_exact`, `graft.bm25_topk`, …)
+    * are the user surface; this is their one transport. Unknown keys
+    * fail loudly with the full key list kept out of the message
+    * (600+ entries). */
+  def runQuery(spark: SparkSession, name: String, dir: String)
+      : DataFrame =
+    graft.SparkEntry.queries.get(name) match {
+      case Some(fn) => fn(spark, dir)
+      case None => throw new IllegalArgumentException(
+        s"unknown gate query '$name' — see SparkEntry.queries")
+    }
 }
