@@ -129,6 +129,30 @@ object Dedup {
   /** Signature-estimated Jaccard (|equal positions| / k) as a pure
     * expression — the d02 arithmetic, shared with st31's cross-epoch
     * batch join so handoff pairs carry bit-identical estimates. */
+  /** Batch LSH candidate pairs over an ARBITRARY (doc_id, text)
+    * frame — the d02 plan's core factored for callers that need the
+    * batch answer over a MODIFIED corpus: st39 compares the streamed
+    * index's post-erasure behavior against exactly this computed over
+    * corpus-minus-the-purged-docs. Same signatures, same band keys,
+    * same estimate arithmetic, same threshold as d02. */
+  private[queries] def lshPairsOf(docs: DataFrame): DataFrame = {
+    val sigs = docs.select(col("doc_id"),
+      graft.expr.MinHashSignature.minhashSignature(col("text"),
+        MinhashK).as("sig"))
+    val buckets = sigs.select(col("doc_id"), col("sig"),
+      explode(array(bandStructs: _*)).as("bb"))
+    val a = buckets.select(col("bb"), col("doc_id").as("a"),
+      col("sig").as("sig_a"))
+    val b = buckets.select(col("bb"), col("doc_id").as("b"),
+      col("sig").as("sig_b"))
+    a.join(b, Seq("bb")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sig_a"), col("sig_b"))
+      .dropDuplicates("a", "b")
+      .select(col("a"), col("b"),
+        estJaccardCol(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+  }
+
   private[queries] def estJaccardCol(sigA: org.apache.spark.sql.Column,
       sigB: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     (size(zip_with(sigA, sigB,

@@ -1241,13 +1241,17 @@ $counts
     * conf (RocksDB provider, changelog checkpointing, small shuffle
     * width) is applied for the run and restored after. */
   private[graft] def runLshEpoch(s: SparkSession, src: String,
-      outPath: String, ckptPath: String): Unit = {
+      outPath: String, ckptPath: String,
+      hasOps: Boolean = false): Unit = {
     import s.implicits._
     val docSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("text",
-        org.apache.spark.sql.types.StringType)))
+        org.apache.spark.sql.types.StringType)) ++
+      (if (hasOps) Seq(org.apache.spark.sql.types.StructField("op",
+        org.apache.spark.sql.types.StringType))
+      else Seq.empty))
     val overrides = Seq(
       "spark.sql.streaming.stateStore.providerClass" ->
         ("org.apache.spark.sql.execution.streaming.state." +
@@ -1260,14 +1264,15 @@ $counts
     try {
       val stream = s.readStream.schema(docSchema)
         .option("maxFilesPerTrigger", "1").parquet(src)
+      val opCol = if (hasOps) col("op") else lit("I")
       val banded = stream
         .select(col("doc_id"),
           graft.expr.MinHashSignature.minhashSignature(col("text"),
-            Dedup.MinhashK).as("sig"))
-        .select(col("doc_id"), col("sig"),
+            Dedup.MinhashK).as("sig"), opCol.as("op"))
+        .select(col("doc_id"), col("sig"), col("op"),
           explode(array(Dedup.bandStructs: _*)).as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"),
-          col("bb.bh").as("bh"), col("sig"))
+          col("bb.bh").as("bh"), col("sig"), col("op"))
         .as[EventStreams.BandedDoc]
       val q = EventStreams.lshDedupStream(banded).toDF()
         .writeStream.format("parquet")
@@ -1831,6 +1836,148 @@ $counts
     "SELECT TRUE AS recall_ok, TRUE AS no_dup, " +
       "TRUE AS idmap_consistent, TRUE AS split_done, " +
       "TRUE AS replay_idempotent"
+
+  // ------- st39 right-to-erasure inside the streamed LSH index state
+  private val lshErasureCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      String]()
+
+  /** Builds the st39 artifact tree once per (application, sf dir):
+    * the st30 stream with a TOMBSTONE epoch in the middle. Arrival
+    * order (doc_id mod 7 slices): ingest 0,1,2 → tombstones for ALL
+    * of slice 2 (op="D", banded exactly like inserts so each reaches
+    * precisely the buckets holding its id) → ingest 3,4,5,6. The
+    * planted near-dup pairs connect ADJACENT slices (ids differ by
+    * 1e6 ≡ 1 mod 7 — the st31 observation), so the (2,3) plants are
+    * exactly the pairs the purge must SUPPRESS: slice 3 arrives only
+    * after the tombstones, and an index that failed to forget would
+    * emit them. Returns the base dir (`out` sink + `ckpt` state). */
+  private[graft] def buildLshErasure(s: SparkSession, dir: String)
+      : String = {
+    lshErasureCache.entrySet().removeIf(e =>
+      e.getKey._1 != s.sparkContext.applicationId ||
+        !new java.io.File(e.getValue).isDirectory)
+    lshErasureCache.computeIfAbsent(
+      (s.sparkContext.applicationId, dir), _ => {
+        val baseDir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_st39_${dirTag(dir)}_${s.sparkContext.applicationId}")
+        if (baseDir.exists())
+          org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
+        val reps = Dedup.nearDupReps(s, dir)
+        def slice(i: Int, op: String): DataFrame =
+          reps.filter(pmod(col("doc_id"), lit(7)) === i)
+            .select(col("doc_id"), col("text"), lit(op).as("op"))
+        val src = stageEpochFiles(baseDir, Seq(
+          0 -> slice(0, "I"), 1 -> slice(1, "I"), 2 -> slice(2, "I"),
+          3 -> slice(2, "D"),
+          4 -> slice(3, "I"), 5 -> slice(4, "I"), 6 -> slice(5, "I"),
+          7 -> slice(6, "I")))
+        runLshEpoch(s, src, s"${baseDir.getAbsolutePath}/out",
+          s"${baseDir.getAbsolutePath}/ckpt", hasOps = true)
+        baseDir.getAbsolutePath
+      })
+  }
+
+  /** st39 — RIGHT-TO-ERASURE inside the streamed LSH dedup index
+    * (closing the s32 story's last artifact: c13 purges the fact
+    * tables, s32 the stored IVF/BM25 indexes — this purges the
+    * STREAMING STATE, the index that never stops running). A
+    * tombstone event is banded like an insert and each bucket's
+    * processor rewrites its (small) signature list without the id —
+    * so pairs already emitted are sink history, but the purged doc
+    * can never participate in a FUTURE candidate pair, and a replayed
+    * tombstone batch is a no-op. Signature values engine-specific →
+    * rows-only; [[lshStateErasureInv]] ★ pins the contract. */
+  def lshStateErasure(s: SparkSession, dir: String): DataFrame = {
+    val base = buildLshErasure(s, dir)
+    s.read.parquet(s"$base/out")
+      .filter(col("est_jaccard") >= 0.5)
+      .dropDuplicates("a", "b")
+      .select(col("a"), col("b"), col("est_jaccard"))
+      .orderBy("a", "b")
+  }
+
+  /** st39's contract, each leg nonvacuous by construction:
+    *  1. `pre_purge_participation` — the purged slice DID emit pairs
+    *     before its tombstones (the delete removed something);
+    *  2. `suppressed_nonempty` — the full-corpus batch answer
+    *     CONTAINS (slice2, slice3) pairs, i.e. the purge had real
+    *     future pairs to suppress;
+    *  3. `no_future_pairs` — the stream emitted none of them (nor
+    *     any other purged×post-purge pair);
+    *  4. `state_forgot` — the final state store holds no purged id
+    *     in any bucket list (read back through the state data
+    *     source, the st31 export path);
+    *  5. `survivor_parity` — every pair with a post-purge member
+    *     equals the batch answer over corpus-minus-the-purged-slice,
+    *     value for value: the index serves survivors as if the
+    *     purged docs never existed. */
+  def lshStateErasureInv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = buildLshErasure(s, dir)
+    val streamed = lshStateErasure(s, dir)
+    def m7(c: String) = pmod(col(c), lit(7))
+    val isErased = (c: String) => m7(c) === 2
+    val isPost = (c: String) => m7(c) >= 3
+    val prePart = streamed
+      .filter(isErased("a") || isErased("b"))
+      .agg(count(lit(1)).as("n_pre"))
+    val future = streamed
+      .filter((isErased("a") && isPost("b")) ||
+        (isErased("b") && isPost("a")))
+      .agg(count(lit(1)).as("n_future"))
+    val reps = Dedup.nearDupReps(s, dir)
+    val suppressed = Dedup.lshPairsOf(reps)
+      .filter((isErased("a") && m7("b") === 3) ||
+        (isErased("b") && m7("a") === 3))
+      .agg(count(lit(1)).as("n_suppressed"))
+    val cols = Seq("a", "b", "est_jaccard")
+    val sPost = streamed.filter(isPost("a") || isPost("b"))
+    val bPost = Dedup.lshPairsOf(
+        reps.filter(pmod(col("doc_id"), lit(7)) =!= 2))
+      .filter(isPost("a") || isPost("b"))
+    val parity = sPost.join(bPost, cols, "full_outer")
+      .agg(count(lit(1)).as("n_union"))
+      .crossJoin(sPost.join(bPost, cols)
+        .agg(count(lit(1)).as("n_both")))
+    // final state via the state data source (st31's export path)
+    val overrides = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        ("org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider"))
+    val prevs = overrides.map { case (k, _) => k -> s.conf.getOption(k) }
+    overrides.foreach { case (k, v) => s.conf.set(k, v) }
+    val nErasedInState = try {
+      s.read.format("statestore")
+        .option("path", s"$base/ckpt")
+        .option("stateVarName", "docs")
+        .load()
+        .select(col("list_element.value").as("bytes"))
+        .as[Array[Byte]]
+        .map(bytes => graft.streaming.EventStreams
+          .SigEntryCodec.decode(bytes)._1)
+        .filter(id => id % 7 == 2)
+        .count()
+    } finally {
+      prevs.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }
+    prePart.crossJoin(future).crossJoin(suppressed).crossJoin(parity)
+      .select(
+        (col("n_pre") > 0).as("pre_purge_participation"),
+        (col("n_suppressed") > 0).as("suppressed_nonempty"),
+        (col("n_future") === 0).as("no_future_pairs"),
+        lit(nErasedInState == 0).as("state_forgot"),
+        (col("n_union") === col("n_both") && col("n_both") > 0)
+          .as("survivor_parity"))
+  }
+
+  val lshStateErasureInvSql: String =
+    "SELECT TRUE AS pre_purge_participation, " +
+      "TRUE AS suppressed_nonempty, TRUE AS no_future_pairs, " +
+      "TRUE AS state_forgot, TRUE AS survivor_parity"
 
   // ---- st33 streamed fuzzy decontamination (t42 as the ingest gate)
   private val deconSrcCache = new java.util.concurrent.ConcurrentHashMap[
@@ -2594,5 +2741,8 @@ $counts
       ("st38_rebalance_under_ingest", rebalanceUnderIngest _, None),
       ("st38_rebalance_ingest_inv", rebalanceUnderIngestInv _,
         Some(rebalanceUnderIngestInvSql)),
+      ("st39_state_erasure", lshStateErasure _, None),
+      ("st39_erasure_inv", lshStateErasureInv _,
+        Some(lshStateErasureInvSql)),
     )
 }

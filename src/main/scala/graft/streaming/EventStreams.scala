@@ -856,8 +856,14 @@ object EventStreams {
 
   /** A document's membership row in one LSH band bucket: the stream
     * key is (band, bh); `sig` rides along so the matcher can estimate
-    * Jaccard against stored signatures without any side lookup. */
-  case class BandedDoc(doc_id: Long, band: Int, bh: Int, sig: Array[Long])
+    * Jaccard against stored signatures without any side lookup.
+    * `op` is "I" (ingest) or "D" (tombstone — the right-to-erasure
+    * event, banded exactly like an insert so it reaches precisely the
+    * buckets that hold the doc; the purge request carries the doc
+    * payload, which is how the bands are known — a payload-less purge
+    * would need an id→buckets sidecar, the s24 idmap pattern). */
+  case class BandedDoc(doc_id: Long, band: Int, bh: Int,
+      sig: Array[Long], op: String)
 
   /** One emitted candidate: an unordered doc pair sharing a band
     * bucket, with the signature-estimated Jaccard (|equal positions| /
@@ -971,13 +977,33 @@ object EventStreams {
       // in-batch arrival order pinned by doc_id — emitted pairs are
       // unordered (min, max) so the SET is order-independent anyway
       rows.toSeq.sortBy(_.doc_id).foreach { d =>
-        stored.foreach { case (pid, psig) =>
-          if (pid != d.doc_id)
-            out += CandPair(math.min(pid, d.doc_id),
-              math.max(pid, d.doc_id), estJaccard(psig, d.sig))
+        if (d.op == "D") {
+          // tombstone: forget this id's entry. ListState has no
+          // point-delete, so rewrite the (small — that's LSH's job)
+          // list without it; an id not present is a no-op, which
+          // makes a replayed tombstone batch idempotent. Pairs this
+          // doc emitted BEFORE the purge are sink history; the state
+          // purge guarantees it can never appear in a FUTURE pair —
+          // the erasure contract an index owes (st39 pins it).
+          val n0 = stored.length
+          val kept = stored.filterNot(_._1 == d.doc_id)
+          if (kept.length != n0) {
+            stored.clear()
+            stored ++= kept
+            docs.clear()
+            kept.foreach { case (id, sg) =>
+              docs.appendValue(SigEntryCodec.encode(id, sg))
+            }
+          }
+        } else {
+          stored.foreach { case (pid, psig) =>
+            if (pid != d.doc_id)
+              out += CandPair(math.min(pid, d.doc_id),
+                math.max(pid, d.doc_id), estJaccard(psig, d.sig))
+          }
+          stored += ((d.doc_id, d.sig))
+          docs.appendValue(SigEntryCodec.encode(d.doc_id, d.sig))
         }
-        stored += ((d.doc_id, d.sig))
-        docs.appendValue(SigEntryCodec.encode(d.doc_id, d.sig))
       }
       out.iterator
     }

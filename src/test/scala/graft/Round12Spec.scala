@@ -456,7 +456,7 @@ class Round12Spec extends SparkSpec {
           val banded = spark.readStream.schema(schema)
             .parquet(src.getAbsolutePath)
             .select(col("doc_id"), lit(0).as("band"), lit(0).as("bh"),
-              col("sig"))
+              col("sig"), lit("I").as("op"))
             .as[EventStreams.BandedDoc]
           val matched =
             if (legacy)

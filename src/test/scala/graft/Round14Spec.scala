@@ -339,6 +339,84 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  // ---- st39: tombstone semantics at the matcher level
+  test("st39 tombstones: a tombstone for an absent id is a no-op, a " +
+    "present id is forgotten, and a REPLAYED tombstone converges — " +
+    "future arrivals pair only with survivors") {
+    import spark.implicits._
+    import graft.streaming.EventStreams
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_r14_tomb").toFile
+    try {
+      val src = new java.io.File(base, "src"); src.mkdirs()
+      def writeEpoch(name: String, rows: Seq[(Long, String)],
+          mtime: Long): Unit = {
+        val stage = new java.io.File(base, s"stage_$name")
+        rows.map { case (i, op) => (i, Array.fill(4)(i), op) }
+          .toDF("doc_id", "sig", "op")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(stage.getAbsolutePath)
+        val part = stage.listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(src, s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(mtime)
+        org.apache.commons.io.FileUtils.deleteDirectory(stage)
+      }
+      // e0: ingest 1,2 — e1: tombstone 2, tombstone 99 (absent),
+      // tombstone 2 AGAIN (replay in the same shard) — e2: ingest 3
+      writeEpoch("e0", Seq(1L -> "I", 2L -> "I"), 1700000000000L)
+      writeEpoch("e1", Seq(2L -> "D", 99L -> "D", 2L -> "D"),
+        1700000060000L)
+      writeEpoch("e2", Seq(3L -> "I"), 1700000120000L)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sig",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)),
+        org.apache.spark.sql.types.StructField("op",
+          org.apache.spark.sql.types.StringType)))
+      val prev = spark.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      try {
+        val banded = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(src.getAbsolutePath)
+          .select(col("doc_id"), lit(0).as("band"), lit(0).as("bh"),
+            col("sig"), col("op"))
+          .as[EventStreams.BandedDoc]
+        val q = EventStreams.lshDedupStream(banded).toDF()
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(
+            org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", v)
+          case None => spark.conf.unset(
+            "spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+      val pairs = spark.read.parquet(s"$base/out")
+        .select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // e0 emits (1,2); e2's doc 3 pairs ONLY with survivor 1 —
+      // (2,3) must be absent (2 was purged) and 99 never existed
+      assert(pairs == Set((1L, 2L), (1L, 3L)),
+        s"got $pairs — tombstone must suppress (2,3) only")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(base)
+    }
+  }
+
   // ---- BM25 no-null-text precondition: loud, not silent
   test("BM25 build and upsert reject null-text documents loudly " +
     "(a silent drop would diverge n_docs from an all-docs oracle)") {
