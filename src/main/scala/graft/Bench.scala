@@ -172,6 +172,15 @@ object Bench {
       "sk08_cbo_sketch", "s25_ann_upsert", "st31_epoch_handoff",
       "sk09_selectivity", "st32_ann_ingest_streamed",
       "t41_lm_perplexity",
+      // round-13/14 flagships — early so the enforced line budget
+      // never truncates them
+      "sk11_cbo_planner", "sk12_cbo_applied", "s29_hybrid_stored",
+      "s30_bm25_upserted", "s31_ann_rebalanced", "s32_index_erasure",
+      "q45_time_travel", "q46_time_travel_compacted",
+      "q47_concurrent_commit", "c16_retractable_mv",
+      "st35_bm25_ingest_streamed", "st36_retract_mv_streamed",
+      "st37_analyze_streamed", "st38_rebalance_under_ingest",
+      "st39_state_erasure", "a03_bench_generate_mutate_100m",
       // round-12 extension flagships
       "s26_hybrid_rrf", "s27_ann_filtered", "gr11_label_propagation",
       "gr12_modularity", "t42_fuzzy_decontaminate", "st33_decon_streamed",
