@@ -23,18 +23,49 @@ import org.apache.spark.sql.types.BinaryType
   * read from its metastore. */
 object CboCatalog {
 
-  /** One analyzed table: exact count + per-column sketch states. */
+  /** One analyzed table: exact count + per-column sketch states +
+    * the file-listing fingerprint of the table AS ANALYZED. An empty
+    * fingerprint disables the staleness check (not recommended —
+    * stale statistics are the classic CBO failure mode; sk13 pins
+    * the guard). */
   case class TableStats(
       table: String,
       n: Long,
       kmv: Map[String, Array[Long]],
-      gk: Map[String, Array[Byte]])
+      gk: Map[String, Array[Byte]],
+      fingerprint: String = "")
+
+  /** Content fingerprint of a table directory: the sorted
+    * (file name, length) listing of its data files, hashed. Any
+    * append, rewrite, or compaction since ANALYZE changes it, which
+    * [[CboReorder]] treats as "stats unknown" — the optimizer must
+    * never plan from numbers the table has outgrown (correctness is
+    * never at stake, only plan quality, but a confidently-wrong
+    * broadcast of a table that has since grown 100× is exactly the
+    * production incident this guard exists for). On a real metastore
+    * this is the table's snapshot/commit id; on a filesystem the
+    * listing is the next best commit marker. */
+  def fingerprintOf(path: String): String = {
+    val root = new java.io.File(path)
+    // a table can be a single parquet file or a directory of parts —
+    // fingerprint (name, length, mtime) either way
+    val files =
+      if (root.isFile)
+        Array(s"${root.getName}:${root.length()}:${root.lastModified()}")
+      else Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+        .map(f => s"${f.getName}:${f.length()}:${f.lastModified()}")
+        .sorted
+    java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.arrayHash(files).toLong)
+  }
 
   private val byPath = new ConcurrentHashMap[String, TableStats]()
 
   /** Scheme-insensitive path key: `file:/x/y` and `/x/y` are the
     * same table. */
-  private def norm(path: String): String =
+  private[plans] def norm(path: String): String =
     (try {
       Option(new java.net.URI(path).getPath).getOrElse(path)
     } catch { case _: java.net.URISyntaxException => path })
@@ -199,9 +230,17 @@ object CboReorder extends Rule[LogicalPlan] with PredicateHelper {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation =>
           fs.location.rootPaths.toSeq match {
-            case Seq(single) => lookup(single.toString).map { st =>
-              Leg(p, st, st.n * selectivity(st, conds))
-            }
+            case Seq(single) =>
+              lookup(single.toString)
+                // staleness guard: a catalog entry whose fingerprint
+                // no longer matches the table's current files is NOT
+                // stats — the rule goes inert for this tree rather
+                // than plan from numbers the table has outgrown
+                // (sk13 pins fire → stale-skip → re-analyze → fire)
+                .filter(st => st.fingerprint.isEmpty ||
+                  st.fingerprint == CboCatalog.fingerprintOf(
+                    CboCatalog.norm(single.toString)))
+                .map(st => Leg(p, st, st.n * selectivity(st, conds)))
             case _ => None
           }
         case _ => None

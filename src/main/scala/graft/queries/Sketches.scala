@@ -1558,14 +1558,21 @@ object Sketches {
         val statsPath = new java.io.File(sys.props("java.io.tmpdir"),
           s"graft_sk12_${tag}_${s.sparkContext.applicationId}")
           .getAbsolutePath
-        // one scan per table → one row per (table, column, artifact)
+        // one scan per table → one row per (table, column, artifact).
+        // Each row also records the table's file-listing fingerprint
+        // AT ANALYZE TIME — the staleness marker CboReorder checks
+        // before trusting the entry (sk13).
+        def fp(tbl: String): org.apache.spark.sql.Column =
+          lit(graft.plans.CboCatalog.fingerprintOf(
+            s"$dir/$tbl.parquet")).as("fp")
         Relational.table(s, dir, "customer")
           .agg(count(lit(1)).as("n"),
             kmvSketch(xxhash64(col("c_custkey")), JoinK).as("k1"))
           .select(lit("customer").as("tbl"), col("n"),
             array(struct(lit("c_custkey").as("col"), col("k1").as("sk")))
               .as("kmv"),
-            array().cast("array<struct<col:string,gk:binary>>").as("gk"))
+            array().cast("array<struct<col:string,gk:binary>>").as("gk"),
+            fp("customer"))
           .unionByName(Relational.table(s, dir, "orders")
             .agg(count(lit(1)).as("n"),
               kmvSketch(xxhash64(col("o_custkey")), JoinK).as("k1"),
@@ -1576,7 +1583,7 @@ object Sketches {
                 struct(lit("o_orderkey").as("col"), col("k2").as("sk")))
                 .as("kmv"),
               array().cast("array<struct<col:string,gk:binary>>")
-                .as("gk")))
+                .as("gk"), fp("orders")))
           .unionByName(Relational.table(s, dir, "lineitem")
             .agg(count(lit(1)).as("n"),
               kmvSketch(xxhash64(col("l_orderkey")), JoinK).as("k1"),
@@ -1586,7 +1593,7 @@ object Sketches {
               array(struct(lit("l_orderkey").as("col"),
                 col("k1").as("sk"))).as("kmv"),
               array(struct(lit("l_extendedprice").as("col"),
-                col("g1").as("gk"))).as("gk")))
+                col("g1").as("gk"))).as("gk"), fp("lineitem")))
           .write.mode("overwrite").parquet(statsPath)
         statsPath
       })
@@ -1611,7 +1618,7 @@ object Sketches {
         .toMap
       graft.plans.CboCatalog.register(s"$dir/$tbl.parquet",
         graft.plans.CboCatalog.TableStats(tbl, r.getLong(1),
-          kmv, gk))
+          kmv, gk, r.getString(4)))
     }
 
   /** One sk12 output row. 30 columns — beyond what the case-class
@@ -1838,6 +1845,168 @@ object Sketches {
         col("order_audit"), col("strategy_audit"),
         col("ruleoff_audit"), col("decision_matches_exact"))
 
+  // --------------- sk13: the staleness guard — expired stats don't plan
+  private val cboScratchCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  /** sk13's fixture: the three join tables copied into a scratch
+    * layout as DIRECTORY tables (so the gate can append a data file
+    * — the stock single-file tables are read-only). The copy is
+    * byte-identical, so every exact replay equals the stock tables'
+    * answer; the rows sk13 later appends are constructed inert
+    * (non-joining key, out-of-range predicate column) so that stays
+    * true across the whole fire → stale → re-analyze arc. */
+  private[graft] def buildCboScratchTables(s: SparkSession, dir: String)
+      : String = {
+    cboScratchCache.entrySet().removeIf(e =>
+      e.getKey._1 != s.sparkContext.applicationId ||
+        !new java.io.File(e.getValue).isDirectory)
+    cboScratchCache.computeIfAbsent(
+      (s.sparkContext.applicationId, dir), _ => {
+        val tag = graft.core.Scratch.dirTag(dir)
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_sk13_${tag}_${s.sparkContext.applicationId}")
+        if (root.exists())
+          org.apache.commons.io.FileUtils.deleteDirectory(root)
+        Seq("customer", "orders", "lineitem").foreach { t =>
+          val tdir = new java.io.File(root, s"$t.parquet")
+          tdir.mkdirs()
+          org.apache.commons.io.FileUtils.copyFile(
+            new java.io.File(s"$dir/$t.parquet"),
+            new java.io.File(tdir, "part-00000.parquet"))
+        }
+        root.getAbsolutePath
+      })
+  }
+
+  private def analyzeForCboFresh(s: SparkSession, dir: String): String = {
+    cboAnalyzeCache.remove((s.sparkContext.applicationId, dir))
+    analyzeForCbo(s, dir)
+  }
+
+  /** Append a few INERT rows to the scratch lineitem table — the
+    * un-analyzed ingest sk13 simulates: l_orderkey = −1 (joins to
+    * nothing) and l_extendedprice far above every scenario bound
+    * (filtered before the join), so every exact answer is unchanged
+    * while the table's file listing — and therefore its ANALYZE
+    * fingerprint — is not. */
+  private def appendInertLineitem(s: SparkSession, scratch: String)
+      : Unit = {
+    val tdir = new java.io.File(scratch, "lineitem.parquet")
+    val base = s.read.parquet(tdir.getAbsolutePath).limit(5)
+    val priceT = base.schema("l_extendedprice").dataType
+    val keyT = base.schema("l_orderkey").dataType
+    val inert = base
+      .withColumn("l_orderkey", lit(-1L).cast(keyT))
+      .withColumn("l_extendedprice", lit(999999999L).cast(priceT))
+    val stage = new java.io.File(scratch, "append_stage")
+    inert.coalesce(1).write.mode("overwrite")
+      .parquet(stage.getAbsolutePath)
+    val part = stage.listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(tdir,
+        s"part-append-${System.nanoTime()}.parquet").toPath)
+    org.apache.commons.io.FileUtils.deleteDirectory(stage)
+  }
+
+  /** sk13 — STATS STALENESS: the guard every production CBO needs
+    * before sk12's rule can be trusted unattended. The ANALYZE
+    * artifact records each table's file-listing fingerprint; the
+    * optimizer re-fingerprints at plan time and treats a mismatch as
+    * "stats unknown", going inert rather than planning from numbers
+    * the table has outgrown. The gate walks the full arc on its own
+    * scratch copy of the tables, with the narrow ~1% scenario whose
+    * stats-chosen order provably differs from the user's:
+    *  1. ANALYZE → the hint-free query executes the FLIPPED order
+    *     (the rule fired);
+    *  2. append un-analyzed rows (inert by construction) → the SAME
+    *     query now executes the user's order with unhinted shuffle
+    *     joins (the rule refused stale stats) — and its ANSWER is
+    *     still correct: plan quality degraded, correctness never did;
+    *  3. re-ANALYZE → the rule fires again.
+    * Every column is deterministic (orders, strategies, and the
+    * final count replayed from the stock tables — the appended rows
+    * are inert) ⇒ DIRECT DuckDB oracle. */
+  def cboStaleness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scratch = buildCboScratchTables(s, dir)
+    if (!s.experimental.extraOptimizations.contains(
+        graft.plans.CboReorder))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.CboReorder
+    val (lo, hi) = (0.0, 2000.0) // the sk11/sk12 narrow scenario
+    val overrides = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      graft.plans.CboCatalog.EnabledKey -> "true")
+    val prevs = overrides.map { case (k, _) => k -> s.conf.getOption(k) }
+    overrides.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      def userQuery(): DataFrame = {
+        val cust = Relational.table(s, scratch, "customer")
+          .select("c_custkey")
+        val ord = Relational.table(s, scratch, "orders")
+          .select("o_custkey", "o_orderkey")
+        val line = Relational.table(s, scratch, "lineitem")
+          .select(col("l_orderkey"),
+            col("l_extendedprice").cast("double").as("price"))
+        cust.join(ord, col("c_custkey") === col("o_custkey"))
+          .join(line.filter(col("price") > lo && col("price") <= hi)
+            .select("l_orderkey"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy().count()
+      }
+      def audit(): (Long, String, String, String) = {
+        val cnt = userQuery()
+        val finalRows = cnt.collect().head.getLong(0)
+        val joins = executedJoins(cnt)
+        require(joins.size == 2,
+          s"expected 2 executed joins, got ${joins.size}")
+        val innerCols = leafCols(joins.last).toSet
+        val first =
+          if (Set("c_custkey", "o_custkey").subsetOf(innerCols))
+            "customer-orders"
+          else if (Set("o_orderkey", "l_orderkey").subsetOf(innerCols))
+            "orders-lineitem"
+          else s"unrecognized:${innerCols.mkString(",")}"
+        (finalRows, first, joinOpName(joins.last),
+          joinOpName(joins.head))
+      }
+      registerCboStats(s, analyzeForCboFresh(s, scratch), scratch)
+      val (rows1, fresh, _, _) = audit()
+      appendInertLineitem(s, scratch)
+      val (rows2, stale, staleInner, staleOuter) = audit()
+      registerCboStats(s, analyzeForCboFresh(s, scratch), scratch)
+      val (rows3, re, _, _) = audit()
+      Seq((lo, hi, fresh, stale, staleInner, staleOuter, re,
+        rows1, rows1 == rows2 && rows2 == rows3))
+        .toDF("lo", "hi", "fresh_first", "stale_first",
+          "stale_inner", "stale_outer", "reanalyzed_first",
+          "final_rows", "rows_stable")
+    } finally {
+      prevs.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+      graft.plans.CboCatalog.clear()
+    }
+  }
+
+  val cboStalenessSql: String = """
+    SELECT CAST(0.0 AS DOUBLE) AS lo, CAST(2000.0 AS DOUBLE) AS hi,
+      'orders-lineitem' AS fresh_first,
+      'customer-orders' AS stale_first,
+      'SortMergeJoin' AS stale_inner, 'SortMergeJoin' AS stale_outer,
+      'orders-lineitem' AS reanalyzed_first,
+      (SELECT count(*) FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE CAST(l.l_extendedprice AS DOUBLE) > 0.0
+          AND CAST(l.l_extendedprice AS DOUBLE) <= 2000.0)
+        AS final_rows,
+      TRUE AS rows_stable"""
+
   val cboAppliedInvSql: String = {
     val blocks = Sk11Scenarios.map { case (name, lo, hi) =>
       s"""SELECT scenario, lo, hi, n_cust, n_ord, n_line,
@@ -1928,5 +2097,6 @@ object Sketches {
         Some(cboPlannerInvSql)),
       ("sk12_cbo_applied", cboApplied _, None),
       ("sk12_cbo_applied_inv", cboAppliedInv _,
-        Some(cboAppliedInvSql)))
+        Some(cboAppliedInvSql)),
+      ("sk13_cbo_staleness", cboStaleness _, Some(cboStalenessSql)))
 }

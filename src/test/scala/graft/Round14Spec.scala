@@ -339,6 +339,40 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  // ---- sk13: the fingerprint primitive under the staleness guard
+  test("sk13 fingerprint: stable across reads, sensitive to appends " +
+    "and in-place rewrites, file- and directory-table agnostic") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_r14_fp").toFile
+    try {
+      val f = new java.io.File(base, "t.parquet")
+      java.nio.file.Files.write(f.toPath, Array[Byte](1, 2, 3))
+      val fp1 = graft.plans.CboCatalog.fingerprintOf(f.getAbsolutePath)
+      assert(graft.plans.CboCatalog.fingerprintOf(
+        f.getAbsolutePath) == fp1, "reads must not move it")
+      // in-place rewrite (same length, later mtime) must change it
+      Thread.sleep(1100) // FS mtime granularity
+      java.nio.file.Files.write(f.toPath, Array[Byte](4, 5, 6))
+      assert(graft.plans.CboCatalog.fingerprintOf(
+        f.getAbsolutePath) != fp1, "same-length rewrite must change it")
+      // directory table: append flips it, _metadata files don't count
+      val d = new java.io.File(base, "dir.parquet"); d.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(d, "part-0.parquet").toPath, Array[Byte](1))
+      val dp1 = graft.plans.CboCatalog.fingerprintOf(d.getAbsolutePath)
+      java.nio.file.Files.write(
+        new java.io.File(d, "_SUCCESS").toPath, Array[Byte]())
+      assert(graft.plans.CboCatalog.fingerprintOf(
+        d.getAbsolutePath) == dp1, "marker files must not count")
+      java.nio.file.Files.write(
+        new java.io.File(d, "part-1.parquet").toPath, Array[Byte](2))
+      assert(graft.plans.CboCatalog.fingerprintOf(
+        d.getAbsolutePath) != dp1, "an appended part must change it")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(base)
+    }
+  }
+
   // ---- st39: tombstone semantics at the matcher level
   test("st39 tombstones: a tombstone for an absent id is a no-op, a " +
     "present id is forgotten, and a REPLAYED tombstone converges — " +
