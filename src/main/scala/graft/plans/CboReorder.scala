@@ -3,7 +3,7 @@ package graft.plans
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
@@ -35,28 +35,82 @@ object CboCatalog {
       gk: Map[String, Array[Byte]],
       fingerprint: String = "")
 
-  /** Content fingerprint of a table directory: the sorted
-    * (file name, length) listing of its data files, hashed. Any
-    * append, rewrite, or compaction since ANALYZE changes it, which
-    * [[CboReorder]] treats as "stats unknown" — the optimizer must
-    * never plan from numbers the table has outgrown (correctness is
-    * never at stake, only plan quality, but a confidently-wrong
-    * broadcast of a table that has since grown 100× is exactly the
-    * production incident this guard exists for). On a real metastore
-    * this is the table's snapshot/commit id; on a filesystem the
-    * listing is the next best commit marker. */
+  /** Listings performed since JVM start — the observable the sk12
+    * audit and Round15Spec read to pin "one listing per table per
+    * rule application" (the per-apply memo in [[CboReorder.apply]])
+    * and "zero listings when the rule is off". */
+  val fingerprintCalls = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Content fingerprint of a table directory — the commit marker the
+    * staleness guard compares against the one stored at ANALYZE time.
+    * Three cases, cheapest first:
+    *  - a versioned table root (this engine's q45/q46 layout:
+    *    `meta/` pointer + `deltas/v=N` log): the fingerprint is the
+    *    meta-pointer listing plus the set of PUBLISHED delta version
+    *    names — the table's actual commit id, O(#versions) not
+    *    O(#files), and every commit/compaction changes it by
+    *    construction;
+    *  - a single parquet file: its (name, length, mtime, fileKey);
+    *  - a plain directory: the RECURSIVE sorted listing of data files
+    *    as (relative path, length, mtimeNanos, fileKey). Recursion
+    *    matters — a hive-partitioned table keeps its data in
+    *    partition subdirectories, so a top-level-only listing would
+    *    be empty and the guard silently vacuous. The fileKey (inode)
+    *    + nanosecond mtime close the classic alias: a same-size
+    *    rewrite landing within one coarse mtime tick still changes
+    *    the inode (any stage-and-rename writer, which is every
+    *    committer this engine ships) or the ns timestamp.
+    * Any append, rewrite, or compaction since ANALYZE changes the
+    * fingerprint, which [[CboReorder]] treats as "stats unknown" —
+    * the optimizer must never plan from numbers the table has
+    * outgrown (correctness is never at stake, only plan quality, but
+    * a confidently-wrong broadcast of a table that has since grown
+    * 100× is exactly the production incident this guard exists for).
+    * On a real metastore this is the table's snapshot/commit id; on a
+    * filesystem these are the next best commit markers. */
   def fingerprintOf(path: String): String = {
+    fingerprintCalls.incrementAndGet()
     val root = new java.io.File(path)
-    // a table can be a single parquet file or a directory of parts —
-    // fingerprint (name, length, mtime) either way
-    val files =
-      if (root.isFile)
-        Array(s"${root.getName}:${root.length()}:${root.lastModified()}")
-      else Option(root.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && !f.getName.startsWith("_") &&
-          !f.getName.startsWith("."))
-        .map(f => s"${f.getName}:${f.length()}:${f.lastModified()}")
-        .sorted
+    def entryOf(f: java.io.File, rel: String): String = {
+      val (mtime, key) =
+        try {
+          val at = java.nio.file.Files.readAttributes(f.toPath,
+            classOf[java.nio.file.attribute.BasicFileAttributes])
+          (at.lastModifiedTime().to(
+            java.util.concurrent.TimeUnit.NANOSECONDS),
+            Option(at.fileKey()).map(_.toString).getOrElse(""))
+        } catch { case _: java.io.IOException =>
+          (f.lastModified() * 1000000L, "")
+        }
+      s"$rel:${f.length()}:$mtime:$key"
+    }
+    val meta = new java.io.File(root, "meta")
+    val deltas = new java.io.File(root, "deltas")
+    val files: Array[String] =
+      if (root.isFile) Array(entryOf(root, root.getName))
+      else if (meta.isDirectory && deltas.isDirectory) {
+        // versioned root: commit pointer + published version names
+        val metaFiles = Option(meta.listFiles()).getOrElse(Array.empty)
+          .filter(_.isFile).map(f => entryOf(f, s"meta/${f.getName}"))
+        val published = Option(deltas.listFiles())
+          .getOrElse(Array.empty)
+          .filter(d => d.isDirectory &&
+            new java.io.File(d, "_SUCCESS").exists())
+          .map(d => s"deltas/${d.getName}")
+        (metaFiles ++ published).sorted
+      } else {
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        def walk(dir: java.io.File, prefix: String): Unit =
+          Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
+            val name = f.getName
+            if (!name.startsWith("_") && !name.startsWith(".")) {
+              if (f.isFile) out += entryOf(f, prefix + name)
+              else if (f.isDirectory) walk(f, s"$prefix$name/")
+            }
+          }
+        walk(root, "")
+        out.toArray.sorted
+      }
     java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.arrayHash(files).toLong)
   }
@@ -215,8 +269,12 @@ object CboReorder extends Rule[LogicalPlan] with PredicateHelper {
   /** Peel a leg down to its single analyzed parquet relation,
     * collecting Filter conjuncts on the way; None when the leg is
     * anything else (another join, an unanalyzed table, a non-file
-    * source) — the rule then leaves the whole tree alone. */
-  private def legOf(p: LogicalPlan): Option[Leg] = {
+    * source) — the rule then leaves the whole tree alone. `fp` is the
+    * per-apply memoized fingerprint reader: a table referenced by
+    * several legs (or several joins) of one plan is listed exactly
+    * once per rule application, never once per leg. */
+  private def legOf(p: LogicalPlan,
+      fp: String => String): Option[Leg] = {
     @scala.annotation.tailrec
     def peel(cur: LogicalPlan, conds: Seq[Expression])
         : (LogicalPlan, Seq[Expression]) = cur match {
@@ -238,7 +296,7 @@ object CboReorder extends Rule[LogicalPlan] with PredicateHelper {
                 // than plan from numbers the table has outgrown
                 // (sk13 pins fire → stale-skip → re-analyze → fire)
                 .filter(st => st.fingerprint.isEmpty ||
-                  st.fingerprint == CboCatalog.fingerprintOf(
+                  st.fingerprint == fp(
                     CboCatalog.norm(single.toString)))
                 .map(st => Leg(p, st, st.n * selectivity(st, conds)))
             case _ => None
@@ -282,16 +340,17 @@ object CboReorder extends Rule[LogicalPlan] with PredicateHelper {
     } else JoinHint(Some(smj), None)
   }
 
-  private def rewrite(j: Join, innerJoin: Join, outerRight: LogicalPlan,
-      outerCond: Expression): Option[LogicalPlan] =
+  private def rewrite(j: Join, innerJoin: Join, rotatable: Boolean,
+      outerRight: LogicalPlan, outerCond: Expression,
+      fp: String => String): Option[LogicalPlan] =
     for {
       innerCond <- innerJoin.condition
       if innerJoin.joinType == Inner && innerJoin.hint == JoinHint.NONE
       (ia, ib) <- eqKeys(innerCond)
       (oa, ob) <- eqKeys(outerCond)
-      legA <- legOf(innerJoin.left)
-      legB <- legOf(innerJoin.right)
-      legC <- legOf(outerRight)
+      legA <- legOf(innerJoin.left, fp)
+      legB <- legOf(innerJoin.right, fp)
+      legC <- legOf(outerRight, fp)
       // resolve which attribute of the outer condition lives in C and
       // which in the middle leg (A or B)
       (cKey, midKey) <- {
@@ -319,14 +378,16 @@ object CboReorder extends Rule[LogicalPlan] with PredicateHelper {
       estCurr <- estPair(legA, kaA, legB, kaB)
       estAlt <- estPair(midLeg, midKey, legC, cKey)
     } yield {
-      if (estAlt < estCurr) {
+      if (estAlt < estCurr && rotatable) {
         // rotate: (mid ⋈ C) first, then the remaining leg
         val inner = Join(midLeg.plan, legC.plan, Inner, Some(outerCond),
           pairHint(midLeg.estRows, legC.estRows))
         val outer = Join(inner, otherLeg.plan, Inner, Some(innerCond),
           pairHint(estAlt, otherLeg.estRows))
-        // restore the original output (the rotation may have dropped
-        // a pruning Project between the joins)
+        // restore the original output (the rotation dropped the
+        // pruning mid-Project between the joins — `rotatable`
+        // guarantees it carried no computed Alias, so every attribute
+        // of j.output is produced by the rotated tree)
         Project(j.output, outer)
       } else {
         // keep the user's order; pin the decided strategies
@@ -341,15 +402,156 @@ object CboReorder extends Rule[LogicalPlan] with PredicateHelper {
       }
     }
 
+  // ------------- N-table left-deep chain (sk14) -------------------
+
+  /** One flattened left-deep inner chain: `legs` bottom-up (the
+    * deepest left leg first), `conds(i)` the equi-condition that
+    * joined `legs(i+1)` onto the chain. Only produced when every
+    * join is hint-free INNER with a single equi-condition and every
+    * mid-Project is pure attribute references (safe to drop — the
+    * restoring Project re-prunes). */
+  private def flattenChain(p: LogicalPlan)
+      : Option[(Vector[LogicalPlan], Vector[Expression])] = p match {
+    case Join(l, r, Inner, Some(cond), JoinHint.NONE) =>
+      val under = l match {
+        case ij @ Join(_, _, Inner, Some(_), JoinHint.NONE) => Some(ij)
+        case Project(list, ij @ Join(_, _, Inner, Some(_),
+            JoinHint.NONE))
+          if list.forall(_.isInstanceOf[AttributeReference]) => Some(ij)
+        case _ => None
+      }
+      under match {
+        case Some(ij) => flattenChain(ij).map { case (legs, conds) =>
+          (legs :+ r, conds :+ cond)
+        }
+        case None => Some((Vector(l, r), Vector(cond)))
+      }
+    case _ => None
+  }
+
+  /** Greedy stats-driven order for a left-deep chain of ≥3 inner
+    * equi-joins (≥4 analyzed tables): start from the condition pair
+    * with the smallest sk05 KMV estimate, then repeatedly attach the
+    * connected leg with the smallest folded estimate
+    * `estPair(inChain, next) × (estSoFar / estRows(inChain))` — the
+    * cascaded product form sk11 audits pairwise, folded across the
+    * chain. Strategies are pinned per join by the sk08 row cap, the
+    * original output restored by one Project. Inert unless EVERY leg
+    * is an analyzed, fingerprint-fresh scan — partial statistics
+    * never reorder anything. The 2-join shape keeps the original
+    * pair rewrite (byte-compatible with the sk12/sk13 oracles). */
+  private def reorderChain(j: Join, fp: String => String)
+      : Option[LogicalPlan] =
+    for {
+      (legPlans, conds) <- flattenChain(j)
+      if legPlans.size >= 4
+      legs <- {
+        val ls = legPlans.map(p => legOf(p, fp))
+        if (ls.forall(_.isDefined)) Some(ls.map(_.get)) else None
+      }
+      // each condition resolved to (legIdxA, keyA, legIdxB, keyB)
+      edges <- {
+        val es = conds.map { c =>
+          eqKeys(c).flatMap { case (x, y) =>
+            val ix = legPlans.indexWhere(_.outputSet.contains(x))
+            val iy = legPlans.indexWhere(_.outputSet.contains(y))
+            if (ix >= 0 && iy >= 0 && ix != iy)
+              Some((c, ix, x, iy, y))
+            else None
+          }
+        }
+        if (es.forall(_.isDefined)) Some(es.map(_.get)) else None
+      }
+      plan <- greedyChain(j, legs, edges)
+    } yield plan
+
+  private def greedyChain(j: Join, legs: Vector[Leg],
+      edges: Vector[(Expression, Int, Attribute, Int, Attribute)])
+      : Option[LogicalPlan] = {
+    // seed: the edge with the smallest pairwise estimate
+    val seeded = edges.flatMap { case (c, ia, ka, ib, kb) =>
+      estPair(legs(ia), ka, legs(ib), kb).map(e => (c, ia, ib, e))
+    }
+    if (seeded.size != edges.size) return None // a key lacks a sketch
+    val (c0, i0, j0, est0) = seeded.minBy(_._4)
+    var joined = Set(i0, j0)
+    var tree: LogicalPlan = Join(legs(i0).plan, legs(j0).plan, Inner,
+      Some(c0), pairHint(legs(i0).estRows, legs(j0).estRows))
+    var estCur = est0
+    var remaining = edges.filterNot(e => joined(e._2) && joined(e._4))
+    while (joined.size < legs.size) {
+      // candidate edges: one endpoint in the chain, one new
+      val cands = remaining.flatMap { case (c, ia, ka, ib, kb) =>
+        val inOut = if (joined(ia) && !joined(ib))
+          Some((c, ia, ka, ib, kb))
+        else if (joined(ib) && !joined(ia)) Some((c, ib, kb, ia, ka))
+        else None
+        inOut.flatMap { case (cc, iIn, kIn, iNew, kNew) =>
+          estPair(legs(iIn), kIn, legs(iNew), kNew).map { pe =>
+            val folded =
+              if (legs(iIn).estRows > 0) pe * (estCur / legs(iIn).estRows)
+              else pe
+            (cc, iNew, folded)
+          }
+        }
+      }
+      if (cands.isEmpty) return None // disconnected / cross condition
+      val (c, iNew, estNext) = cands.minBy(_._3)
+      tree = Join(tree, legs(iNew).plan, Inner, Some(c),
+        pairHint(estCur, legs(iNew).estRows))
+      estCur = estNext
+      joined += iNew
+      remaining = remaining.filterNot(e => joined(e._2) && joined(e._4))
+    }
+    Some(Project(j.output, tree))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString(EnabledKey, "true").toBoolean) return plan
+    // one directory listing per table per rule application, however
+    // many legs/joins of this plan reference it (sk12's audit pins
+    // the count); scoped to the apply call so a table mutated between
+    // two optimizations is still re-read
+    val fpMemo = scala.collection.mutable.HashMap[String, String]()
+    val fp: String => String =
+      path => fpMemo.getOrElseUpdate(path, fingerprintOf(path))
     plan.transform {
       case j @ Join(l, r, Inner, Some(outerCond), JoinHint.NONE) =>
-        (l match {
-          case ij: Join => Some(ij)
-          case Project(_, ij: Join) => Some(ij)
-          case _ => None
-        }).flatMap(ij => rewrite(j, ij, r, outerCond)).getOrElse(j)
+        reorderChain(j, fp).getOrElse {
+          (l match {
+            case ij: Join => Some((ij, true))
+            case Project(list, ij: Join) =>
+              // a mid-Project of pure attribute references only
+              // PRUNES — safe to drop under rotation (the restoring
+              // Project re-prunes). One carrying a computed Alias
+              // would leave j.output referencing an attribute the
+              // rotated tree no longer produces (an unresolvable
+              // plan), so such trees keep the user's join order and
+              // only get strategy hints.
+              Some((ij,
+                list.forall(_.isInstanceOf[AttributeReference])))
+            case _ => None
+          }).flatMap { case (ij, rotatable) =>
+            rewrite(j, ij, rotatable, r, outerCond, fp)
+          }.getOrElse(j)
+        }
+      case j @ Join(l, r, LeftSemi | LeftAnti, Some(cond),
+          JoinHint.NONE) =>
+        // semi/anti legs (the q04/q05 shapes): the build side is the
+        // RIGHT leg by construction, so the sk08 cap decides between
+        // broadcasting it and pinning shuffle-merge. Both legs must
+        // be analyzed and fresh — the estimate discipline is the same
+        // as for inner joins.
+        (for {
+          _ <- eqKeys(cond)
+          _ <- legOf(l, fp)
+          legR <- legOf(r, fp)
+        } yield {
+          val strat =
+            if (legR.estRows <= cap) BROADCAST else SHUFFLE_MERGE
+          j.copy(hint = JoinHint(None,
+            Some(HintInfo(strategy = Some(strat)))))
+        }).getOrElse(j)
     }
   }
 }

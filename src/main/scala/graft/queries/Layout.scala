@@ -403,11 +403,12 @@ object Layout {
         lit(baseV).as("v"))
     val log = (baseV + 1 to version)
       .map(v => v -> new java.io.File(root, s"deltas/v=$v"))
-      // a delta dir without _SUCCESS is an unpublished OCC claim (a
-      // writer died between claiming the version id and publishing
-      // its files — see commitDeltaOcc): never a committed version,
-      // so readers skip it the way Delta readers skip an uncommitted
-      // transaction log entry
+      // commitDeltaOcc publishes a version as ONE atomic directory
+      // rename of a fully-staged (_SUCCESS-carrying) delta, so its
+      // slots are never partial; a delta dir without _SUCCESS can
+      // only come from an external/legacy writer — never a committed
+      // version, so readers skip it the way Delta readers skip an
+      // uncommitted transaction log entry
       .filter { case (_, d) => d.isDirectory &&
         new java.io.File(d, "_SUCCESS").exists() }
       .map { case (v, d) =>
@@ -615,33 +616,38 @@ object Layout {
     * `deltas/v=<v+1>` silently lose one update. The protocol:
     *  1. read the latest committed version; compute the delta FROM
     *     that state (`deltaOf` receives it — read-modify-write
-    *     semantics rebase correctly on retry) and stage it;
-    *  2. CLAIM the next version id by atomic `mkdir` of the target
-    *     dir — the filesystem's create-if-absent, the commit point's
-    *     conditional PUT. Exactly one concurrent writer wins a slot;
-    *  3. the winner publishes by renaming the staged files in,
-    *     `_SUCCESS` LAST — readers ([[readOrdersAsOf]]) and
-    *     [[currentVersion]] ignore the claim until it appears;
-    *  4. a loser detects the conflict, WAITS for the claimant's
-    *     publish (or, past `claimWaitMs`, sweeps the dead claim of a
-    *     crashed writer and retries the same slot), then REBASES:
-    *     re-reads the new latest state, recomputes its delta, and
-    *     claims the next id. The serialized result equals the
-    *     sequential order of the commit claims — no lost update.
-    * Crash windows: die before the claim → nothing visible; after
-    * the claim, before `_SUCCESS` → an unpublished claim that readers
-    * skip and a later writer sweeps; after `_SUCCESS` → committed.
-    * Returns the committed version id.
+    *     semantics rebase correctly on retry) and stage it FULLY,
+    *     `_SUCCESS` included, under the writer's private
+    *     `deltas_stage/<writerId>`;
+    *  2. CLAIM AND PUBLISH in one step: a single atomic directory
+    *     `rename(stage → deltas/v=<v+1>)` — the filesystem's
+    *     create-if-absent (rename onto an existing non-empty dir
+    *     fails, and every committed slot is non-empty), the commit
+    *     point's conditional PUT. Exactly one concurrent writer wins
+    *     a slot, and the slot it wins is complete the instant it
+    *     exists — there is NO window where a claim sits unpublished,
+    *     so there is nothing to sweep and no sweep that could race a
+    *     live-but-slow publisher (the lost-update mode of the earlier
+    *     mkdir-claim + rename-files-in protocol: a sweeper deleting a
+    *     slow winner's claim and re-claiming it, after which the slow
+    *     winner's renames land inside the sweeper's dir);
+    *  3. a loser's rename fails; it REBASES immediately — re-reads
+    *     the new latest state (the slot that beat it is already
+    *     complete), recomputes its delta, and claims the next id. The
+    *     serialized result equals the sequential order of the commit
+    *     renames — no lost update, and no `claimWaitMs` tuning knob.
+    * Crash windows: die before the claim-rename → only a private
+    * stage dir, invisible to readers and overwritten by the same
+    * writer's next attempt; after it → committed. Nothing in
+    * `deltas/` is ever partial. Returns the committed version id.
     *
-    * `beforeClaim(attempt, version)` / `beforePublish(version)` are
-    * coordination hooks: the gate uses a barrier to force a
-    * deterministic two-writer race, Round14Spec a throw to pin the
-    * unpublished-claim window. */
+    * `beforeClaim(attempt, version)` is the coordination hook: the
+    * gate uses a barrier to force a deterministic two-writer race,
+    * Round14Spec a throw to pin the crash-before-claim window. */
   private[graft] def commitDeltaOcc(s: SparkSession, root: String,
       writerId: String, deltaOf: DataFrame => DataFrame,
-      maxAttempts: Int = 5, claimWaitMs: Long = 30000,
-      beforeClaim: (Int, Int) => Unit = (_, _) => (),
-      beforePublish: Int => Unit = _ => ()): Int = {
+      maxAttempts: Int = 5,
+      beforeClaim: (Int, Int) => Unit = (_, _) => ()): Int = {
     var attempt = 0
     while (attempt < maxAttempts) {
       val latest = currentVersion(s, root)
@@ -651,33 +657,16 @@ object Layout {
       if (stage.exists())
         org.apache.commons.io.FileUtils.deleteDirectory(stage)
       delta.write.parquet(stage.getAbsolutePath)
+      require(new java.io.File(stage, "_SUCCESS").exists(),
+        s"stage for $writerId is missing its _SUCCESS marker — " +
+          "the atomic claim-rename would publish an incomplete delta")
       val target = new java.io.File(root, s"deltas/v=${latest + 1}")
       target.getParentFile.mkdirs()
       beforeClaim(attempt, latest + 1)
-      if (target.mkdir()) {
-        beforePublish(latest + 1)
-        stage.listFiles().filter(_.getName != "_SUCCESS").foreach { f =>
-          require(f.renameTo(new java.io.File(target, f.getName)),
-            s"publish: moving ${f.getName} into $target failed")
-        }
-        require(new java.io.File(stage, "_SUCCESS")
-          .renameTo(new java.io.File(target, "_SUCCESS")),
-          s"publish: moving _SUCCESS into $target failed")
-        org.apache.commons.io.FileUtils.deleteDirectory(stage)
-        return latest + 1
-      }
-      // conflict — wait out the claimant, then rebase
-      val deadline = System.currentTimeMillis() + claimWaitMs
-      var resolved = false
-      while (!resolved) {
-        if (new java.io.File(target, "_SUCCESS").exists())
-          resolved = true // published: rebase onto it
-        else if (System.currentTimeMillis() > deadline) {
-          // a dead claim (crashed writer): sweep and retry the slot
-          org.apache.commons.io.FileUtils.deleteDirectory(target)
-          resolved = true
-        } else Thread.sleep(10)
-      }
+      // the commit point: atomic, all-or-nothing, first-wins
+      if (stage.renameTo(target)) return latest + 1
+      // conflict — the slot was taken by an already-complete delta;
+      // rebase onto it right away
       attempt += 1
     }
     throw new IllegalStateException(

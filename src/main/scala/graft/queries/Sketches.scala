@@ -1565,14 +1565,25 @@ object Sketches {
         def fp(tbl: String): org.apache.spark.sql.Column =
           lit(graft.plans.CboCatalog.fingerprintOf(
             s"$dir/$tbl.parquet")).as("fp")
-        Relational.table(s, dir, "customer")
+        Relational.table(s, dir, "nation")
           .agg(count(lit(1)).as("n"),
-            kmvSketch(xxhash64(col("c_custkey")), JoinK).as("k1"))
+            kmvSketch(xxhash64(col("n_nationkey")), JoinK).as("k1"))
+          .select(lit("nation").as("tbl"), col("n"),
+            array(struct(lit("n_nationkey").as("col"),
+              col("k1").as("sk"))).as("kmv"),
+            array().cast("array<struct<col:string,gk:binary>>").as("gk"),
+            fp("nation"))
+          .unionByName(Relational.table(s, dir, "customer")
+          .agg(count(lit(1)).as("n"),
+            kmvSketch(xxhash64(col("c_custkey")), JoinK).as("k1"),
+            kmvSketch(xxhash64(col("c_nationkey")), JoinK).as("k2"))
           .select(lit("customer").as("tbl"), col("n"),
-            array(struct(lit("c_custkey").as("col"), col("k1").as("sk")))
+            array(
+              struct(lit("c_custkey").as("col"), col("k1").as("sk")),
+              struct(lit("c_nationkey").as("col"), col("k2").as("sk")))
               .as("kmv"),
             array().cast("array<struct<col:string,gk:binary>>").as("gk"),
-            fp("customer"))
+            fp("customer")))
           .unionByName(Relational.table(s, dir, "orders")
             .agg(count(lit(1)).as("n"),
               kmvSketch(xxhash64(col("o_custkey")), JoinK).as("k1"),
@@ -1868,7 +1879,7 @@ object Sketches {
           s"graft_sk13_${tag}_${s.sparkContext.applicationId}")
         if (root.exists())
           org.apache.commons.io.FileUtils.deleteDirectory(root)
-        Seq("customer", "orders", "lineitem").foreach { t =>
+        Seq("nation", "customer", "orders", "lineitem").foreach { t =>
           val tdir = new java.io.File(root, s"$t.parquet")
           tdir.mkdirs()
           org.apache.commons.io.FileUtils.copyFile(

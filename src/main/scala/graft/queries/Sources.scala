@@ -566,20 +566,47 @@ object Sources {
           .as("sum_qty"))
       .orderBy("ship_month")
 
-  /** The pruned join alone (pre-aggregate) for the plan assert. */
+  /** The pruned join alone (pre-aggregate) for the plan assert.
+    *
+    * The partitioned fact layout is CONTENT-ADDRESSED and shared
+    * across sessions: its name carries the source lineitem's file
+    * fingerprint, so any regeneration of the test data re-keys it,
+    * while every JVM reading the same source reuses one layout. The
+    * earlier appId-keyed memo made every new session pay the ~5 s
+    * 83-directory build in its first iteration (and the session
+    * shutdown hook then discarded it) — under ambient FS pressure
+    * that build cost is exactly the r14 bench's j11 5.5 s min-of-3
+    * anomaly. Publication is the engine's standard OCC pattern
+    * (q47): stage privately, then one atomic directory rename —
+    * concurrent builders race safely, losers adopt the winner's
+    * complete layout, and no reader ever sees a partial directory. */
   private[graft] def dppJoinRead(s: SparkSession,
       dir: String): DataFrame = {
     val tag = java.lang.Integer.toHexString(dir.hashCode)
-    val out = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_j11_dpp_${tag}_${s.sparkContext.applicationId}")
-      .getAbsolutePath
-    val marker = new java.io.File(out, "_SUCCESS")
-    if (!marker.exists()) // layout is immutable per (session, dir)
+    val fp = graft.plans.CboCatalog.fingerprintOf(
+      s"$dir/lineitem.parquet")
+    val outDir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_j11_dpp_${tag}_v$fp")
+    val out = outDir.getAbsolutePath
+    val marker = new java.io.File(outDir, "_SUCCESS")
+    if (!marker.exists()) {
+      val stage = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_j11_stage_${tag}_${s.sparkContext.applicationId}")
+      if (stage.exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(stage)
       Relational.table(s, dir, "lineitem")
         .withColumn("ship_month",
           date_format(col("l_shipdate"), "yyyy-MM"))
         .select(col("l_orderkey"), col("l_quantity"), col("ship_month"))
-        .write.mode("overwrite").partitionBy("ship_month").parquet(out)
+        .write.mode("overwrite").partitionBy("ship_month")
+        .parquet(stage.getAbsolutePath)
+      // atomic publish; a failed rename means a concurrent builder
+      // won — its layout is complete (only complete stages rename)
+      if (!stage.renameTo(outDir))
+        org.apache.commons.io.FileUtils.deleteDirectory(stage)
+      require(marker.exists(),
+        s"j11 layout publish failed: $out has no _SUCCESS")
+    }
     // j15's fail-fast pattern (FS listing only — no extra scan): DPP
     // needs a real multi-directory month layout to prune, and a null
     // ship month would silently land in the hive default partition

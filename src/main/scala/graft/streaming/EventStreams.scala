@@ -974,9 +974,15 @@ object EventStreams {
       val it = docs.get()
       while (it.hasNext) stored += SigEntryCodec.decode(it.next())
       val out = scala.collection.mutable.ArrayBuffer[CandPair]()
-      // in-batch arrival order pinned by doc_id — emitted pairs are
-      // unordered (min, max) so the SET is order-independent anyway
-      rows.toSeq.sortBy(_.doc_id).foreach { d =>
+      // in-batch arrival order pinned by (doc_id, op) with inserts
+      // before tombstones — DELETE WINS within a batch, the only
+      // convention compatible with the erasure contract (a doc_id
+      // that is both inserted and tombstoned in one batch must not
+      // survive, regardless of shuffle arrival order; sorting by
+      // doc_id alone left the tie nondeterministic). Emitted pairs
+      // are unordered (min, max) so the SET is order-independent.
+      rows.toSeq.sortBy(d =>
+        (d.doc_id, if (d.op == "D") 1 else 0)).foreach { d =>
         if (d.op == "D") {
           // tombstone: forget this id's entry. ListState has no
           // point-delete, so rewrite the (small — that's LSH's job)

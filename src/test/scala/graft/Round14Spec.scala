@@ -167,9 +167,10 @@ class Round14Spec extends SparkSpec {
   }
 
   // ---- q47 OCC: crash windows + serialization
-  test("q47 OCC: an unpublished claim is invisible to readers, a " +
-    "later writer sweeps it and commits; sequential read-modify-" +
-    "write commits compose with no lost update") {
+  test("q47 OCC: a writer that dies after staging leaves nothing in " +
+    "deltas/ (claim IS publish — one atomic rename); a later writer " +
+    "commits unobstructed; sequential read-modify-write commits " +
+    "compose with no lost update") {
     import org.apache.spark.sql.DataFrame
     val root = java.nio.file.Files
       .createTempDirectory("graft_r14_occ").toFile
@@ -179,31 +180,38 @@ class Round14Spec extends SparkSpec {
       assert(queries.Layout.currentVersion(spark, rootP) == 3)
       val v3 = queries.Layout.readOrdersAsOf(spark, rootP, 3)
         .collect().map(_.toString).toSet
-      // crash AFTER the claim, BEFORE the publish
+      // crash AFTER staging, BEFORE the atomic claim-rename: the only
+      // pre-commit crash window the protocol has
       val boom = intercept[RuntimeException] {
         queries.Layout.commitDeltaOcc(spark, rootP, "crasher",
           st => st.filter(pmod(col("k"), lit(20)) === 9)
             .select(col("k"), lit(0L).as("cents"), lit("D").as("op")),
-          beforePublish = _ => throw new RuntimeException("crash"))
+          beforeClaim = (_, _) => throw new RuntimeException("crash"))
       }
       assert(boom.getMessage == "crash")
-      assert(new java.io.File(root, "deltas/v=4").isDirectory &&
-        !new java.io.File(root, "deltas/v=4/_SUCCESS").exists())
-      // the dead claim is invisible: version still 3, reads intact
+      // nothing — not even a partial dir — reached the version log;
+      // the staged delta sits in the writer's private stage dir
+      assert(!new java.io.File(root, "deltas/v=4").exists(),
+        "a pre-claim crash must leave deltas/ untouched")
+      assert(new java.io.File(root,
+        "deltas_stage/crasher/_SUCCESS").exists())
+      // the dead stage is invisible: version still 3, reads intact
       assert(queries.Layout.currentVersion(spark, rootP) == 3)
       assert(queries.Layout.readOrdersAsOf(spark, rootP, 3)
         .collect().map(_.toString).toSet == v3)
-      // a new writer sweeps the dead claim (claimWaitMs=0) and lands
+      // a new writer commits immediately — no sweep, no wait knob
       def bump(by: Long)(st: DataFrame): DataFrame =
         st.filter(pmod(col("k"), lit(20)) === 7)
           .select(col("k"), (col("cents") + by).as("cents"),
             lit("U").as("op"))
       val v4 = queries.Layout.commitDeltaOcc(spark, rootP, "w1",
-        bump(100), claimWaitMs = 0)
+        bump(100))
       assert(v4 == 4)
+      // the committed slot is complete the instant it exists
+      assert(new java.io.File(root, "deltas/v=4/_SUCCESS").exists())
       // read-modify-write sequential commit: +3 lands on TOP of +100
       val v5 = queries.Layout.commitDeltaOcc(spark, rootP, "w2",
-        bump(3), claimWaitMs = 0)
+        bump(3))
       assert(v5 == 5)
       val base7 = queries.Layout.readOrdersAsOf(spark, rootP, 3)
         .filter(pmod(col("k"), lit(20)) === 7)
