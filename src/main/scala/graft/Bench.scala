@@ -174,6 +174,8 @@ object Bench {
       "t41_lm_perplexity",
       // round-13/14 flagships — early so the enforced line budget
       // never truncates them
+      // round-15 flagship
+      "sk14_cbo_chain",
       "sk11_cbo_planner", "sk12_cbo_applied", "s29_hybrid_stored",
       "s30_bm25_upserted", "s31_ann_rebalanced", "s32_index_erasure",
       "q45_time_travel", "q46_time_travel_compacted",

@@ -1617,7 +1617,7 @@ object Sketches {
     * query joining these tables — the production opt-in, but not the
     * gate's business (every other audited query must keep its own
     * plan). */
-  private def registerCboStats(s: SparkSession, statsPath: String,
+  private[graft] def registerCboStats(s: SparkSession, statsPath: String,
       dir: String): Unit =
     s.read.parquet(statsPath).collect().foreach { r =>
       val tbl = r.getString(0)
@@ -1867,16 +1867,16 @@ object Sketches {
     * answer; the rows sk13 later appends are constructed inert
     * (non-joining key, out-of-range predicate column) so that stays
     * true across the whole fire → stale → re-analyze arc. */
-  private[graft] def buildCboScratchTables(s: SparkSession, dir: String)
-      : String = {
+  private[graft] def buildCboScratchTables(s: SparkSession, dir: String,
+      kind: String = "sk13"): String = {
     cboScratchCache.entrySet().removeIf(e =>
       e.getKey._1 != s.sparkContext.applicationId ||
         !new java.io.File(e.getValue).isDirectory)
     cboScratchCache.computeIfAbsent(
-      (s.sparkContext.applicationId, dir), _ => {
+      (s.sparkContext.applicationId, s"$kind:$dir"), _ => {
         val tag = graft.core.Scratch.dirTag(dir)
         val root = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_sk13_${tag}_${s.sparkContext.applicationId}")
+          s"graft_${kind}_${tag}_${s.sparkContext.applicationId}")
         if (root.exists())
           org.apache.commons.io.FileUtils.deleteDirectory(root)
         Seq("nation", "customer", "orders", "lineitem").foreach { t =>
@@ -2018,6 +2018,316 @@ object Sketches {
         AS final_rows,
       TRUE AS rows_stable"""
 
+  /** Inert nation append for sk14's any-leg staleness check:
+    * n_nationkey = −1 matches no c_nationkey, so every exact answer
+    * is unchanged while nation's ANALYZE fingerprint goes stale. */
+  private def appendInertNation(s: SparkSession, scratch: String)
+      : Unit = {
+    val tdir = new java.io.File(scratch, "nation.parquet")
+    val base = s.read.parquet(tdir.getAbsolutePath).limit(3)
+    val keyT = base.schema("n_nationkey").dataType
+    val inert = base.withColumn("n_nationkey", lit(-1L).cast(keyT))
+    val stage = new java.io.File(scratch, "append_stage_n")
+    inert.coalesce(1).write.mode("overwrite")
+      .parquet(stage.getAbsolutePath)
+    val part = stage.listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(tdir,
+        s"part-append-${System.nanoTime()}.parquet").toPath)
+    org.apache.commons.io.FileUtils.deleteDirectory(stage)
+  }
+
+  /** One sk14 output row (explicit Rows + schema at build time — the
+    * column count is past the clean-codegen encoder range). */
+  private case class Sk14Row(
+    scenario: String, lo: Double, hi: Double,
+    n_nation: Long, n_cust: Long, n_ord: Long, n_line: Long,
+    est_nc: Long, est_co: Long, est_olf: Long,
+    chosen_first: String, chosen_second: String, chosen_third: String,
+    executed_first: String, executed_second: String,
+    executed_third: String, order_audit: Boolean,
+    ruleoff_first: String, rule_load_bearing: Boolean,
+    ruleoff_audit: Boolean,
+    exact_nc: Long, exact_co: Long, exact_olf: Long,
+    exact_first: String, exact_second: String, exact_third: String,
+    decision_matches_exact: Boolean,
+    stale_first: String, stale_inner: String,
+    reanalyzed_first: String, rows_stable: Boolean,
+    final_rows: Long)
+
+  /** sk14 — the CBO rule on an N-TABLE LEFT-DEEP CHAIN: a hint-free
+    * nation ⋈ customer ⋈ orders ⋈ lineitem query written in a fixed
+    * user order, reordered INSIDE the optimizer by
+    * [[graft.plans.CboReorder]]'s greedy chain fold (seed the
+    * smallest estimated pair, then attach the connected leg with the
+    * smallest folded estimate — sk11's pairwise estimates composed
+    * across the chain). The narrow scenario's ~1% lineitem predicate
+    * makes orders⋈lineitem the provable seed — three positions away
+    * from the user's nation⋈customer — while the wide scenario's
+    * stats agree with the user's order (the rule must then change
+    * nothing but strategies). A rule-off replay pins load-bearing,
+    * an exact-count replay pins the decision against ground truth,
+    * and an inert nation append walks the sk13 staleness arc on a
+    * DIFFERENT leg than sk13 exercises — one stale leg anywhere must
+    * silence the whole chain rewrite.
+    *
+    * Estimates are engine-specific → rows-only; [[cboChainInv]] ★ is
+    * the oracle companion (order decisions + counts replayed by
+    * DuckDB from exact quantities, audits riding as constants). */
+  def cboChain(s: SparkSession, dir: String): DataFrame = {
+    // rebuild per invocation: the narrow scenario's staleness arc
+    // appends inert rows, and a reused scratch would carry them into
+    // the next invocation's ANALYZE counts (n_nation must equal the
+    // stock table's count for the oracle)
+    cboScratchCache.remove((s.sparkContext.applicationId, s"sk14:$dir"))
+    val scratch = buildCboScratchTables(s, dir, kind = "sk14")
+    if (!s.experimental.extraOptimizations.contains(
+        graft.plans.CboReorder))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.CboReorder
+    val overrides = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      graft.plans.CboCatalog.EnabledKey -> "true")
+    val prevs = overrides.map { case (k, _) => k -> s.conf.getOption(k) }
+    overrides.foreach { case (k, v) => s.conf.set(k, v) }
+    val rows = try {
+      registerCboStats(s, analyzeForCboFresh(s, scratch), scratch)
+      def stats(tbl: String) = graft.plans.CboCatalog
+        .lookup(s"$scratch/$tbl.parquet")
+        .getOrElse(sys.error(s"sk14: $tbl not in catalog"))
+      val (stN, stC, stO, stL) =
+        (stats("nation"), stats("customer"), stats("orders"),
+          stats("lineitem"))
+      def userQuery(lo: Double, hi: Double): DataFrame = {
+        val nat = Relational.table(s, scratch, "nation")
+          .select("n_nationkey")
+        val cust = Relational.table(s, scratch, "customer")
+          .select("c_custkey", "c_nationkey")
+        val ord = Relational.table(s, scratch, "orders")
+          .select("o_custkey", "o_orderkey")
+        val line = Relational.table(s, scratch, "lineitem")
+          .select(col("l_orderkey"),
+            col("l_extendedprice").cast("double").as("price"))
+        nat.join(cust, col("n_nationkey") === col("c_nationkey"))
+          .join(ord, col("c_custkey") === col("o_custkey"))
+          .join(line.filter(col("price") > lo && col("price") <= hi)
+            .select("l_orderkey"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy().count()
+      }
+      def legName(cols: Set[String]): String =
+        if (cols.contains("n_nationkey")) "nation"
+        else if (cols.contains("c_custkey")) "customer"
+        else if (cols.contains("o_orderkey")) "orders"
+        else if (cols.contains("l_orderkey")) "lineitem"
+        else s"unrecognized:${cols.mkString(",")}"
+      def pairName(cols: Set[String]): String =
+        if (cols.contains("n_nationkey") && cols.contains("c_custkey"))
+          "nation-customer"
+        else if (cols.contains("c_custkey") &&
+          cols.contains("o_orderkey")) "customer-orders"
+        else if (cols.contains("o_orderkey") &&
+          cols.contains("l_orderkey")) "orders-lineitem"
+        else s"unrecognized:${cols.mkString(",")}"
+      def audit(cnt: DataFrame): (Long, String, String, String, String) = {
+        val finalRows = cnt.collect().head.getLong(0)
+        val joins = executedJoins(cnt)
+        require(joins.size == 3,
+          s"expected 3 executed joins, got ${joins.size}")
+        val first = pairName(leafCols(joins.last).toSet)
+        val second = legName(leafCols(joins(1).children(1)).toSet)
+        val third = legName(leafCols(joins.head.children(1)).toSet)
+        (finalRows, first, second, third, joinOpName(joins.last))
+      }
+      Sk11Scenarios.map { case (scenario, lo, hi) =>
+        // ---- the rule's decision, replayed from the stored stats
+        val estNc = estJoinFromStats(stN.n, stN.kmv("n_nationkey"),
+          stC.n, stC.kmv("c_nationkey"))
+        val estCo = estJoinFromStats(stC.n, stC.kmv("c_custkey"),
+          stO.n, stO.kmv("o_custkey"))
+        val estF = {
+          import s.implicits._
+          Seq((stL.gk("l_extendedprice"), lo, hi))
+            .toDF("gk", "lo", "hi")
+            .select((graft.expr.GkSketchAgg.gkRank(col("gk"), col("hi"))
+              - graft.expr.GkSketchAgg.gkRank(col("gk"), col("lo")))
+              .as("f")).collect().head.getDouble(0)
+        }
+        val estOl = estJoinFromStats(stO.n, stO.kmv("o_orderkey"),
+          stL.n, stL.kmv("l_orderkey")) * (estF / stL.n)
+        // greedy chain fold — the same arithmetic (and first-minimum
+        // tie order nc, co, ol) CboReorder.greedyChain executes
+        def greedy(eNc: Double, eCo: Double, eOlf: Double,
+            nC: Double, nO: Double): (String, String, String) =
+          if (eNc <= eCo && eNc <= eOlf)
+            ("nation-customer", "orders", "lineitem")
+          else if (eCo <= eOlf) {
+            val foldN = eNc * (eCo / nC)
+            val foldL = eOlf * (eCo / nO)
+            if (foldN <= foldL) ("customer-orders", "nation", "lineitem")
+            else ("customer-orders", "lineitem", "nation")
+          } else ("orders-lineitem", "customer", "nation")
+        val (chosen1, chosen2, chosen3) =
+          greedy(estNc, estCo, estOl, stC.n.toDouble, stO.n.toDouble)
+        // ---- rule ON / OFF
+        s.conf.set(graft.plans.CboCatalog.EnabledKey, "true")
+        val (finalRows, exec1, exec2, exec3, _) = audit(userQuery(lo, hi))
+        s.conf.set(graft.plans.CboCatalog.EnabledKey, "false")
+        val (offRows, off1, _, _, offInner) = audit(userQuery(lo, hi))
+        s.conf.set(graft.plans.CboCatalog.EnabledKey, "true")
+        // ---- exact replays
+        val nat = Relational.table(s, scratch, "nation")
+          .filter(col("n_nationkey") >= 0).select("n_nationkey")
+        val cust = Relational.table(s, scratch, "customer")
+          .select("c_custkey", "c_nationkey")
+        val ord = Relational.table(s, scratch, "orders")
+          .select("o_custkey", "o_orderkey")
+        val lineF = Relational.table(s, scratch, "lineitem")
+          .filter(col("l_extendedprice").cast("double") > lo &&
+            col("l_extendedprice").cast("double") <= hi)
+          .select("l_orderkey")
+        val xNc = nat.join(cust,
+          col("n_nationkey") === col("c_nationkey")).count()
+        val xCo = cust.join(ord,
+          col("c_custkey") === col("o_custkey")).count()
+        val xOlf = ord.join(lineF,
+          col("o_orderkey") === col("l_orderkey")).count()
+        val (exact1, exact2, exact3) =
+          greedy(xNc.toDouble, xCo.toDouble, xOlf.toDouble,
+            stC.n.toDouble, stO.n.toDouble)
+        // ---- staleness on a DIFFERENT leg than sk13's: nation
+        val staleRes = if (scenario == "narrow") {
+          appendInertNation(s, scratch)
+          val (staleRows, stale1, _, _, staleInner) =
+            audit(userQuery(lo, hi))
+          registerCboStats(s, analyzeForCboFresh(s, scratch), scratch)
+          val (reRows, re1, _, _, _) = audit(userQuery(lo, hi))
+          Some((stale1, staleInner, re1,
+            staleRows == finalRows && reRows == finalRows))
+        } else None
+        val (stale1, staleInner, re1, staleStable) = staleRes
+          .getOrElse((off1, offInner, exec1, true))
+        Sk14Row(scenario, lo, hi, stN.n, stC.n, stO.n, stL.n,
+          estNc.toLong, estCo.toLong, estOl.toLong,
+          chosen1, chosen2, chosen3, exec1, exec2, exec3,
+          exec1 == chosen1 && exec2 == chosen2 && exec3 == chosen3,
+          off1, chosen1 != "nation-customer",
+          off1 == "nation-customer" && offRows == finalRows,
+          xNc, xCo, xOlf, exact1, exact2, exact3,
+          chosen1 == exact1 && chosen2 == exact2 && chosen3 == exact3,
+          stale1, staleInner, re1,
+          staleStable && offRows == finalRows,
+          finalRows)
+      }
+    } finally {
+      prevs.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+      graft.plans.CboCatalog.clear()
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      "scenario" -> StringType, "lo" -> DoubleType, "hi" -> DoubleType,
+      "n_nation" -> LongType, "n_cust" -> LongType, "n_ord" -> LongType,
+      "n_line" -> LongType, "est_nc" -> LongType, "est_co" -> LongType,
+      "est_olf" -> LongType, "chosen_first" -> StringType,
+      "chosen_second" -> StringType, "chosen_third" -> StringType,
+      "executed_first" -> StringType, "executed_second" -> StringType,
+      "executed_third" -> StringType, "order_audit" -> BooleanType,
+      "ruleoff_first" -> StringType, "rule_load_bearing" -> BooleanType,
+      "ruleoff_audit" -> BooleanType, "exact_nc" -> LongType,
+      "exact_co" -> LongType, "exact_olf" -> LongType,
+      "exact_first" -> StringType, "exact_second" -> StringType,
+      "exact_third" -> StringType,
+      "decision_matches_exact" -> BooleanType,
+      "stale_first" -> StringType, "stale_inner" -> StringType,
+      "reanalyzed_first" -> StringType, "rows_stable" -> BooleanType,
+      "final_rows" -> LongType)
+      .map { case (n, t) => StructField(n, t, nullable = false) })
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(
+      rows.map(r => org.apache.spark.sql.Row
+        .fromSeq(r.productIterator.toSeq)).asJava,
+      schema).orderBy("scenario")
+  }
+
+  /** sk14's oracle companion: order decisions and counts replayed by
+    * DuckDB from exact quantities; the audit flags ride as TRUE
+    * constants so any executed-order divergence hash-fails. */
+  def cboChainInv(s: SparkSession, dir: String): DataFrame =
+    cboChain(s, dir).select(col("scenario"), col("lo"), col("hi"),
+      col("n_nation"), col("n_cust"), col("n_ord"), col("n_line"),
+      col("exact_nc"), col("exact_co"), col("exact_olf"),
+      col("exact_first"), col("exact_second"), col("exact_third"),
+      col("ruleoff_first"), col("rule_load_bearing"),
+      col("stale_first"), col("stale_inner"), col("reanalyzed_first"),
+      col("final_rows"), col("order_audit"), col("ruleoff_audit"),
+      col("decision_matches_exact"), col("rows_stable"))
+
+  val cboChainInvSql: String = {
+    val blocks = Sk11Scenarios.map { case (name, lo, hi) =>
+      s"""SELECT scenario, lo, hi, n_nation, n_cust, n_ord, n_line,
+        exact_nc, exact_co, exact_olf,
+        CASE WHEN exact_nc <= exact_co AND exact_nc <= exact_olf
+          THEN 'nation-customer'
+          WHEN exact_co <= exact_olf THEN 'customer-orders'
+          ELSE 'orders-lineitem' END AS exact_first,
+        CASE WHEN exact_nc <= exact_co AND exact_nc <= exact_olf
+          THEN 'orders'
+          WHEN exact_co <= exact_olf THEN
+            (CASE WHEN CAST(exact_nc AS DOUBLE) * exact_co / n_cust
+              <= CAST(exact_olf AS DOUBLE) * exact_co / n_ord
+              THEN 'nation' ELSE 'lineitem' END)
+          ELSE 'customer' END AS exact_second,
+        CASE WHEN exact_nc <= exact_co AND exact_nc <= exact_olf
+          THEN 'lineitem'
+          WHEN exact_co <= exact_olf THEN
+            (CASE WHEN CAST(exact_nc AS DOUBLE) * exact_co / n_cust
+              <= CAST(exact_olf AS DOUBLE) * exact_co / n_ord
+              THEN 'lineitem' ELSE 'nation' END)
+          ELSE 'nation' END AS exact_third,
+        'nation-customer' AS ruleoff_first,
+        (NOT (exact_nc <= exact_co AND exact_nc <= exact_olf))
+          AS rule_load_bearing,
+        'nation-customer' AS stale_first,
+        'SortMergeJoin' AS stale_inner,
+        CASE WHEN exact_nc <= exact_co AND exact_nc <= exact_olf
+          THEN 'nation-customer'
+          WHEN exact_co <= exact_olf THEN 'customer-orders'
+          ELSE 'orders-lineitem' END AS reanalyzed_first,
+        final_rows, TRUE AS order_audit, TRUE AS ruleoff_audit,
+        TRUE AS decision_matches_exact, TRUE AS rows_stable
+      FROM (
+        SELECT '$name' AS scenario,
+          CAST($lo AS DOUBLE) AS lo, CAST($hi AS DOUBLE) AS hi,
+          (SELECT count(*) FROM nation) AS n_nation,
+          (SELECT count(*) FROM customer) AS n_cust,
+          (SELECT count(*) FROM orders) AS n_ord,
+          (SELECT count(*) FROM lineitem) AS n_line,
+          (SELECT count(*) FROM nation n JOIN customer c
+            ON n.n_nationkey = c.c_nationkey) AS exact_nc,
+          (SELECT count(*) FROM customer c JOIN orders o
+            ON c.c_custkey = o.o_custkey) AS exact_co,
+          (SELECT count(*) FROM orders o JOIN lineitem l
+            ON o.o_orderkey = l.l_orderkey
+            WHERE CAST(l.l_extendedprice AS DOUBLE) > $lo
+              AND CAST(l.l_extendedprice AS DOUBLE) <= $hi)
+            AS exact_olf,
+          (SELECT count(*) FROM nation n
+            JOIN customer c ON n.n_nationkey = c.c_nationkey
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE CAST(l.l_extendedprice AS DOUBLE) > $lo
+              AND CAST(l.l_extendedprice AS DOUBLE) <= $hi)
+            AS final_rows)"""
+    }
+    blocks.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+      "\n) ORDER BY scenario")
+  }
+
   val cboAppliedInvSql: String = {
     val blocks = Sk11Scenarios.map { case (name, lo, hi) =>
       s"""SELECT scenario, lo, hi, n_cust, n_ord, n_line,
@@ -2109,5 +2419,7 @@ object Sketches {
       ("sk12_cbo_applied", cboApplied _, None),
       ("sk12_cbo_applied_inv", cboAppliedInv _,
         Some(cboAppliedInvSql)),
-      ("sk13_cbo_staleness", cboStaleness _, Some(cboStalenessSql)))
+      ("sk13_cbo_staleness", cboStaleness _, Some(cboStalenessSql)),
+      ("sk14_cbo_chain", cboChain _, None),
+      ("sk14_cbo_chain_inv", cboChainInv _, Some(cboChainInvSql)))
 }
