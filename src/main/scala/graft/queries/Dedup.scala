@@ -625,6 +625,70 @@ object Dedup {
     * anyway, as the d09 scaladoc already prescribes). */
   private val SemClusterTarget = 256L
 
+  /** Above this centroid count the argmax assignment stops being a
+    * compiled k-wide literal expression and becomes a broadcast
+    * join + max-struct aggregation. The literal path is exchange-free
+    * and unbeatable for small k (the gate's k = [[SemK]]), but its
+    * collect size and generated code grow linearly with k — codegen
+    * gives out around k ≈ 10⁴. Session-overridable
+    * (`spark.graft.semdedup.centroidLiteralMax`) so a scale audit can
+    * force either path; the default hands the 99× corpus (k ≈ 773)
+    * to the join path. Past broadcast limits (k ≳ 10⁶) the next swap
+    * is s06's sampled k-means / a two-level IVF assign (s04), as the
+    * d09 scaladoc prescribes. */
+  private val CentroidLiteralMaxKey =
+    "spark.graft.semdedup.centroidLiteralMax"
+  private val CentroidLiteralMaxDefault = 512L
+
+  /** Cluster assignment for the SemDeDup family: every vector gets
+    * the id of the max-integer-dot centroid, ties to the LOWEST
+    * centroid id — the same decision on both paths:
+    *  - k ≤ threshold: k-wide literal argmax (zero exchanges, the
+    *    argmax position maps back to the centroid's actual vec_id);
+    *  - k > threshold: broadcast the centroid frame, one dot per
+    *    (vector, centroid) pair inside codegen, then
+    *    `max(struct(dot, −cent_id))` per vector — the standard
+    *    broadcast-assign shape that scales to millions of vectors ×
+    *    thousands of centroids without the driver compiling a plan
+    *    proportional to k. Costs one extra shuffle (the assignment
+    *    joins back on vec_id) — the price of unbounded k. */
+  private def assignClusters(s: SparkSession,
+      quant: org.apache.spark.sql.DataFrame, k: Long)
+      : org.apache.spark.sql.DataFrame = {
+    val idot = graft.expr.IntDotProduct.intDot _
+    val litMax = s.conf.getOption(CentroidLiteralMaxKey)
+      .map(_.toLong).getOrElse(CentroidLiteralMaxDefault)
+    if (k <= litMax) {
+      // plan-time driver lookup of a tiny, deterministic set (same
+      // pattern as the reference's factory-time table loads)
+      val cents: Array[(Long, Seq[Int])] = quant
+        .filter(col("vec_id") < k)
+        .orderBy("vec_id").select(col("vec_id"), col("q")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1)))
+      val dots = array(cents.map { case (_, c) =>
+        idot(col("q"), typedLit(c)) }: _*)
+      // first occurrence of the max => ties break to the lowest
+      // centroid; the argmax position is mapped back to the
+      // centroid's actual vec_id (the oracle's cluster key) rather
+      // than assuming the centroid ids are the contiguous 0..k-1
+      val centIds = typedLit(cents.map(_._1).toSeq)
+      quant.withColumn("cluster_id", element_at(centIds,
+        array_position(dots, array_max(dots)).cast("int")))
+    } else {
+      val centDf = quant.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cent_id"), col("q").as("cq"))
+      val best = quant.select(col("vec_id"), col("q"))
+        .crossJoin(broadcast(centDf))
+        .withColumn("cdot", idot(col("q"), col("cq")))
+        .groupBy("vec_id")
+        .agg(max(struct(col("cdot"),
+          (-col("cent_id")).as("neg_cid"))).as("best"))
+        .select(col("vec_id"),
+          (-col("best.neg_cid")).as("cluster_id"))
+      quant.join(best, Seq("vec_id"))
+    }
+  }
+
   /** d09 — SemDeDup-style semantic deduplication (Abbas et al. 2023):
     * cluster the corpus, then drop every vector that has a
     * sufficiently-cosine-similar smaller-id neighbor in its own
@@ -647,9 +711,12 @@ object Dedup {
     * rounding-proof, unlike the 1.003 factor d05 uses with its
     * closed-form oracle).
     *
-    * Scale shape: quantize + assign are map-only (broadcast
-    * centroids, codegen'd argmax, no UDF); the only shuffle is the
-    * cluster_id self-join, whose skew is bounded by cluster size. */
+    * Scale shape: quantize + assign are map-only for gate-scale k
+    * (codegen'd literal argmax, no UDF) and a broadcast-join argmax
+    * past [[CentroidLiteralMaxDefault]] centroids (see
+    * [[assignClusters]] — one extra vec_id shuffle buys unbounded k);
+    * the remaining shuffle is the cluster_id self-join, whose skew is
+    * bounded by cluster size. */
   def semanticDedup(s: SparkSession, dir: String): DataFrame = {
     val emb = Relational.table(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
@@ -668,23 +735,10 @@ object Dedup {
       .withColumn("n2", idot(col("q"), col("q")))
 
     // centroids: quantized vectors of the k lowest ids, k scaled to
-    // the corpus (see SemClusterTarget) — plan-time driver lookup of
-    // a tiny, deterministic set (same pattern as the reference's
-    // factory-time table loads)
+    // the corpus (see SemClusterTarget); [[assignClusters]] picks the
+    // literal-argmax or broadcast-join path by k
     val k = math.max(SemK.toLong, corpus.count() / SemClusterTarget)
-    val cents: Array[(Long, Seq[Int])] = quant.filter(col("vec_id") < k)
-      .orderBy("vec_id").select(col("vec_id"), col("q")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Int](1)))
-    val dots = array(cents.map { case (_, c) =>
-      idot(col("q"), typedLit(c)) }: _*)
-    // first occurrence of the max => ties break to the lowest centroid;
-    // the argmax position is mapped back to the centroid's actual
-    // vec_id (the oracle's cluster key) rather than assuming the
-    // centroid ids are the contiguous range 0..SemK-1
-    val centIds = typedLit(cents.map(_._1).toSeq)
-    val cid = element_at(centIds,
-      array_position(dots, array_max(dots)).cast("int"))
-    val assigned = quant.withColumn("cluster_id", cid).persist()
+    val assigned = assignClusters(s, quant, k).persist()
 
     val a = assigned.select(col("cluster_id"), col("vec_id").as("a_id"),
       col("q").as("qa"), col("n2").as("na2"))
@@ -789,15 +843,7 @@ object Dedup {
       .select(col("vec_id"), col("q"))
       .withColumn("n2", idot(col("q"), col("q")))
     val k = math.max(SemK.toLong, corpus.count() / SemClusterTarget)
-    val cents: Array[(Long, Seq[Int])] = quant.filter(col("vec_id") < k)
-      .orderBy("vec_id").select(col("vec_id"), col("q")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Int](1)))
-    val dots = array(cents.map { case (_, c) =>
-      idot(col("q"), typedLit(c)) }: _*)
-    val centIds = typedLit(cents.map(_._1).toSeq)
-    val cid = element_at(centIds,
-      array_position(dots, array_max(dots)).cast("int"))
-    val assigned = quant.withColumn("cluster_id", cid).persist()
+    val assigned = assignClusters(s, quant, k).persist()
     val a = assigned.select(col("cluster_id"), col("vec_id").as("a_id"),
       col("q").as("qa"), col("n2").as("na2"))
     val b = assigned.select(col("cluster_id"), col("vec_id").as("b_id"),

@@ -285,6 +285,27 @@ class Round15Spec extends SparkSpec {
     }
   }
 
+  // ---- task 4: the d09/d16 assignment paths agree exactly
+  test("SemDeDup assignment: the broadcast-join argmax path (forced " +
+    "via the literal-max threshold) returns byte-identical d09 and " +
+    "d16 results to the compiled-literal path") {
+    val key = "spark.graft.semdedup.centroidLiteralMax"
+    val lit09 = queries.Dedup.semanticDedup(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val lit16 = queries.Dedup.semanticCalibration(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    spark.conf.set(key, "0") // every k takes the join path
+    try {
+      val join09 = queries.Dedup.semanticDedup(spark, sfDir)
+        .collect().map(_.toString).toSeq
+      val join16 = queries.Dedup.semanticCalibration(spark, sfDir)
+        .collect().map(_.toString).toSeq
+      assert(join09 == lit09, "d09 paths must agree")
+      assert(join16 == lit16, "d16 paths must agree")
+      assert(lit09.nonEmpty && lit16.nonEmpty)
+    } finally spark.conf.unset(key)
+  }
+
   // ---- task 5: semi/anti strategy pinning
   test("CBO semi/anti pinning: an analyzed left-semi join broadcasts " +
     "its under-cap right leg via the injected hint (rule-off stays " +
