@@ -498,3 +498,37 @@ def hybrid_stored(spark, table_dir):
     """Hybrid (BM25 + ANN, RRF-fused) retrieval served from the
     STORED indexes (builds them on first call per session)."""
     return run_query(spark, "s29_hybrid_stored", table_dir)
+
+
+def ann_stored_ivf(spark, table_dir):
+    """Build (first call per session) and SERVE the stored IVF index
+    over ``embeddings`` — top-k per query from statically pruned
+    posting lists, the RAG-retrieval workhorse."""
+    return run_query(spark, "s24_ann_stored_ivf", table_dir)
+
+
+def index_erasure(spark, table_dir):
+    """Right-to-erasure inside the stored IVF + BM25 indexes: delete a
+    fixed id set, rewrite only the touched posting lists/buckets, and
+    return the post-erasure serve (byte-equal to a from-scratch
+    rebuild over the surviving corpus)."""
+    return run_query(spark, "s32_index_erasure", table_dir)
+
+
+def fuzzy_decontaminate(spark, table_dir):
+    """Fuzzy (n-gram overlap) train/eval decontamination over
+    ``documents`` — the benchmark-leakage gate a pretraining corpus
+    runs before training."""
+    return run_query(spark, "t42_fuzzy_decontaminate", table_dir)
+
+
+def incremental_mv(spark, table_dir):
+    """Incrementally-maintained aggregate materialized view over
+    ``events`` (O(delta) refresh, not recompute)."""
+    return run_query(spark, "c08_incremental_mv", table_dir)
+
+
+def semantic_dedup(spark, table_dir):
+    """SemDeDup-style embedding-cluster near-duplicate pruning over
+    ``embeddings`` (quantize, cluster-assign, in-cluster cosine)."""
+    return run_query(spark, "d09_semantic_dedup", table_dir)

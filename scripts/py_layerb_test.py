@@ -1,7 +1,8 @@
 #!/usr/bin/env python3
 """Dev-only byte-parity test for the Layer B Python surface
-(python/graft.py: dedup_exact, dedup_minhash_lsh, token_count,
-quality_score, bm25_topk, hybrid_stored).
+(python/graft.py: dedup_exact, dedup_minhash_lsh, semantic_dedup,
+token_count, quality_score, bm25_topk, hybrid_stored, ann_stored_ivf,
+index_erasure, fuzzy_decontaminate, incremental_mv).
 
 Each wrapper call must return rows byte-identical to the Scala gate's
 Verify dump for the same key — the wrapper is a transport, never a
@@ -36,6 +37,11 @@ OPS = [
     ("t02_quality_score", graft.quality_score),
     ("t19_bm25_topk", graft.bm25_topk),
     ("s29_hybrid_stored", graft.hybrid_stored),
+    ("s24_ann_stored_ivf", graft.ann_stored_ivf),
+    ("s32_index_erasure", graft.index_erasure),
+    ("t42_fuzzy_decontaminate", graft.fuzzy_decontaminate),
+    ("c08_incremental_mv", graft.incremental_mv),
+    ("d09_semantic_dedup", graft.semantic_dedup),
 ]
 
 
