@@ -1881,10 +1881,16 @@ object Sketches {
           org.apache.commons.io.FileUtils.deleteDirectory(root)
         Seq("nation", "customer", "orders", "lineitem").foreach { t =>
           val tdir = new java.io.File(root, s"$t.parquet")
-          tdir.mkdirs()
-          org.apache.commons.io.FileUtils.copyFile(
-            new java.io.File(s"$dir/$t.parquet"),
-            new java.io.File(tdir, "part-00000.parquet"))
+          val src = new java.io.File(s"$dir/$t.parquet")
+          // a stock table is a single parquet file; a scaled dir's
+          // (ScaleUpTestData) is a directory of parts — copy either
+          if (src.isDirectory)
+            org.apache.commons.io.FileUtils.copyDirectory(src, tdir)
+          else {
+            tdir.mkdirs()
+            org.apache.commons.io.FileUtils.copyFile(src,
+              new java.io.File(tdir, "part-00000.parquet"))
+          }
         }
         root.getAbsolutePath
       })
