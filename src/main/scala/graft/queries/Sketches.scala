@@ -2082,12 +2082,17 @@ object Sketches {
     * the oracle companion (order decisions + counts replayed by
     * DuckDB from exact quantities, audits riding as constants). */
   def cboChain(s: SparkSession, dir: String): DataFrame = {
-    // rebuild per invocation: the narrow scenario's staleness arc
+    // restore per invocation: the narrow scenario's staleness arc
     // appends inert rows, and a reused scratch would carry them into
     // the next invocation's ANALYZE counts (n_nation must equal the
-    // stock table's count for the oracle)
-    cboScratchCache.remove((s.sparkContext.applicationId, s"sk14:$dir"))
+    // stock table's count for the oracle). Deleting the appended
+    // part files restores the byte-identical stock copy — far
+    // cheaper than recopying four tables every invocation
     val scratch = buildCboScratchTables(s, dir, kind = "sk14")
+    Option(new java.io.File(scratch, "nation.parquet").listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.startsWith("part-append-"))
+      .foreach(f => require(f.delete(), s"sk14: could not drop $f"))
     if (!s.experimental.extraOptimizations.contains(
         graft.plans.CboReorder))
       s.experimental.extraOptimizations =
@@ -2099,7 +2104,22 @@ object Sketches {
     val prevs = overrides.map { case (k, _) => k -> s.conf.getOption(k) }
     overrides.foreach { case (k, v) => s.conf.set(k, v) }
     val rows = try {
-      registerCboStats(s, analyzeForCboFresh(s, scratch), scratch)
+      // the CLEAN-state ANALYZE artifact is computed once per session
+      // and snapshotted aside: the narrow staleness arc overwrites
+      // the live artifact with post-append stats, so later
+      // invocations restore the snapshot (the restored scratch is
+      // byte-identical to the first copy, fingerprints included)
+      // instead of paying a full re-ANALYZE
+      val statsPath = analyzeForCbo(s, scratch)
+      val statsDir = new java.io.File(statsPath)
+      val cleanSnap = new java.io.File(statsPath + "_clean")
+      if (cleanSnap.exists()) {
+        org.apache.commons.io.FileUtils.deleteDirectory(statsDir)
+        org.apache.commons.io.FileUtils.copyDirectory(cleanSnap,
+          statsDir)
+      } else org.apache.commons.io.FileUtils.copyDirectory(statsDir,
+        cleanSnap)
+      registerCboStats(s, statsPath, scratch)
       def stats(tbl: String) = graft.plans.CboCatalog
         .lookup(s"$scratch/$tbl.parquet")
         .getOrElse(sys.error(s"sk14: $tbl not in catalog"))
