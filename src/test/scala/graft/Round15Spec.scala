@@ -285,6 +285,42 @@ class Round15Spec extends SparkSpec {
     }
   }
 
+  // ---- chain rewrite declines safely on an impure mid-Project
+  test("CBO chain: a 4-table chain whose mid-Project computes an " +
+    "alias is not flattened (no unresolvable plan); the answer " +
+    "matches rule-off") {
+    withCboRule {
+      queries.Sketches.registerCboStats(spark,
+        queries.Sketches.analyzeForCbo(spark, sfDir), sfDir)
+      def q(): org.apache.spark.sql.DataFrame = {
+        val nat = queries.Relational.table(spark, sfDir, "nation")
+          .select("n_nationkey")
+        val cust = queries.Relational.table(spark, sfDir, "customer")
+          .select("c_custkey", "c_nationkey")
+        val ord = queries.Relational.table(spark, sfDir, "orders")
+          .select("o_custkey", "o_orderkey")
+        val line = queries.Relational.table(spark, sfDir, "lineitem")
+          .select(col("l_orderkey"),
+            col("l_extendedprice").cast("double").as("price"))
+        nat.join(cust, col("n_nationkey") === col("c_nationkey"))
+          .join(ord, col("c_custkey") === col("o_custkey"))
+          // computed alias consumed ABOVE the last join: flattening
+          // would orphan it
+          .select(col("o_orderkey"),
+            pmod(col("o_custkey"), lit(5)).as("bucket"))
+          .join(line.filter(col("price") > 0.0 && col("price") <= 2000.0)
+            .select("l_orderkey"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy("bucket").count()
+      }
+      val on = q().collect().map(_.toString).toSet
+      spark.conf.set(plans.CboCatalog.EnabledKey, "false")
+      val off = q().collect().map(_.toString).toSet
+      spark.conf.set(plans.CboCatalog.EnabledKey, "true")
+      assert(on == off && on.nonEmpty)
+    }
+  }
+
   // ---- task 4: the d09/d16 assignment paths agree exactly
   test("SemDeDup assignment: the broadcast-join argmax path (forced " +
     "via the literal-max threshold) returns byte-identical d09 and " +
