@@ -323,27 +323,47 @@ object Graph {
     * `deg · |V| >= 2 · |E|` — so every round replays exactly in the
     * oracle's unrolled CTEs. Scale shape: per round ONE degree
     * aggregation (map-side combinable) + a broadcast of the 1-row
-    * (|V|, |E|) stats + two semi-joins to restrict the edge set;
-    * round count is a constant 3, not data-dependent, and
-    * `localCheckpoint` truncates lineage between rounds like the
-    * pagerank loop. */
+    * (|V|, Σdeg = 2|E|) stats + two semi-joins to restrict the edge
+    * set; round count is a constant 3, not data-dependent.
+    *
+    * Memory shape (r15): the base edge set is the ONLY materialized
+    * edge snapshot. Rounds peel by NODE keep-sets: K_i is computed
+    * from degrees of the round-(i-1) subgraph, whose node set is a
+    * subset of K_{i-1}, so K_i ⊆ K_{i-1} automatically and
+    * `base semi-join K_i` IS the round-i subgraph. The pre-r15 shape
+    * `localCheckpoint`ed every round's shrunken edge list and never
+    * released the prior rounds' blocks — four edge snapshots held at
+    * once, the measured 99× 8 g OOM; now the peak is one edge
+    * snapshot plus |V|-sized node sets (each round's keep-set
+    * checkpoint truncates the lineage exactly like the old per-round
+    * edge checkpoint did, so no round replays a prior round's
+    * aggregation). */
   def denseCore(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    // same one-shuffle edge build as gr03 (r8 rework)
-    var edges = coPurchaseEdges(s, dir, 4).localCheckpoint()
+    // same one-shuffle edge build as gr03 (r8 rework). DISK_ONLY:
+    // the snapshot is scanned sequentially once per round — parked
+    // on disk it costs a ~1 GB/round local read at 99× but leaves
+    // the ENTIRE unified pool to the degree hash-aggregations (32
+    // concurrent tasks × multi-million-group maps), which is what
+    // actually ran out at 8 g, not the heap
+    val base = coPurchaseEdges(s, dir, 4).localCheckpoint(
+      eager = true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    var edges = base
     for (_ <- 1 to 3) {
       val deg = edges.select(col("u").as("n"))
         .unionAll(edges.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("c"))
-      val stats = deg.agg(count(lit(1)).as("nv"))
-        .crossJoin(edges.agg(count(lit(1)).as("ne")))
+      // 2·|E| == Σ degree, so ONE degree aggregation per round feeds
+      // both stats — no second scan of the semi-joined edge set
+      val stats = deg.agg(count(lit(1)).as("nv"),
+        sum(col("c")).as("two_ne"))
       val keep = deg.crossJoin(broadcast(stats))
-        .filter(col("c") * col("nv") >= col("ne") * 2)
-        .select("n")
-      edges = edges
+        .filter(col("c") * col("nv") >= col("two_ne"))
+        .select("n").localCheckpoint()
+      edges = base
         .join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
-        .select("u", "v").localCheckpoint()
+        .select("u", "v")
     }
     edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))
