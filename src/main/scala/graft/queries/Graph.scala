@@ -36,6 +36,29 @@ object Graph {
       .union(pairs.select(col("cust").as("src"), col("supp").as("dst")))
   }
 
+  /** Superstep join-strategy choice from a MEASURED row count — the
+    * sk07/sk12 stored-stats discipline applied to iterative loops.
+    * Every graph round joins the persisted edge set with a per-round
+    * |V|-bounded table (ranks / frontier / keep-set) that comes out
+    * of a localCheckpoint, whose stats are UNKNOWN to the planner —
+    * so the edge side was shuffle-sorted every round even when the
+    * round table held a few thousand rows (measured r15-opt, gr01 at
+    * sf0.1: 0.8 s/round, almost all fixed exchange/sort machinery).
+    * The loop owner knows the row count (it is the node count, or a
+    * subset); broadcast the round table while it fits, fall back to
+    * the shuffle join past the cap. The cap is conf'able
+    * (`spark.graft.superstep.broadcastRows`, default 2M rows ≈
+    * tens of MB framed — a size any executor holds); at 100 TB a
+    * rank table outgrows it immediately and the loop keeps the
+    * bucketed-edges + shuffled-ranks shape the scaladocs describe,
+    * so the choice stays honest at any scale. */
+  private def maybeBroadcast(df: DataFrame, rows: Long): DataFrame = {
+    val cap = df.sparkSession.conf
+      .getOption("spark.graft.superstep.broadcastRows")
+      .map(_.toLong).getOrElse(2000000L)
+    if (rows <= cap) broadcast(df) else df
+  }
+
   /** gr01 — PageRank over the supplier↔customer trade graph, 3
     * supersteps of r(v) ← 0.15 + 0.85·Σ r(u)/outdeg(u) in exact
     * micro-point integers: contribution = (85 × (r div outdeg))
@@ -55,24 +78,33 @@ object Graph {
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val withDeg = e.join(outdeg, "src").persist()
     val nodes = e.select(col("src").as("node")).distinct().persist()
+    // one measured count drives every round's join strategy: ranks
+    // and contrib are both |V|-bounded (maybeBroadcast note above)
+    val nNodes = nodes.count()
     var ranks = nodes.select(col("node"), lit(1000000L).as("r"))
-      .localCheckpoint()
+    // the chain is LINEAR (each round's ranks/contrib is consumed
+    // exactly once), so with a FIXED 3-round unroll the whole loop
+    // executes as ONE job over the cached graph — the old per-round
+    // localCheckpoint materialized a |V|-row snapshot 3× for lineage
+    // truncation no 3-deep plan needs (that discipline matters for
+    // d06's data-dependent O(log n) loop, which keeps it)
     for (_ <- 1 to PrRounds) {
       val contrib = withDeg
-        .join(ranks, col("src") === col("node"))
+        .join(maybeBroadcast(ranks, nNodes), col("src") === col("node"))
         .select(col("dst"),
           expr("85 * (r div outdeg) div 100").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("in_rank"))
       ranks = nodes
-        .join(contrib, col("node") === col("dst"), "left")
+        .join(maybeBroadcast(contrib, nNodes),
+          col("node") === col("dst"), "left")
         .select(col("node"),
           (lit(PrBase) + coalesce(col("in_rank"), lit(0L))).as("r"))
-        .localCheckpoint()
     }
-    // ranks is checkpointed: the returned frame no longer references
-    // the cached graph — release it so a long suite doesn't accumulate
-    Seq(e, withDeg, nodes).foreach(_.unpersist(false))
-    ranks.orderBy("node").select(col("node"), col("r").as("rank_micro"))
+    // single end-of-loop materialization; the returned frame no longer
+    // references the cached graph — release it so a long suite doesn't
+    // accumulate
+    CacheScope.materializeAndRelease(ranks, e, withDeg, nodes)
+      .orderBy("node").select(col("node"), col("r").as("rank_micro"))
   }
 
   val pagerankSql: String = {
@@ -360,9 +392,14 @@ object Graph {
       val keep = deg.crossJoin(broadcast(stats))
         .filter(col("c") * col("nv") >= col("two_ne"))
         .select("n").localCheckpoint()
+      // the keep-set is |V|-bounded: broadcast it into both semi-joins
+      // while it fits (measured count; maybeBroadcast note at the top
+      // of the file) so the round never shuffles the base edge
+      // snapshot — it is scanned once from its DISK_ONLY blocks
+      val keepB = maybeBroadcast(keep, keep.count())
       edges = base
-        .join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
-        .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
+        .join(keepB.select(col("n").as("u")), Seq("u"), "left_semi")
+        .join(keepB.select(col("n").as("v")), Seq("v"), "left_semi")
         .select("u", "v")
     }
     edges.select(col("u").as("n"))
@@ -589,27 +626,29 @@ object Graph {
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val withDeg = e.join(outdeg, "src").persist()
     val nodes = e.select(col("src").as("node")).distinct().persist()
+    val nNodes = nodes.count() // drives the superstep join strategy
     val isSeed = col("node") % 25 === 0 && col("node") < CustOffset
     var ranks = nodes
       .select(col("node"),
         when(isSeed, lit(1000000L)).otherwise(lit(0L)).as("r"))
-      .localCheckpoint()
+    // linear fixed-round chain → one job + one end materialization
+    // (the gr01 note)
     for (_ <- 1 to PrRounds) {
       val contrib = withDeg
-        .join(ranks, col("src") === col("node"))
+        .join(maybeBroadcast(ranks, nNodes), col("src") === col("node"))
         .filter(col("r") > 0)
         .select(col("dst"),
           expr("85 * (r div outdeg) div 100").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("in_rank"))
       ranks = nodes
-        .join(contrib, col("node") === col("dst"), "left")
+        .join(maybeBroadcast(contrib, nNodes),
+          col("node") === col("dst"), "left")
         .select(col("node"),
           (when(isSeed, lit(PrBase)).otherwise(lit(0L)) +
             coalesce(col("in_rank"), lit(0L))).as("r"))
-        .localCheckpoint()
     }
-    Seq(e, withDeg, nodes).foreach(_.unpersist(false))
-    ranks.filter(col("r") > 0)
+    CacheScope.materializeAndRelease(ranks, e, withDeg, nodes)
+      .filter(col("r") > 0)
       .orderBy("node").select(col("node"), col("r").as("rank_micro"))
   }
 

@@ -325,11 +325,17 @@ object LayerADemo {
     * exchange-free end to end. Wall time vs a02 is the linearity
     * check (BASELINE row; any superlinearity is a bug in the fused
     * stats pass or the generator expressions). */
-  def bench100mGenerateMutate(s: SparkSession, dir: String): DataFrame = {
+  def bench100mGenerateMutate(s: SparkSession, dir: String): DataFrame =
+    bench100mGenerateMutateAt(s, dir, A03Rows)
+
+  /** Row-count-parameterized a03 body (probe hook; the gate row is
+    * fixed at [[A03Rows]]). */
+  private[graft] def bench100mGenerateMutateAt(s: SparkSession,
+      dir: String, rows: Long): DataFrame = {
     val segs = customers(s, dir).select("c_mktsegment").distinct()
       .collect().map(_.getString(0)).sorted.toSeq ++
       Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
-    benchMutate(s, dir, A03Rows).agg(
+    benchMutate(s, dir, rows).agg(
       count(lit(1)).as("n"),
       sum(col("segment").isin(segs.distinct: _*).cast("long")).as("n_seg"),
       sum((col("u") === "" || col("u").rlike("^\\d\\.\\d{6}$"))

@@ -2,18 +2,28 @@ package graft.tools
 
 import org.apache.spark.sql.functions._
 
-/** Dev tool for the r15-opt graph-family audit: splits gr01's wall
-  * time into (edge build, per-round superstep, final sort) so the
-  * optimization targets the measured phase, not a guess. Each phase
-  * is timed over a count() of its materialized frame, under the same
-  * production session the bench uses.
+/** Dev tool for the r15-opt graph-family audit.
   *
-  * Usage: runMain graft.tools.GraphProbe <sfDir> [iters]
+  * `phase` mode splits gr01's wall time into (edge build, per-round
+  * superstep, final sort) so the optimization targets the measured
+  * phase, not a guess.
+  *
+  * `ab` mode A/B-times the superstep broadcast decision INTERLEAVED
+  * in one JVM (old shuffle shape via
+  * spark.graft.superstep.broadcastRows=0, new measured-count
+  * broadcast shape via the default cap), which cancels the ambient
+  * drift that made independent subset runs of these sub-5 s rows
+  * uninterpretable (±80% observed between identical runs).
+  *
+  * Usage:
+  *   runMain graft.tools.GraphProbe <sfDir> phase [iters]
+  *   runMain graft.tools.GraphProbe <sfDir> ab [iters]
   */
 object GraphProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val iters = if (args.length > 1) args(1).toInt else 2
+    val mode = if (args.length > 1) args(1) else "phase"
+    val iters = if (args.length > 2) args(2).toInt else 3
     val s = graft.GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS",
         Runtime.getRuntime.availableProcessors.toString).toInt)
@@ -22,7 +32,45 @@ object GraphProbe {
     s.range(1000).selectExpr("sum(id)").collect()
     s.read.parquet(s"$sfDir/lineitem.parquet").count()
     s.read.parquet(s"$sfDir/orders.parquet").count()
+    if (mode == "ab") ab(s, sfDir, iters) else phase(s, sfDir, iters)
+    s.stop()
+  }
 
+  private def ab(s: org.apache.spark.sql.SparkSession, sfDir: String,
+      iters: Int): Unit = {
+    val Cap = "spark.graft.superstep.broadcastRows"
+    val rows = Seq[(String, () => Long)](
+      "gr01_pagerank" ->
+        (() => graft.queries.Graph.pagerank(s, sfDir).count()),
+      "gr04_dense_core" ->
+        (() => graft.queries.Graph.denseCore(s, sfDir).count()),
+      "gr06_bfs_hops" ->
+        (() => graft.queries.Graph.bfsHops(s, sfDir).count()),
+      "gr07_personalized_pagerank" ->
+        (() => graft.queries.Graph.personalizedPagerank(s, sfDir).count()),
+      "gr08_weighted_paths" ->
+        (() => graft.queries.Graph.weightedPaths(s, sfDir).count()))
+    rows.foreach { case (name, f) =>
+      f() // warm this row's codegen under the default (new) shape
+      val (olds, news) = (1 to iters).map { _ =>
+        s.conf.set(Cap, "0")
+        val t0 = System.nanoTime(); f()
+        val tOld = (System.nanoTime() - t0) / 1e9
+        s.conf.set(Cap, "2000000")
+        val t1 = System.nanoTime(); f()
+        val tNew = (System.nanoTime() - t1) / 1e9
+        (tOld, tNew)
+      }.unzip
+      s.conf.unset(Cap)
+      println(f"[ab] $name: shuffle-shape min ${olds.min}%.2f s, " +
+        f"broadcast-shape min ${news.min}%.2f s " +
+        f"(all: old ${olds.map(t => f"$t%.2f").mkString("/")} " +
+        f"new ${news.map(t => f"$t%.2f").mkString("/")})")
+    }
+  }
+
+  private def phase(s: org.apache.spark.sql.SparkSession, sfDir: String,
+      iters: Int): Unit = {
     def timed(label: String)(f: => Long): Unit = {
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
@@ -36,7 +84,7 @@ object GraphProbe {
     timed("full gr01 (bench row)") {
       graft.queries.Graph.pagerank(s, sfDir).count()
     }
-    // phase split
+    // phase split (OLD shuffle shape, inline)
     val pairs = graft.queries.Relational.table(s, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))
       .join(graft.queries.Relational.table(s, sfDir, "orders")
@@ -72,6 +120,5 @@ object GraphProbe {
       }
     }
     timed("final orderBy readout") { ranks.orderBy("node").count() }
-    s.stop()
   }
 }
