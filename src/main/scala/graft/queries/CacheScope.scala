@@ -29,4 +29,15 @@ object CacheScope {
     cached.foreach(_.unpersist(false))
     out
   }
+
+  /** Pin a SMALL frame that an invariant/audit plan references more
+    * than once. Spark has no common-subexpression reuse across join
+    * branches (only exchange reuse, which rarely covers a whole serve
+    * or dedup pipeline), so an inv row that crossJoins k checks over
+    * the same served result recomputes the serve k times — measured
+    * r15-opt: st32's inv paid its two ANN serves 5× between them.
+    * A localCheckpoint of the few-hundred-row result makes every
+    * reference a block read. Only for KB-scale frames: the checkpoint
+    * materializes eagerly and lives until GC. */
+  def pin(df: DataFrame): DataFrame = df.localCheckpoint(true)
 }

@@ -1141,15 +1141,23 @@ object Dedup {
     // sort AND per-gram heap serde).
     val df2 = grams.groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2).select("gram")
-    val postings = grams.join(df2, Seq("gram"), "left_semi")
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("gram").orderBy("doc_id")))
-      .filter(col("rn") <= 8).drop("rn")
-    val candidates = postings.select(col("gram"), col("doc_id").as("a"))
-      .join(postings.select(col("gram"), col("doc_id").as("b")), "gram")
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    // capped posting lists + pair emission IN ONE AGGREGATION (the
+    // gr03 coPurchaseEdges trick): per shared gram, keep the 8 lowest
+    // doc ids (grams are per-doc distinct, so sorted collect_set ==
+    // the old row_number()<=8 window) and emit the <=C(8,2) unordered
+    // pairs in-row with a nested transform — replacing the window's
+    // partition sort + the posting self-join with a single
+    // gram-keyed aggregate (r15-opt; same candidate set, the list is
+    // ascending so a < b holds by construction)
+    val candidates = grams.join(df2, Seq("gram"), "left_semi")
+      .groupBy("gram")
+      .agg(slice(array_sort(collect_set(col("doc_id"))), 1, 8).as("ds"))
+      .select(expr(
+        """flatten(transform(ds, (u, i) ->
+             transform(slice(ds, i + 2, size(ds)), v ->
+               struct(u AS a, v AS b))))""").as("pairs"))
+      .select(explode(col("pairs")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
     // EXACT VERIFY via per-doc gram SETS + array_intersect: one row
     // per doc (gram list bounded by doc length) instead of one row
     // per (pair × gram). The old two-sided gram re-join expanded the

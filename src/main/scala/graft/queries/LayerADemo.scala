@@ -335,6 +335,15 @@ object LayerADemo {
     val segs = customers(s, dir).select("c_mktsegment").distinct()
       .collect().map(_.getString(0)).sorted.toSeq ++
       Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    // Measured r15-opt (A03Probe): the row is two passes over the
+    // generated lineage — the fused stats agg evaluates only the
+    // stats-bearing columns (dob/segment/u/nation) and the output
+    // agg only (segment/u/score); column pruning already cuts both
+    // to their minimal sets, and PERSISTING the generation to share
+    // one materialization was A/B-measured 26.4 -> 42.6 s at the
+    // bench's 4 GB heap (a ~10 GB 6-column cache thrashes to disk
+    // and defeats pruning in BOTH passes) — so the double pruned
+    // pass is kept deliberately.
     benchMutate(s, dir, rows).agg(
       count(lit(1)).as("n"),
       sum(col("segment").isin(segs.distinct: _*).cast("long")).as("n_seg"),

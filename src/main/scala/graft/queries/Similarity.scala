@@ -2391,8 +2391,8 @@ object Similarity {
     * (DuckDB recomputes both numbers). */
   def bm25UpsertedInv(s: SparkSession, dir: String): DataFrame = {
     val (incRoot, fullRoot) = buildUpsertedBm25Index(s, dir)
-    val inc = hybridLexArmStoredAt(s, dir, incRoot)
-    val full = hybridLexArmStoredAt(s, dir, fullRoot)
+    val inc = CacheScope.pin(hybridLexArmStoredAt(s, dir, incRoot))
+    val full = CacheScope.pin(hybridLexArmStoredAt(s, dir, fullRoot))
     val parity = inc.join(full,
         Seq("query_id", "doc_id", "lex_rank"), "full_outer")
       .agg(count(lit(1)).as("n_union"))

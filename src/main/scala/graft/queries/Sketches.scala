@@ -1565,52 +1565,64 @@ object Sketches {
         // Each row also records the table's file-listing fingerprint
         // AT ANALYZE TIME — the staleness marker CboReorder checks
         // before trusting the entry (sk13).
-        def fp(tbl: String): org.apache.spark.sql.Column =
-          lit(graft.plans.CboCatalog.fingerprintOf(
-            s"$dir/$tbl.parquet")).as("fp")
-        Relational.table(s, dir, "nation")
-          .agg(count(lit(1)).as("n"),
-            kmvSketch(xxhash64(col("n_nationkey")), JoinK).as("k1"))
-          .select(lit("nation").as("tbl"), col("n"),
-            array(struct(lit("n_nationkey").as("col"),
-              col("k1").as("sk"))).as("kmv"),
-            array().cast("array<struct<col:string,gk:binary>>").as("gk"),
-            fp("nation"))
-          .unionByName(Relational.table(s, dir, "customer")
-          .agg(count(lit(1)).as("n"),
-            kmvSketch(xxhash64(col("c_custkey")), JoinK).as("k1"),
-            kmvSketch(xxhash64(col("c_nationkey")), JoinK).as("k2"))
-          .select(lit("customer").as("tbl"), col("n"),
-            array(
-              struct(lit("c_custkey").as("col"), col("k1").as("sk")),
-              struct(lit("c_nationkey").as("col"), col("k2").as("sk")))
-              .as("kmv"),
-            array().cast("array<struct<col:string,gk:binary>>").as("gk"),
-            fp("customer")))
-          .unionByName(Relational.table(s, dir, "orders")
-            .agg(count(lit(1)).as("n"),
-              kmvSketch(xxhash64(col("o_custkey")), JoinK).as("k1"),
-              kmvSketch(xxhash64(col("o_orderkey")), JoinK).as("k2"))
-            .select(lit("orders").as("tbl"), col("n"),
-              array(
-                struct(lit("o_custkey").as("col"), col("k1").as("sk")),
-                struct(lit("o_orderkey").as("col"), col("k2").as("sk")))
-                .as("kmv"),
-              array().cast("array<struct<col:string,gk:binary>>")
-                .as("gk"), fp("orders")))
-          .unionByName(Relational.table(s, dir, "lineitem")
-            .agg(count(lit(1)).as("n"),
-              kmvSketch(xxhash64(col("l_orderkey")), JoinK).as("k1"),
-              gkSketch(col("l_extendedprice").cast("double"),
-                SelAccuracy).as("g1"))
-            .select(lit("lineitem").as("tbl"), col("n"),
-              array(struct(lit("l_orderkey").as("col"),
-                col("k1").as("sk"))).as("kmv"),
-              array(struct(lit("l_extendedprice").as("col"),
-                col("g1").as("gk"))).as("gk"), fp("lineitem")))
+        analyzeTableRow(s, dir, "nation")
+          .unionByName(analyzeTableRow(s, dir, "customer"))
+          .unionByName(analyzeTableRow(s, dir, "orders"))
+          .unionByName(analyzeTableRow(s, dir, "lineitem"))
           .write.mode("overwrite").parquet(statsPath)
         statsPath
       })
+  }
+
+  /** One table's ANALYZE artifact row (count + per-column KMV/GK
+    * sketches + the file-listing fingerprint at analyze time). */
+  private def analyzeTableRow(s: SparkSession, dir: String,
+      tbl: String): DataFrame = {
+    import graft.expr.KmvSketchAgg._
+    import graft.expr.GkSketchAgg._
+    val fp = lit(graft.plans.CboCatalog.fingerprintOf(
+      s"$dir/$tbl.parquet")).as("fp")
+    val noGk = array().cast("array<struct<col:string,gk:binary>>")
+    tbl match {
+      case "nation" => Relational.table(s, dir, "nation")
+        .agg(count(lit(1)).as("n"),
+          kmvSketch(xxhash64(col("n_nationkey")), JoinK).as("k1"))
+        .select(lit("nation").as("tbl"), col("n"),
+          array(struct(lit("n_nationkey").as("col"),
+            col("k1").as("sk"))).as("kmv"),
+          noGk.as("gk"), fp)
+      case "customer" => Relational.table(s, dir, "customer")
+        .agg(count(lit(1)).as("n"),
+          kmvSketch(xxhash64(col("c_custkey")), JoinK).as("k1"),
+          kmvSketch(xxhash64(col("c_nationkey")), JoinK).as("k2"))
+        .select(lit("customer").as("tbl"), col("n"),
+          array(
+            struct(lit("c_custkey").as("col"), col("k1").as("sk")),
+            struct(lit("c_nationkey").as("col"), col("k2").as("sk")))
+            .as("kmv"),
+          noGk.as("gk"), fp)
+      case "orders" => Relational.table(s, dir, "orders")
+        .agg(count(lit(1)).as("n"),
+          kmvSketch(xxhash64(col("o_custkey")), JoinK).as("k1"),
+          kmvSketch(xxhash64(col("o_orderkey")), JoinK).as("k2"))
+        .select(lit("orders").as("tbl"), col("n"),
+          array(
+            struct(lit("o_custkey").as("col"), col("k1").as("sk")),
+            struct(lit("o_orderkey").as("col"), col("k2").as("sk")))
+            .as("kmv"),
+          noGk.as("gk"), fp)
+      case "lineitem" => Relational.table(s, dir, "lineitem")
+        .agg(count(lit(1)).as("n"),
+          kmvSketch(xxhash64(col("l_orderkey")), JoinK).as("k1"),
+          gkSketch(col("l_extendedprice").cast("double"),
+            SelAccuracy).as("g1"))
+        .select(lit("lineitem").as("tbl"), col("n"),
+          array(struct(lit("l_orderkey").as("col"),
+            col("k1").as("sk"))).as("kmv"),
+          array(struct(lit("l_extendedprice").as("col"),
+            col("g1").as("gk"))).as("gk"), fp)
+      case other => sys.error(s"analyzeTableRow: unknown table $other")
+    }
   }
 
   /** Populate the optimizer catalog FROM the stored ANALYZE parquet.
@@ -1904,9 +1916,43 @@ object Sketches {
       })
   }
 
+  /** Re-ANALYZE after an append — INCREMENTALLY: recompute only the
+    * tables whose CURRENT file fingerprint differs from the stored
+    * artifact's row and reuse the stored rows for unchanged tables.
+    * Value-identical to a full re-ANALYZE (the sketches are
+    * deterministic over identical bytes, and an unchanged fingerprint
+    * means identical bytes), and it is what a production catalog does
+    * — the sk13/sk14 staleness arcs append to ONE table, so the other
+    * three (including the expensive lineitem KMV+GK pass) were being
+    * rescanned for artifact rows that could not have changed
+    * (r15-opt, guide §1.2: don't compute things you throw away). */
   private def analyzeForCboFresh(s: SparkSession, dir: String): String = {
-    cboAnalyzeCache.remove((s.sparkContext.applicationId, dir))
-    analyzeForCbo(s, dir)
+    val key = (s.sparkContext.applicationId, dir)
+    val statsPath = Option(cboAnalyzeCache.get(key))
+      .filter(p => new java.io.File(p).isDirectory)
+    statsPath match {
+      case None =>
+        cboAnalyzeCache.remove(key)
+        analyzeForCbo(s, dir)
+      case Some(path) =>
+        val stored = s.read.parquet(path)
+        val byTbl = stored.collect().map(r => r.getString(0) -> r).toMap
+        val tables = Seq("nation", "customer", "orders", "lineitem")
+        val stale = tables.filter { t =>
+          !byTbl.get(t).map(_.getString(4)).contains(
+            graft.plans.CboCatalog.fingerprintOf(s"$dir/$t.parquet"))
+        }
+        if (stale.nonEmpty) {
+          import scala.jdk.CollectionConverters._
+          val kept = s.createDataFrame(
+            tables.filterNot(stale.contains).map(byTbl).asJava,
+            stored.schema)
+          stale.map(analyzeTableRow(s, dir, _))
+            .foldLeft(kept)(_.unionByName(_))
+            .write.mode("overwrite").parquet(path)
+        }
+        path
+    }
   }
 
   /** Append a few INERT rows to the scratch lineitem table — the

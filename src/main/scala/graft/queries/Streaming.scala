@@ -1342,9 +1342,9 @@ $counts
     * execution (keyed state machine vs self-join), so any drift means
     * the state path lost, duplicated, or mis-scored a candidate. */
   def lshStreamInv(s: SparkSession, dir: String): DataFrame = {
-    val streamed = lshDedupStreamed(s, dir)
-    val batch = Dedup.dedupMinhashLsh(s, dir)
-      .select(col("a"), col("b"), col("est_jaccard"))
+    val streamed = CacheScope.pin(lshDedupStreamed(s, dir))
+    val batch = CacheScope.pin(Dedup.dedupMinhashLsh(s, dir)
+      .select(col("a"), col("b"), col("est_jaccard")))
     val cols = Seq("a", "b", "est_jaccard")
     val union = streamed.join(batch, cols, "full_outer")
       .agg(count(lit(1)).as("n_union"))
@@ -1615,10 +1615,14 @@ $counts
     if (!fullRoot.isDirectory)
       Similarity.writeIvfIndex(s, emb,
         Similarity.readCentroids(s, root), fullRoot)
-    val ingested = annIngestStreamed(s, dir)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
-    val oneshot = Similarity.serveIvf(s, fullRoot.getAbsolutePath, dir)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    // both serves are referenced 2-3x by the checks below — pin the
+    // few-dozen-row results so each reference is a block read, not a
+    // full serve recompute (CacheScope.pin note)
+    val ingested = CacheScope.pin(annIngestStreamed(s, dir)
+      .select(col("query_id"), col("neighbor_id"), col("rank")))
+    val oneshot = CacheScope.pin(
+      Similarity.serveIvf(s, fullRoot.getAbsolutePath, dir)
+        .select(col("query_id"), col("neighbor_id"), col("rank")))
     val union = ingested.join(oneshot,
         Seq("query_id", "neighbor_id", "rank"), "full_outer")
       .agg(count(lit(1)).as("n_union"))
