@@ -23,7 +23,7 @@ object Graph {
     * trading pair, BOTH directions so the graph is cyclic and every
     * round genuinely moves rank — a one-way bipartite graph would
     * converge after round 1 and leave rounds 2–3 untested). */
-  private def edges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def edges(s: SparkSession, dir: String): DataFrame = {
     val pairs = Relational.table(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))
       .join(Relational.table(s, dir, "orders")
@@ -52,7 +52,7 @@ object Graph {
     * rank table outgrows it immediately and the loop keeps the
     * bucketed-edges + shuffled-ranks shape the scaladocs describe,
     * so the choice stays honest at any scale. */
-  private def maybeBroadcast(df: DataFrame, rows: Long): DataFrame = {
+  private[graft] def maybeBroadcast(df: DataFrame, rows: Long): DataFrame = {
     val cap = df.sparkSession.conf
       .getOption("spark.graft.superstep.broadcastRows")
       .map(_.toLong).getOrElse(2000000L)

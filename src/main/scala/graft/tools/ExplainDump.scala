@@ -24,8 +24,40 @@ object ExplainDump {
     spark.sparkContext.setLogLevel("WARN")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     val qs = graft.SparkEntry.queries
+    // Queries that materialize internally (CacheScope) explain to a
+    // bare checkpoint scan; these hooks expose the REAL inner plan
+    // the materialization executes. "gr01_round" builds one pagerank
+    // superstep lazily so the round's join strategy is visible —
+    // pass spark.graft.superstep.broadcastRows=0 via SPARK_GRAFT_CAP0=1
+    // to capture the pre-r15 shuffle shape.
+    val inner: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] = Map(
+      "d13_inner" -> ((ss, d) =>
+        graft.queries.Dedup.containmentDedupPlan(ss, d)._1),
+      "gr01_round" -> ((ss, d) => {
+        import org.apache.spark.sql.functions._
+        if (sys.env.get("SPARK_GRAFT_CAP0").contains("1"))
+          ss.conf.set("spark.graft.superstep.broadcastRows", "0")
+        val e = graft.queries.Graph.edges(ss, d).persist()
+        val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+        val withDeg = e.join(outdeg, "src").persist()
+        val nodes = e.select(col("src").as("node")).distinct().persist()
+        val nNodes = nodes.count()
+        val ranks = nodes.select(col("node"), lit(1000000L).as("r"))
+        val contrib = withDeg
+          .join(graft.queries.Graph.maybeBroadcast(ranks, nNodes),
+            col("src") === col("node"))
+          .select(col("dst"), expr("85 * (r div outdeg) div 100").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("in_rank"))
+        nodes.join(
+          graft.queries.Graph.maybeBroadcast(contrib, nNodes),
+          col("node") === col("dst"), "left")
+          .select(col("node"), (lit(150000L) +
+            coalesce(col("in_rank"), lit(0L))).as("r"))
+      }))
     names.split(",").map(_.trim).filter(_.nonEmpty).foreach { name =>
-      val fn = qs.getOrElse(name, sys.error(s"unknown query: $name"))
+      val fn = inner.getOrElse(name,
+        qs.getOrElse(name, sys.error(s"unknown query: $name")))
       spark.sparkContext.setJobDescription(s"explain: $name")
       val df = fn(spark, sfDir)
       val initial = df.queryExecution.explainString(
