@@ -1086,14 +1086,21 @@ object Dedup {
     *
     * Scale shape: the d02/d04 two-stage pattern. (1) CANDIDATE
     * GENERATION from an inverted index over word-3-grams with posting
-    * lists CAPPED to the 8 lowest doc ids via the [[graft.expr.TopKPairs]]
-    * bounded-heap aggregate — O(k) state per gram, map-side combined,
-    * so the gram shuffle carries at most 8 survivors per (partition,
-    * gram) and nothing is sorted; df==1 grams (the majority of
-    * distinct 3-grams) are dropped in the same pass, since a
-    * single-doc posting can never form a pair. Pair volume is
-    * ≤ C(8,2) per gram, linear in distinct grams, never quadratic in
-    * docs, and a viral boilerplate gram cannot skew a partition.
+    * lists capped to the 8 lowest doc ids via
+    * `slice(array_sort(collect_set(doc_id)), 1, 8)` — HONEST MEMORY
+    * BOUND: the per-gram aggregation state is O(df) (the gram's full
+    * distinct doc-id set is held in one in-memory aggregation buffer
+    * before the slice; collect_set does partial/map-side aggregation
+    * but does not spill), so a pathologically viral gram concentrates
+    * memory on one task — acceptable here because the df>=2 semi-join
+    * below already restricts the aggregate to shared grams and a
+    * doc-id is 8 bytes (a 10M-doc-df gram costs ~80 MB of buffer; at
+    * that scale switch back to a bounded-heap TypedImperative
+    * aggregate, which was measured 2x slower at gate df profiles —
+    * see the df2 comment). df==1 grams (the majority of distinct
+    * 3-grams) are dropped before the cap, since a single-doc posting
+    * can never form a pair. Pair volume is ≤ C(8,2) per gram, linear
+    * in distinct grams, never quadratic in docs.
     * (2) EXACT VERIFY on candidates only: shared
     * grams are recounted from the UNCAPPED gram table, but the
     * pair-join is semi-restricted to candidate pairs, so the exact
@@ -1109,15 +1116,29 @@ object Dedup {
   /** Spec hook — see [[dedupMinhashLshPlan]]. */
   private[graft] def containmentDedupPlan(s: SparkSession, dir: String)
       : (DataFrame, Seq[DataFrame]) = {
-    val toks = split(col("text"), " ")
+    // ONE split() in the whole plan (the grams projection below). The
+    // r15 shape evaluated split(text) in four more places — the two
+    // token-count filters, the planted slice and its size — and filter
+    // pushdown duplicates any projected alias back into the predicate,
+    // so a column-level `toks` alias cannot fix it (guide §4.4). The
+    // token-COUNT filters instead use the split-free identity
+    // n_tokens = n_spaces + 1 (split on a single space keeps empty
+    // tokens, so the identity is exact, consecutive spaces included),
+    // and the planted prefix uses substring_index(text, ' ', n) —
+    // "first n tokens joined by spaces" as one codegen'd string scan,
+    // byte-identical to concat_ws(' ', slice(split(text), 1, n)).
+    val nSpaces = length(col("text")) -
+      length(replace(col("text"), lit(" "), lit("")))
+    val nToks = nSpaces + 1
     val docs = Relational.table(s, dir, "documents")
       .select(col("doc_id"), col("text"))
     val planted = docs.filter(col("doc_id") % 7 === 0)
-      .filter(size(toks) >= 6)
+      .filter(nToks >= 6)
       .select((col("doc_id") + PlantOffset).as("doc_id"),
-        concat_ws(" ", slice(toks, lit(1), (size(toks) / 2).cast("int")))
+        expr("substring_index(text, ' ', cast((length(text) - " +
+          "length(replace(text, ' ', '')) + 1) / 2 as int))")
           .as("text"))
-    val corpus = docs.unionAll(planted).filter(size(toks) >= 3)
+    val corpus = docs.unionAll(planted).filter(nToks >= 3)
     // tokenize ONCE into a column, then index it — inlining
     // `element_at(split(text), i)` into the transform lambda re-splits
     // the whole text per gram element, an O(len²)-per-doc trap that
