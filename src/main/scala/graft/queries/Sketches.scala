@@ -2239,20 +2239,50 @@ object Sketches {
       val xCo = ordX.select("o_custkey")
         .join(broadcast(custX.select("c_custkey")),
           col("c_custkey") === col("o_custkey")).count()
+      // BOTH scenarios' GK range-fraction estimates in ONE 2-row job
+      // (was one single-row Spark job per scenario — pure fixed cost)
+      val estFByScenario: Map[String, Double] = {
+        import s.implicits._
+        Sk11Scenarios
+          .map { case (sc, lo, hi) =>
+            (sc, stL.gk("l_extendedprice"), lo, hi) }
+          .toDF("scenario", "gk", "lo", "hi")
+          .select(col("scenario"),
+            (graft.expr.GkSketchAgg.gkRank(col("gk"), col("hi"))
+              - graft.expr.GkSketchAgg.gkRank(col("gk"), col("lo")))
+              .as("f"))
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      }
+      // BOTH scenarios' exact orders⋈lineitem counts in ONE pass: the
+      // range filter commutes with the inner equi-join, so counting
+      // join rows per range as conditional sums over the UNfiltered
+      // join is value-identical to the old per-scenario
+      // filter-then-join counts — and one lineitem scan probing a
+      // broadcast of the ~8-byte orders key set replaces two scans
+      // (the wide leg used to broadcast most of lineitem). Audit
+      // machinery, strategy-independent counts — the broadcast hint
+      // deliberately bypasses the forced-SMJ overrides, same as xNc.
+      val xOlfByScenario: Map[String, Long] = {
+        val lineP = Relational.table(s, scratch, "lineitem")
+          .select(col("l_orderkey"),
+            col("l_extendedprice").cast("double").as("price"))
+        val aggs = Sk11Scenarios.map { case (sc, lo, hi) =>
+          coalesce(sum(when(col("price") > lo && col("price") <= hi, 1L)
+            .otherwise(0L)), lit(0L)).as(sc) }
+        val row = lineP
+          .join(broadcast(ordX.select("o_orderkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .agg(aggs.head, aggs.tail: _*).collect().head
+        Sk11Scenarios.map(_._1).zipWithIndex
+          .map { case (sc, i) => sc -> row.getLong(i) }.toMap
+      }
       Sk11Scenarios.map { case (scenario, lo, hi) =>
         // ---- the rule's decision, replayed from the stored stats
         val estNc = estJoinFromStats(stN.n, stN.kmv("n_nationkey"),
           stC.n, stC.kmv("c_nationkey"))
         val estCo = estJoinFromStats(stC.n, stC.kmv("c_custkey"),
           stO.n, stO.kmv("o_custkey"))
-        val estF = {
-          import s.implicits._
-          Seq((stL.gk("l_extendedprice"), lo, hi))
-            .toDF("gk", "lo", "hi")
-            .select((graft.expr.GkSketchAgg.gkRank(col("gk"), col("hi"))
-              - graft.expr.GkSketchAgg.gkRank(col("gk"), col("lo")))
-              .as("f")).collect().head.getDouble(0)
-        }
+        val estF = estFByScenario(scenario)
         val estOl = estJoinFromStats(stO.n, stO.kmv("o_orderkey"),
           stL.n, stL.kmv("l_orderkey")) * (estF / stL.n)
         // greedy chain fold — the same arithmetic (and first-minimum
@@ -2275,13 +2305,8 @@ object Sketches {
         s.conf.set(graft.plans.CboCatalog.EnabledKey, "false")
         val (offRows, off1, _, _, offInner) = audit(userQuery(lo, hi))
         s.conf.set(graft.plans.CboCatalog.EnabledKey, "true")
-        // ---- exact replays (xNc/xCo hoisted above the loop)
-        val lineF = Relational.table(s, scratch, "lineitem")
-          .filter(col("l_extendedprice").cast("double") > lo &&
-            col("l_extendedprice").cast("double") <= hi)
-          .select("l_orderkey")
-        val xOlf = ordX.select("o_orderkey").join(broadcast(lineF),
-          col("o_orderkey") === col("l_orderkey")).count()
+        // ---- exact replays (xNc/xCo/xOlf hoisted above the loop)
+        val xOlf = xOlfByScenario(scenario)
         val (exact1, exact2, exact3) =
           greedy(xNc.toDouble, xCo.toDouble, xOlf.toDouble,
             stC.n.toDouble, stO.n.toDouble)
