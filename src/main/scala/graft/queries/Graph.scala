@@ -47,15 +47,24 @@ object Graph {
     * The loop owner knows the row count (it is the node count, or a
     * subset); broadcast the round table while it fits, fall back to
     * the shuffle join past the cap. The cap is conf'able
-    * (`spark.graft.superstep.broadcastRows`, default 2M rows ≈
-    * tens of MB framed — a size any executor holds); at 100 TB a
-    * rank table outgrows it immediately and the loop keeps the
-    * bucketed-edges + shuffled-ranks shape the scaladocs describe,
-    * so the choice stays honest at any scale. */
+    * (`spark.graft.superstep.broadcastRows`, default 2M rows — note a
+    * built HashedRelation of 2M (long, long) UnsafeRows costs on the
+    * order of ~100 MB with hash-map overhead, not "tens of MB": still
+    * fine for one broadcast on a bench-sized executor, but size the
+    * cap to executor memory in production); at 100 TB a rank table
+    * outgrows it immediately and the loop keeps the bucketed-edges +
+    * shuffled-ranks shape the scaladocs describe, so the choice stays
+    * honest at any scale. */
   private[graft] def maybeBroadcast(df: DataFrame, rows: Long): DataFrame = {
     val cap = df.sparkSession.conf
       .getOption("spark.graft.superstep.broadcastRows")
-      .map(_.toLong).getOrElse(2000000L)
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption.orElse {
+        // a malformed conf value must not throw from inside a query
+        // builder — name the key, fall back to the default
+        System.err.println("[graft] ignoring malformed " +
+          s"spark.graft.superstep.broadcastRows='$v' (expected a long)")
+        None
+      }).getOrElse(2000000L)
     if (rows <= cap) broadcast(df) else df
   }
 

@@ -17,6 +17,12 @@ package graft.tools
   */
 object ExplainDump {
   def main(args: Array[String]): Unit = {
+    if (args.length < 4) {
+      System.err.println(
+        "usage: runMain graft.tools.ExplainDump <sfDir> <outDir> " +
+          "<suffix> <name1,name2,...>")
+      sys.exit(2)
+    }
     val Array(sfDir, outDir, suffix, names) = args.take(4)
     val spark = graft.GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS",
